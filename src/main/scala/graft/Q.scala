@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.Column
+
+/** One named engine query plus (optionally) its DuckDB oracle SQL.
+  * Queries with `oracle = None` get the driver's weaker rows-only check
+  * (used for ops whose result DuckDB can't reproduce deterministically,
+  * e.g. approx sketches or file-listing).
+  */
+final case class Q(
+    name: String,
+    fn: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+object Q {
+
+  /** Order-independent exact SUM for double columns: route through decimal so
+    * Spark's parallel partial aggregation and DuckDB's sequential sum produce
+    * the identical value, then surface as double. `scale` must cover the
+    * column's true decimal precision (corpus money/value columns carry 2dp;
+    * products of two/three 2dp factors carry 4/6dp — see SURVEY §7.3.1).
+    */
+  def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(28, scale))).cast("double")
+
+  /** Deterministic AVG built from the exact decimal sum and an exact count:
+    * one IEEE division of identical operands on both engines.
+    */
+  def davg(c: Column, scale: Int = 2): Column =
+    dsum(c, scale) / count(c)
+
+  /** SQL fragment mirroring [[dsum]] for the DuckDB oracle. */
+  def sqlDsum(expr: String, scale: Int = 2): String =
+    s"CAST(sum(CAST(($expr) AS DECIMAL(28,$scale))) AS DOUBLE)"
+
+  def sqlDavg(expr: String, scale: Int = 2): String =
+    s"${sqlDsum(expr, scale)} / count($expr)"
+}

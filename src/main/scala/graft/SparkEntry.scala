@@ -1,13 +1,30 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.immutable.ListMap
+import graft.queries.Relational
+
+/** Driver contract — see /root/repo/SURVEY.md §7.
+  *
+  * `queries`/`oracleSql` are insertion-ordered (ListMap) so Verify output and
+  * bench JSON are stable run-to-run (SURVEY §7.3.6).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Relational.q01PricingSummary.fn(spark, "/root/testdata/sf0.001")
+
+  /** Full registry: one `Q` per implemented operator from SURVEY.md §2. */
+  lazy val registry: Seq[Q] =
+    Relational.all
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    ListMap(registry.map(q => q.name -> q.fn): _*)
+
+  /** DuckDB-runnable ANSI SQL per query; omitted entries get the driver's
+    * rows-only check.
+    */
+  def oracleSql: Map[String, String] =
+    ListMap(registry.flatMap(q => q.oracle.map(o => q.name -> o)): _*)
 }

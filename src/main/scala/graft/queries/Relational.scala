@@ -1,0 +1,434 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core relational surface: scan → project/filter → aggregate → sort, the
+  * Spark re-expression of the reference's eager pandas calls (SURVEY §2.2,
+  * §2.6, §2.7, §2.8). Every query carries a total ORDER BY on a unique key so
+  * the DuckDB hash-compare is deterministic.
+  */
+object Relational {
+  import Q._
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  /** Flagship: TPC-H-Q1-shaped pricing summary — scan → filter → hash-agg →
+    * sort. (Reference analogue: whole-frame bar statistics; SURVEY §7.1.3.)
+    */
+  val q01PricingSummary: Q = Q(
+    "q01_pricing_summary",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.filter(col("l_shipdate") <= lit("1998-09-02").cast(TimestampType))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 8)
+            .as("sum_disc_price"),
+          dsum(
+            col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
+              (lit(1.0) + col("l_tax")),
+            8).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some(s"""SELECT l_returnflag, l_linestatus,
+      ${sqlDsum("l_quantity")} AS sum_qty,
+      ${sqlDsum("l_extendedprice")} AS sum_base_price,
+      ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 8)} AS sum_disc_price,
+      ${sqlDsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 8)} AS sum_charge,
+      ${sqlDavg("l_quantity")} AS avg_qty,
+      ${sqlDavg("l_extendedprice")} AS avg_price,
+      ${sqlDavg("l_discount")} AS avg_disc,
+      count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")
+  )
+
+  /** P1: column drop (reference drops `symbol` post-reset_index,
+    * `download_historical_price.py:426`).
+    */
+  val p1Drop: Q = Q(
+    "p1_drop_columns",
+    (s, dir) =>
+      t(s, dir, "events")
+        .drop("props", "ts")
+        .orderBy("event_id"),
+    Some("""SELECT event_id, user_id, event_type, value
+      FROM events ORDER BY event_id""")
+  )
+
+  /** P2: column rename (`close`→`adj_close` conform step,
+    * `download_historical_price.py:423,504-505`).
+    */
+  val p2Rename: Q = Q(
+    "p2_rename_columns",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .withColumnRenamed("o_totalprice", "total_price")
+        .withColumnRenamed("o_orderstatus", "status")
+        .select("o_orderkey", "status", "total_price")
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_orderstatus AS status, o_totalprice AS total_price
+      FROM orders ORDER BY o_orderkey""")
+  )
+
+  /** P3: field projection (`[asset.symbol for asset in assets]`,
+    * `download_historical_price.py:154`).
+    */
+  val p3Project: Q = Q(
+    "p3_project",
+    (s, dir) => t(s, dir, "supplier").select("s_suppkey", "s_name").orderBy("s_suppkey"),
+    Some("SELECT s_suppkey, s_name FROM supplier ORDER BY s_suppkey")
+  )
+
+  /** P4: boolean predicate filter (tradable-assets filter,
+    * `update_live_price.py:98`).
+    */
+  val p4Filter: Q = Q(
+    "p4_filter_predicate",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F" && col("o_totalprice") > 150000.0)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      WHERE o_orderstatus = 'F' AND o_totalprice > 150000.0
+      ORDER BY o_orderkey""")
+  )
+
+  /** P5: set membership (negative-cache skip,
+    * `download_historical_price.py:347,385`).
+    */
+  val p5Isin: Q = Q(
+    "p5_isin_membership",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .filter(col("c_mktsegment").isin("BUILDING", "AUTOMOBILE"))
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, c_name, c_mktsegment FROM customer
+      WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+      ORDER BY c_custkey""")
+  )
+
+  /** P6: validity predicate — non-null, non-NaN (reference's
+    * `pd.isna(price)` guard, `update_live_price.py:160-161`; NaN≠null in
+    * Spark and DuckDB, so test both explicitly).
+    */
+  val p6Validity: Q = Q(
+    "p6_validity_filter",
+    (s, dir) =>
+      t(s, dir, "events")
+        .filter(
+          col("value").isNotNull && !isnan(col("value")) && col("ts").isNotNull)
+        .select("event_id", "user_id", "value")
+        .orderBy("event_id"),
+    Some("""SELECT event_id, user_id, value FROM events
+      WHERE value IS NOT NULL AND NOT isnan(value) AND ts IS NOT NULL
+      ORDER BY event_id""")
+  )
+
+  /** P8: masked conditional assignment — update one column only on rows
+    * matching a date predicate (`df.loc[date_mask,'adj_close']=price`,
+    * `update_live_price.py:256-257`).
+    */
+  val p8MaskedUpdate: Q = Q(
+    "p8_masked_update",
+    (s, dir) =>
+      t(s, dir, "events")
+        .withColumn(
+          "value_upd",
+          when(to_date(col("ts")) === lit("2024-01-15").cast(DateType), lit(999.99))
+            .otherwise(col("value")))
+        .select("event_id", "value_upd")
+        .orderBy("event_id"),
+    Some("""SELECT event_id,
+      CASE WHEN CAST(ts AS DATE) = DATE '2024-01-15' THEN 999.99 ELSE value END AS value_upd
+      FROM events ORDER BY event_id""")
+  )
+
+  /** F1: vendor symbol respelling `-`↔`.` (`download_historical_price.py:389,459`)
+    * as string replace.
+    */
+  val f1Respell: Q = Q(
+    "f1_string_replace",
+    (s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          regexp_replace(col("p_type"), " ", "-").as("p_type_dashed"),
+          translate(col("p_brand"), "#", ".").as("p_brand_dotted"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey, replace(p_type, ' ', '-') AS p_type_dashed,
+      replace(p_brand, '#', '.') AS p_brand_dotted
+      FROM part ORDER BY p_partkey""")
+  )
+
+  /** F2: case mapping (`item["Code"].upper()`,
+    * `download_historical_price.py:187,247`).
+    */
+  val f2Case: Q = Q(
+    "f2_upper_lower",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("name_upper"),
+          lower(col("c_mktsegment")).as("segment_lower"))
+        .orderBy("c_custkey"),
+    Some("""SELECT c_custkey, upper(c_name) AS name_upper,
+      lower(c_mktsegment) AS segment_lower
+      FROM customer ORDER BY c_custkey""")
+  )
+
+  /** F3: split + trim + element extraction (error-message symbol parse,
+    * `update_live_price.py:174-176`).
+    */
+  val f3Split: Q = Q(
+    "f3_split_extract",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          trim(element_at(split(col("o_orderpriority"), "-"), 2)).as("priority_word"),
+          element_at(split(col("o_orderpriority"), "-"), 1).cast(IntegerType)
+            .as("priority_rank"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+      trim(string_split(o_orderpriority, '-')[2]) AS priority_word,
+      CAST(string_split(o_orderpriority, '-')[1] AS INTEGER) AS priority_rank
+      FROM orders ORDER BY o_orderkey""")
+  )
+
+  /** F4: comma-joined group members (batch symbol param `",".join(batch)`,
+    * `update_live_price.py:144`); sorted inside the group for determinism.
+    */
+  val f4StringAgg: Q = Q(
+    "f4_string_agg",
+    (s, dir) =>
+      t(s, dir, "nation")
+        .groupBy("n_regionkey")
+        .agg(
+          array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n_nations"))
+        .orderBy("n_regionkey"),
+    Some("""SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      count(*) AS n_nations
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")
+  )
+
+  /** F5: formatted path/key construction (f-string paths,
+    * `download_historical_price.py:429`).
+    */
+  val f5Concat: Q = Q(
+    "f5_format_concat",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          concat(lit("doc/"), col("source"), lit("/"), col("lang"), lit("/"),
+            col("doc_id").cast(StringType), lit(".parquet")).as("path"),
+          format_string("%s-%s", col("lang"), col("source")).as("lang_source"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      'doc/' || source || '/' || lang || '/' || CAST(doc_id AS VARCHAR) || '.parquet' AS path,
+      format('{}-{}', lang, source) AS lang_source
+      FROM documents ORDER BY doc_id""")
+  )
+
+  /** F6/F7: timestamp floor-to-second (`update_live_price.py:206`) and
+    * normalize-to-day (`update_live_price.py:251-252`).
+    */
+  val f6TimeTrunc: Q = Q(
+    "f6_f7_time_trunc",
+    (s, dir) =>
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          date_trunc("second", col("ts")).as("ts_sec"),
+          date_trunc("hour", col("ts")).as("ts_hour"),
+          to_date(col("ts")).as("event_date"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id,
+      date_trunc('second', ts) AS ts_sec,
+      date_trunc('hour', ts) AS ts_hour,
+      CAST(ts AS DATE) AS event_date
+      FROM events ORDER BY event_id""")
+  )
+
+  /** F9/F10: timestamp parse + interval arithmetic (market close + 1h,
+    * next-day scheduling, `download_historical_price.py:272-277,408-409`).
+    */
+  val f9TsArith: Q = Q(
+    "f9_f10_ts_arith",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          (col("o_orderdate") + expr("INTERVAL 17 HOURS")).as("close_plus_1h"),
+          (col("o_orderdate") + expr("INTERVAL 1 DAY")).as("next_day"),
+          to_timestamp(
+            concat(lit("2024-03-01 12:30:45"))).as("parsed_ts"))
+        .orderBy("o_orderkey"),
+    Some("""SELECT o_orderkey,
+      o_orderdate + INTERVAL 17 HOUR AS close_plus_1h,
+      o_orderdate + INTERVAL 1 DAY AS next_day,
+      TIMESTAMP '2024-03-01 12:30:45' AS parsed_ts
+      FROM orders ORDER BY o_orderkey""")
+  )
+
+  /** F11/F12: numeric cast + null repair (float(price) casts and NaN-fill,
+    * `update_live_price.py:216,248,257`).
+    */
+  val f11CastNull: Q = Q(
+    "f11_f12_cast_null",
+    (s, dir) =>
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          col("value").cast(LongType).as("value_int"),
+          when(col("value") < 10.0, lit(null).cast(DoubleType))
+            .otherwise(col("value")).as("value_nullable"))
+        .withColumn("value_repaired", coalesce(col("value_nullable"), lit(-1.0)))
+        .orderBy("event_id"),
+    Some("""SELECT event_id,
+      CAST(trunc(value) AS BIGINT) AS value_int,
+      CASE WHEN value < 10.0 THEN NULL ELSE value END AS value_nullable,
+      coalesce(CASE WHEN value < 10.0 THEN NULL ELSE value END, -1.0) AS value_repaired
+      FROM events ORDER BY event_id""")
+  )
+
+  /** F13: JSON field extraction from the semi-structured `props` payload
+    * (`trade.get("p")`, `update_live_price.py:153-157`).
+    */
+  val f13Json: Q = Q(
+    "f13_json_extract",
+    (s, dir) =>
+      t(s, dir, "events")
+        .select(
+          col("event_id"),
+          get_json_object(col("props"), "$.k").cast(IntegerType).as("k_val"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id,
+      CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+      FROM events ORDER BY event_id""")
+  )
+
+  /** O1: chronological sort (`df.sort_index()`, `update_live_price.py:283`). */
+  val o1SortChrono: Q = Q(
+    "o1_sort_chrono",
+    (s, dir) =>
+      t(s, dir, "events")
+        .select("event_id", "ts", "user_id")
+        .orderBy(col("ts"), col("event_id")),
+    Some("SELECT event_id, ts, user_id FROM events ORDER BY ts, event_id")
+  )
+
+  /** O2: lexicographic sort (`sorted(symbols)`,
+    * `download_historical_price.py:253`).
+    */
+  val o2SortLex: Q = Q(
+    "o2_sort_lex",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .select("c_name", "c_custkey")
+        .orderBy(col("c_name"), col("c_custkey")),
+    Some("SELECT c_name, c_custkey FROM customer ORDER BY c_name, c_custkey")
+  )
+
+  /** O3/O4: top-k — sorted head (`parquet_details.py:22-23` latest-N pattern)
+    * compiled to TakeOrderedAndProject, not a global sort.
+    */
+  val o3TopK: Q = Q(
+    "o3_topk",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(10),
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""")
+  )
+
+  /** U1: union-distinct of key universes (symbol-universe build,
+    * `download_historical_price.py:212-253`).
+    */
+  val u1UnionDistinct: Q = Q(
+    "u1_union_distinct",
+    (s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sp = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.union(sp).distinct().orderBy("nationkey")
+    },
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+      UNION SELECT s_nationkey AS nationkey FROM supplier
+      ORDER BY nationkey""")
+  )
+
+  /** U3: set difference (valid = all − invalid, `update_live_price.py:136`). */
+  val u3Except: Q = Q(
+    "u3_except",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_nationkey").as("nationkey"))
+      val sp = t(s, dir, "supplier")
+        .filter(col("s_acctbal") > 5000.0)
+        .select(col("s_nationkey").as("nationkey"))
+      c.except(sp).orderBy("nationkey")
+    },
+    Some("""SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000.0
+      ORDER BY nationkey""")
+  )
+
+  /** U4: row append via union-by-name (`pd.concat`,
+    * `update_live_price.py:273`), preserving duplicates.
+    */
+  val u4UnionAll: Q = Q(
+    "u4_union_all",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val fulls = o.filter(col("o_orderstatus") === "F")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      val opens = o.filter(col("o_orderstatus") === "O")
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+      fulls.unionByName(opens).orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders WHERE o_orderstatus = 'O'
+      ORDER BY o_orderkey""")
+  )
+
+  /** U5: intersection of key universes. */
+  val u5Intersect: Q = Q(
+    "u5_intersect",
+    (s, dir) => {
+      val c = t(s, dir, "customer").select(col("c_nationkey").as("nationkey"))
+      val sp = t(s, dir, "supplier").select(col("s_nationkey").as("nationkey"))
+      c.intersect(sp).orderBy("nationkey")
+    },
+    Some("""SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT SELECT s_nationkey AS nationkey FROM supplier
+      ORDER BY nationkey""")
+  )
+
+  val all: Seq[Q] = Seq(
+    q01PricingSummary,
+    p1Drop, p2Rename, p3Project, p4Filter, p5Isin, p6Validity, p8MaskedUpdate,
+    f1Respell, f2Case, f3Split, f4StringAgg, f5Concat, f6TimeTrunc, f9TsArith,
+    f11CastNull, f13Json,
+    o1SortChrono, o2SortLex, o3TopK,
+    u1UnionDistinct, u3Except, u4UnionAll, u5Intersect)
+}
