@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.collection.immutable.ListMap
-import graft.queries.Relational
+import graft.queries.{Aggregates, Joins, Relational}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -17,7 +17,7 @@ object SparkEntry {
 
   /** Full registry: one `Q` per implemented operator from SURVEY.md §2. */
   lazy val registry: Seq[Q] =
-    Relational.all
+    Relational.all ++ Joins.all ++ Aggregates.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(registry.map(q => q.name -> q.fn): _*)

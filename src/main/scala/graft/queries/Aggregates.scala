@@ -1,0 +1,304 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.Merge
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DateType
+
+/** Aggregation + window surface (SURVEY §2.4, §2.5): keyed last-value state,
+  * daily identity dedup, grouped stats, rollup/cube, HLL sketch, the A6
+  * upsert merge, and the window-function family (lag returns, moving average,
+  * per-group top-n, running sums). Partial aggregation (map-side combine) is
+  * automatic via HashAggregateExec; windows shuffle once on their partition
+  * keys.
+  */
+object Aggregates {
+  import Q._
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  /** A3: last-value-per-key state (`self.current_prices.at[symbol,'price'] =
+    * price`, `update_live_price.py:164`) as a batch `max_by`.
+    */
+  val a3MaxBy: Q = Q(
+    "a3_last_per_key",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          max_by(col("value"), col("ts")).as("last_value"),
+          max(col("ts")).as("last_ts"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id"),
+    Some("""SELECT user_id, arg_max(value, ts) AS last_value,
+      max(ts) AS last_ts, count(*) AS n_events
+      FROM events GROUP BY user_id ORDER BY user_id""")
+  )
+
+  /** A5: daily identity — at most one row per (key, calendar day), keeping
+    * the latest (`update_live_price.py:251-254`), via row_number dedup.
+    */
+  val a5DailyDedup: Q = Q(
+    "a5_daily_dedup",
+    (s, dir) => {
+      val w = Window
+        .partitionBy(col("user_id"), to_date(col("ts")))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(
+          col("user_id"), to_date(col("ts")).as("day"),
+          col("event_id"), col("value"))
+        .orderBy("user_id", "day")
+    },
+    Some("""SELECT user_id, CAST(ts AS DATE) AS day, event_id, value
+      FROM events
+      QUALIFY row_number() OVER (
+        PARTITION BY user_id, CAST(ts AS DATE)
+        ORDER BY ts DESC, event_id DESC) = 1
+      ORDER BY user_id, day""")
+  )
+
+  /** A-completeness: grouped sum/avg/min/max/count/countDistinct. */
+  val a7GroupStats: Q = Q(
+    "a7_group_stats",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"),
+          dsum(col("value")).as("sum_value"),
+          davg(col("value")).as("avg_value"))
+        .orderBy("event_type"),
+    Some(s"""SELECT event_type, count(*) AS n,
+      count(DISTINCT user_id) AS n_users,
+      min(value) AS min_value, max(value) AS max_value,
+      ${sqlDsum("value")} AS sum_value, ${sqlDavg("value")} AS avg_value
+      FROM events GROUP BY event_type ORDER BY event_type""")
+  )
+
+  /** Rollup over the region→nation hierarchy (grouping-set nulls collapsed
+    * to 'ALL' so null-ordering dialects can't diverge).
+    */
+  val a8Rollup: Q = Q(
+    "a8_rollup",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+      val r = t(s, dir, "region").select("r_regionkey", "r_name")
+      c.join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_customers"), dsum(col("c_acctbal")).as("sum_acctbal"))
+        .select(
+          coalesce(col("r_name"), lit("ALL")).as("region_name"),
+          coalesce(col("n_name"), lit("ALL")).as("nation_name"),
+          col("n_customers"), col("sum_acctbal"))
+        .orderBy("region_name", "nation_name")
+    },
+    Some(s"""SELECT coalesce(r_name, 'ALL') AS region_name,
+      coalesce(n_name, 'ALL') AS nation_name,
+      count(*) AS n_customers, ${sqlDsum("c_acctbal")} AS sum_acctbal
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP (r_name, n_name)
+      ORDER BY region_name, nation_name""")
+  )
+
+  /** Cube over two independent order dimensions. */
+  val a9Cube: Q = Q(
+    "a9_cube",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("sum_price"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("n_orders"), col("sum_price"))
+        .orderBy("status", "priority"),
+    Some(s"""SELECT coalesce(o_orderstatus, 'ALL') AS status,
+      coalesce(o_orderpriority, 'ALL') AS priority,
+      count(*) AS n_orders, ${sqlDsum("o_totalprice")} AS sum_price
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY status, priority""")
+  )
+
+  /** HLL sketch cardinality — sketch values differ across engines, so this
+    * query gets the rows-only check (SURVEY §7.1.4: approx ops excluded from
+    * the oracle map).
+    */
+  val a10ApproxDistinct: Q = Q(
+    "a10_approx_count_distinct",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+        .orderBy("l_returnflag"),
+    None
+  )
+
+  /** A6 flagship merge: daily bars upserted with a batch of live trades —
+    * matched keys overwrite only `adj_close`, new keys insert null-padded
+    * rows (see [[graft.operators.Merge]]). Stored bars = per-(user, day)
+    * OHLC-ish aggregates before the cutoff; incoming = trades on the cutoff
+    * day (update path) and the day after (insert path).
+    */
+  val a6Upsert: Q = Q(
+    "a6_upsert_daily_close",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val stored = ev
+        .filter(to_date(col("ts")) <= lit("2024-01-24").cast(DateType))
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(
+          min_by(col("value"), col("ts")).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), col("ts")).as("adj_close"),
+          count(lit(1)).cast("long").as("volume"))
+      val incoming = ev
+        .filter(
+          to_date(col("ts")) === lit("2024-01-24").cast(DateType) ||
+            to_date(col("ts")) === lit("2024-01-25").cast(DateType))
+        .select(col("user_id"), to_date(col("ts")).as("day"),
+          col("value").as("price"), col("ts"))
+      Merge
+        .upsertDailyClose(stored, incoming, Seq("user_id", "day"), "price", "ts", "adj_close")
+        .select("user_id", "day", "open", "high", "low", "adj_close", "volume")
+        .orderBy("user_id", "day")
+    },
+    Some("""WITH stored AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+          arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
+          arg_max(value, ts) AS adj_close, count(*) AS volume
+        FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-24'
+        GROUP BY user_id, CAST(ts AS DATE)),
+      incoming AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, arg_max(value, ts) AS price
+        FROM events
+        WHERE CAST(ts AS DATE) = DATE '2024-01-24'
+           OR CAST(ts AS DATE) = DATE '2024-01-25'
+        GROUP BY user_id, CAST(ts AS DATE))
+      SELECT s.user_id, s.day, s.open, s.high, s.low,
+        coalesce(i.price, s.adj_close) AS adj_close, s.volume
+      FROM stored s LEFT JOIN incoming i
+        ON s.user_id = i.user_id AND s.day = i.day
+      UNION ALL
+      SELECT i.user_id, i.day, NULL AS open, NULL AS high, NULL AS low,
+        i.price AS adj_close, NULL AS volume
+      FROM incoming i
+      WHERE NOT EXISTS (
+        SELECT 1 FROM stored s WHERE s.user_id = i.user_id AND s.day = i.day)
+      ORDER BY user_id, day""")
+  )
+
+  /** W1: lag/lead — per-key period-over-period delta (returns series,
+    * SURVEY §2.5).
+    */
+  val w1LagLead: Q = Q(
+    "w1_lag_lead",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(
+          col("user_id"), col("ts"), col("event_id"), col("value"),
+          lag(col("value"), 1).over(w).as("prev_value"),
+          lead(col("value"), 1).over(w).as("next_value"),
+          (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+        .orderBy("user_id", "ts", "event_id")
+    },
+    Some("""SELECT user_id, ts, event_id, value,
+      lag(value, 1) OVER w AS prev_value,
+      lead(value, 1) OVER w AS next_value,
+      value - lag(value, 1) OVER w AS delta
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY user_id, ts, event_id""")
+  )
+
+  /** W2: moving average over the trailing 7 rows (decimal-routed for
+    * cross-engine determinism).
+    */
+  val w2MovingAvg: Q = Q(
+    "w2_moving_avg",
+    (s, dir) => {
+      val w = Window
+        .partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-6, 0)
+      t(s, dir, "events")
+        .select(
+          col("user_id"), col("ts"), col("event_id"),
+          (sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+            .over(w).cast("double") / count(col("value")).over(w))
+            .as("moving_avg_7"))
+        .orderBy("user_id", "ts", "event_id")
+    },
+    Some("""SELECT user_id, ts, event_id,
+      CAST(sum(CAST(value AS DECIMAL(28,2))) OVER w AS DOUBLE)
+        / count(value) OVER w AS moving_avg_7
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, ts, event_id""")
+  )
+
+  /** W3: per-group top-n via row_number (latest-N-files pattern,
+    * `parquet_details.py:22-23`, generalized per key).
+    */
+  val w3TopNPerGroup: Q = Q(
+    "w3_topn_per_group",
+    (s, dir) => {
+      val w = Window
+        .partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_custkey", "rn", "o_orderkey", "o_totalprice")
+        .orderBy("o_custkey", "rn")
+    },
+    Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+          row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) t
+      WHERE rn <= 3 ORDER BY o_custkey, rn""")
+  )
+
+  /** W4: running cumulative sum per key (decimal-routed). */
+  val w4RunningSum: Q = Q(
+    "w4_running_sum",
+    (s, dir) => {
+      val w = Window
+        .partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      t(s, dir, "events")
+        .select(
+          col("user_id"), col("ts"), col("event_id"),
+          sum(col("value").cast(org.apache.spark.sql.types.DecimalType(28, 2)))
+            .over(w).cast("double").as("running_value"))
+        .orderBy("user_id", "ts", "event_id")
+    },
+    Some("""SELECT user_id, ts, event_id,
+      CAST(sum(CAST(value AS DECIMAL(28,2))) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+      FROM events ORDER BY user_id, ts, event_id""")
+  )
+
+  val all: Seq[Q] = Seq(
+    a3MaxBy, a5DailyDedup, a6Upsert, a7GroupStats, a8Rollup, a9Cube,
+    a10ApproxDistinct, w1LagLead, w2MovingAvg, w3TopNPerGroup, w4RunningSum)
+}

@@ -1,0 +1,201 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.AsOf
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Join surface (SURVEY §2.3): the reference's degenerate set-joins (semi /
+  * anti membership, keyed upsert match, cross-source align) plus the
+  * completeness set over the star schema. Dimension sides are explicitly
+  * `broadcast()` so the sf-independent small tables never shuffle the fact
+  * table — at 100 TB the lineitem side stays partition-local.
+  */
+object Joins {
+  import Q._
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  /** J1: left-semi — keep keys present in a category bucket
+    * (`download_historical_price.py:232-239`).
+    */
+  val j1Semi: Q = Q(
+    "j1_semi_join",
+    (s, dir) => {
+      val rich = t(s, dir, "customer")
+        .filter(col("c_acctbal") > 7000.0)
+        .select("c_nationkey")
+      t(s, dir, "nation")
+        .join(broadcast(rich), col("n_nationkey") === col("c_nationkey"), "left_semi")
+        .select("n_nationkey", "n_name")
+        .orderBy("n_nationkey")
+    },
+    Some("""SELECT n_nationkey, n_name FROM nation
+      WHERE n_nationkey IN (SELECT c_nationkey FROM customer WHERE c_acctbal > 7000.0)
+      ORDER BY n_nationkey""")
+  )
+
+  /** J2: left-anti — exclude keys in the negative cache
+    * (`download_historical_price.py:385-401`, `update_live_price.py:136`).
+    */
+  val j2Anti: Q = Q(
+    "j2_anti_join",
+    (s, dir) => {
+      val bigLines = t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 45.0)
+        .select("l_partkey")
+      t(s, dir, "part")
+        .join(bigLines, col("p_partkey") === col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey, p_name FROM part
+      WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity > 45.0)
+      ORDER BY p_partkey""")
+  )
+
+  /** J3: inner equi-join, dimension broadcast. */
+  val j3Inner: Q = Q(
+    "j3_inner_join",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer").select("c_custkey", "c_name")
+      o.join(broadcast(c), col("o_custkey") === col("c_custkey"), "inner")
+        .select("o_orderkey", "c_name", "o_totalprice")
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey, c_name, o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      ORDER BY o_orderkey""")
+  )
+
+  /** J4: cross-source align — two derived frames full-outer joined on the
+    * shared time key, the engine form of `compare_parquet.py:22-33`.
+    */
+  val j4FullOuter: Q = Q(
+    "j4_full_outer_align",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(davg(col("value")).as("click_avg"))
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(davg(col("value")).as("view_avg"))
+      clicks.join(views, Seq("day"), "full_outer").orderBy("day")
+    },
+    Some(s"""WITH clicks AS (
+        SELECT CAST(ts AS DATE) AS day, ${sqlDavg("value")} AS click_avg
+        FROM events WHERE event_type = 'click' GROUP BY 1),
+      views AS (
+        SELECT CAST(ts AS DATE) AS day, ${sqlDavg("value")} AS view_avg
+        FROM events WHERE event_type = 'view' GROUP BY 1)
+      SELECT day, click_avg, view_avg
+      FROM clicks FULL JOIN views USING (day)
+      ORDER BY day""")
+  )
+
+  /** J5: left outer join + grouped count (zero-preserving). */
+  val j5Left: Q = Q(
+    "j5_left_join_agg",
+    (s, dir) => {
+      val c = t(s, dir, "customer").select("c_custkey")
+      val o = t(s, dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy("c_custkey")
+        .agg(
+          count(col("o_orderkey")).as("order_cnt"),
+          dsum(col("o_totalprice")).as("total_spent"))
+        .orderBy("c_custkey")
+    },
+    Some(s"""SELECT c_custkey, count(o_orderkey) AS order_cnt,
+      ${sqlDsum("o_totalprice")} AS total_spent
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey ORDER BY c_custkey""")
+  )
+
+  /** J6: right outer join (null-extending the fact side onto dims). */
+  val j6Right: Q = Q(
+    "j6_right_join",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem").select("l_partkey", "l_orderkey")
+      val p = t(s, dir, "part").select("p_partkey", "p_name")
+      li.join(p, col("l_partkey") === col("p_partkey"), "right_outer")
+        .groupBy("p_partkey")
+        .agg(count(col("l_orderkey")).as("times_ordered"))
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey, count(l_orderkey) AS times_ordered
+      FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+      GROUP BY p_partkey ORDER BY p_partkey""")
+  )
+
+  /** J7: theta/range join — equi key plus inequality predicate. */
+  val j7ThetaRange: Q = Q(
+    "j7_theta_range_join",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val p = t(s, dir, "part")
+      li.join(
+          broadcast(p),
+          col("l_partkey") === col("p_partkey") &&
+            col("l_quantity") > col("p_size").cast("double"),
+          "inner")
+        .groupBy("p_brand")
+        .agg(
+          count(lit(1)).as("n_lines"),
+          dsum(col("l_extendedprice")).as("brand_revenue"))
+        .orderBy("p_brand")
+    },
+    Some(s"""SELECT p_brand, count(*) AS n_lines,
+      ${sqlDsum("l_extendedprice")} AS brand_revenue
+      FROM lineitem JOIN part
+        ON l_partkey = p_partkey AND l_quantity > CAST(p_size AS DOUBLE)
+      GROUP BY p_brand ORDER BY p_brand""")
+  )
+
+  /** J8: cross join (small × small). */
+  val j8Cross: Q = Q(
+    "j8_cross_join",
+    (s, dir) => {
+      val r1 = t(s, dir, "region").select(col("r_name").as("region_a"))
+      val r2 = t(s, dir, "region").select(col("r_name").as("region_b"))
+      r1.crossJoin(r2).orderBy("region_a", "region_b")
+    },
+    Some("""SELECT r1.r_name AS region_a, r2.r_name AS region_b
+      FROM region r1 CROSS JOIN region r2
+      ORDER BY region_a, region_b""")
+  )
+
+  /** J9: as-of join — for each purchase, the user's most recent click at or
+    * before it (SURVEY §2.3 as-of completeness; oracle uses DuckDB's native
+    * ASOF JOIN while the engine composes union + running last()).
+    */
+  val j9AsOf: Q = Q(
+    "j9_asof_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      AsOf.joinAsOf(purchases, clicks, "user_id", "ts", "ts", Seq("value"))
+        .select(
+          col("event_id"), col("user_id"), col("ts"),
+          col("asof_ts").as("last_click_ts"),
+          col("asof_value").as("last_click_value"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT l.event_id, l.user_id, l.ts,
+        r.ts AS last_click_ts, r.value AS last_click_value
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+      ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+      ORDER BY l.event_id""")
+  )
+
+  val all: Seq[Q] = Seq(
+    j1Semi, j2Anti, j3Inner, j4FullOuter, j5Left, j6Right, j7ThetaRange,
+    j8Cross, j9AsOf)
+}
