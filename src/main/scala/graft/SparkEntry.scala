@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.collection.immutable.ListMap
-import graft.queries.{Aggregates, Joins, Relational}
+import graft.queries.{Aggregates, DedupQueries, Joins, MiscQueries, Relational, SimilarityQueries, TextAnalysis, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -17,7 +17,9 @@ object SparkEntry {
 
   /** Full registry: one `Q` per implemented operator from SURVEY.md §2. */
   lazy val registry: Seq[Q] =
-    Relational.all ++ Joins.all ++ Aggregates.all
+    Relational.all ++ Joins.all ++ Aggregates.all ++ WindowQueries.all ++
+      TextAnalysis.all ++ DedupQueries.all ++ SimilarityQueries.all ++
+      MiscQueries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(registry.map(q => q.name -> q.fn): _*)

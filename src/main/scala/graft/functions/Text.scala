@@ -1,0 +1,69 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level text primitives for the LLM-pipeline surface (north star;
+  * SURVEY §2.10): tokenization, shingling, content fingerprints, and the
+  * per-token hash used by SimHash. Everything is built from codegen'd
+  * builtins — no UDFs — so the expressions stay inside WholeStageCodegen
+  * and push through Catalyst untouched.
+  *
+  * Determinism contract: every hash is md5-based (lowercase hex in both
+  * Spark and DuckDB) so the driver's differential oracle can reproduce the
+  * exact values in SQL.
+  */
+object Text {
+
+  /** Whitespace tokenizer — the corpus (`documents.text`) is single-space
+    * separated; at 100 TB this stays a per-row narrow transform.
+    */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles of a token array; empty when the doc is
+    * shorter than `n` (guards `sequence`'s descending-range behavior).
+    */
+  def wordShingles(toks: Column, n: Int): Column = {
+    val grams = transform(
+      sequence(lit(0), size(toks) - n),
+      i => concat_ws(" ", (0 until n).map(k => get(toks, i + lit(k))): _*))
+    when(size(toks) >= n, array_distinct(grams))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Content fingerprint: md5 of the whole normalized text (exact-dup key). */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** Prefix fingerprint: md5 of the first `n` tokens — a cheap rolling-hash
+    * stand-in that groups documents sharing an opening phrase.
+    */
+  def prefixFingerprint(toks: Column, n: Int): Column =
+    md5(concat_ws(" ", slice(toks, 1, n)))
+
+  /** Seeded shingle hash for MinHash: md5("<seed>|<shingle>"). Lexicographic
+    * MIN over these hex strings is the signature — string min is total and
+    * engine-independent, unlike float or modular arithmetic.
+    */
+  def seededHash(seed: Column, shingle: Column): Column =
+    md5(concat(seed.cast("string"), lit("|"), shingle))
+
+  /** 32-bit integer from the first 8 hex chars of md5(token) — the per-token
+    * hash SimHash folds over. Exact integer math, reproducible in ANSI SQL
+    * (DuckDB mirrors it with strpos arithmetic).
+    */
+  def tokenHash32(tok: Column): Column =
+    conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
+
+  /** SimHash over a (doc_id, tokenHash) table: per bit position j, sum
+    * +1/-1 votes across tokens (duplicates keep their weight), then set bit
+    * j when the vote is strictly positive. One map-side-combinable hash
+    * aggregate — no shuffle beyond the groupBy on `idCols`.
+    */
+  def simhashAgg(hash: Column, bits: Int = 32): Column = {
+    val perBit = (0 until bits).map { j =>
+      val vote = sum(shiftright(hash, j).bitwiseAND(lit(1L)) * 2 - 1)
+      when(vote > 0, lit(1L) * (1L << j)).otherwise(lit(0L))
+    }
+    perBit.reduce(_ + _).as("simhash")
+  }
+}

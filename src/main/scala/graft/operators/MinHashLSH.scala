@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.functions.Text
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** MinHash + banded LSH near-duplicate detection (north star: dedup at
+  * 100 TB). The classic shingle → minhash → band → bucket-join pipeline,
+  * expressed as three hash aggregates and one self-equi-join so every stage
+  * is shuffle-partitioned on its natural key and scales linearly:
+  *
+  *   1. explode distinct word shingles per document                (narrow)
+  *   2. × numHashes seeds → min(md5(seed|shingle)) per (doc, seed) (one
+  *      shuffle on doc_id; map-side combine collapses the seed fan-out)
+  *   3. fold signatures into `bands` band keys, explode, self-join on
+  *      (band, key) — only documents agreeing on a whole band ever meet,
+  *      which is what makes this subquadratic: the O(n²) pair space is never
+  *      materialized, only hash-bucket collisions are
+  *   4. verify candidates with exact Jaccard over the shingle table
+  *
+  * The reference has no dedup at all (its per-symbol upsert is keyed exact
+  * replace, `update_live_price.py:250-258`); this is the engine-completeness
+  * extension mandated by BASELINE.json's north star.
+  */
+object MinHashLSH {
+
+  /** (id, shingle) exploded table, distinct shingles per document. */
+  def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol), explode(Text.wordShingles(Text.tokens(col(textCol)), n)).as("shingle"))
+
+  /** One MinHash signature column per seed: `s0 … s{numHashes-1}`. */
+  def signatures(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
+    val seeded = shingles
+      .withColumn("seed", explode(sequence(lit(0), lit(numHashes - 1))))
+      .withColumn("h", Text.seededHash(col("seed"), col("shingle")))
+    // Two-level min: (id, seed) then pivot-by-conditional — a single
+    // hash-aggregate per level, both map-side combinable.
+    val sigCols = (0 until numHashes).map(s =>
+      min(when(col("seed") === s, col("sig"))).as(s"s$s"))
+    seeded
+      .groupBy(col(idCol), col("seed"))
+      .agg(min(col("h")).as("sig"))
+      .groupBy(col(idCol))
+      .agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** Candidate pairs (a < b) sharing at least one LSH band. */
+  def candidatePairs(
+      sigs: DataFrame,
+      idCol: String,
+      numHashes: Int,
+      bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val bandStructs = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        md5(concat_ws("|", (0 until rows).map(r => col(s"s${b * rows + r}")): _*))
+          .as("bkey"))
+    }
+    val banded = sigs
+      .select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
+      .select(col(idCol), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+    val left = banded.select(col(idCol).as("a"), col("band"), col("bkey"))
+    val right = banded.select(col(idCol).as("b"), col("band"), col("bkey"))
+    left
+      .join(right, Seq("band", "bkey"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+  }
+
+  /** Exact Jaccard verification of candidate pairs against the shingle
+    * table: |A∩B| via a two-sided shingle join, |A∪B| = |A|+|B|−|A∩B|.
+    * Returns (a, b, inter, uni, jaccard).
+    */
+  def verifyJaccard(pairs: DataFrame, shingles: DataFrame, idCol: String): DataFrame = {
+    val counts = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val shA = shingles.select(col(idCol).as("a"), col("shingle"))
+    val shB = shingles.select(col(idCol).as("b"), col("shingle"))
+    val inter = pairs
+      .join(shA, Seq("a"))
+      .join(shB, Seq("b", "shingle"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col(idCol).as("a"), col("n").as("na")), Seq("a"))
+      .join(counts.select(col(idCol).as("b"), col("n").as("nb")), Seq("b"))
+      .select(
+        col("a"), col("b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
+  }
+
+  /** Full pipeline: near-dup pairs with exact Jaccard ≥ `threshold`. */
+  def nearDupPairs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleN: Int = 3,
+      numHashes: Int = 8,
+      bands: Int = 4,
+      threshold: Double = 0.3): DataFrame = {
+    val sh = shingleTable(docs, idCol, textCol, shingleN)
+    val cand = candidatePairs(signatures(sh, idCol, numHashes), idCol, numHashes, bands)
+    verifyJaccard(cand, sh, idCol).filter(col("jaccard") >= threshold)
+  }
+}

@@ -1,0 +1,193 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Text
+import graft.operators.MinHashLSH
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Deduplication surface over `documents` (north star): exact hash-groupBy
+  * dedup, inverted-index n-gram Jaccard, MinHash+LSH banding, and SimHash
+  * with byte-block candidate generation. Every pipeline avoids the O(n²)
+  * pair space — candidates come from equi-joins on hashes/buckets, so each
+  * stage shuffles on a natural key and survives a 100× scale-up.
+  */
+object DedupQueries {
+  import Q._
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  private val sqlShingles3 =
+    """SELECT doc_id, unnest(list_distinct(list_transform(
+         range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS shingle
+       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       WHERE len(t) >= 3"""
+
+  private val sqlShingles5 =
+    """SELECT doc_id, unnest(list_distinct(list_transform(
+         range(len(t) - 4), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5]))) AS shingle
+       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       WHERE len(t) >= 5"""
+
+  /** D1: exact dedup — hash-groupBy on the opening-phrase fingerprint,
+    * keeping the lowest doc_id as canonical.
+    */
+  val d1ExactDedup: Q = Q(
+    "d1_exact_dedup",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          Text.prefixFingerprint(Text.tokens(col("text")), 8).as("fp"),
+          col("doc_id"))
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("keep_doc_id"), count(lit(1)).as("group_size"))
+        .orderBy("fp"),
+    Some("""SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp,
+      min(doc_id) AS keep_doc_id, count(*) AS group_size
+      FROM documents GROUP BY fp ORDER BY fp""")
+  )
+
+  /** D2: n-gram Jaccard near-dup — inverted index on 5-gram shingles
+    * (candidates = docs sharing ≥1 shingle), exact Jaccard ≥ 0.5. The
+    * shingle join IS the index: no all-pairs product is ever built.
+    */
+  val d2NgramJaccard: Q = Q(
+    "d2_ngram_jaccard",
+    (s, dir) => {
+      val sh = MinHashLSH.shingleTable(t(s, dir, "documents"), "doc_id", "text", 5)
+      val pairs = sh
+        .select(col("doc_id").as("a"), col("shingle"))
+        .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+        .filter(col("a") < col("b"))
+        .select("a", "b")
+        .distinct()
+      MinHashLSH
+        .verifyJaccard(pairs, sh, "doc_id")
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("a", "b")
+    },
+    Some(s"""WITH sh AS ($sqlShingles5),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+               FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT c.a, c.b, count(*) AS inter
+                FROM cand c
+                JOIN sh sa ON sa.doc_id = c.a
+                JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+                GROUP BY c.a, c.b)
+      SELECT i.a, i.b, i.inter, ca.n + cb.n - i.inter AS uni,
+        i.inter / (ca.n + cb.n - i.inter) AS jaccard
+      FROM inter i
+      JOIN cnt ca ON ca.doc_id = i.a
+      JOIN cnt cb ON cb.doc_id = i.b
+      WHERE i.inter / (ca.n + cb.n - i.inter) >= 0.5
+      ORDER BY a, b""")
+  )
+
+  /** D3: MinHash + banded LSH near-dup (see [[MinHashLSH]]): 8 seeded
+    * md5-min signatures, 4 bands × 2 rows, exact-Jaccard verification of
+    * bucket collisions at ≥ 0.3 on 3-gram shingles.
+    */
+  val d3MinHashLsh: Q = Q(
+    "d3_minhash_lsh",
+    (s, dir) =>
+      MinHashLSH
+        .nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, numHashes = 8, bands = 4, threshold = 0.3)
+        .orderBy("a", "b"),
+    Some {
+      val bandSelects = (0 until 4)
+        .map(b => s"SELECT doc_id, $b AS band, md5(s${2 * b} || '|' || s${2 * b + 1}) AS bkey FROM sigw")
+        .mkString(" UNION ALL ")
+      val sigCols = (0 until 8)
+        .map(i => s"min(sig) FILTER (seed = $i) AS s$i")
+        .mkString(", ")
+      s"""WITH sh AS ($sqlShingles3),
+      sigs AS (SELECT doc_id, seed, min(md5(seed || '|' || shingle)) AS sig
+               FROM sh CROSS JOIN range(8) r(seed) GROUP BY doc_id, seed),
+      sigw AS (SELECT doc_id, $sigCols FROM sigs GROUP BY doc_id),
+      bands AS ($bandSelects),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+               FROM bands x JOIN bands y
+                 ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT c.a, c.b, count(*) AS inter
+                FROM cand c
+                JOIN sh sa ON sa.doc_id = c.a
+                JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+                GROUP BY c.a, c.b)
+      SELECT i.a, i.b, i.inter, ca.n + cb.n - i.inter AS uni,
+        i.inter / (ca.n + cb.n - i.inter) AS jaccard
+      FROM inter i
+      JOIN cnt ca ON ca.doc_id = i.a
+      JOIN cnt cb ON cb.doc_id = i.b
+      WHERE i.inter / (ca.n + cb.n - i.inter) >= 0.3
+      ORDER BY a, b"""
+    }
+  )
+
+  /** D4: SimHash near-dup — 32-bit signatures from per-token md5 hashes
+    * (token multiplicity = vote weight), candidates share one of 4 signature
+    * bytes (any pair within Hamming ≤ 8 of each other must agree on ≥1
+    * byte), verified at Hamming ≤ 6.
+    */
+  val d4SimHash: Q = Q(
+    "d4_simhash",
+    (s, dir) => {
+      val sims = t(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), Text.tokenHash32(col("tok")).as("hv"))
+        .groupBy("doc_id")
+        .agg(Text.simhashAgg(col("hv")))
+      val bytes = sims
+        .withColumn("k", explode(sequence(lit(0), lit(3))))
+        .select(
+          col("doc_id"), col("k"),
+          expr("shiftright(simhash, k * 8) & 255").as("byte"))
+      val cand = bytes
+        .select(col("doc_id").as("a"), col("k"), col("byte"))
+        .join(bytes.select(col("doc_id").as("b"), col("k"), col("byte")), Seq("k", "byte"))
+        .filter(col("a") < col("b"))
+        .select("a", "b")
+        .distinct()
+      cand
+        .join(sims.select(col("doc_id").as("a"), col("simhash").as("sim_a")), Seq("a"))
+        .join(sims.select(col("doc_id").as("b"), col("simhash").as("sim_b")), Seq("b"))
+        .select(
+          col("a"), col("b"),
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 6)
+        .orderBy("a", "b")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      hv AS (SELECT doc_id,
+          (strpos('0123456789abcdef', md5(tok)[1]) - 1) * 268435456
+        + (strpos('0123456789abcdef', md5(tok)[2]) - 1) * 16777216
+        + (strpos('0123456789abcdef', md5(tok)[3]) - 1) * 1048576
+        + (strpos('0123456789abcdef', md5(tok)[4]) - 1) * 65536
+        + (strpos('0123456789abcdef', md5(tok)[5]) - 1) * 4096
+        + (strpos('0123456789abcdef', md5(tok)[6]) - 1) * 256
+        + (strpos('0123456789abcdef', md5(tok)[7]) - 1) * 16
+        + (strpos('0123456789abcdef', md5(tok)[8]) - 1) AS hv
+        FROM toks),
+      votes AS (SELECT doc_id, j, sum(((hv >> j) & 1) * 2 - 1) AS vote
+                FROM hv CROSS JOIN range(32) r(j) GROUP BY doc_id, j),
+      sims AS (SELECT doc_id,
+                 sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS simhash
+               FROM votes GROUP BY doc_id),
+      bytes AS (SELECT doc_id, k, (simhash >> CAST(k * 8 AS INTEGER)) & 255 AS byte
+                FROM sims CROSS JOIN range(4) r(k)),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+               FROM bytes x JOIN bytes y
+                 ON x.k = y.k AND x.byte = y.byte AND x.doc_id < y.doc_id)
+      SELECT c.a, c.b,
+        CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN sims sa ON sa.doc_id = c.a
+      JOIN sims sb ON sb.doc_id = c.b
+      WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 6
+      ORDER BY a, b""")
+  )
+
+  val all: Seq[Q] = Seq(d1ExactDedup, d2NgramJaccard, d3MinHashLsh, d4SimHash)
+}

@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Remaining SURVEY §2 coverage: global counts (A2), exact percentiles,
+  * timezone conversion (F8), insert-if-absent set growth (U2), schema diff
+  * as rows (V2), file-listing source (S10/O4), and the multimodal binary
+  * plumbing (encode → typed metadata extraction over a binary column).
+  */
+object MiscQueries {
+  import Q._
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  /** A2: cardinality census — the reference logs `len(...)` everywhere
+    * (`download_historical_price.py:124,155,192,254`).
+    */
+  val a2Counts: Q = Q(
+    "a2_counts",
+    (s, dir) =>
+      t(s, dir, "events")
+        .agg(
+          count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("event_type")).as("n_types"),
+          count(col("value")).as("n_nonnull_values")),
+    Some("""SELECT count(*) AS n_events, count(DISTINCT user_id) AS n_users,
+      count(DISTINCT event_type) AS n_types, count(value) AS n_nonnull_values
+      FROM events""")
+  )
+
+  /** Exact linear-interpolation percentiles per group (rounded to 6 dp so
+    * last-ulp interpolation differences can't flip the hash).
+    */
+  val a11Percentiles: Q = Q(
+    "a11_percentiles",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          round(percentile(col("value"), lit(0.25)), 6).as("p25"),
+          round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("value"), lit(0.75)), 6).as("p75"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type,
+      round(quantile_cont(value, 0.25), 6) AS p25,
+      round(quantile_cont(value, 0.5), 6) AS p50,
+      round(quantile_cont(value, 0.75), 6) AS p75
+      FROM events GROUP BY event_type ORDER BY event_type""")
+  )
+
+  /** F8: timezone conversion (`tz_localize`/`tz_convert`,
+    * `download_historical_price.py:509-512`). Rows are restricted to
+    * January (EST, no DST transition) so the oracle's fixed −5 h offset is
+    * exact regardless of the corpus time span.
+    */
+  val f8Timezone: Q = Q(
+    "f8_tz_convert",
+    (s, dir) =>
+      t(s, dir, "events")
+        .filter(col("ts") < lit("2024-02-01").cast("timestamp"))
+        .select(
+          col("event_id"), col("ts"),
+          from_utc_timestamp(col("ts"), "America/New_York").as("ts_nyc"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id, ts, ts - INTERVAL 5 HOUR AS ts_nyc
+      FROM events WHERE ts < TIMESTAMP '2024-02-01 00:00:00'
+      ORDER BY event_id""")
+  )
+
+  /** U2: insert-if-absent registry growth (`download_historical_price
+    * .py:130-144`): existing keys tagged, plus the delta of incoming keys
+    * not yet present.
+    */
+  val u2InsertAbsent: Q = Q(
+    "u2_insert_absent",
+    (s, dir) => {
+      val existing = t(s, dir, "customer")
+        .select(col("c_nationkey").as("nationkey")).distinct()
+      val incoming = t(s, dir, "supplier")
+        .select(col("s_nationkey").as("nationkey")).distinct()
+      existing
+        .withColumn("src", lit("existing"))
+        .unionByName(incoming.except(existing).withColumn("src", lit("inserted")))
+        .orderBy("nationkey", "src")
+    },
+    Some("""WITH existing AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
+      incoming AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
+      SELECT nationkey, 'existing' AS src FROM existing
+      UNION ALL
+      SELECT nationkey, 'inserted' AS src
+      FROM (SELECT nationkey FROM incoming EXCEPT SELECT nationkey FROM existing)
+      ORDER BY nationkey, src""")
+  )
+
+  /** V2: schema diff materialized as rows (`compare_parquet.py:47-99` — the
+    * 5-way structural comparison, re-expressed as a field-level outer
+    * alignment of two live schemas). Oracle-free: the result is driver-side
+    * metadata, not DuckDB-reproducible data.
+    */
+  val v2SchemaDiff: Q = Q(
+    "v2_schema_diff",
+    (s, dir) => {
+      val a = t(s, dir, "orders").schema
+      val b = t(s, dir, "lineitem").schema
+      val fields = (a.fields.map(f => (f.name, f.dataType.simpleString, "orders")) ++
+        b.fields.map(f => (f.name, f.dataType.simpleString, "lineitem")))
+      import s.implicits._
+      val rows = fields.toSeq.toDF("field", "dtype", "side")
+      rows
+        .groupBy("field", "dtype")
+        .agg(
+          max(when(col("side") === "orders", lit(true)).otherwise(lit(false))).as("in_orders"),
+          max(when(col("side") === "lineitem", lit(true)).otherwise(lit(false))).as("in_lineitem"))
+        .orderBy("field", "dtype")
+    },
+    None
+  )
+
+  /** S10/O4: file-listing source — the `glob("*.parquet") → latest N`
+    * inspection path (`parquet_details.py:15-23`) via Spark's binaryFile
+    * metadata source (no content read; `PathFilter` prunes at listing
+    * time). Oracle-free: file mtimes aren't visible to DuckDB.
+    */
+  val o4FileListing: Q = Q(
+    "o4_file_listing",
+    (s, dir) =>
+      s.read
+        .format("binaryFile")
+        .option("pathGlobFilter", "*.parquet")
+        .load(dir)
+        .select(
+          regexp_extract(col("path"), "([^/]+)\\.parquet$", 1).as("table_name"),
+          col("length").as("file_bytes"))
+        .orderBy(col("modificationTime").desc, col("table_name"))
+        .limit(5)
+        .select("table_name", "file_bytes"),
+    None
+  )
+
+  /** M1: multimodal binary plumbing — opaque bytes column + typed metadata
+    * extraction (byte length, header bytes as hex, content hash). The
+    * "media" here is the utf-8 encoding of `text` (the container ships no
+    * image/audio codecs — see `graft.operators.Multimodal` for the stubbed
+    * decode path); the Spark-side schema/expression plumbing is real.
+    */
+  val m1BinaryMeta: Q = Q(
+    "m1_binary_meta",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), encode(col("text"), "UTF-8").as("media"))
+        .select(
+          col("doc_id"),
+          octet_length(col("media")).cast("long").as("n_bytes"),
+          hex(substring(col("media"), 1, 8)).as("header_hex"),
+          md5(col("media")).as("content_md5"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      octet_length(encode(text)) AS n_bytes,
+      hex(encode(substr(text, 1, 8))) AS header_hex,
+      md5(text) AS content_md5
+      FROM documents ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(
+    a2Counts, a11Percentiles, f8Timezone, u2InsertAbsent, v2SchemaDiff,
+    o4FileListing, m1BinaryMeta)
+}

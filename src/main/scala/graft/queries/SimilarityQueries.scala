@@ -1,0 +1,148 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Vectors
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over `embeddings` (north star: ANN at 100 TB).
+  * Brute-force cosine top-k is the correctness baseline; the IVF variant is
+  * the scale path — assign every vector to its nearest of C deterministic
+  * centroids, then search only the query's nprobe buckets, turning a full
+  * scan into a partition-pruned one. Centroid assignment is a broadcast
+  * cross-join (C is tiny) + one windowed argmin, so nothing shuffles the big
+  * side beyond its own repartition by bucket.
+  *
+  * Float→double casts happen before any arithmetic and all folds are
+  * sequential left-folds, making results bit-identical to the DuckDB oracle
+  * (see [[graft.functions.Vectors]]).
+  */
+object SimilarityQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  /** SQL mirror of [[Vectors.dot]]: sequential left-fold of elementwise
+    * products over double-cast lists.
+    */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_transform(range(len($a)), i -> $a[i+1] * $b[i+1]), (x, y) -> x + y)"
+
+  private def sqlCos(a: String, b: String): String =
+    s"${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)}))"
+
+  private def sqlL2sq(a: String, b: String): String =
+    s"list_reduce(list_transform(range(len($a)), i -> ($a[i+1] - $b[i+1]) * ($a[i+1] - $b[i+1])), (x, y) -> x + y)"
+
+  private val sqlE =
+    "SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
+
+  /** E1: brute-force cosine top-k for one query vector — the exact
+    * baseline every ANN variant is measured against.
+    */
+  val e1CosineTopK: Q = Q(
+    "e1_cosine_topk",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), Vectors.toDoubleVec(col("embedding")).as("v"))
+      val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      emb
+        .crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("label"), Vectors.cosine(col("v"), col("qv")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some(s"""WITH e AS ($sqlE),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      SELECT vec_id, label, ${sqlCos("v", "qv")} AS sim
+      FROM e CROSS JOIN q WHERE vec_id <> 0
+      ORDER BY sim DESC, vec_id LIMIT 10""")
+  )
+
+  /** E2: IVF-bucketed ANN — C=8 deterministic centroids (the first 8
+    * vectors), nearest-centroid assignment by squared L2 (argmin via one
+    * window), search restricted to the query's nprobe=2 buckets.
+    */
+  val e2AnnIvf: Q = Q(
+    "e2_ann_ivf",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), Vectors.toDoubleVec(col("embedding")).as("v"))
+      val cent = emb.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v").as("cv"))
+      val dists = emb
+        .crossJoin(broadcast(cent))
+        .select(
+          col("vec_id"), col("label"), col("v"), col("cid"),
+          Vectors.l2sq(col("v"), col("cv")).as("d2"))
+      val byVec = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+      val ranked = dists.withColumn("rn", row_number().over(byVec))
+      val assign = ranked.filter(col("rn") === 1).select("vec_id", "label", "v", "cid")
+      val qBuckets = ranked
+        .filter(col("vec_id") === 0 && col("rn") <= 2)
+        .select("cid")
+      val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      assign
+        .join(broadcast(qBuckets), Seq("cid"))
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(
+          col("vec_id"), col("label"), col("cid"),
+          Vectors.cosine(col("v"), col("qv")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some(s"""WITH e AS ($sqlE),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      d AS (SELECT e.vec_id, e.label, e.v, c.cid, ${sqlL2sq("e.v", "c.cv")} AS d2
+            FROM e CROSS JOIN c),
+      assign AS (SELECT vec_id, label, v, cid FROM d
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+      qb AS (SELECT cid FROM d WHERE vec_id = 0
+             QUALIFY row_number() OVER (ORDER BY d2, cid) <= 2),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      SELECT a.vec_id, a.label, a.cid, ${sqlCos("a.v", "qv")} AS sim
+      FROM assign a JOIN qb ON a.cid = qb.cid CROSS JOIN q
+      WHERE a.vec_id <> 0
+      ORDER BY sim DESC, vec_id LIMIT 10""")
+  )
+
+  /** E3: embedding near-dup — top-20 most similar pairs searched only
+    * WITHIN each IVF bucket (the blocked formulation that avoids the n²
+    * cross product; at scale each bucket joins co-partitioned).
+    */
+  val e3BucketNearDup: Q = Q(
+    "e3_bucket_neardup",
+    (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), Vectors.toDoubleVec(col("embedding")).as("v"))
+      val cent = emb.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v").as("cv"))
+      val byVec = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+      val assign = emb
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("v"), col("cid"), Vectors.l2sq(col("v"), col("cv")).as("d2"))
+        .withColumn("rn", row_number().over(byVec))
+        .filter(col("rn") === 1)
+        .select("vec_id", "v", "cid")
+      val left = assign.select(col("vec_id").as("a"), col("v").as("va"), col("cid"))
+      val right = assign.select(col("vec_id").as("b"), col("v").as("vb"), col("cid"))
+      left
+        .join(right, Seq("cid"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"), col("cid"), Vectors.cosine(col("va"), col("vb")).as("sim"))
+        .orderBy(col("sim").desc, col("a"), col("b"))
+        .limit(20)
+    },
+    Some(s"""WITH e AS ($sqlE),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      assign AS (SELECT vec_id, v, cid FROM (
+                   SELECT e.vec_id, e.v, c.cid, ${sqlL2sq("e.v", "c.cv")} AS d2
+                   FROM e CROSS JOIN c)
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1)
+      SELECT x.vec_id AS a, y.vec_id AS b, x.cid, ${sqlCos("x.v", "y.v")} AS sim
+      FROM assign x JOIN assign y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      ORDER BY sim DESC, a, b LIMIT 20""")
+  )
+
+  val all: Seq[Q] = Seq(e1CosineTopK, e2AnnIvf, e3BucketNearDup)
+}

@@ -1,0 +1,185 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Text
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-analysis surface over `documents` (north star: LLM training-data
+  * pipeline ops — token counting, language ID, quality scoring, document
+  * fingerprinting). All expressions are codegen'd builtins; the per-doc ops
+  * are narrow (no shuffle), so at 100 TB they stream through the scan.
+  */
+object TextAnalysis {
+  import Q._
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  /** Fixed per-language stopword profiles over the synthetic vocabulary.
+    * Deterministic by construction (the corpus is a seeded bag-of-words);
+    * the POINT is the operator shape — count-tokens-in-set scoring — not
+    * linguistic accuracy.
+    */
+  private val profiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "de" -> Seq("data", "row", "column", "table"),
+    "es" -> Seq("join", "merge", "group", "agg"),
+    "fr" -> Seq("sort", "order", "key", "hash"),
+    "zh" -> Seq("scan", "filter", "batch", "stream"))
+
+  private def profileScore(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, tk => tk.isin(words: _*))).cast("long")
+
+  private def sqlProfileScore(words: Seq[String]): String = {
+    val set = words.map(w => s"'$w'").mkString(", ")
+    s"len(list_filter(string_split(text, ' '), tk -> tk IN ($set)))"
+  }
+
+  /** X1: token counting — whitespace tokens, distinct types, char lengths. */
+  val x1TokenStats: Q = Q(
+    "x1_token_stats",
+    (s, dir) => {
+      val toks = Text.tokens(col("text"))
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_types"),
+          length(col("text")).cast("long").as("n_chars_measured"),
+          col("n_chars"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      len(string_split(text, ' ')) AS n_tokens,
+      len(list_distinct(string_split(text, ' '))) AS n_types,
+      length(text) AS n_chars_measured,
+      n_chars
+      FROM documents ORDER BY doc_id""")
+  )
+
+  /** X2: language ID via stopword-profile scoring — count tokens hitting
+    * each language's profile set, argmax with a fixed tie-break order.
+    */
+  val x2LangId: Q = Q(
+    "x2_lang_id", {
+      (s, dir) => {
+        val toks = Text.tokens(col("text"))
+        val scored = t(s, dir, "documents")
+          .select(
+            Seq(col("doc_id"), col("lang")) ++
+              profiles.map { case (l, ws) => profileScore(toks, ws).as(s"${l}_score") }: _*)
+        val mx = greatest(profiles.map { case (l, _) => col(s"${l}_score") }: _*)
+        val predicted = profiles
+          .foldLeft(when(lit(false), lit(""))) { case (acc, (l, _)) =>
+            acc.when(col(s"${l}_score") === mx, lit(l))
+          }
+        scored.withColumn("predicted", predicted).orderBy("doc_id")
+      }
+    },
+    Some {
+      val scores = profiles
+        .map { case (l, ws) => s"${sqlProfileScore(ws)} AS ${l}_score" }
+        .mkString(",\n      ")
+      val mx = s"greatest(${profiles.map { case (l, _) => s"${l}_score" }.mkString(", ")})"
+      val cases = profiles
+        .map { case (l, _) => s"WHEN ${l}_score = $mx THEN '$l'" }
+        .mkString(" ")
+      s"""WITH scored AS (
+        SELECT doc_id, lang,
+      $scores
+        FROM documents)
+      SELECT doc_id, lang, en_score, de_score, es_score, fr_score, zh_score,
+        CASE $cases END AS predicted
+      FROM scored ORDER BY doc_id"""
+    }
+  )
+
+  /** X3: quality scoring — type/token ratio, mean token length, stopword
+    * ratio folded into one deterministic composite score.
+    */
+  val x3Quality: Q = Q(
+    "x3_quality_score",
+    (s, dir) => {
+      val toks = Text.tokens(col("text"))
+      val base = t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_types"),
+          length(col("text")).cast("long").as("chars"),
+          profileScore(toks, Seq("the", "a")).as("n_stop"))
+      base
+        .select(
+          col("doc_id"),
+          (col("n_types") / col("n_tokens")).as("ttr"),
+          ((col("chars") - col("n_tokens") + 1) / col("n_tokens")).as("mean_token_len"),
+          (col("n_stop") / col("n_tokens")).as("stop_ratio"))
+        .withColumn(
+          "quality",
+          lit(0.4) * col("ttr") +
+            lit(0.3) * least(col("mean_token_len") / lit(10.0), lit(1.0)) +
+            lit(0.3) * (lit(1.0) - col("stop_ratio")))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH base AS (
+        SELECT doc_id,
+          len(string_split(text, ' ')) AS n_tokens,
+          len(list_distinct(string_split(text, ' '))) AS n_types,
+          length(text) AS chars,
+          ${sqlProfileScore(Seq("the", "a"))} AS n_stop
+        FROM documents)
+      SELECT doc_id,
+        n_types / n_tokens AS ttr,
+        (chars - n_tokens + 1) / n_tokens AS mean_token_len,
+        n_stop / n_tokens AS stop_ratio,
+        0.4 * (n_types / n_tokens)
+          + 0.3 * least(((chars - n_tokens + 1) / n_tokens) / 10.0, 1.0)
+          + 0.3 * (1.0 - (n_stop / n_tokens)) AS quality
+      FROM base ORDER BY doc_id""")
+  )
+
+  /** X4: document fingerprinting — whole-text md5 plus an opening-phrase
+    * prefix hash, with per-fingerprint group stats via window functions.
+    */
+  val x4Fingerprint: Q = Q(
+    "x4_fingerprint",
+    (s, dir) => {
+      val toks = Text.tokens(col("text"))
+      val w = Window.partitionBy(col("fp_prefix8"))
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          Text.fingerprint(col("text")).as("fp_full"),
+          Text.prefixFingerprint(toks, 8).as("fp_prefix8"))
+        .withColumn("group_size", count(lit(1)).over(w))
+        .withColumn("canonical", col("doc_id") === min(col("doc_id")).over(w))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+      md5(text) AS fp_full,
+      md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp_prefix8,
+      count(*) OVER (PARTITION BY md5(array_to_string(string_split(text, ' ')[1:8], ' '))) AS group_size,
+      doc_id = min(doc_id) OVER (PARTITION BY md5(array_to_string(string_split(text, ' ')[1:8], ' '))) AS canonical
+      FROM documents ORDER BY doc_id""")
+  )
+
+  /** X5: corpus token frequencies — explode + count, the classic wide
+    * text aggregation (map-side combine keeps the shuffle at vocab size).
+    */
+  val x5TokenFreq: Q = Q(
+    "x5_token_freq",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token"))
+        .limit(20),
+    Some("""SELECT tok AS token, count(*) AS freq
+      FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+      GROUP BY tok ORDER BY freq DESC, token LIMIT 20""")
+  )
+
+  val all: Seq[Q] = Seq(x1TokenStats, x2LangId, x3Quality, x4Fingerprint, x5TokenFreq)
+}

@@ -1,0 +1,92 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Time-window aggregations over `events` — the batch-expressible forms of
+  * the streaming surface (SURVEY §2.9: the reference's 60 s poll loop and
+  * implicit tumbling-by-day upsert key, `update_live_price.py:118,251-252`).
+  * The same `window`/`session_window` expressions run unchanged under
+  * `readStream` + watermark (see `graft.streaming.LiveFeed`); here they are
+  * registered as oracle queries in their batch form.
+  */
+object WindowQueries {
+  import Q._
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  /** S1: tumbling 1-day window per event type. */
+  val s1Tumbling: Q = Q(
+    "s1_tumbling_window",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day"), col("event_type"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(
+          col("window.start").as("day_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy("day_start", "event_type"),
+    Some(s"""SELECT date_trunc('day', ts) AS day_start, event_type,
+      count(*) AS n, ${sqlDsum("value")} AS sum_value
+      FROM events GROUP BY day_start, event_type
+      ORDER BY day_start, event_type""")
+  )
+
+  /** S2: sliding window — 2-day length, 1-day slide; every event lands in
+    * exactly two windows (DuckDB mirror: explode the two candidate starts).
+    */
+  val s2Sliding: Q = Q(
+    "s2_sliding_window",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "2 days", "1 day"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("sum_value"))
+        .select(
+          col("window.start").as("win_start"), col("window.end").as("win_end"),
+          col("n"), col("sum_value"))
+        .orderBy("win_start"),
+    Some(s"""SELECT win_start, win_start + INTERVAL 2 DAY AS win_end,
+      count(*) AS n, ${sqlDsum("value")} AS sum_value
+      FROM (SELECT date_trunc('day', ts) - i * INTERVAL 1 DAY AS win_start, value
+            FROM events CROSS JOIN range(2) r(i))
+      GROUP BY win_start ORDER BY win_start""")
+  )
+
+  /** S3: session window — per-user sessions closed by a 1-hour silence gap
+    * (DuckDB mirror: gaps-and-islands via lag + running sum; session end is
+    * last event + gap, matching Spark's `session_window` semantics).
+    */
+  val s3Session: Q = Q(
+    "s3_session_window",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(session_window(col("ts"), "1 hour"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .select(
+          col("user_id"),
+          col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start"),
+    Some(s"""WITH marked AS (
+        SELECT user_id, ts, value,
+          CASE WHEN lag(ts) OVER w IS NULL
+                 OR ts - lag(ts) OVER w >= INTERVAL 1 HOUR
+               THEN 1 ELSE 0 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      sessions AS (
+        SELECT user_id, ts, value,
+          sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        FROM marked)
+      SELECT user_id, min(ts) AS session_start,
+        max(ts) + INTERVAL 1 HOUR AS session_end,
+        count(*) AS n_events, ${sqlDsum("value")} AS sum_value
+      FROM sessions GROUP BY user_id, sid
+      ORDER BY user_id, session_start""")
+  )
+
+  val all: Seq[Q] = Seq(s1Tumbling, s2Sliding, s3Session)
+}
