@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing (north star): media as opaque `binary`
+  * columns with typed metadata, processed by a per-partition decode stage.
+  *
+  * The container ships no image/audio codecs, so [[FakeCodec]] is a
+  * clearly-marked deterministic stand-in for the real decoder — what is
+  * REAL and load-bearing here is the Spark plumbing: the typed record
+  * schema, `mapPartitions` batch shape (decoder state initialized once per
+  * partition, not per row — the same shape a JNI/FFmpeg/libvips binding
+  * needs), and the downstream columnar feature frame.
+  */
+object Multimodal {
+
+  /** One media object: opaque payload + typed envelope metadata. */
+  case class MediaRecord(id: Long, kind: String, media: Array[Byte])
+
+  /** Decoded features — fixed columnar schema regardless of codec. */
+  case class MediaFeatures(
+      id: Long,
+      kind: String,
+      n_bytes: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      mean_intensity: Double)
+
+  /** Deterministic fake decoder. A real build replaces `decode` with the
+    * codec call; the signature (bytes → features) and the once-per-partition
+    * init in [[decodeAll]] are the contract.
+    */
+  object FakeCodec {
+    def decode(kind: String, bytes: Array[Byte]): (Int, Int, Int, Double) = {
+      val n = bytes.length
+      // Pretend dimensions derive from a header; here: deterministic from
+      // content so tests are reproducible without codecs.
+      val w = 16 + (if (n > 0) (bytes(0) & 0x7f) else 0)
+      val h = 16 + (if (n > 1) (bytes(1) & 0x7f) else 0)
+      val c = kind match { case "image" => 3; case "audio" => 1; case _ => 1 }
+      val mean = if (n == 0) 0.0 else bytes.map(b => (b & 0xff).toDouble).sum / n
+      (w, h, c, mean)
+    }
+  }
+
+  /** Per-partition decode: one codec handle per partition, streamed rows.
+    * At 100 TB the binary payloads never leave their partition — the only
+    * shuffle is whatever the caller does with the small feature frame.
+    */
+  def decodeAll(records: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
+    import records.sparkSession.implicits._
+    records.mapPartitions { it =>
+      // (real impl: open codec/context ONCE here, close on exhaustion)
+      it.map { r =>
+        val (w, h, c, mean) = FakeCodec.decode(r.kind, r.media)
+        MediaFeatures(r.id, r.kind, r.media.length.toLong, w, h, c, mean)
+      }
+    }
+  }
+
+  /** Build a MediaRecord dataset from the documents table (text bytes stand
+    * in for media payloads; schema and partitioning are the real thing).
+    */
+  def fromDocuments(spark: SparkSession, docs: DataFrame): Dataset[MediaRecord] = {
+    import spark.implicits._
+    docs
+      .select(
+        col("doc_id").as("id"),
+        when(col("doc_id") % 2 === 0, lit("image")).otherwise(lit("audio")).as("kind"),
+        encode(col("text"), "UTF-8").as("media"))
+      .as[MediaRecord]
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.operators.AsOf
+import java.sql.Timestamp
+
+/** As-of join semantics (SURVEY §2.3 completeness): most recent right row
+  * at-or-before each left row per key; null when no prior row; keys are
+  * isolated from each other.
+  */
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private val quotes = Seq(
+    ("A", ts("2024-01-01 10:00:00"), 1.0),
+    ("A", ts("2024-01-01 11:00:00"), 2.0),
+    ("B", ts("2024-01-01 10:30:00"), 9.0)
+  ).toDF("key", "qts", "quote")
+
+  private val trades = Seq(
+    ("A", ts("2024-01-01 10:30:00"), "t1"), // between quotes → 1.0
+    ("A", ts("2024-01-01 11:00:00"), "t2"), // exact match   → 2.0
+    ("A", ts("2024-01-01 09:00:00"), "t3"), // before any    → null
+    ("B", ts("2024-01-01 12:00:00"), "t4")  // B's own quote → 9.0, not A's
+  ).toDF("key", "tts", "tid")
+
+  test("picks most recent right row at-or-before, per key, null if none") {
+    val out = AsOf
+      .joinAsOf(trades, quotes, "key", "tts", "qts", Seq("quote"))
+      .select($"tid", $"asof_quote")
+      .collect().map(r => r.getString(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+      .toMap
+    assert(out("t1").contains(1.0))
+    assert(out("t2").contains(2.0), "exact-timestamp quote must be visible")
+    assert(out("t3").isEmpty, "no prior quote → null")
+    assert(out("t4").contains(9.0), "keys must not leak across")
+  }
+
+  test("left row multiplicity is preserved") {
+    val out = AsOf.joinAsOf(trades, quotes, "key", "tts", "qts", Seq("quote"))
+    assert(out.count() == trades.count())
+  }
+}

@@ -1,0 +1,71 @@
+package graft
+
+import graft.functions.Text
+import graft.operators.MinHashLSH
+import org.apache.spark.sql.functions._
+
+/** Text primitives + MinHash/LSH behavior: shingle shapes, fingerprint
+  * stability, LSH finds exact duplicates, and verified Jaccard values are
+  * exact set Jaccard.
+  */
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("wordShingles produces n-grams, distinct, and [] when too short") {
+    val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "x y x y x y"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", Text.wordShingles(Text.tokens($"text"), 3).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(m(1L) == Seq("a b c", "b c d"))
+    assert(m(2L) == Seq.empty)
+    assert(m(3L).toSet == Set("x y x", "y x y")) // distinct
+  }
+
+  test("fingerprints: identical text → identical md5; prefix groups by opening") {
+    val df = Seq((1L, "same opening words here tail one"), (2L, "same opening words here tail two"))
+      .toDF("doc_id", "text")
+      .select(
+        Text.fingerprint($"text").as("full"),
+        Text.prefixFingerprint(Text.tokens($"text"), 4).as("p4"))
+    val rows = df.collect()
+    assert(rows(0).getString(0) != rows(1).getString(0))
+    assert(rows(0).getString(1) == rows(1).getString(1))
+  }
+
+  test("MinHash LSH surfaces exact duplicates and verified Jaccard is exact") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"), // dup of 1
+      (3L, "the quick brown fox jumps over the lazy dog again and often"), // near-dup
+      (4L, "completely different content with no overlap at all whatsoever here")
+    ).toDF("doc_id", "text")
+    val pairs = MinHashLSH
+      .nearDupPairs(docs, "doc_id", "text", shingleN = 3, numHashes = 8, bands = 4, threshold = 0.2)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("a")), r.getLong(r.fieldIndex("b")),
+        r.getDouble(r.fieldIndex("jaccard"))))
+    val asMap = pairs.map(p => (p._1, p._2) -> p._3).toMap
+    assert(asMap.get((1L, 2L)).contains(1.0), "exact dup must be found with jaccard 1.0")
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L), "disjoint doc must not pair")
+  }
+
+  test("simhash: identical docs agree; hamming to unrelated docs is larger") {
+    val sims = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "totally unrelated words entirely"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", explode(Text.tokens($"text")).as("tok"))
+      .select($"doc_id", Text.tokenHash32($"tok").as("hv"))
+      .groupBy("doc_id")
+      .agg(Text.simhashAgg($"hv"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sims(1L) == sims(2L))
+    assert(java.lang.Long.bitCount(sims(1L) ^ sims(3L)) > 0)
+  }
+
+  test("tokenHash32 is a stable 32-bit value") {
+    val vals = Seq(("x", 1), ("x", 2)).toDF("tok", "i")
+      .select(Text.tokenHash32($"tok").as("h")).collect().map(_.getLong(0))
+    assert(vals(0) == vals(1))
+    assert(vals.forall(v => v >= 0 && v <= 0xffffffffL))
+  }
+}
