@@ -45,9 +45,12 @@ object AsOf {
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(s"_l_$c")): _*)
       .unionByName(l)
 
+    // Deterministic tiebreak (ADVICE r1): when multiple right rows share
+    // (key, ts), order them by their payload columns so `last(...)` always
+    // picks the greatest payload — never an arbitrary partition-order row.
     val w = Window
       .partitionBy("_k")
-      .orderBy(col("_ts"), col("_side"))
+      .orderBy(col("_ts") +: col("_side") +: rightVals.map(v => col(s"_rv_$v")): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
 
     val withAsOf = unioned

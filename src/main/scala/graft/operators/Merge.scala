@@ -40,9 +40,14 @@ object Merge {
       priceCol: String,
       tsCol: String,
       closeCol: String): DataFrame = {
+    // Tie-break equal-ts trades on the price itself so the reduction is
+    // deterministic (two trades at the same instant → the greater price
+    // wins on every engine), keeping the a6 oracle hash and the merge
+    // idempotence property stable on tie-bearing batches.
     val latest = incoming
       .groupBy(keys.map(col): _*)
-      .agg(max_by(col(priceCol), col(tsCol)).as("_incoming_price"))
+      .agg(max_by(col(priceCol), struct(col(tsCol), col(priceCol)))
+        .as("_incoming_price"))
 
     val otherCols = stored.columns.filterNot(c => keys.contains(c) || c == closeCol)
     val merged = stored.join(latest, keys, "full_outer")

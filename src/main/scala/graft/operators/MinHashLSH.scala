@@ -29,20 +29,42 @@ object MinHashLSH {
     docs
       .select(col(idCol), explode(Text.wordShingles(Text.tokens(col(textCol)), n)).as("shingle"))
 
-  /** One MinHash signature column per seed: `s0 … s{numHashes-1}`. */
+  /** One MinHash signature column per seed: `s0 … s{numHashes-1}`.
+    * All `numHashes` mins are computed in ONE map-side-combinable hash
+    * aggregate over the shingle table — no seed explode, so the shuffled
+    * data is the shingle table × 1, not × numHashes. (Per-seed hashes are
+    * independent columns of the same row; minimizing each column per doc
+    * is exactly the per-seed MinHash.)
+    */
   def signatures(shingles: DataFrame, idCol: String, numHashes: Int): DataFrame = {
-    val seeded = shingles
-      .withColumn("seed", explode(sequence(lit(0), lit(numHashes - 1))))
-      .withColumn("h", Text.seededHash(col("seed"), col("shingle")))
-    // Two-level min: (id, seed) then pivot-by-conditional — a single
-    // hash-aggregate per level, both map-side combinable.
     val sigCols = (0 until numHashes).map(s =>
-      min(when(col("seed") === s, col("sig"))).as(s"s$s"))
-    seeded
-      .groupBy(col(idCol), col("seed"))
-      .agg(min(col("h")).as("sig"))
-      .groupBy(col(idCol))
-      .agg(sigCols.head, sigCols.tail: _*)
+      min(Text.seededHash(lit(s), col("shingle"))).as(s"s$s"))
+    shingles.groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** Exact Jaccard for EVERY pair sharing ≥1 shingle, straight off the
+    * inverted index: one self-equi-join on `shingle` flowing directly into
+    * a partial-aggregating count — |A∩B| is the number of shared shingles,
+    * so no `distinct` of the pair blowup and no re-join against the shingle
+    * table is ever needed. This is the scale path for threshold-Jaccard
+    * dedup: the only quadratic term is Σ df(s)² of genuinely shared
+    * shingles, and it flows through a map-side combine, never a
+    * materialized pair set.
+    */
+  def jaccardAllPairs(shingles: DataFrame, idCol: String): DataFrame = {
+    val counts = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val inter = shingles.select(col(idCol).as("a"), col("shingle"))
+      .join(shingles.select(col(idCol).as("b"), col("shingle")), Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(counts.select(col(idCol).as("a"), col("n").as("na")), Seq("a"))
+      .join(counts.select(col(idCol).as("b"), col("n").as("nb")), Seq("b"))
+      .select(
+        col("a"), col("b"), col("inter"),
+        (col("na") + col("nb") - col("inter")).as("uni"),
+        (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
   }
 
   /** Candidate pairs (a < b) sharing at least one LSH band. */
@@ -51,6 +73,9 @@ object MinHashLSH {
       idCol: String,
       numHashes: Int,
       bands: Int): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands); " +
+        "otherwise trailing signature columns are silently ignored")
     val rows = numHashes / bands
     val bandStructs = (0 until bands).map { b =>
       struct(
@@ -101,6 +126,8 @@ object MinHashLSH {
       numHashes: Int = 8,
       bands: Int = 4,
       threshold: Double = 0.3): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
     val sh = shingleTable(docs, idCol, textCol, shingleN)
     val cand = candidatePairs(signatures(sh, idCol, numHashes), idCol, numHashes, bands)
     verifyJaccard(cand, sh, idCol).filter(col("jaccard") >= threshold)

@@ -161,10 +161,12 @@ object Aggregates {
         .filter(to_date(col("ts")) <= lit("2024-01-24").cast(DateType))
         .groupBy(col("user_id"), to_date(col("ts")).as("day"))
         .agg(
-          min_by(col("value"), col("ts")).as("open"),
+          // struct tiebreak: equal-ts rows resolve on value, so open/close
+          // are deterministic on tie-bearing days (ADVICE r1)
+          min_by(col("value"), struct(col("ts"), col("value"))).as("open"),
           max(col("value")).as("high"),
           min(col("value")).as("low"),
-          max_by(col("value"), col("ts")).as("adj_close"),
+          max_by(col("value"), struct(col("ts"), col("value"))).as("adj_close"),
           count(lit(1)).cast("long").as("volume"))
       val incoming = ev
         .filter(
@@ -177,18 +179,26 @@ object Aggregates {
         .select("user_id", "day", "open", "high", "low", "adj_close", "volume")
         .orderBy("user_id", "day")
     },
-    Some("""WITH stored AS (
-        SELECT user_id, CAST(ts AS DATE) AS day,
-          arg_min(value, ts) AS open, max(value) AS high, min(value) AS low,
-          arg_max(value, ts) AS adj_close, count(*) AS volume
-        FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-24'
-        GROUP BY user_id, CAST(ts AS DATE)),
+    Some("""WITH ranked AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, value,
+          row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                             ORDER BY ts ASC, value ASC) AS rn_open,
+          row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                             ORDER BY ts DESC, value DESC) AS rn_close
+        FROM events WHERE CAST(ts AS DATE) <= DATE '2024-01-24'),
+      stored AS (
+        SELECT user_id, day,
+          max(value) FILTER (rn_open = 1) AS open, max(value) AS high,
+          min(value) AS low,
+          max(value) FILTER (rn_close = 1) AS adj_close, count(*) AS volume
+        FROM ranked GROUP BY user_id, day),
       incoming AS (
-        SELECT user_id, CAST(ts AS DATE) AS day, arg_max(value, ts) AS price
+        SELECT user_id, CAST(ts AS DATE) AS day, value AS price
         FROM events
         WHERE CAST(ts AS DATE) = DATE '2024-01-24'
            OR CAST(ts AS DATE) = DATE '2024-01-25'
-        GROUP BY user_id, CAST(ts AS DATE))
+        QUALIFY row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                   ORDER BY ts DESC, value DESC) = 1)
       SELECT s.user_id, s.day, s.open, s.high, s.low,
         coalesce(i.price, s.adj_close) AS adj_close, s.volume
       FROM stored s LEFT JOIN incoming i

@@ -47,34 +47,24 @@ object DedupQueries {
       FROM documents GROUP BY fp ORDER BY fp""")
   )
 
-  /** D2: n-gram Jaccard near-dup — inverted index on 5-gram shingles
-    * (candidates = docs sharing ≥1 shingle), exact Jaccard ≥ 0.5. The
-    * shingle join IS the index: no all-pairs product is ever built.
+  /** D2: n-gram Jaccard near-dup — inverted index on 5-gram shingles,
+    * exact Jaccard ≥ 0.5 computed straight off the index join (see
+    * [[MinHashLSH.jaccardAllPairs]]): the join output flows into one
+    * map-side-combinable count, never a materialized candidate set.
     */
   val d2NgramJaccard: Q = Q(
     "d2_ngram_jaccard",
     (s, dir) => {
       val sh = MinHashLSH.shingleTable(t(s, dir, "documents"), "doc_id", "text", 5)
-      val pairs = sh
-        .select(col("doc_id").as("a"), col("shingle"))
-        .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
-        .filter(col("a") < col("b"))
-        .select("a", "b")
-        .distinct()
-      MinHashLSH
-        .verifyJaccard(pairs, sh, "doc_id")
+      MinHashLSH.jaccardAllPairs(sh, "doc_id")
         .filter(col("jaccard") >= 0.5)
         .orderBy("a", "b")
     },
     Some(s"""WITH sh AS ($sqlShingles5),
-      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-               FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
       cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      inter AS (SELECT c.a, c.b, count(*) AS inter
-                FROM cand c
-                JOIN sh sa ON sa.doc_id = c.a
-                JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
-                GROUP BY c.a, c.b)
+      inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
+                FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+                GROUP BY 1, 2)
       SELECT i.a, i.b, i.inter, ca.n + cb.n - i.inter AS uni,
         i.inter / (ca.n + cb.n - i.inter) AS jaccard
       FROM inter i

@@ -178,8 +178,12 @@ object Joins {
       val ev = t(s, dir, "events")
       val purchases = ev.filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "ts")
+      // Collapse same-instant clicks to one row (max value) so right
+      // (key, ts) is unique — DuckDB's ASOF picks arbitrarily among
+      // duplicates, so uniqueness is enforced on both sides (ADVICE r1).
       val clicks = ev.filter(col("event_type") === "click")
-        .select("user_id", "ts", "value")
+        .groupBy("user_id", "ts")
+        .agg(max(col("value")).as("value"))
       AsOf.joinAsOf(purchases, clicks, "user_id", "ts", "ts", Seq("value"))
         .select(
           col("event_id"), col("user_id"), col("ts"),
@@ -190,7 +194,9 @@ object Joins {
     Some("""SELECT l.event_id, l.user_id, l.ts,
         r.ts AS last_click_ts, r.value AS last_click_value
       FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
-      ASOF LEFT JOIN (SELECT user_id, ts, value FROM events WHERE event_type = 'click') r
+      ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value
+                      FROM events WHERE event_type = 'click'
+                      GROUP BY user_id, ts) r
         ON l.user_id = r.user_id AND l.ts >= r.ts
       ORDER BY l.event_id""")
   )

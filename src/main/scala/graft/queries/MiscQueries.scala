@@ -60,13 +60,16 @@ object MiscQueries {
     "f8_tz_convert",
     (s, dir) =>
       t(s, dir, "events")
-        .filter(col("ts") < lit("2024-02-01").cast("timestamp"))
+        .filter(
+          col("ts") >= lit("2024-01-01").cast("timestamp") &&
+            col("ts") < lit("2024-02-01").cast("timestamp"))
         .select(
           col("event_id"), col("ts"),
           from_utc_timestamp(col("ts"), "America/New_York").as("ts_nyc"))
         .orderBy("event_id"),
     Some("""SELECT event_id, ts, ts - INTERVAL 5 HOUR AS ts_nyc
-      FROM events WHERE ts < TIMESTAMP '2024-02-01 00:00:00'
+      FROM events WHERE ts >= TIMESTAMP '2024-01-01 00:00:00'
+        AND ts < TIMESTAMP '2024-02-01 00:00:00'
       ORDER BY event_id""")
   )
 

@@ -63,15 +63,22 @@ object LiveFeed {
         val stored = spark.read.parquet(storedDir)
         val merged = Merge
           .upsertDailyClose(stored, incoming, Seq("symbol", "day"), "price", "ts", "adj_close")
-        // Atomic publish: write to tmp, then swap — the reference's
-        // tmp+os.replace pattern (`ulp:289-292`) at directory granularity.
+        // Crash-safe publish mirroring the reference's tmp+os.replace
+        // (`ulp:289-292`): write tmp, move the live dir ASIDE (not delete),
+        // promote tmp, then drop the aside copy. A crash at any step leaves
+        // either the old table live or both old (.old) and new (.tmp/dst)
+        // present — never a missing table. Readers racing the two renames
+        // can retry on .old; data is never unrecoverable.
         val tmp = storedDir + ".tmp"
         merged.write.mode("overwrite").parquet(tmp)
         val fs = org.apache.hadoop.fs.FileSystem.get(
           spark.sparkContext.hadoopConfiguration)
         val dst = new org.apache.hadoop.fs.Path(storedDir)
-        fs.delete(dst, true)
+        val old = new org.apache.hadoop.fs.Path(storedDir + ".old")
+        fs.delete(old, true)
+        if (fs.exists(dst)) fs.rename(dst, old)
         fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
+        fs.delete(old, true)
         ()
       }
       .start()
