@@ -1,0 +1,352 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Round-2 analytic breadth: ranking/distribution window functions, range
+  * frames, exact statistical moments, grouping sets, pivot/unpivot,
+  * deterministic hash sampling, and two star-schema rollups exercising the
+  * broadcast-join path (SURVEY §2.3-§2.6 completeness).
+  *
+  * Determinism notes (SURVEY §7.3.1): every double aggregate routes through
+  * DECIMAL sums ([[Q.dsum]]) or exact rational window functions; every
+  * query ends in a total ORDER BY; null ordering is pinned explicitly
+  * because Spark defaults ASC NULLS FIRST while DuckDB defaults NULLS LAST.
+  */
+object AnalyticsExtras {
+  import Q._
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  /** W5: ranking + distribution functions — rank/dense_rank/percent_rank/
+    * cume_dist/ntile over a per-user value ordering (deterministic via the
+    * unique event_id tiebreak; exact rationals rounded identically).
+    */
+  val w5RankAnalytics: Q = Q(
+    "w5_rank_analytics",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("value").asc_nulls_first, col("event_id"))
+      t(s, dir, "events")
+        .select(
+          col("user_id"), col("event_id"), col("value"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          round(percent_rank().over(w), 6).as("prnk"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          ntile(4).over(w).as("tile4"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT user_id, event_id, value,
+      rank() OVER w AS rnk,
+      dense_rank() OVER w AS drnk,
+      round(percent_rank() OVER w, 6) AS prnk,
+      round(cume_dist() OVER w, 6) AS cdist,
+      ntile(4) OVER w AS tile4
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY value ASC NULLS FIRST, event_id)
+      ORDER BY event_id""")
+  )
+
+  /** W6: first/last/nth value over an explicit full-partition frame. */
+  val w6FirstLast: Q = Q(
+    "w6_first_last",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .select(
+          col("user_id"), col("event_id"),
+          first(col("event_id")).over(w).as("first_ev"),
+          last(col("event_id")).over(w).as("last_ev"),
+          nth_value(col("event_id"), 2).over(w).as("second_ev"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT user_id, event_id,
+      first_value(event_id) OVER w AS first_ev,
+      last_value(event_id) OVER w AS last_ev,
+      nth_value(event_id, 2) OVER w AS second_ev
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY event_id""")
+  )
+
+  /** W7: time-range frame — trailing 1 h sum per user on the event-time
+    * axis. RANGE frames make same-instant rows peers, so no tiebreak is
+    * needed; the sum routes through DECIMAL for cross-engine exactness.
+    * unix_timestamp/floor(epoch) both floor toward -inf on the µs stamps.
+    */
+  val w7RangeFrame: Q = Q(
+    "w7_range_frame",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("epoch"))
+        .rangeBetween(-3600, 0)
+      t(s, dir, "events")
+        .withColumn("epoch", unix_timestamp(col("ts")))
+        .select(
+          col("user_id"), col("event_id"), col("epoch"),
+          sum(col("value").cast(DecimalType(18, 2))).over(w)
+            .cast("double").as("trailing_1h_sum"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT user_id, event_id, epoch,
+      CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+        PARTITION BY user_id ORDER BY epoch
+        RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        AS trailing_1h_sum
+      FROM (SELECT user_id, event_id, value,
+              CAST(floor(epoch(ts)) AS BIGINT) AS epoch FROM events)
+      ORDER BY event_id""")
+  )
+
+  /** A12: exact statistical moments — var/stddev/corr assembled from
+    * DECIMAL power sums so Spark's parallel partials and DuckDB's serial
+    * sums feed IDENTICAL doubles into one shared final expression (no
+    * Welford-merge nondeterminism; corpus values carry 2 dp, epoch is
+    * integral, so the decimal casts are lossless).
+    */
+  val a12StatsMoments: Q = Q(
+    "a12_stats_moments",
+    (s, dir) => {
+      val sx = dsum(col("value"), 2)
+      val sxx = sum((col("value") * col("value")).cast(DecimalType(28, 4))).cast("double")
+      val sy = sum(col("epoch").cast(DecimalType(28, 0))).cast("double")
+      val syy = sum((col("epoch") * col("epoch")).cast(DecimalType(38, 0))).cast("double")
+      val sxy = sum((col("value") * col("epoch")).cast(DecimalType(28, 2))).cast("double")
+      val n = count(lit(1)).cast("double")
+      t(s, dir, "events")
+        .filter(col("value").isNotNull)
+        .withColumn("epoch", unix_timestamp(col("ts")))
+        .groupBy("event_type")
+        .agg(
+          n.as("n"),
+          round((sxx - sx * sx / n) / n, 6).as("var_pop"),
+          round(sqrt((sxx - sx * sx / n) / n), 6).as("stddev_pop"),
+          round(
+            (sxy - sx * sy / n) /
+              (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)),
+            6).as("corr_value_epoch"))
+        .orderBy("event_type")
+    },
+    Some(s"""SELECT event_type,
+      n,
+      round((sxx - sx * sx / n) / n, 6) AS var_pop,
+      round(sqrt((sxx - sx * sx / n) / n), 6) AS stddev_pop,
+      round((sxy - sx * sy / n) /
+            (sqrt(sxx - sx * sx / n) * sqrt(syy - sy * sy / n)), 6)
+        AS corr_value_epoch
+      FROM (SELECT event_type,
+              ${sqlDsum("value")} AS sx,
+              CAST(sum(CAST(value * value AS DECIMAL(28,4))) AS DOUBLE) AS sxx,
+              CAST(sum(CAST(epoch AS DECIMAL(28,0))) AS DOUBLE) AS sy,
+              CAST(sum(CAST(epoch * epoch AS DECIMAL(38,0))) AS DOUBLE) AS syy,
+              CAST(sum(CAST(value * epoch AS DECIMAL(28,2))) AS DOUBLE) AS sxy,
+              CAST(count(*) AS DOUBLE) AS n,
+              count(*) AS cnt
+            FROM (SELECT event_type, value,
+                    CAST(floor(epoch(ts)) AS BIGINT) AS epoch
+                  FROM events WHERE value IS NOT NULL)
+            GROUP BY event_type)
+      ORDER BY event_type""")
+  )
+
+  /** A13: conditional/boolean aggregates — count_if, bool_and/bool_or,
+    * filtered min/max.
+    */
+  val a13Conditional: Q = Q(
+    "a13_conditional_agg",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(
+          expr("count_if(value > 250)").as("n_big"),
+          expr("bool_and(value > 0)").as("all_positive"),
+          expr("bool_or(value > 489)").as("any_near_max"),
+          max(when(col("value") <= 250, col("value"))).as("max_small"),
+          min(when(col("value") > 250, col("value"))).as("min_big"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type,
+      count(*) FILTER (value > 250) AS n_big,
+      bool_and(value > 0) AS all_positive,
+      bool_or(value > 489) AS any_near_max,
+      max(value) FILTER (value <= 250) AS max_small,
+      min(value) FILTER (value > 250) AS min_big
+      FROM events GROUP BY event_type ORDER BY event_type""")
+  )
+
+  /** A14: global census — interpolated median (identical linear-interp
+    * definition on both engines) + multi-column distinct counts.
+    */
+  val a14MedianDistinct: Q = Q(
+    "a14_median_distinct",
+    (s, dir) =>
+      t(s, dir, "events")
+        .agg(
+          round(expr("median(value)"), 6).as("median_value"),
+          countDistinct(col("user_id")).as("n_users"),
+          countDistinct(col("user_id"), col("event_type")).as("n_user_type_pairs"),
+          count(lit(1)).as("n_rows")),
+    Some("""SELECT round(median(value), 6) AS median_value,
+      count(DISTINCT user_id) AS n_users,
+      count(DISTINCT (user_id, event_type)) AS n_user_type_pairs,
+      count(*) AS n_rows FROM events""")
+  )
+
+  /** A15: GROUPING SETS with grouping() indicators — the generalized form
+    * of a8 rollup / a9 cube, via Spark SQL over a temp view.
+    */
+  val a15GroupingSets: Q = Q(
+    "a15_grouping_sets",
+    (s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem_a15")
+      s.sql(s"""SELECT l_returnflag, l_linestatus,
+        CAST(grouping(l_returnflag) AS INT) AS g_rf,
+        CAST(grouping(l_linestatus) AS INT) AS g_ls,
+        count(*) AS n,
+        CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+        FROM lineitem_a15
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+    },
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(grouping(l_returnflag) AS INT) AS g_rf,
+      CAST(grouping(l_linestatus) AS INT) AS g_ls,
+      count(*) AS n,
+      CAST(sum(CAST(l_quantity AS DECIMAL(28,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST""")
+  )
+
+  /** P9: pivot — event counts per user, one column per (pinned) event
+    * type; the explicit value list keeps the output schema static, which
+    * is also what makes pivot plannable at scale (no driver-side distinct
+    * scan to discover columns).
+    */
+  val p9Pivot: Q = Q(
+    "p9_pivot",
+    (s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = t(s, dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      pivoted
+        .select(
+          col("user_id") +:
+            types.map(tp => coalesce(col(tp), lit(0L)).as(s"n_$tp")): _*)
+        .orderBy("user_id")
+    },
+    Some("""SELECT user_id,
+      count(*) FILTER (event_type = 'click') AS n_click,
+      count(*) FILTER (event_type = 'error') AS n_error,
+      count(*) FILTER (event_type = 'purchase') AS n_purchase,
+      count(*) FILTER (event_type = 'signup') AS n_signup,
+      count(*) FILTER (event_type = 'view') AS n_view
+      FROM events GROUP BY user_id ORDER BY user_id""")
+  )
+
+  /** P10: unpivot/melt — wide lineitem measures to long form. */
+  val p10Unpivot: Q = Q(
+    "p10_unpivot",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+          "measure", "val")
+        .orderBy("l_orderkey", "l_linenumber", "measure"),
+    Some("""SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+      ORDER BY l_orderkey, l_linenumber, measure""")
+  )
+
+  /** P11: deterministic hash sampling — md5-bucket 1/16 sample, the
+    * reproducible alternative to TABLESAMPLE for pipeline splits (same
+    * rows on every engine, every run, any partitioning).
+    */
+  val p11HashSample: Q = Q(
+    "p11_hash_sample",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(
+          substring(md5(concat_ws("|", col("l_orderkey"), col("l_linenumber"))), 1, 1)
+            === "0")
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+      FROM lineitem
+      WHERE substr(md5(l_orderkey || '|' || l_linenumber), 1, 1) = '0'
+      ORDER BY l_orderkey, l_linenumber""")
+  )
+
+  /** Q05: star-schema revenue rollup (TPC-H Q5 flavor) — lineitem ⋈ orders
+    * ⋈ customer ⋈ nation ⋈ region with the dimension sides explicitly
+    * broadcast: the fact table never shuffles for the dim joins, which is
+    * THE plan shape that survives 100 TB.
+    */
+  val q05RevenueByNation: Q = Q(
+    "q05_revenue_by_nation",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("r_name", "n_name")
+    },
+    Some(s"""SELECT r_name, n_name,
+      ${sqlDsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue,
+      count(*) AS n_lines
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name, n_name ORDER BY r_name, n_name""")
+  )
+
+  /** Q06: predicate-pushdown showcase (TPC-H Q6 flavor) — tight range
+    * filters that must reach the Parquet scan, one global sum.
+    */
+  val q06ForecastRevenue: Q = Q(
+    "q06_forecast_revenue",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(
+          col("l_shipdate") >= lit("2000-01-01").cast("timestamp") &&
+            col("l_shipdate") < lit("2001-01-01").cast("timestamp") &&
+            col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+            col("l_quantity") < 24)
+        .agg(
+          dsum(col("l_extendedprice") * col("l_discount"), 4).as("revenue"),
+          count(lit(1)).as("n_lines")),
+    Some(s"""SELECT ${sqlDsum("l_extendedprice * l_discount", 4)} AS revenue,
+      count(*) AS n_lines
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '2000-01-01' AND l_shipdate < TIMESTAMP '2001-01-01'
+        AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""")
+  )
+
+  val all: Seq[Q] = Seq(
+    w5RankAnalytics, w6FirstLast, w7RangeFrame, a12StatsMoments,
+    a13Conditional, a14MedianDistinct, a15GroupingSets, p9Pivot, p10Unpivot,
+    p11HashSample, q05RevenueByNation, q06ForecastRevenue)
+}

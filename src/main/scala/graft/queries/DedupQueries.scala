@@ -74,18 +74,11 @@ object DedupQueries {
       ORDER BY a, b""")
   )
 
-  /** D3: MinHash + banded LSH near-dup (see [[MinHashLSH]]): 8 seeded
-    * md5-min signatures, 4 bands × 2 rows, exact-Jaccard verification of
-    * bucket collisions at ≥ 0.3 on 3-gram shingles.
+  /** DuckDB mirror of the full d3 MinHash-LSH pipeline WITHOUT the final
+    * ORDER BY, so d5's connected-components oracle can reuse it as a
+    * `pairs` CTE body.
     */
-  val d3MinHashLsh: Q = Q(
-    "d3_minhash_lsh",
-    (s, dir) =>
-      MinHashLSH
-        .nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-          shingleN = 3, numHashes = 8, bands = 4, threshold = 0.3)
-        .orderBy("a", "b"),
-    Some {
+  private[queries] val sqlD3Body: String = {
       val bandSelects = (0 until 4)
         .map(b => s"SELECT doc_id, $b AS band, md5(s${2 * b} || '|' || s${2 * b + 1}) AS bkey FROM sigw")
         .mkString(" UNION ALL ")
@@ -111,9 +104,21 @@ object DedupQueries {
       FROM inter i
       JOIN cnt ca ON ca.doc_id = i.a
       JOIN cnt cb ON cb.doc_id = i.b
-      WHERE i.inter / (ca.n + cb.n - i.inter) >= 0.3
-      ORDER BY a, b"""
-    }
+      WHERE i.inter / (ca.n + cb.n - i.inter) >= 0.3"""
+  }
+
+  /** D3: MinHash + banded LSH near-dup (see [[MinHashLSH]]): 8 seeded
+    * md5-min signatures, 4 bands × 2 rows, exact-Jaccard verification of
+    * bucket collisions at ≥ 0.3 on 3-gram shingles.
+    */
+  val d3MinHashLsh: Q = Q(
+    "d3_minhash_lsh",
+    (s, dir) =>
+      MinHashLSH
+        .nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, numHashes = 8, bands = 4, threshold = 0.3)
+        .orderBy("a", "b"),
+    Some(sqlD3Body + "\n      ORDER BY a, b")
   )
 
   /** D4: SimHash near-dup — 32-bit signatures from per-token md5 hashes

@@ -1,0 +1,259 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.operators.MinHashLSH
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{MapType, StringType}
+
+/** Round-2 pipeline breadth (north star: LLM training-data ops): array/map
+  * scalar surface, regex extraction, PII scrubbing, BPE-style token
+  * counting, multimodal frame sampling, and connected-components duplicate
+  * clustering over the MinHash-LSH near-dup graph.
+  */
+object PipelineExtras {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  /** F14: array function surface — distinct/sort/slice/join/contains over
+    * the token array (all narrow per-row transforms; nothing shuffles).
+    */
+  val f14ArrayOps: Q = Q(
+    "f14_array_ops",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_toks"),
+          size(array_distinct(col("toks"))).as("n_distinct"),
+          element_at(sort_array(col("toks")), 1).as("min_tok"),
+          array_join(slice(sort_array(array_distinct(col("toks"))), 1, 3), "-")
+            .as("first3_distinct"),
+          array_contains(col("toks"), "spark").as("has_spark"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      len(t) AS n_toks,
+      len(list_distinct(t)) AS n_distinct,
+      list_sort(t)[1] AS min_tok,
+      array_to_string(list_sort(list_distinct(t))[1:3], '-') AS first3_distinct,
+      list_contains(t, 'spark') AS has_spark
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      ORDER BY doc_id""")
+  )
+
+  /** F15: map surface — parse the JSON props into a typed map, then
+    * keys/cardinality/lookup (`from_json` per SURVEY §1.1 semi-structured
+    * payloads, `update_live_price.py:153-157`).
+    */
+  val f15MapOps: Q = Q(
+    "f15_map_ops",
+    (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("m", from_json(col("props"), MapType(StringType, StringType)))
+        .select(
+          col("event_id"),
+          size(map_keys(col("m"))).as("n_keys"),
+          array_join(sort_array(map_keys(col("m"))), ",").as("keys_csv"),
+          expr("CAST(try_element_at(m, 'k') AS INT)").as("k_val"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id,
+      len(json_keys(props)) AS n_keys,
+      array_to_string(list_sort(json_keys(props)), ',') AS keys_csv,
+      CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val
+      FROM events ORDER BY event_id""")
+  )
+
+  /** F16: row generation — posexplode(sequence(...)), the lateral-range
+    * primitive behind backfills and frame enumeration.
+    */
+  val f16ExplodeSequence: Q = Q(
+    "f16_explode_sequence",
+    (s, dir) =>
+      t(s, dir, "nation")
+        .select(col("n_nationkey"), posexplode(sequence(lit(0), lit(2))))
+        .select(
+          col("n_nationkey"), col("pos"),
+          (col("n_nationkey") * 3 + col("pos")).as("gid"))
+        .orderBy("n_nationkey", "pos"),
+    Some("""SELECT n_nationkey, i AS pos, n_nationkey * 3 + i AS gid
+      FROM nation, (SELECT unnest(range(3)) AS i)
+      ORDER BY n_nationkey, pos""")
+  )
+
+  /** F17: string function surface — pad/reverse/substring/edit-distance
+    * (levenshtein shares its definition across engines).
+    */
+  val f17StringFuncs: Q = Q(
+    "f17_string_funcs",
+    (s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          lpad(col("p_brand"), 12, "*").as("brand_padded"),
+          reverse(col("p_name")).as("name_rev"),
+          substring(col("p_name"), 2, 5).as("name_mid"),
+          levenshtein(col("p_name"), lower(col("p_type"))).as("lev_name_type"))
+        .orderBy("p_partkey"),
+    Some("""SELECT p_partkey,
+      lpad(p_brand, 12, '*') AS brand_padded,
+      reverse(p_name) AS name_rev,
+      substr(p_name, 2, 5) AS name_mid,
+      levenshtein(p_name, lower(p_type)) AS lev_name_type
+      FROM part ORDER BY p_partkey""")
+  )
+
+  /** F18: regexp_extract_all — pull every number out of the raw JSON
+    * payload (count + first match).
+    */
+  val f18RegexpExtractAll: Q = Q(
+    "f18_regexp_extract_all",
+    (s, dir) =>
+      t(s, dir, "events")
+        .withColumn("nums", expr("regexp_extract_all(props, '[0-9]+', 0)"))
+        .select(
+          col("event_id"),
+          size(col("nums")).as("n_nums"),
+          when(size(col("nums")) > 0, element_at(col("nums"), 1)).as("first_num"))
+        .orderBy("event_id"),
+    Some("""SELECT event_id,
+      len(regexp_extract_all(props, '[0-9]+')) AS n_nums,
+      regexp_extract_all(props, '[0-9]+')[1] AS first_num
+      FROM events ORDER BY event_id""")
+  )
+
+  /** X6: PII-style scrubbing — redact a sensitive token class everywhere
+    * it appears and report match counts (regexp_replace is all-occurrence
+    * in Spark; DuckDB needs the 'g' flag).
+    */
+  val x6PiiScrub: Q = Q(
+    "x6_pii_scrub",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(expr("regexp_extract_all(text, '\\\\bcustomer\\\\b', 0)")).as("n_hits"),
+          md5(regexp_replace(col("text"), "\\bcustomer\\b", "<PII>")).as("scrubbed_md5"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      len(regexp_extract_all(text, '\bcustomer\b')) AS n_hits,
+      md5(regexp_replace(text, '\bcustomer\b', '<PII>', 'g')) AS scrubbed_md5
+      FROM documents ORDER BY doc_id""")
+  )
+
+  /** X7: BPE-style token counting — a regex lexer pass (letters / digits /
+    * punctuation classes) vs whitespace tokens, the standard pre-tokenizer
+    * shape for LLM data budgeting.
+    */
+  val x7BpeTokens: Q = Q(
+    "x7_bpe_tokens",
+    (s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("bpe", expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+        .select(
+          col("doc_id"),
+          size(col("bpe")).as("n_bpe"),
+          size(split(col("text"), " ")).as("n_ws"),
+          round(size(col("bpe")).cast("double") / size(split(col("text"), " ")), 6)
+            .as("bpe_per_ws"))
+        .orderBy("doc_id"),
+    Some("""SELECT doc_id,
+      len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
+      len(string_split(text, ' ')) AS n_ws,
+      round(CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS DOUBLE)
+            / len(string_split(text, ' ')), 6) AS bpe_per_ws
+      FROM documents ORDER BY doc_id""")
+  )
+
+  /** M2: multimodal frame sampling — enumerate fixed-size frames of each
+    * payload, keep every 4th, fingerprint each frame. The payload is text
+    * standing in for media bytes (no codecs in the container, SURVEY
+    * §2.10); the enumerate-then-sample plumbing (per-row sequence explode,
+    * narrow substring, no shuffle) is the real 100 TB shape.
+    */
+  val m2FrameSample: Q = Q(
+    "m2_frame_sample",
+    (s, dir) =>
+      t(s, dir, "documents")
+        // empty payloads have no frames (Spark's sequence would descend
+        // on 0 > -1; DuckDB's range(0) is already empty)
+        .filter(length(col("text")) > 0)
+        .withColumn("n_frames", expr("(length(text) + 63) div 64"))
+        .select(col("doc_id"), col("text"),
+          posexplode(sequence(lit(0), col("n_frames") - 1)))
+        .filter(col("pos") % 4 === 0)
+        .select(
+          col("doc_id"),
+          col("pos").cast("long").as("frame_id"),
+          expr("length(substr(text, pos * 64 + 1, 64))").as("frame_len"),
+          expr("md5(substr(text, pos * 64 + 1, 64))").as("frame_md5"))
+        .orderBy("doc_id", "frame_id"),
+    Some("""SELECT doc_id, frame_id,
+      length(substr(text, CAST(frame_id * 64 + 1 AS INTEGER), 64)) AS frame_len,
+      md5(substr(text, CAST(frame_id * 64 + 1 AS INTEGER), 64)) AS frame_md5
+      FROM (SELECT doc_id, text,
+              unnest(range((length(text) + 63) // 64)) AS frame_id
+            FROM documents)
+      WHERE frame_id % 4 = 0
+      ORDER BY doc_id, frame_id""")
+  )
+
+  /** D5: duplicate clustering — connected components over the MinHash-LSH
+    * near-dup graph (d3's pairs), by iterative min-label propagation: each
+    * round every node adopts the smallest label among itself and its
+    * neighbors, until a fixpoint. Rounds are whole Catalyst-planned joins
+    * (label table ⋈ edge table, both partitioned on the join key), the
+    * driver only counts changes — the Pregel shape that scales to graphs
+    * far beyond one machine. Converges in ≤ graph-diameter rounds; the
+    * oracle's recursive CTE computes the same min-reachable-id labels.
+    */
+  val d5DupClusters: Q = Q(
+    "d5_dup_clusters",
+    (s, dir) => {
+      val pairs = MinHashLSH
+        .nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+          shingleN = 3, numHashes = 8, bands = 4, threshold = 0.3)
+        .select(col("a"), col("b"))
+      val edges = pairs
+        .union(pairs.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint()
+      var labels = edges.select(col("a").as("id")).distinct()
+        .withColumn("lbl", col("id"))
+        .localCheckpoint()
+      var converged = false
+      var iter = 0
+      while (!converged && iter < 30) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("b"), col("lbl").as("blbl")), Seq("b"))
+          .groupBy("a")
+          .agg(min(col("blbl")).as("nlbl"))
+        val next = labels
+          .join(nbrMin.withColumnRenamed("a", "id"), Seq("id"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+          .localCheckpoint()
+        converged = next.alias("n")
+          .join(labels.alias("o"), "id")
+          .filter(col("n.lbl") =!= col("o.lbl"))
+          .isEmpty
+        labels = next
+        iter += 1
+      }
+      labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH RECURSIVE pairs AS (${DedupQueries.sqlD3Body}),
+      edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+      walk(id, lbl) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT e.a, w.lbl FROM edges e JOIN walk w ON e.b = w.id)
+      SELECT id AS doc_id, min(lbl) AS cluster
+      FROM walk GROUP BY id ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(
+    f14ArrayOps, f15MapOps, f16ExplodeSequence, f17StringFuncs,
+    f18RegexpExtractAll, x6PiiScrub, x7BpeTokens, m2FrameSample,
+    d5DupClusters)
+}
