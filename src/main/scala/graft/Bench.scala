@@ -26,7 +26,11 @@ object Bench {
     "x1_token_stats", "x2_lang_id", "x3_quality_score", "x5_token_freq",
     "d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
     "e1_cosine_topk", "e2_ann_ivf", "e3_bucket_neardup",
-    "m1_binary_meta")
+    "m1_binary_meta",
+    "q05_revenue_by_nation", "q06_forecast_revenue",
+    "w5_rank_analytics", "w7_range_frame", "a12_stats_moments",
+    "a15_grouping_sets", "p9_pivot", "p11_hash_sample",
+    "x7_bpe_tokens", "d5_dup_clusters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

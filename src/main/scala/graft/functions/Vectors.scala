@@ -29,6 +29,14 @@ object Vectors {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine with PRE-COMPUTED norms — bit-identical to [[cosine]] (sqrt is
+    * exact IEEE, so computing it once per vector instead of once per pair
+    * changes nothing numerically) but does 1 array fold per pair instead
+    * of 3. Use whenever one side participates in many pairs.
+    */
+  def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+
   /** Squared L2 distance (centroid assignment metric for IVF). */
   def l2sq(a: Column, b: Column): Column =
     fsum(zip_with(a, b, (x, y) => (x - y) * (x - y)))

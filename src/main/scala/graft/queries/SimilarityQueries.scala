@@ -123,13 +123,17 @@ object SimilarityQueries {
         .select(col("vec_id"), col("v"), col("cid"), Vectors.l2sq(col("v"), col("cv")).as("d2"))
         .withColumn("rn", row_number().over(byVec))
         .filter(col("rn") === 1)
-        .select("vec_id", "v", "cid")
-      val left = assign.select(col("vec_id").as("a"), col("v").as("va"), col("cid"))
-      val right = assign.select(col("vec_id").as("b"), col("v").as("vb"), col("cid"))
+        .select(col("vec_id"), col("v"), col("cid"),
+          Vectors.norm(col("v")).as("nv"))
+      val left = assign.select(
+        col("vec_id").as("a"), col("v").as("va"), col("nv").as("na"), col("cid"))
+      val right = assign.select(
+        col("vec_id").as("b"), col("v").as("vb"), col("nv").as("nb"), col("cid"))
       left
         .join(right, Seq("cid"))
         .filter(col("a") < col("b"))
-        .select(col("a"), col("b"), col("cid"), Vectors.cosine(col("va"), col("vb")).as("sim"))
+        .select(col("a"), col("b"), col("cid"),
+          Vectors.cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
         .orderBy(col("sim").desc, col("a"), col("b"))
         .limit(20)
     },

@@ -1,0 +1,84 @@
+package graft
+
+import graft.queries.{AnalyticsExtras, Joins, Relational, SimilarityQueries}
+
+/** Physical-plan audits — the properties that decide whether a query
+  * survives a 100 TB scale-up, asserted against the ACTUAL executed plan
+  * (SURVEY §4): filters reach the Parquet scan, projections prune the read
+  * schema, dimension joins broadcast instead of shuffling the fact side,
+  * and hot expressions stay inside WholeStageCodegen.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** Final (post-AQE) physical plan text only — AdaptiveSparkPlan.toString
+    * appends the pre-AQE "Initial Plan", which would double-count operators.
+    * WholeStageCodegen renders as "*(n)" in this form.
+    */
+  private def finalPlan(df: org.apache.spark.sql.DataFrame): String = {
+    df.collect() // force AQE to finalize the real plan
+    val s = df.queryExecution.executedPlan.toString
+    val cut = s.indexOf("== Initial Plan ==")
+    if (cut >= 0) s.substring(0, cut) else s
+  }
+
+  private def executedPlan(name: String): String =
+    finalPlan(SparkEntry.queries(name)(spark, sf))
+
+  test("p4: filter predicate is pushed down to the parquet scan") {
+    val plan = executedPlan("p4_filter_predicate")
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(!plan.contains("PushedFilters: []"), plan.take(2000))
+  }
+
+  test("q01: scan reads only the referenced columns (column pruning)") {
+    val plan = finalPlan(Relational.q01PricingSummary.fn(spark, sf))
+    // lineitem has 11 columns; q1 needs 7. The untouched ones must not
+    // appear in the parquet ReadSchema.
+    assert(!plan.contains("l_partkey"), "unreferenced column in scan")
+    assert(!plan.contains("l_suppkey"), "unreferenced column in scan")
+    assert(!plan.contains("l_orderkey"), "unreferenced column in scan")
+  }
+
+  test("q05: all four dimension joins broadcast (fact side never shuffles for them)") {
+    val plan = executedPlan("q05_revenue_by_nation")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 2, s"expected nation+region broadcast, got $broadcasts:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("j1: semi join against the small dim side is a broadcast, not a shuffle") {
+    val plan = executedPlan("j1_semi_join")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(3000))
+  }
+
+  test("q06: both range predicates reach the scan, no separate filter stage re-reads") {
+    val plan = executedPlan("q06_forecast_revenue")
+    assert(plan.contains("PushedFilters: ["), plan.take(2000))
+    assert(!plan.contains("PushedFilters: []"), plan.take(2000))
+    assert(plan.contains("*("), "agg not codegen'd") // "*(n)" = WholeStageCodegen
+  }
+
+  test("e1: vector math stays inside WholeStageCodegen (no UDF boundary)") {
+    val plan = finalPlan(SimilarityQueries.e1CosineTopK.fn(spark, sf))
+    assert(plan.contains("*("), plan.take(3000)) // "*(n)" = WholeStageCodegen
+    assert(!plan.toLowerCase.contains("batchevalpython"))
+    assert(!plan.contains("ScalaUDF"), "vector math fell back to a UDF")
+  }
+
+  test("w7: range frame runs as a single window over one shuffle") {
+    val plan = executedPlan("w7_range_frame")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    // one shuffle for the window partitioning + one for the final sort
+    assert(exchanges <= 3, s"too many shuffles ($exchanges):\n${plan.take(3000)}")
+  }
+
+  test("a3: last-per-key aggregates partially before the shuffle (map-side combine)") {
+    val plan = executedPlan("a3_last_per_key")
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+    // partial + final pair: HashAggregate appears at least twice
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(3000))
+  }
+}
