@@ -1,0 +1,154 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+
+/** Native Catalyst dot product over two `array<double>` columns.
+  *
+  * The builtin formulation `aggregate(zip_with(a, b, _*_), 0.0, _+_)`
+  * (see [[Vectors.dot]]) materializes an intermediate array per row and
+  * walks it with two higher-order lambda dispatches. This expression fuses
+  * the zip, multiply and left-fold into ONE codegen'd loop over the unsafe
+  * array data — no allocation, no lambda, same strict left-to-right IEEE
+  * fold, so its result is BIT-IDENTICAL to the builtin formulation and to
+  * the DuckDB `list_reduce` oracle mirror.
+  *
+  * This is the custom-operator ladder's tier (b) (SURVEY §2.10): a scalar
+  * `Expression` with `doGenCode`, registered through the public
+  * `SparkSessionExtensions.injectFunction` hook ([[GraftExtensions]]) —
+  * NOT a Scala UDF (which would box every element and block codegen).
+  *
+  * Semantics: null if either side is null; elements are assumed non-null
+  * (embedding vectors); length mismatch folds over the common prefix.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_dot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Fused squared-L2 distance — same single-loop shape as [[DotProduct]]
+  * for the IVF centroid-assignment metric (bit-identical to the
+  * `zip_with`/`aggregate` formulation in [[Vectors.l2sq]]).
+  */
+case class L2Sq(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType), ArrayType(DoubleType))
+
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "graft_l2sq"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = x.getDouble(i) - y.getDouble(i)
+      s += d * d
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      val d = ctx.freshName("d")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final double $d = $a.getDouble($i) - $b.getDouble($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Sq =
+    copy(left = newLeft, right = newRight)
+}
+
+/** `SparkSessionExtensions` entry point — activate with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    FastVec.descriptors.foreach(ext.injectFunction)
+}
+
+object FastVec {
+
+  val descriptors: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children.head, children(1))),
+    (FunctionIdentifier("graft_l2sq"),
+      new ExpressionInfo(classOf[L2Sq].getName, "graft_l2sq"),
+      (children: Seq[Expression]) => L2Sq(children.head, children(1))))
+
+  /** Idempotent runtime registration for sessions built without the
+    * extensions conf (tests, Verify, Bench).
+    */
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (id, info, builder) =>
+      if (!spark.sessionState.functionRegistry.functionExists(id))
+        spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
+
+  /** Column-level handles (require [[register]] or the extensions conf). */
+  def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
+  def l2sq(a: Column, b: Column): Column = call_function("graft_l2sq", a, b)
+  def norm(a: Column): Column =
+    org.apache.spark.sql.functions.sqrt(dot(a, a))
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  def cosinePre(a: Column, b: Column, na: Column, nb: Column): Column =
+    dot(a, b) / (na * nb)
+}

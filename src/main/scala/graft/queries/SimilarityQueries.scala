@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.functions.Vectors
+import graft.functions.{FastVec, Vectors}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -43,13 +43,14 @@ object SimilarityQueries {
   val e1CosineTopK: Q = Q(
     "e1_cosine_topk",
     (s, dir) => {
+      FastVec.register(s)
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), Vectors.toDoubleVec(col("embedding")).as("v"))
       val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
       emb
         .crossJoin(broadcast(q))
         .filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), col("label"), Vectors.cosine(col("v"), col("qv")).as("sim"))
+        .select(col("vec_id"), col("label"), FastVec.cosine(col("v"), col("qv")).as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
     },
@@ -67,6 +68,7 @@ object SimilarityQueries {
   val e2AnnIvf: Q = Q(
     "e2_ann_ivf",
     (s, dir) => {
+      FastVec.register(s)
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), Vectors.toDoubleVec(col("embedding")).as("v"))
       val cent = emb.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v").as("cv"))
@@ -74,7 +76,7 @@ object SimilarityQueries {
         .crossJoin(broadcast(cent))
         .select(
           col("vec_id"), col("label"), col("v"), col("cid"),
-          Vectors.l2sq(col("v"), col("cv")).as("d2"))
+          FastVec.l2sq(col("v"), col("cv")).as("d2"))
       val byVec = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
       val ranked = dists.withColumn("rn", row_number().over(byVec))
       val assign = ranked.filter(col("rn") === 1).select("vec_id", "label", "v", "cid")
@@ -88,7 +90,7 @@ object SimilarityQueries {
         .crossJoin(broadcast(qv))
         .select(
           col("vec_id"), col("label"), col("cid"),
-          Vectors.cosine(col("v"), col("qv")).as("sim"))
+          FastVec.cosine(col("v"), col("qv")).as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
     },
@@ -114,17 +116,18 @@ object SimilarityQueries {
   val e3BucketNearDup: Q = Q(
     "e3_bucket_neardup",
     (s, dir) => {
+      FastVec.register(s)
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), Vectors.toDoubleVec(col("embedding")).as("v"))
       val cent = emb.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v").as("cv"))
       val byVec = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
       val assign = emb
         .crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("v"), col("cid"), Vectors.l2sq(col("v"), col("cv")).as("d2"))
+        .select(col("vec_id"), col("v"), col("cid"), FastVec.l2sq(col("v"), col("cv")).as("d2"))
         .withColumn("rn", row_number().over(byVec))
         .filter(col("rn") === 1)
         .select(col("vec_id"), col("v"), col("cid"),
-          Vectors.norm(col("v")).as("nv"))
+          FastVec.norm(col("v")).as("nv"))
       val left = assign.select(
         col("vec_id").as("a"), col("v").as("va"), col("nv").as("na"), col("cid"))
       val right = assign.select(
@@ -133,7 +136,7 @@ object SimilarityQueries {
         .join(right, Seq("cid"))
         .filter(col("a") < col("b"))
         .select(col("a"), col("b"), col("cid"),
-          Vectors.cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
+          FastVec.cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
         .orderBy(col("sim").desc, col("a"), col("b"))
         .limit(20)
     },
