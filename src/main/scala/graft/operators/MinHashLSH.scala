@@ -95,6 +95,35 @@ object MinHashLSH {
       .distinct()
   }
 
+  /** EXACT threshold-Jaccard pairs via prefix filtering (the SSJoin/PPJoin
+    * candidate-pruning lemma): order each document's distinct shingles by a
+    * global total order (lexicographic); if J(A,B) ≥ t then |A∩B| ≥
+    * ⌈t·max(|A|,|B|)⌉, and two sets with overlap ≥ α must share an element
+    * within their first (n − α + 1) ordered elements. So only each doc's
+    * length-(n − ⌈t·n⌉ + 1) prefix needs indexing — at t = 0.5 that halves
+    * the inverted index and shrinks the quadratic candidate term Σ df(s)²
+    * roughly 4×, with NO recall loss (the lemma is exact, not
+    * probabilistic). Survivors are verified with full exact Jaccard.
+    *
+    * ⌈t·n⌉ is computed in integer arithmetic — `(n + 1) div 2` for the
+    * t = 0.5 default — so Spark and the SQL oracle agree exactly.
+    */
+  def prefixFilteredPairs(shingles: DataFrame, idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("shingle"))
+    val counts = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val pref = shingles
+      .withColumn("rn", row_number().over(w))
+      .join(counts, Seq(idCol))
+      .filter(col("rn") <= expr("n - ((n + 1) div 2) + 1"))
+      .select(col(idCol), col("shingle"))
+    pref.select(col(idCol).as("a"), col("shingle"))
+      .join(pref.select(col(idCol).as("b"), col("shingle")), Seq("shingle"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+  }
+
   /** Exact Jaccard verification of candidate pairs against the shingle
     * table: |A∩B| via a two-sided shingle join, |A∪B| = |A|+|B|−|A∩B|.
     * Returns (a, b, inter, uni, jaccard).

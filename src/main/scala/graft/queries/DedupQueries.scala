@@ -47,24 +47,36 @@ object DedupQueries {
       FROM documents GROUP BY fp ORDER BY fp""")
   )
 
-  /** D2: n-gram Jaccard near-dup — inverted index on 5-gram shingles,
-    * exact Jaccard ≥ 0.5 computed straight off the index join (see
-    * [[MinHashLSH.jaccardAllPairs]]): the join output flows into one
-    * map-side-combinable count, never a materialized candidate set.
+  /** D2: n-gram Jaccard near-dup — EXACT prefix-filtered similarity join
+    * (see [[MinHashLSH.prefixFilteredPairs]]): only each doc's sorted
+    * shingle prefix is indexed (no recall loss by the SSJoin lemma),
+    * candidates verified with full exact Jaccard ≥ 0.5.
     */
   val d2NgramJaccard: Q = Q(
     "d2_ngram_jaccard",
     (s, dir) => {
       val sh = MinHashLSH.shingleTable(t(s, dir, "documents"), "doc_id", "text", 5)
-      MinHashLSH.jaccardAllPairs(sh, "doc_id")
+      val cand = MinHashLSH.prefixFilteredPairs(sh, "doc_id")
+      MinHashLSH.verifyJaccard(cand, sh, "doc_id")
         .filter(col("jaccard") >= 0.5)
         .orderBy("a", "b")
     },
     Some(s"""WITH sh AS ($sqlShingles5),
       cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      inter AS (SELECT x.doc_id AS a, y.doc_id AS b, count(*) AS inter
-                FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
-                GROUP BY 1, 2)
+      ord AS (SELECT doc_id, shingle,
+                row_number() OVER (PARTITION BY doc_id ORDER BY shingle) AS rn
+              FROM sh),
+      pref AS (SELECT o.doc_id, o.shingle
+               FROM ord o JOIN cnt c ON o.doc_id = c.doc_id
+               WHERE o.rn <= c.n - ((c.n + 1) // 2) + 1),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+               FROM pref x JOIN pref y
+                 ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+      inter AS (SELECT c.a, c.b, count(*) AS inter
+                FROM cand c
+                JOIN sh sa ON sa.doc_id = c.a
+                JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+                GROUP BY c.a, c.b)
       SELECT i.a, i.b, i.inter, ca.n + cb.n - i.inter AS uni,
         i.inter / (ca.n + cb.n - i.inter) AS jaccard
       FROM inter i
