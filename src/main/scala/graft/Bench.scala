@@ -44,6 +44,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Untimed JVM/codegen warmup (no benchmark data touched): the first
+    // timed query should measure the engine, not JIT + codegen-compiler
+    // cold start.
+    spark.range(1000).selectExpr("sum(id * 2)").collect()
     val all = SparkEntry.queries
     val names =
       if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) all.keys.toSeq
