@@ -55,7 +55,10 @@ object Bench {
     val results = names.map { name =>
       val t0 = System.nanoTime()
       try { all(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Per-query progress on stderr (stdout stays the single JSON line).
+      System.err.println(f"[bench] $name%-28s $dt%8.3f s")
+      name -> dt
     }
     def f(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
