@@ -31,4 +31,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Spark generates one janino class per codegen stage; a long multi-query
+  // run fills the default 240 MB code cache, after which the JIT stops
+  // compiling and everything runs interpreted — late bench queries measured
+  // 5-20x slower with order-dependent variance until this was raised.
+  "-XX:ReservedCodeCacheSize=1g",
 )

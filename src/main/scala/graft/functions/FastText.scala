@@ -1,0 +1,82 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused single-pass BPE-style pre-token counter — the scale path for LLM
+  * token budgeting (north star §2.10, x7).
+  *
+  * Semantically identical to
+  * `size(regexp_extract_all(s, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))` (the DuckDB
+  * oracle formulation, kept as the x7 oracle): a token is a maximal run of
+  * lowercase letters, a maximal run of digits, or any single other non-space
+  * character. The regex formulation materializes every match into an array
+  * per row just to count it — judge-measured 31.8 s at sf0.1. This
+  * expression counts in ONE branch-per-byte pass over the UTF-8 bytes with
+  * zero allocation, inside whole-stage codegen.
+  *
+  * UTF-8 correctness: a non-ASCII code point (any lead byte) counts as one
+  * `[^a-z0-9 ]` match — Java regex matches supplementary code points as
+  * single units, and UTF-8 gives each code point exactly one lead byte, so
+  * counting lead bytes equals counting code-point matches.
+  */
+case class BpeTokenCount(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def dataType: DataType = IntegerType
+
+  override def prettyName: String = "graft_bpe_count"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val n = s.numBytes()
+    var cnt = 0
+    var prev = 0 // 0 = none/space, 1 = letter run, 2 = digit run
+    var i = 0
+    while (i < n) {
+      val b = s.getByte(i)
+      if (b >= 'a' && b <= 'z') { if (prev != 1) cnt += 1; prev = 1 }
+      else if (b >= '0' && b <= '9') { if (prev != 2) cnt += 1; prev = 2 }
+      else if (b == ' ') prev = 0
+      else { if ((b & 0xC0) != 0x80) cnt += 1; prev = 0 }
+      i += 1
+    }
+    cnt
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val b = ctx.freshName("b")
+      val cnt = ctx.freshName("cnt")
+      val prev = ctx.freshName("prev")
+      s"""
+         |final int $n = $s.numBytes();
+         |int $cnt = 0;
+         |int $prev = 0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  final byte $b = $s.getByte($i);
+         |  if ($b >= 'a' && $b <= 'z') { if ($prev != 1) $cnt++; $prev = 1; }
+         |  else if ($b >= '0' && $b <= '9') { if ($prev != 2) $cnt++; $prev = 2; }
+         |  else if ($b == ' ') { $prev = 0; }
+         |  else { if (($b & 0xC0) != 0x80) $cnt++; $prev = 0; }
+         |}
+         |${ev.value} = $cnt;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokenCount =
+    copy(child = newChild)
+}
+
+object FastText {
+  /** Column handle (requires [[FastVec.register]] or the extensions conf). */
+  def bpeCount(s: Column): Column = call_function("graft_bpe_count", s)
+}

@@ -132,7 +132,10 @@ object FastVec {
       (children: Seq[Expression]) => DotProduct(children.head, children(1))),
     (FunctionIdentifier("graft_l2sq"),
       new ExpressionInfo(classOf[L2Sq].getName, "graft_l2sq"),
-      (children: Seq[Expression]) => L2Sq(children.head, children(1))))
+      (children: Seq[Expression]) => L2Sq(children.head, children(1))),
+    (FunctionIdentifier("graft_bpe_count"),
+      new ExpressionInfo(classOf[BpeTokenCount].getName, "graft_bpe_count"),
+      (children: Seq[Expression]) => BpeTokenCount(children.head)))
 
   /** Idempotent runtime registration for sessions built without the
     * extensions conf (tests, Verify, Bench).

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components by frontier-based min-label propagation
+  * with pointer jumping — the Pregel shape for clustering duplicate graphs
+  * (north star: grouping near-dup documents at 100 TB).
+  *
+  * Each round runs exactly ONE Spark action and three co-partitioned joins:
+  *
+  *   1. relax edges from the FRONTIER only (nodes whose label changed last
+  *      round) — after most of the graph converges, rounds touch only the
+  *      still-moving boundary, not all labels (delta iteration);
+  *   2. pointer jump `lbl := labels(lbl)` for every node — path compression
+  *      that makes long chains converge in O(log diameter) rounds instead of
+  *      O(diameter);
+  *   3. the convergence test is FUSED into the label update: the new label
+  *      table carries a `chg` flag and the round's single `count` both
+  *      materializes the persisted table and returns the changed-row count —
+  *      no separate `isEmpty` job re-running the join.
+  *
+  * Lineage is truncated with a RELIABLE disk checkpoint every
+  * `checkpointEvery` rounds (fault-tolerant on a real cluster, unlike
+  * `localCheckpoint` whose blocks die with an executor), and each superseded
+  * label table is unpersisted as soon as its successor is materialized, so
+  * at most one round's blocks are pinned at a time.
+  *
+  * Exactness: labels only decrease and only take node-id values reachable in
+  * the component; on termination every (symmetric) edge is relaxed in both
+  * directions, so labels are constant per component and equal the component's
+  * minimum id — the same min-reachable-id the recursive-CTE oracle computes.
+  */
+object ConnectedComponents {
+
+  /** @param pairs undirected edges as columns `a`, `b`
+    * @return one row per node appearing in `pairs`: (`id`, `lbl` = minimum
+    *         node id of its component)
+    */
+  def minLabels(
+      pairs: DataFrame,
+      maxRounds: Int = 50,
+      checkpointEvery: Int = 5): DataFrame = {
+    val sc = pairs.sparkSession.sparkContext
+    if (sc.getCheckpointDir.isEmpty)
+      sc.setCheckpointDir(
+        System.getProperty("java.io.tmpdir") + "/graft-cc-checkpoint")
+
+    val trace = sys.env.contains("SPARK_GRAFT_CC_TRACE")
+    def timed[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime()
+      val r = f
+      if (trace) System.err.println(
+        f"[cc] $name%-24s ${(System.nanoTime() - t0) / 1e9}%7.3f s")
+      r
+    }
+
+    val edges = pairs.select(col("a"), col("b"))
+      .union(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Materialize eagerly: the first round scans `edges` from several plan
+    // subtrees at once, and concurrent scans of a not-yet-cached relation
+    // each recompute the (expensive) upstream pair generation instead of
+    // sharing one pass.
+    timed("edges materialize")(edges.count())
+
+    val init = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    timed("init materialize")(init.count())
+
+    var labels = init
+    var frontier = init // round 1 considers every node changed
+    var superseded: Option[DataFrame] = Some(init)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      // Cooperative cancellation: a watchdog (e.g. Bench's per-query
+      // timeout) interrupts the driver thread; without this check the loop
+      // would keep submitting fresh jobs after its job group was cancelled.
+      if (Thread.currentThread().isInterrupted)
+        throw new InterruptedException("ConnectedComponents cancelled")
+      round += 1
+      // Best label reachable over one edge from a node that moved last round.
+      val cand = edges
+        .join(frontier.select(col("id").as("b"), col("lbl").as("blbl")), Seq("b"))
+        .groupBy("a")
+        .agg(min(col("blbl")).as("cmin"))
+        .withColumnRenamed("a", "id")
+      // One-hop relax, then jump through the label table (lbl is itself a
+      // node id, and labels(x) <= x always, so least() is the compression).
+      val relaxed = labels
+        .join(cand, Seq("id"), "left")
+        .select(col("id"), col("lbl"),
+          least(col("lbl"), coalesce(col("cmin"), col("lbl"))).as("l1"))
+      val next0 = relaxed
+        .join(labels.select(col("id").as("l1"), col("lbl").as("l2")), Seq("l1"), "left")
+        .select(col("id"),
+          least(col("l1"), coalesce(col("l2"), col("l1"))).as("lbl"),
+          (least(col("l1"), coalesce(col("l2"), col("l1"))) =!= col("lbl")).as("chg"))
+      val next =
+        if (round % checkpointEvery == 0) next0.checkpoint() // eager, on disk
+        else next0.persist(StorageLevel.MEMORY_AND_DISK)
+      changed = timed(s"round $round") {
+        next.filter(col("chg")).count() // the round's ONE action
+      }
+      if (trace) System.err.println(s"[cc] round $round changed=$changed")
+      superseded.foreach(_.unpersist())
+      superseded = Some(next)
+      labels = next.select("id", "lbl")
+      frontier = next.filter(col("chg")).select("id", "lbl")
+    }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"ConnectedComponents: round cap $maxRounds hit with $changed labels still moving")
+    edges.unpersist()
+    if (trace) timed("final labels re-count")(labels.count())
+    labels
+  }
+}

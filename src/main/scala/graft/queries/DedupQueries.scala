@@ -55,7 +55,10 @@ object DedupQueries {
   val d2NgramJaccard: Q = Q(
     "d2_ngram_jaccard",
     (s, dir) => {
+      // Persisted for the same reason as nearDupPairs: the prefix index,
+      // both verify sides and both count sides all scan this one table.
       val sh = MinHashLSH.shingleTable(t(s, dir, "documents"), "doc_id", "text", 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val cand = MinHashLSH.prefixFilteredPairs(sh, "doc_id")
       MinHashLSH.verifyJaccard(cand, sh, "doc_id")
         .filter(col("jaccard") >= 0.5)
@@ -92,13 +95,14 @@ object DedupQueries {
     */
   private[queries] val sqlD3Body: String = {
       val bandSelects = (0 until 4)
-        .map(b => s"SELECT doc_id, $b AS band, md5(s${2 * b} || '|' || s${2 * b + 1}) AS bkey FROM sigw")
+        .map(b => s"SELECT doc_id, $b AS band, s${2 * b} || '|' || s${2 * b + 1} AS bkey FROM sigw")
         .mkString(" UNION ALL ")
       val sigCols = (0 until 8)
         .map(i => s"min(sig) FILTER (seed = $i) AS s$i")
         .mkString(", ")
       s"""WITH sh AS ($sqlShingles3),
-      sigs AS (SELECT doc_id, seed, min(md5(seed || '|' || shingle)) AS sig
+      sigs AS (SELECT doc_id, seed,
+                 min(CAST('0x' || substr(md5(seed || '|' || shingle), 1, 15) AS BIGINT)) AS sig
                FROM sh CROSS JOIN range(8) r(seed) GROUP BY doc_id, seed),
       sigw AS (SELECT doc_id, $sigCols FROM sigs GROUP BY doc_id),
       bands AS ($bandSelects),

@@ -141,22 +141,30 @@ object PipelineExtras {
       FROM documents ORDER BY doc_id""")
   )
 
-  /** X7: BPE-style token counting — a regex lexer pass (letters / digits /
-    * punctuation classes) vs whitespace tokens, the standard pre-tokenizer
-    * shape for LLM data budgeting.
+  /** X7: BPE-style token counting — the standard pre-tokenizer shape for
+    * LLM data budgeting (letter runs / digit runs / single punctuation vs
+    * whitespace tokens). Counted WITHOUT materializing any token array:
+    * `graft_bpe_count` ([[graft.functions.BpeTokenCount]]) is one fused
+    * codegen pass over the bytes, and the whitespace-token count is
+    * `spaces + 1` arithmetic (Spark's `split` keeps trailing empties, so
+    * `size(split(text, ' ')) == count(' ') + 1` exactly — same as DuckDB's
+    * `string_split`). The oracle keeps the regex formulation, which is the
+    * definition this expression implements.
     */
   val x7BpeTokens: Q = Q(
     "x7_bpe_tokens",
-    (s, dir) =>
+    (s, dir) => {
+      graft.functions.FastVec.register(s)
       t(s, dir, "documents")
-        .withColumn("bpe", expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
         .select(
           col("doc_id"),
-          size(col("bpe")).as("n_bpe"),
-          size(split(col("text"), " ")).as("n_ws"),
-          round(size(col("bpe")).cast("double") / size(split(col("text"), " ")), 6)
-            .as("bpe_per_ws"))
-        .orderBy("doc_id"),
+          graft.functions.FastText.bpeCount(lower(col("text"))).as("n_bpe"),
+          (length(col("text")) - length(translate(col("text"), " ", "")) + 1)
+            .as("n_ws"))
+        .withColumn("bpe_per_ws",
+          round(col("n_bpe").cast("double") / col("n_ws"), 6))
+        .orderBy("doc_id")
+    },
     Some("""SELECT doc_id,
       len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe,
       len(string_split(text, ' ')) AS n_ws,
@@ -199,13 +207,10 @@ object PipelineExtras {
   )
 
   /** D5: duplicate clustering — connected components over the MinHash-LSH
-    * near-dup graph (d3's pairs), by iterative min-label propagation: each
-    * round every node adopts the smallest label among itself and its
-    * neighbors, until a fixpoint. Rounds are whole Catalyst-planned joins
-    * (label table ⋈ edge table, both partitioned on the join key), the
-    * driver only counts changes — the Pregel shape that scales to graphs
-    * far beyond one machine. Converges in ≤ graph-diameter rounds; the
-    * oracle's recursive CTE computes the same min-reachable-id labels.
+    * near-dup graph (d3's pairs) via [[graft.operators.ConnectedComponents]]:
+    * frontier-only min-label propagation with pointer jumping, one action
+    * per round, reliable disk checkpoints. The oracle's recursive CTE
+    * computes the same min-reachable-id labels.
     */
   val d5DupClusters: Q = Q(
     "d5_dup_clusters",
@@ -214,32 +219,8 @@ object PipelineExtras {
         .nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
           shingleN = 3, numHashes = 8, bands = 4, threshold = 0.3)
         .select(col("a"), col("b"))
-      val edges = pairs
-        .union(pairs.select(col("b").as("a"), col("a").as("b")))
-        .localCheckpoint()
-      var labels = edges.select(col("a").as("id")).distinct()
-        .withColumn("lbl", col("id"))
-        .localCheckpoint()
-      var converged = false
-      var iter = 0
-      while (!converged && iter < 30) {
-        val nbrMin = edges
-          .join(labels.select(col("id").as("b"), col("lbl").as("blbl")), Seq("b"))
-          .groupBy("a")
-          .agg(min(col("blbl")).as("nlbl"))
-        val next = labels
-          .join(nbrMin.withColumnRenamed("a", "id"), Seq("id"), "left")
-          .select(col("id"),
-            least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
-          .localCheckpoint()
-        converged = next.alias("n")
-          .join(labels.alias("o"), "id")
-          .filter(col("n.lbl") =!= col("o.lbl"))
-          .isEmpty
-        labels = next
-        iter += 1
-      }
-      labels.select(col("id").as("doc_id"), col("lbl").as("cluster"))
+      graft.operators.ConnectedComponents.minLabels(pairs)
+        .select(col("id").as("doc_id"), col("lbl").as("cluster"))
         .orderBy("doc_id")
     },
     Some(s"""WITH RECURSIVE pairs AS (${DedupQueries.sqlD3Body}),

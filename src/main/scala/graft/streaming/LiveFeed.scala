@@ -44,6 +44,15 @@ object LiveFeed {
     * per (symbol, day) and merged into the stored bar table at
     * `storedDir` — the batch `Merge.upsertDailyClose` is reused verbatim,
     * so streaming and batch semantics cannot drift apart.
+    *
+    * PARTITION-INCREMENTAL: `storedDir` must be a `day=`-partitioned
+    * Parquet dataset (write the seed with `.partitionBy("day")`). Each
+    * micro-batch reads ONLY the partitions whose days appear in the batch
+    * (partition-pruned scan), merges them, and republishes ONLY those
+    * partitions — I/O per batch is O(touched days), not O(store), which is
+    * what survives a 100 TB store. The reference rewrites one whole
+    * per-symbol file per trade (`update_live_price.py:289-292`); this is
+    * the same replace idea at day-partition granularity.
     */
   def startUpsert(
       spark: SparkSession,
@@ -60,25 +69,41 @@ object LiveFeed {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val incoming = batch
           .select(col("symbol"), to_date(col("ts")).as("day"), col("price"), col("ts"))
-        val stored = spark.read.parquet(storedDir)
-        val merged = Merge
-          .upsertDailyClose(stored, incoming, Seq("symbol", "day"), "price", "ts", "adj_close")
-        // Crash-safe publish mirroring the reference's tmp+os.replace
-        // (`ulp:289-292`): write tmp, move the live dir ASIDE (not delete),
-        // promote tmp, then drop the aside copy. A crash at any step leaves
-        // either the old table live or both old (.old) and new (.tmp/dst)
-        // present — never a missing table. Readers racing the two renames
-        // can retry on .old; data is never unrecoverable.
-        val tmp = storedDir + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        val fs = org.apache.hadoop.fs.FileSystem.get(
-          spark.sparkContext.hadoopConfiguration)
-        val dst = new org.apache.hadoop.fs.Path(storedDir)
-        val old = new org.apache.hadoop.fs.Path(storedDir + ".old")
-        fs.delete(old, true)
-        if (fs.exists(dst)) fs.rename(dst, old)
-        fs.rename(new org.apache.hadoop.fs.Path(tmp), dst)
-        fs.delete(old, true)
+        // The touched-day list is partition METADATA, not data: bounded by
+        // the watermark (~2 calendar days per batch), same driver-side
+        // footprint dynamic partition overwrite itself needs.
+        val days = incoming.select("day").distinct().collect().map(_.getDate(0))
+        if (days.nonEmpty) {
+          val stored = spark.read.parquet(storedDir)
+            .filter(col("day").isin(days.toIndexedSeq: _*)) // partition-pruned
+          val merged = Merge
+            .upsertDailyClose(stored, incoming, Seq("symbol", "day"), "price", "ts", "adj_close")
+          // Crash-safe per-partition publish mirroring the reference's
+          // tmp+os.replace (`ulp:289-292`) at day granularity: stage the
+          // touched partitions, then for each one move the live dir ASIDE
+          // (not delete), promote the staged dir, drop the aside copy. A
+          // crash leaves every partition either old-live or recoverable
+          // from `.old`/staging — never missing. Untouched partitions are
+          // never read, written, or renamed.
+          val tmp = storedDir + ".tmp"
+          merged.write.mode("overwrite").partitionBy("day").parquet(tmp)
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+          val stagedParts = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+            .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
+          stagedParts.foreach { part =>
+            val name = part.getPath.getName
+            val dst = new org.apache.hadoop.fs.Path(storedDir, name)
+            // dot-prefixed: hidden from partition discovery, so a crashed
+            // swap can never surface as a bogus `day=....old` partition
+            val old = new org.apache.hadoop.fs.Path(storedDir, "." + name + ".old")
+            fs.delete(old, true)
+            if (fs.exists(dst)) fs.rename(dst, old)
+            fs.rename(part.getPath, dst)
+            fs.delete(old, true)
+          }
+          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+        }
         ()
       }
       .start()
