@@ -19,6 +19,7 @@ object Bench {
     "u1_union_distinct", "u4_union_all",
     "j1_semi_join", "j2_anti_join", "j3_inner_join", "j4_full_outer_align",
     "j5_left_join_agg", "j7_theta_range_join", "j9_asof_join",
+    "j10_salted_skew_join",
     "a2_counts", "a3_last_per_key", "a5_daily_dedup",
     "a6_upsert_daily_close", "a7_group_stats", "a8_rollup", "a11_percentiles",
     "w1_lag_lead", "w2_moving_avg", "w3_topn_per_group", "w4_running_sum",

@@ -201,7 +201,35 @@ object Joins {
       ORDER BY l.event_id""")
   )
 
+  /** J10: skew-mitigated fact⋈dim join — [[graft.operators.Skew.saltedJoin]]
+    * spreads each hot `user_id`'s event rows over 8 salt buckets (salt =
+    * hash of the unique event_id) while the user dim replicates 8×, so no
+    * single reducer owns a hot key. Salting is semantics-preserving by
+    * construction (it only changes physical row placement), which is why
+    * the oracle is the PLAIN join + aggregate.
+    */
+  val j10SaltedSkew: Q = Q(
+    "j10_salted_skew_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select("event_id", "user_id", "value")
+      val users = t(s, dir, "customer")
+        .filter(col("c_custkey") < 1500)
+        .select(col("c_custkey").as("user_id"), col("c_name"))
+      graft.operators.Skew
+        .saltedJoin(ev, users, Seq("user_id"), col("event_id"), buckets = 8)
+        .groupBy("user_id", "c_name")
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy("user_id")
+    },
+    Some(s"""SELECT user_id, c_name, count(*) AS n_events,
+        ${sqlDsum("value")} AS sum_value
+      FROM events JOIN customer ON user_id = c_custkey
+      WHERE c_custkey < 1500
+      GROUP BY user_id, c_name ORDER BY user_id""")
+  )
+
   val all: Seq[Q] = Seq(
     j1Semi, j2Anti, j3Inner, j4FullOuter, j5Left, j6Right, j7ThetaRange,
-    j8Cross, j9AsOf)
+    j8Cross, j9AsOf, j10SaltedSkew)
 }

@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.{FastText, FastVec}
+import org.apache.spark.sql.functions._
+
+/** graft_bpe_count must agree EXACTLY with the regex definition it fuses
+  * (`size(regexp_extract_all(s, '[a-z]+|[0-9]+|[^a-z0-9 ]', 0))`) — that
+  * regex is the x7 oracle, so any divergence is a correctness bug, not a
+  * perf tradeoff.
+  */
+class FastTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val tricky = Seq(
+    "",
+    " ",
+    "    ",
+    "hello world",
+    "abc123def",
+    "a1b2 c3!d4?",
+    "!!!",
+    "...a...",
+    "MIXED Case 42",
+    "tabs\tand\nnewlines count as punctuation",
+    "héllo wörld",          // non-ASCII letters → single-char tokens
+    "emoji 😀 ok", // supplementary code point (4-byte UTF-8)
+    "ß sharp",
+    "trailing space ",
+    " leading",
+    "double  space",
+    "1234567890",
+    "x")
+
+  test("bpe count equals the regex-lexer count on tricky strings") {
+    FastVec.register(spark)
+    val df = tricky.toDF("text")
+      .select(
+        col("text"),
+        FastText.bpeCount(lower(col("text"))).as("fused"),
+        size(expr(
+          "regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)"))
+          .as("regex"))
+    val rows = df.collect()
+    rows.foreach { r =>
+      assert(r.getInt(1) == r.getInt(2),
+        s"mismatch on ${r.getString(0)}: fused=${r.getInt(1)} regex=${r.getInt(2)}")
+    }
+  }
+
+  test("whitespace-token arithmetic equals size(split)") {
+    val df = tricky.toDF("text")
+      .select(
+        col("text"),
+        (length(col("text")) - length(translate(col("text"), " ", "")) + 1)
+          .as("arith"),
+        size(split(col("text"), " ")).as("split_sz"))
+    df.collect().foreach { r =>
+      assert(r.getInt(1) == r.getInt(2), s"ws mismatch on '${r.getString(0)}'")
+    }
+  }
+
+  test("null input → null count") {
+    FastVec.register(spark)
+    val r = Seq[Option[String]](None).toDF("text")
+      .select(FastText.bpeCount(col("text"))).collect()
+    assert(r.head.isNullAt(0))
+  }
+}
