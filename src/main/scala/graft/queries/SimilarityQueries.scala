@@ -151,5 +151,94 @@ object SimilarityQueries {
       ORDER BY sim DESC, a, b LIMIT 20""")
   )
 
-  val all: Seq[Q] = Seq(e1CosineTopK, e2AnnIvf, e3BucketNearDup)
+  /** E4: IVF-ANN with LEARNED centroids — 32 deterministically-sampled
+    * seed vectors (smallest md5(vec_id): a fixed pseudo-random draw both
+    * engines can reproduce) refined by ONE Lloyd step, then nprobe=4
+    * bucket-pruned search.
+    *
+    * The Lloyd mean is computed over INTEGER-QUANTIZED components
+    * (`round(x · 2^20)` summed as longs): long sums are exact and
+    * order-independent, so Spark's parallel partial aggregation and
+    * DuckDB's sequential scan produce bit-identical centroids — the
+    * float-sum nondeterminism trap (SURVEY §7.3.1) applied to k-means.
+    * 2^20 quantization on unit-scale embeddings keeps ~6 significant
+    * digits, far inside what centroid assignment can distinguish.
+    *
+    * At 100 TB this is the real recipe: sample seeds, one or two Lloyd
+    * sweeps (each = broadcast centroids + one argmin window + one
+    * map-side-combinable sum), freeze the codebook, bucket-prune queries.
+    */
+  val e4AnnKmeans: Q = Q(
+    "e4_ann_kmeans",
+    (s, dir) => {
+      FastVec.register(s)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), Vectors.toDoubleVec(col("embedding")).as("v"))
+      val seeds = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(32)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      def argmin(dists: org.apache.spark.sql.DataFrame) = {
+        val byVec = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+        dists.withColumn("rn", row_number().over(byVec)).filter(col("rn") === 1)
+      }
+      val a0 = argmin(
+        emb.crossJoin(broadcast(seeds))
+          .select(col("vec_id"), col("v"), col("cid"),
+            FastVec.l2sq(col("v"), col("cv")).as("d2")))
+        .select("vec_id", "v", "cid")
+      val q20 = (1 << 20).toDouble
+      val comp = a0
+        .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+        .groupBy("cid", "i")
+        .agg((sum(round(col("x") * q20).cast("long")).cast("double") /
+          (lit(q20) * count(lit(1)))).as("cx"))
+      val cent = comp.groupBy("cid")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
+          e => e("cx")).as("cv"))
+      val d1 = emb.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("label"), col("v"), col("cid"),
+          FastVec.l2sq(col("v"), col("cv")).as("d2"))
+      val assign = argmin(d1).select("vec_id", "label", "v", "cid")
+      val qBuckets = d1.filter(col("vec_id") === 0)
+        .withColumn("rn", row_number().over(Window.partitionBy().orderBy(col("d2"), col("cid"))))
+        .filter(col("rn") <= 4)
+        .select("cid")
+      val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      assign
+        .join(broadcast(qBuckets), Seq("cid"))
+        .filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("label"), col("cid"),
+          FastVec.cosine(col("v"), col("qv")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some(s"""WITH e AS ($sqlE),
+      seeds AS (SELECT vec_id AS cid, v AS cv FROM e
+                QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 32),
+      a0 AS (SELECT vec_id, v, cid FROM (
+               SELECT e.vec_id, e.v, s.cid, ${sqlL2sq("e.v", "s.cv")} AS d2
+               FROM e CROSS JOIN seeds s)
+             QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+      comp AS (SELECT cid, i - 1 AS i,
+                 CAST(sum(CAST(round(x * 1048576) AS BIGINT)) AS DOUBLE)
+                   / (1048576.0 * count(*)) AS cx
+               FROM (SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM a0)
+               GROUP BY cid, i - 1),
+      cent AS (SELECT cid, list(cx ORDER BY i) AS cv FROM comp GROUP BY cid),
+      d1 AS (SELECT e.vec_id, e.label, e.v, c.cid, ${sqlL2sq("e.v", "c.cv")} AS d2
+             FROM e CROSS JOIN cent c),
+      assign AS (SELECT vec_id, label, v, cid FROM d1
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+      qb AS (SELECT cid FROM d1 WHERE vec_id = 0
+             QUALIFY row_number() OVER (ORDER BY d2, cid) <= 4),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      SELECT a.vec_id, a.label, a.cid, ${sqlCos("a.v", "qv")} AS sim
+      FROM assign a JOIN qb ON a.cid = qb.cid CROSS JOIN q
+      WHERE a.vec_id <> 0
+      ORDER BY sim DESC, vec_id LIMIT 10""")
+  )
+
+  val all: Seq[Q] = Seq(e1CosineTopK, e2AnnIvf, e3BucketNearDup, e4AnnKmeans)
 }

@@ -7,6 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -44,7 +45,7 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class BarFeedProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    BarFeed.schema
+    if (BarFeed.isTrades(options)) BarFeed.tradeSchema else BarFeed.schema
   override def getTable(
       schema: StructType,
       partitioning: Array[Transform],
@@ -62,21 +63,36 @@ object BarFeed {
     StructField("low", DoubleType, nullable = false),
     StructField("adj_close", DoubleType, nullable = false),
     StructField("volume", DoubleType, nullable = false)))
+
+  /** Latest-trade shape of the polling feed (`update_live_price.py:153-157`:
+    * `trade.get("p")`, `trade.get("t")`).
+    */
+  val tradeSchema: StructType = StructType(Seq(
+    StructField("symbol", StringType, nullable = false),
+    StructField("price", DoubleType, nullable = false),
+    StructField("ts", TimestampType, nullable = false)))
+
+  private[sources] def isTrades(options: CaseInsensitiveStringMap): Boolean =
+    "trades".equalsIgnoreCase(options.getOrDefault("feed", "bars"))
 }
 
 private[sources] class BarFeedTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
   override def name(): String = "graft_bar_feed"
-  override def schema(): StructType = BarFeed.schema
+  override def schema(): StructType =
+    if (BarFeed.isTrades(options)) BarFeed.tradeSchema else BarFeed.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    if (BarFeed.isTrades(options))
+      util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    else util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(caseInsensitive: CaseInsensitiveStringMap): ScanBuilder =
     new BarFeedScanBuilder(options)
 }
 
 private[sources] class BarFeedScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
-  private var required: StructType = BarFeed.schema
+  private var required: StructType =
+    if (BarFeed.isTrades(options)) BarFeed.tradeSchema else BarFeed.schema
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
   override def build(): Scan = new BarFeedScan(options, required)
@@ -94,6 +110,9 @@ private[sources] class BarFeedScan(
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new TradesMicroBatchStream(symbols, batchSize, throttleMs,
+      options.getInt("maxPolls", Int.MaxValue), required)
   override def description(): String =
     s"graft_bar_feed(${symbols.length} symbols, batch=$batchSize)"
 

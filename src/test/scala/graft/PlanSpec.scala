@@ -81,4 +81,36 @@ class PlanSpec extends SparkSpec {
     // partial + final pair: HashAggregate appears at least twice
     assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(3000))
   }
+
+  test("minhash signatures aggregate on the codegen hash-agg fast path") {
+    // Regression guard: min() over md5 STRING signatures demotes the whole
+    // aggregate to sort-based execution (variable-length agg buffers can't
+    // live in the UnsafeRow hash buffer) — the round-2 dedup collapse. The
+    // numeric seededHash64 signatures must keep every aggregate a
+    // HashAggregate.
+    import graft.operators.MinHashLSH
+    val sh = MinHashLSH.shingleTable(
+      Tables.table(spark, sf, "documents"), "doc_id", "text", 3)
+    val plan = finalPlan(MinHashLSH.signatures(sh, "doc_id", 8))
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+    assert(!plan.contains("SortAggregate"),
+      "signatures fell off the hash-agg fast path:\n" + plan.take(3000))
+    assert(!plan.contains("ObjectHashAggregate"),
+      "signatures need an object hash aggregate:\n" + plan.take(3000))
+  }
+
+  test("shingle table is generator+window, never a re-splitting HOF lambda") {
+    // Regression guard: transform(sequence(...), i -> get(split(text), ..))
+    // inlines the split into every lambda element (interpreted,
+    // O(tokens x n) re-splits per doc). The plan must show a Generate
+    // (posexplode) and a Window, and no lambdafunction over split.
+    import graft.operators.MinHashLSH
+    val df = MinHashLSH.shingleTable(
+      Tables.table(spark, sf, "documents"), "doc_id", "text", 3)
+    val plan = finalPlan(df)
+    assert(plan.contains("Generate"), plan.take(3000))
+    assert(plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("lambdafunction"),
+      "higher-order lambda crept back into the shingle path:\n" + plan.take(3000))
+  }
 }
