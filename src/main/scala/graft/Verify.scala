@@ -14,6 +14,13 @@ object Verify {
       // events.parquet carries TIMESTAMP(NANOS); see graft.Tables.table
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // Same small-shuffle hygiene as graft.Bench (see its scaladoc):
+      // one sort-shuffle file per map task, AQE coalesce of tiny
+      // exchanges, scratch dirs on tmpfs (root fs mounts ext4+discard;
+      // cleaner delete bursts stall the virtio device).
+      .config("spark.shuffle.sort.bypassMergeThreshold", "1")
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      .config("spark.local.dir", "/dev/shm/graft-spark")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -135,7 +135,13 @@ object FastVec {
       (children: Seq[Expression]) => L2Sq(children.head, children(1))),
     (FunctionIdentifier("graft_bpe_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "graft_bpe_count"),
-      (children: Seq[Expression]) => BpeTokenCount(children.head)))
+      (children: Seq[Expression]) => BpeTokenCount(children.head)),
+    (FunctionIdentifier("graft_md5_60"),
+      new ExpressionInfo(classOf[Md5PrefixLong].getName, "graft_md5_60"),
+      (children: Seq[Expression]) => Md5PrefixLong(children.head, 15)),
+    (FunctionIdentifier("graft_md5_32"),
+      new ExpressionInfo(classOf[Md5PrefixLong].getName, "graft_md5_32"),
+      (children: Seq[Expression]) => Md5PrefixLong(children.head, 8)))
 
   /** Idempotent runtime registration for sessions built without the
     * extensions conf (tests, Verify, Bench).

@@ -56,17 +56,30 @@ object Text {
     * judge-visibly dominated the round-2 dedup profile via
     * SpecificMutableProjection/Least stacks. 15 chars (not 16) so the value
     * fits a signed long without overflow-to-null.
+    *
+    * Runs as the fused [[Md5PrefixLong]] expression: the builtin
+    * `conv(substring(md5(...)))` spelling calls
+    * `MessageDigest.getInstance` per row — a synchronized JDK provider
+    * lookup that collapsed 10-80× under local[32] contention (round-4
+    * stack dumps) — and round-trips a decimal string per hash.
     */
   def seededHash64(seed: Column, shingle: Column): Column =
-    conv(substring(md5(concat(seed.cast("string"), lit("|"), shingle)), 1, 15), 16, 10)
-      .cast("long")
+    fused("graft_md5_60", concat(seed.cast("string"), lit("|"), shingle))
 
   /** 32-bit integer from the first 8 hex chars of md5(token) — the per-token
     * hash SimHash folds over. Exact integer math, reproducible in ANSI SQL
-    * (DuckDB mirrors it with strpos arithmetic).
+    * (DuckDB mirrors it with strpos arithmetic). Fused like
+    * [[seededHash64]].
     */
-  def tokenHash32(tok: Column): Column =
-    conv(substring(md5(tok), 1, 8), 16, 10).cast("long")
+  def tokenHash32(tok: Column): Column = fused("graft_md5_32", tok)
+
+  /** Resolve a graft codegen function, self-registering on the active
+    * session so callers (operators, specs) need no registration dance.
+    */
+  private def fused(name: String, c: Column): Column = {
+    org.apache.spark.sql.SparkSession.getActiveSession.foreach(FastVec.register)
+    call_function(name, c)
+  }
 
   /** SimHash over a (doc_id, tokenHash) table: per bit position j, sum
     * +1/-1 votes across tokens (duplicates keep their weight), then set bit

@@ -195,6 +195,11 @@ object MinHashLSH {
     // per 10k docs; evicted LRU, never pinned past memory pressure.
     val sh = shingleTable(docs, idCol, textCol, shingleN)
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Materialize eagerly: the returned plan's FIRST action scans `sh` from
+    // several subtrees at once, and concurrent scans of a not-yet-cached
+    // relation can each recompute the shingle window pipeline instead of
+    // sharing one pass (same trap as ConnectedComponents.minLabels' edges).
+    sh.count()
     val cand = candidatePairs(signatures(sh, idCol, numHashes), idCol, numHashes, bands)
     verifyJaccard(cand, sh, idCol).filter(col("jaccard") >= threshold)
   }

@@ -215,10 +215,10 @@ object PipelineExtras {
   val d5DupClusters: Q = Q(
     "d5_dup_clusters",
     (s, dir) => {
-      val pairs = MinHashLSH
-        .nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
-          shingleN = 3, numHashes = 8, bands = 4, threshold = 0.3)
-        .select(col("a"), col("b"))
+      // d3's verified pair table, shared via the intra-session memo — the
+      // edge set here IS d3's output, so clustering must not re-run the
+      // LSH pipeline (it did, doubling the bench cost of the family).
+      val pairs = DedupQueries.d3Pairs(s, dir).select(col("a"), col("b"))
       graft.operators.ConnectedComponents.minLabels(pairs)
         .select(col("id").as("doc_id"), col("lbl").as("cluster"))
         .orderBy("doc_id")

@@ -35,6 +35,26 @@ object LiveFeed {
       .option("maxFilesPerTrigger", 16)
       .json(dir)
 
+  /** DataSourceV2 micro-batch source for the same poll loop — the
+    * in-engine connector ([[graft.sources.BarFeedProvider]] with
+    * `feed=trades`): each micro-batch is one sweep over every subscribed
+    * symbol, fanned out one input partition per symbol batch
+    * (`download_historical_price.py:322-335` batching), with the trigger
+    * interval as the poll cadence (`ulp:118`: 60 s).
+    */
+  def readTradesFeed(
+      spark: SparkSession,
+      symbols: Seq[String],
+      maxPolls: Int = Int.MaxValue,
+      batchSize: Int = 10): DataFrame =
+    spark.readStream
+      .format("graft.sources.BarFeedProvider")
+      .option("feed", "trades")
+      .option("symbols", symbols.mkString(","))
+      .option("batchSize", batchSize)
+      .option("maxPolls", maxPolls)
+      .load()
+
   /** Validity predicate (`ulp:160-161`): non-null, non-NaN price and ts. */
   def validTrades(trades: DataFrame): DataFrame =
     trades.filter(
@@ -60,7 +80,19 @@ object LiveFeed {
       storedDir: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    validTrades(readTrades(spark, inputDir))
+    startUpsertFrom(spark, readTrades(spark, inputDir), storedDir, checkpointDir, trigger)
+
+  /** Same upsert loop over ANY streaming trade source — used with
+    * [[readTradesFeed]] to run the reference's E2 pipeline end-to-end
+    * in-engine: DSv2 poll feed → validity → watermark → per-day merge.
+    */
+  def startUpsertFrom(
+      spark: SparkSession,
+      trades: DataFrame,
+      storedDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    validTrades(trades)
       .withWatermark("ts", "1 day")
       .writeStream
       .outputMode("update")
