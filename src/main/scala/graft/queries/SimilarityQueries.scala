@@ -240,5 +240,78 @@ object SimilarityQueries {
       ORDER BY sim DESC, vec_id LIMIT 10""")
   )
 
-  val all: Seq[Q] = Seq(e1CosineTopK, e2AnnIvf, e3BucketNearDup, e4AnnKmeans)
+  /** E5: random-hyperplane LSH ANN — the OTHER classic ANN scale path
+    * next to IVF (e2/e4): project every vector onto 16 deterministic
+    * hyperplanes (the 16 vectors with smallest md5(vec_id) — same fixed
+    * pseudo-random draw as e4's seeds), pack the sign bits into a 16-bit
+    * sketch, band it 4×4 (any pair at small cosine distance agrees on ≥1
+    * band with high probability), and verify only the vectors sharing a
+    * band with the query.
+    *
+    * Scale shape: the projection is a broadcast cross-join into ONE
+    * map-side-combinable sum (no shuffle of the big side beyond its own
+    * groupBy), candidates come from a 4-row broadcast semi-join on
+    * (band, value) — never an all-pairs product. Sign bits are exact:
+    * the dot folds are sequential left-folds, bit-identical on both
+    * engines, so `>= 0` agrees everywhere.
+    */
+  val e5AnnHyperplane: Q = Q(
+    "e5_ann_hyperplane",
+    (s, dir) => {
+      FastVec.register(s)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), Vectors.toDoubleVec(col("embedding")).as("v"))
+      val drawOrder = Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      val planes = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(16)
+        .select((row_number().over(drawOrder) - 1).as("j"), col("v").as("h"))
+      val sketches = emb
+        .crossJoin(broadcast(planes))
+        .select(col("vec_id"),
+          when(FastVec.dot(col("v"), col("h")) >= 0,
+            expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)).as("bit"))
+        .groupBy("vec_id")
+        .agg(sum(col("bit")).as("sketch"))
+      val bands = sketches
+        .select(col("vec_id"), explode(sequence(lit(0), lit(3))).as("k"),
+          col("sketch"))
+        .select(col("vec_id"), col("k"),
+          expr("shiftright(sketch, k * 4) & 15").as("val"))
+      val qBands = bands.filter(col("vec_id") === 0).select("k", "val")
+      val cand = bands
+        .join(broadcast(qBands), Seq("k", "val"), "left_semi")
+        .filter(col("vec_id") =!= 0)
+        .select("vec_id")
+        .distinct()
+      val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      cand
+        .join(emb, Seq("vec_id"))
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("label"),
+          FastVec.cosine(col("v"), col("qv")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some(s"""WITH e AS ($sqlE),
+      planes AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j,
+                   v AS h FROM e
+                 QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+      sk AS (SELECT e.vec_id,
+               sum(CASE WHEN ${sqlDot("e.v", "p.h")} >= 0
+                   THEN CAST(1 AS BIGINT) << CAST(p.j AS INTEGER) ELSE 0 END) AS sketch
+             FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+      bands AS (SELECT vec_id, k, (sketch >> CAST(k * 4 AS INTEGER)) & 15 AS val
+                FROM sk CROSS JOIN range(4) r(k)),
+      qb AS (SELECT k, val FROM bands WHERE vec_id = 0),
+      cand AS (SELECT DISTINCT b.vec_id FROM bands b
+               JOIN qb ON b.k = qb.k AND b.val = qb.val
+               WHERE b.vec_id <> 0),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      SELECT c.vec_id, e.label, ${sqlCos("e.v", "qv")} AS sim
+      FROM cand c JOIN e ON e.vec_id = c.vec_id CROSS JOIN q
+      ORDER BY sim DESC, c.vec_id LIMIT 10""")
+  )
+
+  val all: Seq[Q] = Seq(e1CosineTopK, e2AnnIvf, e3BucketNearDup, e4AnnKmeans, e5AnnHyperplane)
 }

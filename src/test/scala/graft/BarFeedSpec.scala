@@ -74,6 +74,22 @@ class BarFeedSpec extends SparkSpec {
     assert(drain("trades_drain2") == got)
   }
 
+  test("trades feed: watermarked streaming dropDuplicates keeps one trade per symbol") {
+    // §2.9 late/duplicate handling: the watermark bounds the dedup state
+    // (the reference's per-symbol keyed state, `update_live_price.py:69,164`).
+    import graft.streaming.LiveFeed
+    import org.apache.spark.sql.streaming.Trigger
+    val q = LiveFeed.readTradesFeed(spark, Seq("AAPL", "MSFT", "GOOG"), maxPolls = 3)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("symbol")
+      .writeStream.format("memory").queryName("trades_dedup")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("trades_dedup")
+    assert(rows.count() == 3)
+    assert(rows.select("symbol").distinct().count() == 3)
+  }
+
   test("trades feed end-to-end: poll stream -> partition-incremental upsert (E2)") {
     import graft.operators.Merge
     import graft.streaming.LiveFeed
