@@ -135,6 +135,11 @@ object DedupQueries {
   private val pairsCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), org.apache.spark.sql.DataFrame]
 
+  /** Drop all memoized pair tables (benchmark hygiene: lets a re-measure
+    * rebuild from scratch instead of reading this session's cache).
+    */
+  def clearMemo(): Unit = pairsCache.clear()
+
   private[queries] def d3Pairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     pairsCache.getOrElseUpdate((s, dir), {
       val p = MinHashLSH

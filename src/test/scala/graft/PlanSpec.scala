@@ -99,6 +99,40 @@ class PlanSpec extends SparkSpec {
       "signatures need an object hash aggregate:\n" + plan.take(3000))
   }
 
+  test("bucketed fact-to-fact join plans with NO exchange on either side") {
+    // The pay-the-shuffle-once layout: both sides bucketed+sorted on the
+    // join key, so the repeated join is SortMergeJoin over bucket-local
+    // reads — at 100 TB this is the difference between re-shuffling two
+    // fact tables per query and never shuffling them again.
+    import graft.sources.Bucketed
+    import org.apache.spark.sql.functions.col
+    val wh = java.nio.file.Files.createTempDirectory("graft-wh").toString
+    Bucketed.write(
+      Tables.table(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
+      "orders_bkt", "o_orderkey", 4, path = Some(s"$wh/orders_bkt"))
+    Bucketed.write(
+      Tables.table(spark, sf, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+      "lineitem_bkt", "o_orderkey", 4, path = Some(s"$wh/lineitem_bkt"))
+    // sf0.001 tables are broadcast-small; the hint pins the join shape the
+    // layout exists for (at real scale both sides exceed the threshold)
+    val joined = Bucketed.read(spark, "orders_bkt").hint("merge")
+      .join(Bucketed.read(spark, "lineitem_bkt"), "o_orderkey")
+    val plan = finalPlan(joined)
+    assert(plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("Exchange"),
+      "bucketed join still shuffles:\n" + plan.take(3000))
+    assert(plan.contains("Bucketed: true"), plan.take(3000))
+    // row parity with the unbucketed join
+    val expected = Tables.table(spark, sf, "orders")
+      .join(Tables.table(spark, sf, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey")), "o_orderkey")
+      .count()
+    assert(joined.count() == expected)
+    spark.sql("DROP TABLE IF EXISTS orders_bkt")
+    spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
+  }
+
   test("shingle table is generator+window, never a re-splitting HOF lambda") {
     // Regression guard: transform(sequence(...), i -> get(split(text), ..))
     // inlines the split into every lambda element (interpreted,
