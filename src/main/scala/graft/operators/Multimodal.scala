@@ -60,6 +60,39 @@ object Multimodal {
     }
   }
 
+  /** Resized media descriptor: original + target dims and the sampling
+    * stride a real resampler would use.
+    */
+  case class ResizedMedia(
+      id: Long,
+      kind: String,
+      width: Int,
+      height: Int,
+      out_w: Int,
+      out_h: Int,
+      stride: Int)
+
+  /** Per-partition resize planning — the fit-within-`maxDim` downscale
+    * every training-data image/audio pipeline runs after decode. The
+    * arithmetic (clamp dims, integer stride = how many source samples map
+    * to one target sample) is the real contract; the pixel loop it would
+    * drive lives behind the same stubbed codec boundary as
+    * [[FakeCodec.decode]]. Stays `mapPartitions` so a real resampler
+    * context is initialized once per partition and payloads never shuffle.
+    */
+  def resizeAll(feats: Dataset[MediaFeatures], maxDim: Int): Dataset[ResizedMedia] = {
+    import feats.sparkSession.implicits._
+    feats.mapPartitions { it =>
+      // (real impl: acquire resampler context ONCE here)
+      it.map { f =>
+        val ow = math.min(f.width, maxDim)
+        val oh = math.min(f.height, maxDim)
+        val stride = math.max(1, (f.width * f.height) / (ow * oh))
+        ResizedMedia(f.id, f.kind, f.width, f.height, ow, oh, stride)
+      }
+    }
+  }
+
   /** Build a MediaRecord dataset from the documents table (text bytes stand
     * in for media payloads; schema and partitioning are the real thing).
     */

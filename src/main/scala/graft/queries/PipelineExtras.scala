@@ -206,6 +206,74 @@ object PipelineExtras {
       ORDER BY doc_id, frame_id""")
   )
 
+  /** F19: categorization bucketing — the engine form of the reference's
+    * ONLY pluggable function, `categorize_market_caps` (dynamically loaded
+    * `get_market_cap.py`, `download_historical_price.py:31-40,225-240`:
+    * bucket every symbol by market cap, then select the union of the
+    * requested categories). Market caps live outside the corpus, so the
+    * analogous continuous measure is `c_acctbal`; the shape — a pure
+    * `when`-chain categorization feeding a grouped rollup and a
+    * category-membership filter — is exactly the reference's, and needs no
+    * UDF (SURVEY §2.10: a CASE expression, fully codegen'd).
+    */
+  val f19BucketCategorize: Q = Q(
+    "f19_bucket_categorize",
+    (s, dir) => {
+      val cat = when(col("c_acctbal") >= 7500, "mega")
+        .when(col("c_acctbal") >= 5000, "large")
+        .when(col("c_acctbal") >= 2500, "mid")
+        .when(col("c_acctbal") >= 0, "small")
+        .otherwise("negative")
+      t(s, dir, "customer")
+        .withColumn("category", cat)
+        // the reference's `--categories mega large` union-selection
+        .filter(col("category").isin("mega", "large", "mid", "small"))
+        .groupBy("category")
+        .agg(count(lit(1)).as("n_members"), Q.dsum(col("c_acctbal")).as("sum_bal"))
+        .orderBy("category")
+    },
+    Some(s"""SELECT category, count(*) AS n_members,
+        ${Q.sqlDsum("c_acctbal")} AS sum_bal
+      FROM (SELECT c_acctbal,
+              CASE WHEN c_acctbal >= 7500 THEN 'mega'
+                   WHEN c_acctbal >= 5000 THEN 'large'
+                   WHEN c_acctbal >= 2500 THEN 'mid'
+                   WHEN c_acctbal >= 0 THEN 'small'
+                   ELSE 'negative' END AS category
+            FROM customer)
+      WHERE category IN ('mega', 'large', 'mid', 'small')
+      GROUP BY category ORDER BY category""")
+  )
+
+  /** M3: multimodal resize planning — the decode → feature → fit-within-64
+    * downscale chain over the typed `mapPartitions` pipeline
+    * ([[graft.operators.Multimodal.decodeAll]] → `resizeAll`): dims come
+    * from the stubbed codec's header bytes, the clamp/stride arithmetic is
+    * exact integer math the oracle mirrors byte-for-byte (the corpus text
+    * is ASCII, so UTF-8 byte k = character k).
+    */
+  val m3ResizeMeta: Q = Q(
+    "m3_resize_meta",
+    (s, dir) => {
+      import graft.operators.Multimodal
+      val feats = Multimodal.decodeAll(
+        Multimodal.fromDocuments(s, t(s, dir, "documents")))
+      Multimodal.resizeAll(feats, 64)
+        .toDF()
+        .orderBy("id")
+    },
+    Some("""WITH dims AS (
+        SELECT doc_id AS id,
+          CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+          16 + (CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) % 128 ELSE 0 END) AS width,
+          16 + (CASE WHEN length(text) > 1 THEN ascii(substr(text, 2, 1)) % 128 ELSE 0 END) AS height
+        FROM documents)
+      SELECT id, kind, width, height,
+        LEAST(width, 64) AS out_w, LEAST(height, 64) AS out_h,
+        GREATEST(1, (width * height) // (LEAST(width, 64) * LEAST(height, 64))) AS stride
+      FROM dims ORDER BY id""")
+  )
+
   /** D5: duplicate clustering — connected components over the MinHash-LSH
     * near-dup graph (d3's pairs) via [[graft.operators.ConnectedComponents]]:
     * frontier-only min-label propagation with pointer jumping, one action
@@ -235,6 +303,6 @@ object PipelineExtras {
 
   val all: Seq[Q] = Seq(
     f14ArrayOps, f15MapOps, f16ExplodeSequence, f17StringFuncs,
-    f18RegexpExtractAll, x6PiiScrub, x7BpeTokens, m2FrameSample,
-    d5DupClusters)
+    f18RegexpExtractAll, f19BucketCategorize, x6PiiScrub, x7BpeTokens,
+    m2FrameSample, m3ResizeMeta, d5DupClusters)
 }
