@@ -34,14 +34,25 @@ import org.apache.spark.storage.StorageLevel
   */
 object ConnectedComponents {
 
-  /** @param pairs undirected edges as columns `a`, `b`
+  /** @param pairs undirected edges as columns `a`, `b` (integral ids)
+    * @param smallGraphMaxEdges size-adaptive cutoff, same decision shape as
+    *        Spark's `autoBroadcastJoinThreshold`: at or below it the deduped
+    *        edge list (~16 bytes/edge, default 4M edges ≈ 64 MB) is pulled
+    *        to the driver and solved with a linear-time union-find — any
+    *        number of distributed rounds loses to that by orders of
+    *        magnitude in per-job overhead. Above it, the frontier Pregel
+    *        loop runs. The near-dup graphs LSH emits are a tiny fraction of
+    *        corpus size, but at 100 TB they can still exceed any driver, so
+    *        the distributed path is the default shape, not a fallback.
+    *        Pass 0 to force the distributed path (specs do).
     * @return one row per node appearing in `pairs`: (`id`, `lbl` = minimum
     *         node id of its component)
     */
   def minLabels(
       pairs: DataFrame,
       maxRounds: Int = 50,
-      checkpointEvery: Int = 5): DataFrame = {
+      checkpointEvery: Int = 5,
+      smallGraphMaxEdges: Long = 4L << 20): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     if (sc.getCheckpointDir.isEmpty)
       sc.setCheckpointDir(
@@ -63,13 +74,52 @@ object ConnectedComponents {
     // Materialize eagerly: the first round scans `edges` from several plan
     // subtrees at once, and concurrent scans of a not-yet-cached relation
     // each recompute the (expensive) upstream pair generation instead of
-    // sharing one pass.
-    timed("edges materialize")(edges.count())
+    // sharing one pass. The count doubles as the strategy pick below.
+    val nEdges = timed("edges materialize")(edges.count())
 
+    if (nEdges <= smallGraphMaxEdges) {
+      val out = timed("driver union-find") {
+        val es = edges.select(col("a").cast("long"), col("b").cast("long"))
+          .collect()
+        edges.unpersist()
+        val parent = scala.collection.mutable.LongMap.empty[Long]
+        def find(x0: Long): Long = {
+          var x = x0
+          var p = parent.getOrElse(x, x)
+          while (p != x) { // path halving
+            val gp = parent.getOrElse(p, p)
+            parent.update(x, gp)
+            x = gp
+            p = parent.getOrElse(x, x)
+          }
+          x
+        }
+        es.foreach { r =>
+          val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+          // union-by-min: the larger root links under the smaller, so every
+          // root IS its component's minimum id and no relabel pass is needed
+          // (path halving keeps chains near-flat despite the skewed linking)
+          if (ra < rb) parent.update(rb, ra)
+          else if (rb < ra) parent.update(ra, rb)
+        }
+        es.iterator
+          .flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
+          .toSet[Long].toSeq
+          .map(id => (id, find(id)))
+      }
+      val sess = pairs.sparkSession
+      import sess.implicits._
+      return out.toDF("id", "lbl")
+    }
+
+    // No eager count here: init derives from the ALREADY-materialized edges
+    // cache, so the concurrent-first-scan recompute risk that forces
+    // edges.count() above costs only a distinct over cached rows — not worth
+    // a whole extra job (each action is ~seconds of fixed overhead on an
+    // oversubscribed host, and round 1 materializes init anyway).
     val init = edges.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    timed("init materialize")(init.count())
 
     var labels = init
     var frontier = init // round 1 considers every node changed

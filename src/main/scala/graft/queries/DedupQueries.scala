@@ -168,11 +168,17 @@ object DedupQueries {
   val d4SimHash: Q = Q(
     "d4_simhash",
     (s, dir) => {
+      // One row per doc; scanned from THREE subtrees of the one action
+      // (byte-block explode + both verify sides). Persist + eager count, or
+      // each subtree re-runs the tokenize→hash→agg pipeline over every
+      // token (trap: concurrent first-scan of an unmaterialized cache).
       val sims = t(s, dir, "documents")
         .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
         .select(col("doc_id"), Text.tokenHash32(col("tok")).as("hv"))
         .groupBy("doc_id")
         .agg(Text.simhashAgg(col("hv")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sims.count()
       val bytes = sims
         .withColumn("k", explode(sequence(lit(0), lit(3))))
         .select(

@@ -10,9 +10,20 @@ import org.apache.spark.sql.functions._
 class ConnectedComponentsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def labelsOf(pairs: Seq[(Long, Long)]): Map[Long, Long] =
-    ConnectedComponents.minLabels(pairs.toDF("a", "b"))
+  /** Every graph is solved on BOTH strategies — the driver union-find fast
+    * path (default threshold) and the distributed Pregel loop (threshold 0
+    * forces it) — and the two labelings must agree exactly.
+    */
+  private def labelsOf(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    val small = ConnectedComponents.minLabels(pairs.toDF("a", "b"))
       .as[(Long, Long)].collect().toMap
+    val dist = ConnectedComponents
+      .minLabels(pairs.toDF("a", "b"), smallGraphMaxEdges = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(small == dist,
+      s"union-find fast path and distributed path disagree: $small vs $dist")
+    small
+  }
 
   test("a long chain converges to the minimum id (multi-round + jump)") {
     // 1-2-3-...-12 as consecutive edges: diameter 11, so naive one-hop
