@@ -32,7 +32,10 @@ object Bench {
     "q05_revenue_by_nation", "q06_forecast_revenue",
     "w5_rank_analytics", "w7_range_frame", "a12_stats_moments",
     "a15_grouping_sets", "p9_pivot", "p11_hash_sample",
-    "x7_bpe_tokens", "d5_dup_clusters")
+    "x7_bpe_tokens", "d5_dup_clusters",
+    "c1_contamination", "x8_repetition", "p12_stratified_sample",
+    "x9_seq_packing", "d6_segment_dedup", "e6_semantic_dedup",
+    "f19_bucket_categorize", "m3_resize_meta")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -313,5 +313,51 @@ object SimilarityQueries {
       ORDER BY sim DESC, c.vec_id LIMIT 10""")
   )
 
-  val all: Seq[Q] = Seq(e1CosineTopK, e2AnnIvf, e3BucketNearDup, e4AnnKmeans, e5AnnHyperplane)
+  /** E6: semantic (cluster-level) dedup — the embedding-space complement of
+    * the d-family's text dedup: assign every vector to its nearest of the
+    * e2 codebook's 8 centroids, then keep ONE representative per cluster
+    * (the member closest to the centroid, vec_id tie-break) and report the
+    * cluster census. This is the "cluster then keep centroid-nearest"
+    * recipe semantic-dedup pipelines run at corpus scale; the plan is a
+    * broadcast cross-join, one argmin window partitioned by vec_id, and
+    * one census aggregate — nothing ever pairs members with each other.
+    */
+  val e6SemanticDedup: Q = Q(
+    "e6_semantic_dedup",
+    (s, dir) => {
+      FastVec.register(s)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), Vectors.toDoubleVec(col("embedding")).as("v"))
+      val cent = emb.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v").as("cv"))
+      val byVec = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+      val assign = emb
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"), FastVec.l2sq(col("v"), col("cv")).as("d2"))
+        .withColumn("rn", row_number().over(byVec))
+        .filter(col("rn") === 1)
+        .select("vec_id", "cid", "d2")
+      val byCid = Window.partitionBy("cid").orderBy(col("d2"), col("vec_id"))
+      val keep = assign
+        .withColumn("krn", row_number().over(byCid))
+        .filter(col("krn") === 1)
+        .select(col("cid"), col("vec_id").as("keep_vec_id"))
+      val census = assign.groupBy("cid").agg(count(lit(1)).as("n_members"))
+      keep.join(census, Seq("cid")).orderBy("cid")
+    },
+    Some(s"""WITH e AS ($sqlE),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      assign AS (SELECT vec_id, cid, d2 FROM (
+                   SELECT e.vec_id, c.cid, ${sqlL2sq("e.v", "c.cv")} AS d2
+                   FROM e CROSS JOIN c)
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+      keep AS (SELECT cid, vec_id AS keep_vec_id FROM assign
+               QUALIFY row_number() OVER (PARTITION BY cid ORDER BY d2, vec_id) = 1),
+      census AS (SELECT cid, count(*) AS n_members FROM assign GROUP BY cid)
+      SELECT k.cid, k.keep_vec_id, m.n_members
+      FROM keep k JOIN census m ON k.cid = m.cid
+      ORDER BY k.cid""")
+  )
+
+  val all: Seq[Q] = Seq(e1CosineTopK, e2AnnIvf, e3BucketNearDup, e4AnnKmeans,
+    e5AnnHyperplane, e6SemanticDedup)
 }

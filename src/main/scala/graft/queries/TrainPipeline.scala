@@ -1,0 +1,245 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Text
+import graft.operators.MinHashLSH
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond the dedup/similarity families
+  * (north star): eval-set contamination detection, repetition-based quality
+  * signals, deterministic stratified sampling / split assignment, greedy
+  * sequence packing, and segment-level duplication profiling. Every query
+  * is an oracle-checked registry entry, and every plan shuffles only on a
+  * natural key (shingle, fingerprint, stratum, shard) — no all-pairs, no
+  * driver loops — so the shapes survive a 100 TB corpus.
+  *
+  * The reference has no training-data surface (it is a market-data ETL);
+  * these are the engine-completeness extensions mandated by BASELINE.json's
+  * north star.
+  */
+object TrainPipeline {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  private val sqlShingles5 =
+    """SELECT doc_id, unnest(list_distinct(list_transform(
+         range(len(t) - 4), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5]))) AS shingle
+       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       WHERE len(t) >= 5"""
+
+  /** C1: eval-set contamination — which training documents share enough
+    * 5-gram shingles with a held-out eval slice (source = 'src0') to leak
+    * it. The inverted-index equi-join on shingle is the same subquadratic
+    * shape as d2: candidate pairs exist only where a shingle genuinely
+    * collides, and the overlap count is a map-side-combinable aggregate.
+    * At 100 TB the eval side is tiny and broadcastable; the train side
+    * never materializes a pair space.
+    */
+  val c1Contamination: Q = Q(
+    "c1_contamination",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      val sh = MinHashLSH.shingleTable(docs, "doc_id", "text", 5)
+        .join(src, Seq("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sh.count() // eager: both join sides scan this one table
+      val ev = sh.filter(col("source") === "src0")
+        .select(col("doc_id").as("eval_doc"), col("shingle"))
+      val tr = sh.filter(col("source") =!= "src0")
+        .select(col("doc_id").as("train_doc"), col("shingle"))
+      ev.join(tr, Seq("shingle"))
+        .groupBy("eval_doc", "train_doc")
+        .agg(count(lit(1)).as("n_shared"))
+        .filter(col("n_shared") >= 3)
+        .orderBy("eval_doc", "train_doc")
+    },
+    Some(s"""WITH sh AS ($sqlShingles5),
+      j AS (SELECT doc_id, shingle, source FROM sh JOIN (SELECT doc_id AS d2, source FROM documents) ON doc_id = d2)
+      SELECT e.doc_id AS eval_doc, t.doc_id AS train_doc, count(*) AS n_shared
+      FROM (SELECT doc_id, shingle FROM j WHERE source = 'src0') e
+      JOIN (SELECT doc_id, shingle FROM j WHERE source <> 'src0') t
+        ON e.shingle = t.shingle
+      GROUP BY 1, 2 HAVING count(*) >= 3
+      ORDER BY eval_doc, train_doc""")
+  )
+
+  /** X8: repetition quality signals (the Gopher-rule family): per document,
+    * the duplicate-word fraction (1 − distinct/total tokens) and the
+    * top-bigram fraction (most frequent 2-gram / all 2-grams, with
+    * multiplicity). Two hash aggregates joined on doc_id; the bigram table
+    * comes from a generator + window `lead` (never a HOF lambda — see
+    * [[MinHashLSH.shingleTable]]'s scale note).
+    */
+  val x8Repetition: Q = Q(
+    "x8_repetition",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+      val tstats = toks.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_distinct"))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val bg = toks
+        .select(col("doc_id"),
+          concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w)).as("bg"),
+          lead(col("tok"), 1).over(w).isNotNull.as("_full"))
+        .filter(col("_full"))
+      val bgstats = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(max(col("c")).as("max_c"), sum(col("c")).as("tot"))
+      tstats.join(bgstats, Seq("doc_id"))
+        .select(
+          col("doc_id"), col("n_tokens"),
+          (lit(1.0) - col("n_distinct").cast("double") / col("n_tokens")).as("dup_word_frac"),
+          (col("max_c").cast("double") / col("tot")).as("top_bigram_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      tstats AS (SELECT doc_id, count(*) AS n_tokens, count(DISTINCT tok) AS n_distinct
+                 FROM toks GROUP BY doc_id),
+      bg AS (SELECT doc_id, unnest(list_transform(range(len(t) - 1), i -> t[i+1] || ' ' || t[i+2])) AS bg
+             FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      bgc AS (SELECT doc_id, bg, count(*) AS c FROM bg GROUP BY doc_id, bg),
+      bgstats AS (SELECT doc_id, max(c) AS max_c, sum(c) AS tot FROM bgc GROUP BY doc_id)
+      SELECT t.doc_id, t.n_tokens,
+        1.0 - CAST(t.n_distinct AS DOUBLE) / t.n_tokens AS dup_word_frac,
+        CAST(b.max_c AS DOUBLE) / b.tot AS top_bigram_frac
+      FROM tstats t JOIN bgstats b ON t.doc_id = b.doc_id
+      ORDER BY t.doc_id""")
+  )
+
+  /** P12: deterministic stratified sampling + split assignment — the
+    * train/val/test partition every corpus build runs. The md5-derived
+    * 60-bit key ([[Text.seededHash64]], fused codegen) drives BOTH an
+    * 8/1/1 split (hash mod 10) and a per-stratum (source) fixed-size
+    * sample (top-20 by hash rank): reproducible on any cluster size, no
+    * RNG state, no driver coordination — the property that matters when
+    * the same split must be recomputed months later at 100 TB.
+    */
+  val p12StratifiedSample: Q = Q(
+    "p12_stratified_sample",
+    (s, dir) => {
+      val h = Text.seededHash64(lit(0), col("doc_id").cast("string"))
+      val w = Window.partitionBy("source").orderBy(col("hv"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("source"), h.as("hv"))
+        .withColumn("split",
+          when(col("hv") % 10 <= 7, "train")
+            .when(col("hv") % 10 === 8, "val")
+            .otherwise("test"))
+        .withColumn("in_sample", row_number().over(w) <= 20)
+        .select("doc_id", "source", "split", "in_sample")
+        .orderBy("doc_id")
+    },
+    Some("""WITH h AS (SELECT doc_id, source,
+        CAST('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+      FROM documents)
+      SELECT doc_id, source,
+        CASE WHEN hv % 10 <= 7 THEN 'train' WHEN hv % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+        row_number() OVER (PARTITION BY source ORDER BY hv, doc_id) <= 20 AS in_sample
+      FROM h ORDER BY doc_id""")
+  )
+
+  // Public (not private): Catalyst's generated encoder projections live in
+  // another package and cannot touch private classes.
+  case class PackIn(doc_id: Long, shard: Int, n_tokens: Int)
+  case class PackOut(doc_id: Long, shard: Int, bin: Int, n_tokens: Int)
+
+  /** X9: greedy sequence packing — fill fixed token-budget bins (B = 256)
+    * with whole documents, in doc_id order, a new bin whenever the next
+    * document would overflow. Packing is inherently sequential, so it runs
+    * per SHARD (doc_id mod 8): `groupByKey(shard).flatMapSortedGroups` is
+    * the idiomatic Spark shape for per-key ordered state — each shard
+    * streams once through one task, shards pack in parallel, and at 100 TB
+    * shard count scales with the cluster while the per-shard scan stays
+    * linear. The oracle replays the same fold as a recursive CTE.
+    */
+  val x9SeqPacking: Q = Q(
+    "x9_seq_packing",
+    (s, dir) => {
+      import s.implicits._
+      val budget = 256
+      val docs = t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          pmod(col("doc_id"), lit(8)).cast("int").as("shard"),
+          size(Text.tokens(col("text"))).as("n_tokens"))
+        .as[PackIn]
+      docs.groupByKey(_.shard)
+        .flatMapSortedGroups(col("doc_id")) { (_: Int, it: Iterator[PackIn]) =>
+          var bin = -1
+          var binTokens = budget + 1 // forces bin 0 on the first doc
+          it.map { d =>
+            if (binTokens + d.n_tokens > budget) { bin += 1; binTokens = d.n_tokens }
+            else binTokens += d.n_tokens
+            PackOut(d.doc_id, d.shard, bin, d.n_tokens)
+          }
+        }
+        .toDF()
+        .orderBy("doc_id")
+    },
+    Some("""WITH RECURSIVE ord AS (
+        SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+          CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+          row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        FROM documents),
+      pack(shard, rn, doc_id, n_tokens, bin, bin_tokens) AS (
+        SELECT shard, rn, doc_id, n_tokens, 0, n_tokens FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+          CASE WHEN p.bin_tokens + o.n_tokens > 256 THEN p.bin + 1 ELSE p.bin END,
+          CASE WHEN p.bin_tokens + o.n_tokens > 256 THEN o.n_tokens ELSE p.bin_tokens + o.n_tokens END
+        FROM ord o JOIN pack p ON o.shard = p.shard AND o.rn = p.rn + 1)
+      SELECT doc_id, shard, CAST(bin AS INT) AS bin, n_tokens
+      FROM pack ORDER BY doc_id""")
+  )
+
+  /** D6: segment-level duplication profile — split every document into
+    * 10-token segments (narrow slice arithmetic, no shuffle), fingerprint
+    * each segment, and count per document how many of its segments occur
+    * anywhere else in the corpus (boilerplate/template detector; the
+    * within-doc complement of d1's whole-doc dedup). One fingerprint
+    * aggregate + one join back: both shuffle on the fingerprint/doc keys
+    * with map-side combine.
+    */
+  val d6SegmentDedup: Q = Q(
+    "d6_segment_dedup",
+    (s, dir) => {
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+        .withColumn("nseg", ceil(size(col("t")) / lit(10.0)).cast("int"))
+      val segs = base
+        .select(col("doc_id"), explode(sequence(lit(0), col("nseg") - 1)).as("seg"), col("t"))
+        .select(col("doc_id"), col("seg"),
+          md5(concat_ws(" ", slice(col("t"), col("seg") * 10 + 1, lit(10)))).as("fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      segs.count() // eager: the fp census and the join-back both scan it
+      val fpc = segs.groupBy("fp").agg(count(lit(1)).as("c"))
+      segs.join(fpc, Seq("fp"))
+        .groupBy("doc_id")
+        .agg(
+          count(lit(1)).as("n_segments"),
+          sum(when(col("c") > 1, 1L).otherwise(0L)).as("n_dup_segments"))
+        .select(col("doc_id"), col("n_segments"), col("n_dup_segments"),
+          (col("n_dup_segments").cast("double") / col("n_segments")).as("dup_seg_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      segs AS (SELECT doc_id, unnest(range(CAST(ceil(len(t) / 10.0) AS INT))) AS seg, t FROM base),
+      fps AS (SELECT doc_id, seg,
+                md5(array_to_string(t[(seg*10+1):(seg*10+10)], ' ')) AS fp
+              FROM segs),
+      fpc AS (SELECT fp, count(*) AS c FROM fps GROUP BY fp)
+      SELECT f.doc_id, count(*) AS n_segments,
+        sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS n_dup_segments,
+        CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_seg_frac
+      FROM fps f JOIN fpc c ON f.fp = c.fp
+      GROUP BY f.doc_id ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(
+    c1Contamination, x8Repetition, p12StratifiedSample, x9SeqPacking,
+    d6SegmentDedup)
+}
