@@ -133,6 +133,34 @@ class PlanSpec extends SparkSpec {
     spark.sql("DROP TABLE IF EXISTS lineitem_bkt")
   }
 
+  test("c1: contamination is an equi-join on shingle — no cartesian anywhere") {
+    val plan = executedPlan("c1_contamination")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("HashAggregate"), plan.take(3000)) // overlap count combines map-side
+  }
+
+  test("e6: centroid assignment broadcasts the codebook, never shuffles the vectors for it") {
+    val plan = executedPlan("e6_semantic_dedup")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(3000))
+    assert(!plan.contains("ScalaUDF"), "vector math fell back to a UDF")
+  }
+
+  test("p12: scan reads only the referenced document columns") {
+    val plan = executedPlan("p12_stratified_sample")
+    assert(!plan.contains("\"text\"") && !plan.contains("text#"),
+      "p12 reads the full text column it never uses:\n" + plan.take(3000))
+    assert(!plan.contains("n_chars"), "unreferenced column in scan")
+  }
+
+  test("x9: packing shuffles exactly once (the shard exchange)") {
+    val plan = executedPlan("x9_seq_packing")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    // one shuffle to co-locate shards + the final presentation sort
+    assert(exchanges <= 2, s"too many shuffles ($exchanges):\n${plan.take(3000)}")
+  }
+
   test("shingle table is generator+window, never a re-splitting HOF lambda") {
     // Regression guard: transform(sequence(...), i -> get(split(text), ..))
     // inlines the split into every lambda element (interpreted,
