@@ -239,7 +239,54 @@ object TrainPipeline {
       GROUP BY f.doc_id ORDER BY doc_id""")
   )
 
+  /** C2: the corpus-build flagship — the whole pipeline a training-data
+    * run executes, composed as ONE declarative plan so Catalyst sees it
+    * end-to-end: length-window quality filter (pushable predicate) →
+    * exact dedup keeping the lowest doc_id per content fingerprint (one
+    * window over the fp shuffle) → deterministic split assignment (p12's
+    * hash rule, zero extra shuffle: it's a narrow projection) → per
+    * (split, lang) census with exact token totals. Three shuffles total
+    * for filter+dedup+census; at 100 TB each keys on a natural column
+    * (fp, then split/lang) with map-side combine on the census.
+    */
+  val c2CorpusBuild: Q = Q(
+    "c2_corpus_build",
+    (s, dir) => {
+      val w = Window.partitionBy("fp").orderBy("doc_id")
+      t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"),
+          size(Text.tokens(col("text"))).as("n_tokens"))
+        .filter(col("n_tokens").between(20, 100))
+        .withColumn("fp", md5(col("text")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .withColumn("hv", Text.seededHash64(lit(0), col("doc_id").cast("string")))
+        .withColumn("split",
+          when(col("hv") % 10 <= 7, "train")
+            .when(col("hv") % 10 === 8, "val")
+            .otherwise("test"))
+        .groupBy("split", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+        .orderBy("split", "lang")
+    },
+    Some("""WITH base AS (
+        SELECT doc_id, lang, text, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+        WHERE len(string_split(text, ' ')) BETWEEN 20 AND 100),
+      keep AS (SELECT doc_id, lang, n_tokens FROM (
+                 SELECT *, md5(text) AS fp FROM base)
+               QUALIFY row_number() OVER (PARTITION BY fp ORDER BY doc_id) = 1),
+      split AS (SELECT lang, n_tokens,
+          CASE WHEN hv % 10 <= 7 THEN 'train' WHEN hv % 10 = 8 THEN 'val'
+               ELSE 'test' END AS split
+        FROM (SELECT *,
+                CAST('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+              FROM keep))
+      SELECT split, lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+      FROM split GROUP BY split, lang ORDER BY split, lang""")
+  )
+
   val all: Seq[Q] = Seq(
-    c1Contamination, x8Repetition, p12StratifiedSample, x9SeqPacking,
-    d6SegmentDedup)
+    c1Contamination, c2CorpusBuild, x8Repetition, p12StratifiedSample,
+    x9SeqPacking, d6SegmentDedup)
 }
