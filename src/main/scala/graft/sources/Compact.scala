@@ -77,12 +77,7 @@ object Compact {
       spark.read.parquet(s"$dir/${v.dir}")
         .repartition(nOut)
         .write.mode("overwrite").parquet(s"$tmp/${v.dir}")
-      val live = new Path(dir, v.dir)
-      val aside = new Path(dir, "." + v.dir + ".old")
-      fs.delete(aside, true)
-      if (fs.exists(live)) fs.rename(live, aside)
-      fs.rename(new Path(tmp, v.dir), live)
-      fs.delete(aside, true)
+      AtomicSwap.publish(fs, new Path(tmp, v.dir), new Path(dir, v.dir))
     }
     fs.delete(tmp, true)
     victims.map(_.dir)

@@ -112,28 +112,20 @@ object LiveFeed {
             .upsertDailyClose(stored, incoming, Seq("symbol", "day"), "price", "ts", "adj_close")
           // Crash-safe per-partition publish mirroring the reference's
           // tmp+os.replace (`ulp:289-292`) at day granularity: stage the
-          // touched partitions, then for each one move the live dir ASIDE
-          // (not delete), promote the staged dir, drop the aside copy. A
-          // crash leaves every partition either old-live or recoverable
-          // from `.old`/staging — never missing. Untouched partitions are
+          // touched partitions, then aside-swap each one into place
+          // (graft.sources.AtomicSwap — every crash window is recoverable
+          // by AtomicSwap.recover at restart). Untouched partitions are
           // never read, written, or renamed.
           val tmp = storedDir + ".tmp"
           merged.write.mode("overwrite").partitionBy("day").parquet(tmp)
           val fs = org.apache.hadoop.fs.FileSystem.get(
             spark.sparkContext.hadoopConfiguration)
-          val stagedParts = fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
+          fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
             .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
-          stagedParts.foreach { part =>
-            val name = part.getPath.getName
-            val dst = new org.apache.hadoop.fs.Path(storedDir, name)
-            // dot-prefixed: hidden from partition discovery, so a crashed
-            // swap can never surface as a bogus `day=....old` partition
-            val old = new org.apache.hadoop.fs.Path(storedDir, "." + name + ".old")
-            fs.delete(old, true)
-            if (fs.exists(dst)) fs.rename(dst, old)
-            fs.rename(part.getPath, dst)
-            fs.delete(old, true)
-          }
+            .foreach { part =>
+              graft.sources.AtomicSwap.publish(fs, part.getPath,
+                new org.apache.hadoop.fs.Path(storedDir, part.getPath.getName))
+            }
           fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
         }
         ()
