@@ -34,7 +34,7 @@ object Bench {
     "a15_grouping_sets", "p9_pivot", "p11_hash_sample",
     "x7_bpe_tokens", "d5_dup_clusters",
     "c1_contamination", "c2_corpus_build", "x8_repetition", "p12_stratified_sample",
-    "x9_seq_packing", "d6_segment_dedup", "e6_semantic_dedup",
+    "x9_seq_packing", "x10_unigram_surprisal", "d6_segment_dedup", "e6_semantic_dedup",
     "f19_bucket_categorize", "m3_resize_meta")
 
   def main(args: Array[String]): Unit = {

@@ -286,7 +286,49 @@ object TrainPipeline {
       FROM split GROUP BY split, lang ORDER BY split, lang""")
   )
 
+  /** X10: unigram surprisal — the language-model-proxy quality score every
+    * corpus filter runs before a real LM is affordable: per document, the
+    * mean per-token negative log2-probability under the corpus's own
+    * unigram distribution (high = rare-token-heavy gibberish, low =
+    * boilerplate). Token probabilities come from one hash-agg census
+    * joined back by token (broadcast at this vocab size; at 100 TB the
+    * vocab census is still tiny next to the corpus — the join stays
+    * broadcast). Per-token bits are INTEGER-QUANTIZED (`round(x·2^20)`
+    * summed as longs — e4's k-means trick) so the per-doc mean is exact
+    * and order-independent: Spark's parallel partial sums and DuckDB's
+    * sequential scan agree bit-for-bit.
+    */
+  val x10UnigramSurprisal: Q = Q(
+    "x10_unigram_surprisal",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      val census = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      val total = census.agg(sum(col("c")).as("n_total"))
+      val q20 = (1L << 20).toDouble
+      toks
+        .join(broadcast(census), Seq("tok"))
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          round((log2(col("n_total")) - log2(col("c"))) * q20).cast("long").as("qbits"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          (sum(col("qbits")).cast("double") / (lit(q20) * count(lit(1))))
+            .as("mean_bits"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      census AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      total AS (SELECT sum(c) AS n_total FROM census),
+      q AS (SELECT t.doc_id,
+              CAST(round((log2(n_total) - log2(c)) * 1048576) AS BIGINT) AS qbits
+            FROM toks t JOIN census USING (tok) CROSS JOIN total)
+      SELECT doc_id, count(*) AS n_tokens,
+        CAST(sum(qbits) AS DOUBLE) / (1048576.0 * count(*)) AS mean_bits
+      FROM q GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(
     c1Contamination, c2CorpusBuild, x8Repetition, p12StratifiedSample,
-    x9SeqPacking, d6SegmentDedup)
+    x9SeqPacking, x10UnigramSurprisal, d6SegmentDedup)
 }
