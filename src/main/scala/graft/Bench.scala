@@ -22,6 +22,7 @@ object Bench {
     "j10_salted_skew_join",
     "a2_counts", "a3_last_per_key", "a5_daily_dedup",
     "a6_upsert_daily_close", "a7_group_stats", "a8_rollup", "a11_percentiles",
+    "a16_funnel", "a17_retention",
     "w1_lag_lead", "w2_moving_avg", "w3_topn_per_group", "w4_running_sum",
     "s1_tumbling_window", "s2_sliding_window", "s3_session_window",
     "x1_token_stats", "x2_lang_id", "x3_quality_score", "x5_token_freq",

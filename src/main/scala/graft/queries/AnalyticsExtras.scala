@@ -345,8 +345,76 @@ object AnalyticsExtras {
         AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""")
   )
 
+  /** A16: ordered funnel — how many users progressed view → click →
+    * purchase IN ORDER (each later stage strictly after the user's earliest
+    * qualifying earlier stage). Three keyed min-aggregates chained by
+    * equi-joins on user_id: every stage is a map-side-combinable hash agg
+    * over one shuffle key, and at 100 TB the per-stage user tables shrink
+    * monotonically — the classic funnel shape, no window over the full
+    * event stream required.
+    */
+  val a16Funnel: Q = Q(
+    "a16_funnel",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      def firstAfter(evType: String, prev: org.apache.spark.sql.DataFrame, prevTs: String, outTs: String) =
+        ev.filter(col("event_type") === evType)
+          .join(prev, Seq("user_id"))
+          .filter(col("ts") > col(prevTs))
+          .groupBy("user_id")
+          .agg(min(col("ts")).as(outTs))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val c = firstAfter("click", v, "t1", "t2")
+      val p = firstAfter("purchase", c, "t2", "t3")
+      val stages = Seq(("1_view", v), ("2_click", c), ("3_purchase", p))
+        .map { case (name, df) =>
+          df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+        }
+      stages.reduce(_.unionByName(_)).orderBy("stage")
+    },
+    Some("""WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+      c AS (SELECT e.user_id, min(e.ts) AS t2 FROM events e
+            JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+            WHERE e.event_type = 'click' GROUP BY e.user_id),
+      p AS (SELECT e.user_id, min(e.ts) AS t3 FROM events e
+            JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+            WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      SELECT '1_view' AS stage, count(*) AS n_users FROM v
+      UNION ALL SELECT '2_click', count(*) FROM c
+      UNION ALL SELECT '3_purchase', count(*) FROM p
+      ORDER BY stage""")
+  )
+
+  /** A17: retention cohorts — users grouped by first-active day, distinct
+    * active users counted per (cohort, day-offset). Two hash aggregates
+    * and one equi-join on user_id; the cohort table is a per-user scalar,
+    * broadcastable at any corpus size.
+    */
+  val a17Retention: Q = Q(
+    "a17_retention",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val first = ev.groupBy("user_id").agg(min(to_date(col("ts"))).as("cohort"))
+      val activity = ev.select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      activity.join(first, Seq("user_id"))
+        .groupBy(col("cohort"), datediff(col("day"), col("cohort")).as("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort", "day_offset")
+    },
+    Some("""WITH first AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort
+               FROM events GROUP BY user_id),
+      activity AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+      SELECT f.cohort, date_diff('day', f.cohort, a.day) AS day_offset,
+        count(DISTINCT a.user_id) AS n_users
+      FROM activity a JOIN first f ON a.user_id = f.user_id
+      GROUP BY 1, 2 ORDER BY cohort, day_offset""")
+  )
+
   val all: Seq[Q] = Seq(
     w5RankAnalytics, w6FirstLast, w7RangeFrame, a12StatsMoments,
-    a13Conditional, a14MedianDistinct, a15GroupingSets, p9Pivot, p10Unpivot,
-    p11HashSample, q05RevenueByNation, q06ForecastRevenue)
+    a13Conditional, a14MedianDistinct, a15GroupingSets, a16Funnel,
+    a17Retention, p9Pivot, p10Unpivot, p11HashSample, q05RevenueByNation,
+    q06ForecastRevenue)
 }
