@@ -82,23 +82,42 @@ object LiveFeed {
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     startUpsertFrom(spark, readTrades(spark, inputDir), storedDir, checkpointDir, trigger)
 
+  /** Complement of [[validTrades]] — the rows the reference shunts into
+    * its invalid-symbol registry (`update_live_price.py:170-179`).
+    */
+  def invalidTrades(trades: DataFrame): DataFrame =
+    trades.filter(
+      col("price").isNull || isnan(col("price")) || col("ts").isNull)
+
   /** Same upsert loop over ANY streaming trade source — used with
     * [[readTradesFeed]] to run the reference's E2 pipeline end-to-end
     * in-engine: DSv2 poll feed → validity → watermark → per-day merge.
+    *
+    * @param deadLetterDir when set, each micro-batch's INVALID rows
+    *        (null/NaN price, null ts) are appended there as Parquet — the
+    *        streaming dead-letter analogue of the reference's
+    *        invalid-symbol registry growth (`ulp:170-179`): nothing is
+    *        silently dropped, and the side-output is append-only so it
+    *        never contends with the store's partition swaps.
     */
   def startUpsertFrom(
       spark: SparkSession,
       trades: DataFrame,
       storedDir: String,
       checkpointDir: String,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
-    validTrades(trades)
+      trigger: Trigger = Trigger.AvailableNow(),
+      deadLetterDir: Option[String] = None): StreamingQuery =
+    trades
       .withWatermark("ts", "1 day")
       .writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
+      .foreachBatch { (raw: DataFrame, _: Long) =>
+        deadLetterDir.foreach { d =>
+          invalidTrades(raw).write.mode("append").parquet(d)
+        }
+        val batch = validTrades(raw)
         val incoming = batch
           .select(col("symbol"), to_date(col("ts")).as("day"), col("price"), col("ts"))
         // The touched-day list is partition METADATA, not data: bounded by

@@ -116,6 +116,38 @@ class LiveFeedSpec extends SparkSpec {
     assert(fin == Seq(("AAPL", d("2024-01-02"), 10.0, 43.5)))
   }
 
+  test("invalid trades land in the dead-letter side-output, valid ones merge") {
+    val root = Files.createTempDirectory("livefeed4").toString
+    val in = s"$root/in"; val storedDir = s"$root/stored"
+    val ckpt = s"$root/ckpt"; val dead = s"$root/dead"
+    Files.createDirectories(Paths.get(in))
+
+    Seq(("AAPL", d("2024-01-02"), 10.0, 11.0))
+      .toDF("symbol", "day", "open", "adj_close")
+      .write.mode("overwrite").partitionBy("day").parquet(storedDir)
+
+    // one valid update + two rejects (NaN price, missing ts)
+    Files.writeString(Paths.get(s"$in/batch0.json"),
+      """{"symbol":"AAPL","price":99.5,"ts":"2024-01-02T15:59:00.000Z"}
+        |{"symbol":"BADP","price":"NaN","ts":"2024-01-02T16:00:00.000Z"}
+        |{"symbol":"BADT","price":1.0}
+        |""".stripMargin)
+
+    val q = LiveFeed.startUpsertFrom(
+      spark, LiveFeed.readTrades(spark, in), storedDir, ckpt,
+      deadLetterDir = Some(dead))
+    q.awaitTermination(120000)
+
+    // nothing silently dropped: both invalid rows are in the side-output
+    val rejected = spark.read.parquet(dead)
+      .select("symbol").as[String].collect().toSeq.sorted
+    assert(rejected == Seq("BADP", "BADT"))
+    // and neither polluted the store
+    val got = spark.read.parquet(storedDir)
+      .select("symbol", "adj_close").as[(String, Double)].collect().toSeq
+    assert(got == Seq(("AAPL", 99.5)))
+  }
+
   test("windowedCounts compiles against a streaming source") {
     val root = Files.createTempDirectory("livefeed2").toString
     Files.createDirectories(Paths.get(s"$root/in"))
