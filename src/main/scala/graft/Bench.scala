@@ -28,7 +28,7 @@ object Bench {
     "x1_token_stats", "x2_lang_id", "x3_quality_score", "x5_token_freq",
     "d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
     "e1_cosine_topk", "e2_ann_ivf", "e3_bucket_neardup", "e4_ann_kmeans",
-    "e5_ann_hyperplane",
+    "e5_ann_hyperplane", "e7_ann_batch",
     "m1_binary_meta",
     "q05_revenue_by_nation", "q06_forecast_revenue",
     "w5_rank_analytics", "w7_range_frame", "a12_stats_moments",

@@ -358,6 +358,66 @@ object SimilarityQueries {
       ORDER BY k.cid""")
   )
 
+  /** E7: batched multi-query ANN — the shape production retrieval actually
+    * runs: N query vectors answered in ONE job (grouped top-k per query)
+    * instead of a job dispatch per query. Every query searches only its
+    * own nprobe=2 IVF buckets (e2's codebook); the candidate set is the
+    * bucket-pruned join of (query, cid) × (vector, cid), ranked by a
+    * window partitioned on the query id. At 100 TB the query batch is
+    * broadcast and the big side is touched once for ALL queries — the
+    * amortization that makes batch ANN dominate per-query ANN.
+    */
+  val e7AnnBatch: Q = Q(
+    "e7_ann_batch",
+    (s, dir) => {
+      FastVec.register(s)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), Vectors.toDoubleVec(col("embedding")).as("v"))
+      val cent = emb.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v").as("cv"))
+      val byVec = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+      val ranked = emb
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("label"), col("v"), col("cid"),
+          FastVec.l2sq(col("v"), col("cv")).as("d2"))
+        .withColumn("rn", row_number().over(byVec))
+      val assign = ranked.filter(col("rn") === 1).select("vec_id", "label", "v", "cid")
+      // the query BATCH: vectors 0-3, each probing its 2 nearest buckets
+      val qProbes = ranked
+        .filter(col("vec_id") < 4 && col("rn") <= 2)
+        .select(col("vec_id").as("qid"), col("cid"))
+      val qVecs = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val byQuery = Window.partitionBy("qid")
+        .orderBy(col("sim").desc, col("vec_id"))
+      assign
+        .join(broadcast(qProbes), Seq("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .join(broadcast(qVecs), Seq("qid"))
+        .select(col("qid"), col("vec_id"), col("label"),
+          FastVec.cosine(col("v"), col("qv")).as("sim"))
+        .withColumn("krn", row_number().over(byQuery))
+        .filter(col("krn") <= 5)
+        .select("qid", "krn", "vec_id", "label", "sim")
+        .orderBy("qid", "krn")
+    },
+    Some(s"""WITH e AS ($sqlE),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      d AS (SELECT e.vec_id, e.label, e.v, c.cid, ${sqlL2sq("e.v", "c.cv")} AS d2,
+              row_number() OVER (PARTITION BY e.vec_id ORDER BY ${sqlL2sq("e.v", "c.cv")}, c.cid) AS rn
+            FROM e CROSS JOIN c),
+      assign AS (SELECT vec_id, label, v, cid FROM d WHERE rn = 1),
+      qp AS (SELECT vec_id AS qid, cid FROM d WHERE vec_id < 4 AND rn <= 2),
+      qv AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4),
+      cand AS (SELECT qv.qid, a.vec_id, a.label, ${sqlCos("a.v", "qv.qv")} AS sim
+               FROM assign a JOIN qp ON a.cid = qp.cid
+               JOIN qv ON qv.qid = qp.qid
+               WHERE a.vec_id <> qp.qid)
+      SELECT qid, krn, vec_id, label, sim FROM (
+        SELECT *, row_number() OVER (PARTITION BY qid ORDER BY sim DESC, vec_id) AS krn
+        FROM cand)
+      WHERE krn <= 5 ORDER BY qid, krn""")
+  )
+
   val all: Seq[Q] = Seq(e1CosineTopK, e2AnnIvf, e3BucketNearDup, e4AnnKmeans,
-    e5AnnHyperplane, e6SemanticDedup)
+    e5AnnHyperplane, e6SemanticDedup, e7AnnBatch)
 }
