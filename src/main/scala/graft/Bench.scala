@@ -27,6 +27,7 @@ object Bench {
     "s1_tumbling_window", "s2_sliding_window", "s3_session_window",
     "x1_token_stats", "x2_lang_id", "x3_quality_score", "x5_token_freq",
     "d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh", "d4_simhash",
+    "d7_incremental_dedup",
     "e1_cosine_topk", "e2_ann_ivf", "e3_bucket_neardup", "e4_ann_kmeans",
     "e5_ann_hyperplane", "e7_ann_batch",
     "m1_binary_meta",

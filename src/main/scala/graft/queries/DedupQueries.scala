@@ -229,5 +229,37 @@ object DedupQueries {
       ORDER BY a, b""")
   )
 
-  val all: Seq[Q] = Seq(d1ExactDedup, d2NgramJaccard, d3MinHashLsh, d4SimHash)
+  /** D7: incremental dedup — the corpus-REFRESH path: a batch of new
+    * documents (doc_id ≥ 400 here) is admitted against the existing
+    * corpus's fingerprint census without ever rescanning existing
+    * payloads. A new doc is kept iff its content fingerprint (d1's
+    * 8-token prefix hash) collides with neither the census (left-anti
+    * join on fp) nor an earlier new doc (min-per-fp within the batch).
+    * At 100 TB the census is a compact fp→1 table maintained
+    * incrementally; the anti-join shuffles only the (small) new batch.
+    */
+  val d7IncrementalDedup: Q = Q(
+    "d7_incremental_dedup",
+    (s, dir) => {
+      val fp = Text.prefixFingerprint(Text.tokens(col("text")), 8)
+      val docs = t(s, dir, "documents").select(col("doc_id"), fp.as("fp"))
+      val census = docs.filter(col("doc_id") < 400).select("fp").distinct()
+      docs.filter(col("doc_id") >= 400)
+        .join(census, Seq("fp"), "left_anti")
+        .groupBy("fp")
+        .agg(min(col("doc_id")).as("admit_doc_id"), count(lit(1)).as("batch_dups"))
+        .orderBy("admit_doc_id")
+    },
+    Some("""WITH docs AS (SELECT doc_id,
+               md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp
+             FROM documents),
+      census AS (SELECT DISTINCT fp FROM docs WHERE doc_id < 400)
+      SELECT fp, min(doc_id) AS admit_doc_id, count(*) AS batch_dups
+      FROM docs
+      WHERE doc_id >= 400 AND fp NOT IN (SELECT fp FROM census)
+      GROUP BY fp ORDER BY admit_doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(d1ExactDedup, d2NgramJaccard, d3MinHashLsh, d4SimHash,
+    d7IncrementalDedup)
 }
