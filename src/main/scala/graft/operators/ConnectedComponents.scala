@@ -37,11 +37,14 @@ object ConnectedComponents {
   /** @param pairs undirected edges as columns `a`, `b` (integral ids)
     * @param smallGraphMaxEdges size-adaptive cutoff, same decision shape as
     *        Spark's `autoBroadcastJoinThreshold`: at or below it the deduped
-    *        edge list (~16 bytes/edge, default 4M edges ≈ 64 MB) is pulled
-    *        to the driver and solved with a linear-time union-find — any
-    *        number of distributed rounds loses to that by orders of
-    *        magnitude in per-job overhead. Above it, the frontier Pregel
-    *        loop runs. The near-dup graphs LSH emits are a tiny fraction of
+    *        edge list is pulled to the driver and solved with a linear-time
+    *        union-find — any number of distributed rounds loses to that by
+    *        orders of magnitude in per-job overhead. The real driver cost
+    *        is the collected Row array (~100 bytes/edge with boxing), so
+    *        the default of 1M symmetrized edges budgets ~100 MB transient
+    *        plus a primitive-specialized LongMap — comfortably inside a
+    *        default 1g driver. Above the cutoff, the frontier Pregel loop
+    *        runs. The near-dup graphs LSH emits are a tiny fraction of
     *        corpus size, but at 100 TB they can still exceed any driver, so
     *        the distributed path is the default shape, not a fallback.
     *        Pass 0 to force the distributed path (specs do).
@@ -52,7 +55,7 @@ object ConnectedComponents {
       pairs: DataFrame,
       maxRounds: Int = 50,
       checkpointEvery: Int = 5,
-      smallGraphMaxEdges: Long = 4L << 20): DataFrame = {
+      smallGraphMaxEdges: Long = 1L << 20): DataFrame = {
     val sc = pairs.sparkSession.sparkContext
     if (sc.getCheckpointDir.isEmpty)
       sc.setCheckpointDir(
@@ -82,30 +85,33 @@ object ConnectedComponents {
         val es = edges.select(col("a").cast("long"), col("b").cast("long"))
           .collect()
         edges.unpersist()
+        // parent doubles as the node registry (every endpoint is entered
+        // with parent(x)=x on first sight) — no boxed node Set alongside
+        // the Row array; LongMap is primitive-key specialized.
         val parent = scala.collection.mutable.LongMap.empty[Long]
         def find(x0: Long): Long = {
           var x = x0
-          var p = parent.getOrElse(x, x)
+          var p = parent(x)
           while (p != x) { // path halving
-            val gp = parent.getOrElse(p, p)
+            val gp = parent(p)
             parent.update(x, gp)
             x = gp
-            p = parent.getOrElse(x, x)
+            p = parent(x)
           }
           x
         }
         es.foreach { r =>
-          val (ra, rb) = (find(r.getLong(0)), find(r.getLong(1)))
+          val a = r.getLong(0); val b = r.getLong(1)
+          if (!parent.contains(a)) parent.update(a, a)
+          if (!parent.contains(b)) parent.update(b, b)
+          val (ra, rb) = (find(a), find(b))
           // union-by-min: the larger root links under the smaller, so every
           // root IS its component's minimum id and no relabel pass is needed
           // (path halving keeps chains near-flat despite the skewed linking)
           if (ra < rb) parent.update(rb, ra)
           else if (rb < ra) parent.update(ra, rb)
         }
-        es.iterator
-          .flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
-          .toSet[Long].toSeq
-          .map(id => (id, find(id)))
+        parent.keysIterator.map(id => (id, find(id))).toSeq
       }
       val sess = pairs.sparkSession
       import sess.implicits._

@@ -242,7 +242,11 @@ object DedupQueries {
     "d7_incremental_dedup",
     (s, dir) => {
       val fp = Text.prefixFingerprint(Text.tokens(col("text")), 8)
+      // Two-column projection scanned by BOTH sides of the anti-join:
+      // persist + eager count so scan+tokenize+md5 runs once, not twice.
       val docs = t(s, dir, "documents").select(col("doc_id"), fp.as("fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      docs.count()
       val census = docs.filter(col("doc_id") < 400).select("fp").distinct()
       docs.filter(col("doc_id") >= 400)
         .join(census, Seq("fp"), "left_anti")

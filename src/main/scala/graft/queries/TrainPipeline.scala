@@ -303,7 +303,13 @@ object TrainPipeline {
     (s, dir) => {
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      // Vocab-sized, scanned from TWO subtrees (broadcast join + the total
+      // aggregate): persist + eager count so the tokenize→census pass runs
+      // once, not once per subtree. The census is the RIGHT thing to cache
+      // at 100 TB too — it is bounded by vocabulary, not corpus.
       val census = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      census.count()
       val total = census.agg(sum(col("c")).as("n_total"))
       val q20 = (1L << 20).toDouble
       toks

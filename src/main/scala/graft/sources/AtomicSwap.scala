@@ -31,12 +31,24 @@ object AtomicSwap {
 
   /** Swap `staged` into place as `live` (same parent dir conventions as
     * Hive partitions: `live.getName` is the partition dir name).
+    *
+    * Hadoop's `FileSystem.rename` reports many failures by returning
+    * FALSE rather than throwing (missing source, missing destination
+    * parent, cross-FS move) — ignoring it would let a failed promote fall
+    * through to deleting the aside copy, destroying the only copy of the
+    * partition. Every rename is checked; a failed promote restores the
+    * live dir from the aside before raising.
     */
   def publish(fs: FileSystem, staged: Path, live: Path): Unit = {
     val aside = asideFor(live)
     fs.delete(aside, true)
-    if (fs.exists(live)) fs.rename(live, aside)
-    fs.rename(staged, live)
+    if (fs.exists(live) && !fs.rename(live, aside))
+      throw new java.io.IOException(s"AtomicSwap: failed to move $live aside")
+    if (!fs.rename(staged, live)) {
+      if (fs.exists(aside)) fs.rename(aside, live) // undo: restore old data
+      throw new java.io.IOException(
+        s"AtomicSwap: failed to promote $staged to $live (old data restored)")
+    }
     fs.delete(aside, true)
   }
 

@@ -18,8 +18,9 @@ import org.apache.spark.sql.functions._
   * to `<dir>.compact-tmp`, move the live partition ASIDE (dot-prefixed, so
   * a crashed swap never surfaces as a bogus partition), promote, drop the
   * aside copy. Healthy partitions are never read, written, or renamed —
-  * I/O is O(violating partitions), the property that lets this run as a
-  * rolling background job against a live store.
+  * I/O is O(violating partitions), which is what lets this run as a
+  * rolling maintenance job (subject to the single-writer-per-partition
+  * contract documented on [[compact]]).
   *
   * The reference has no analogue (one file per symbol by construction,
   * `download_historical_price.py:74-82`); this is the engine-completeness
@@ -45,7 +46,9 @@ object Compact {
     * nested layouts recurse on the caller's side).
     */
   def partitionStats(spark: SparkSession, dir: String): Seq[PartitionStats] = {
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    // resolve the filesystem FROM the path, not fs.defaultFS — the store
+    // may live on a different scheme (s3a://, file:// under an hdfs default)
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.listStatus(new Path(dir))
       .filter(s => s.isDirectory && s.getPath.getName.contains("="))
       .map { p =>
@@ -57,6 +60,17 @@ object Compact {
 
   /** Compact the violating partitions of a one-level partitioned store.
     *
+    * CONCURRENCY CONTRACT: the caller must guarantee no other writer
+    * touches a partition between its read here and its swap (single
+    * writer per partition — e.g. run compaction in the same driver as the
+    * streaming upsert, between batches, or fence partitions externally).
+    * Compaction is a read-then-replace; a concurrent publish into a
+    * victim partition would be overwritten with stale compacted data.
+    * Optimistic-concurrency table formats solve this with commit
+    * conflicts; a plain Parquet store must serialize writers.
+    *
+    * Heals interrupted swaps (AtomicSwap.recover) before measuring.
+    *
     * @return the partition names that were rewritten
     */
   def compact(
@@ -65,11 +79,12 @@ object Compact {
       maxFiles: Int = 8,
       minBytes: Long = 8L << 20,
       targetBytes: Long = 128L << 20): Seq[String] = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    AtomicSwap.recover(fs, new Path(dir))
     val victims = partitionStats(spark, dir)
       .filter(_.violates(maxFiles, minBytes))
     if (victims.isEmpty) return Seq.empty
 
-    val fs = FileSystem.get(spark.sparkContext.hadoopConfiguration)
     val tmp = new Path(dir + ".compact-tmp")
     fs.delete(tmp, true)
     victims.foreach { v =>

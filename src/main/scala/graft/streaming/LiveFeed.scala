@@ -94,11 +94,12 @@ object LiveFeed {
     * in-engine: DSv2 poll feed → validity → watermark → per-day merge.
     *
     * @param deadLetterDir when set, each micro-batch's INVALID rows
-    *        (null/NaN price, null ts) are appended there as Parquet — the
-    *        streaming dead-letter analogue of the reference's
-    *        invalid-symbol registry growth (`ulp:170-179`): nothing is
-    *        silently dropped, and the side-output is append-only so it
-    *        never contends with the store's partition swaps.
+    *        (null/NaN price, null ts) are written there as Parquet keyed
+    *        by batch_id — the streaming dead-letter analogue of the
+    *        reference's invalid-symbol registry growth (`ulp:170-179`):
+    *        nothing is silently dropped, and because foreachBatch is
+    *        at-least-once, each epoch overwrites ITS OWN batch_id
+    *        partition so replays cannot double-count rejects.
     */
   def startUpsertFrom(
       spark: SparkSession,
@@ -106,16 +107,31 @@ object LiveFeed {
       storedDir: String,
       checkpointDir: String,
       trigger: Trigger = Trigger.AvailableNow(),
-      deadLetterDir: Option[String] = None): StreamingQuery =
+      deadLetterDir: Option[String] = None): StreamingQuery = {
+    // Heal any mid-swap crash from a previous run BEFORE the first batch:
+    // an interrupted publish leaves a partition aside-copied and invisible,
+    // and merging against the partial store would lose its rows.
+    graft.sources.AtomicSwap.recover(
+      new org.apache.hadoop.fs.Path(storedDir).getFileSystem(
+        spark.sparkContext.hadoopConfiguration),
+      new org.apache.hadoop.fs.Path(storedDir))
     trades
       .withWatermark("ts", "1 day")
       .writeStream
       .outputMode("update")
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
-      .foreachBatch { (raw: DataFrame, _: Long) =>
+      .foreachBatch { (raw: DataFrame, batchId: Long) =>
         deadLetterDir.foreach { d =>
-          invalidTrades(raw).write.mode("append").parquet(d)
+          // Keyed by batch id with dynamic partition overwrite so an
+          // at-least-once replay of the epoch REWRITES its own partition
+          // instead of appending duplicate reject rows.
+          invalidTrades(raw)
+            .withColumn("batch_id", lit(batchId))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(d)
         }
         val batch = validTrades(raw)
         val incoming = batch
@@ -137,8 +153,8 @@ object LiveFeed {
           // never read, written, or renamed.
           val tmp = storedDir + ".tmp"
           merged.write.mode("overwrite").partitionBy("day").parquet(tmp)
-          val fs = org.apache.hadoop.fs.FileSystem.get(
-            spark.sparkContext.hadoopConfiguration)
+          val fs = new org.apache.hadoop.fs.Path(storedDir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
           fs.listStatus(new org.apache.hadoop.fs.Path(tmp))
             .filter(s => s.isDirectory && s.getPath.getName.startsWith("day="))
             .foreach { part =>
@@ -150,6 +166,7 @@ object LiveFeed {
         ()
       }
       .start()
+  }
 
   /** Watermarked tumbling-window aggregate — the streaming twin of the
     * batch `s1_tumbling_window` query (same expressions under `readStream`).
