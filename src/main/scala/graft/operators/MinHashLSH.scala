@@ -144,14 +144,21 @@ object MinHashLSH {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("shingle"))
     val counts = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    // Prefix entries carry the set size so the PPJoin LENGTH filter can run
+    // inside the candidate join itself: J(A,B) ≥ 0.5 forces
+    // 2·min(|A|,|B|) ≥ max(|A|,|B|) (since inter ≤ min and uni ≥ max), so
+    // size-incompatible collisions are dropped BEFORE the pair-distinct and
+    // the verify join ever see them. Exact bound, no recall loss.
     val pref = shingles
       .withColumn("rn", row_number().over(w))
       .join(counts, Seq(idCol))
       .filter(col("rn") <= expr("n - ((n + 1) div 2) + 1"))
-      .select(col(idCol), col("shingle"))
-    pref.select(col(idCol).as("a"), col("shingle"))
-      .join(pref.select(col(idCol).as("b"), col("shingle")), Seq("shingle"))
-      .filter(col("a") < col("b"))
+      .select(col(idCol), col("shingle"), col("n"))
+    pref.select(col(idCol).as("a"), col("shingle"), col("n").as("na"))
+      .join(pref.select(col(idCol).as("b"), col("shingle"), col("n").as("nb")),
+        Seq("shingle"))
+      .filter(col("a") < col("b") &&
+        greatest(col("na"), col("nb")) <= least(col("na"), col("nb")) * 2)
       .select("a", "b")
       .distinct()
   }
