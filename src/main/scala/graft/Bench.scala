@@ -37,7 +37,9 @@ object Bench {
     "x7_bpe_tokens", "d5_dup_clusters",
     "c1_contamination", "c2_corpus_build", "x8_repetition", "p12_stratified_sample",
     "x9_seq_packing", "x10_unigram_surprisal", "d6_segment_dedup", "e6_semantic_dedup",
-    "f19_bucket_categorize", "m3_resize_meta")
+    "f19_bucket_categorize", "m3_resize_meta",
+    "c3_mixture_build", "p13_weighted_sample", "x11_bigram_surprisal",
+    "d8_incremental_neardup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -95,8 +95,13 @@ object MinHashLSH {
         (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
   }
 
-  /** Candidate pairs (a < b) sharing at least one LSH band. */
-  def candidatePairs(
+  /** Banded LSH keys: one (id, band, bkey) row per signature band. Band
+    * key = plain "s_i|s_j" concat of the numeric signatures — an md5
+    * wrapper would cost a hash per (doc, band) and buy nothing: the
+    * equi-join only needs equality, and long→string casts agree across
+    * engines.
+    */
+  def bandKeys(
       sigs: DataFrame,
       idCol: String,
       numHashes: Int,
@@ -105,19 +110,24 @@ object MinHashLSH {
       s"numHashes ($numHashes) must be divisible by bands ($bands); " +
         "otherwise trailing signature columns are silently ignored")
     val rows = numHashes / bands
-    // Band key = plain "s_i|s_j" concat of the numeric signatures — an
-    // md5 wrapper would cost a hash per (doc, band) and buy nothing: the
-    // equi-join only needs equality, and long→string casts agree across
-    // engines.
     val bandStructs = (0 until bands).map { b =>
       struct(
         lit(b).as("band"),
         concat_ws("|", (0 until rows).map(r => col(s"s${b * rows + r}")): _*)
           .as("bkey"))
     }
-    val banded = sigs
+    sigs
       .select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
       .select(col(idCol), col("bs.band").as("band"), col("bs.bkey").as("bkey"))
+  }
+
+  /** Candidate pairs (a < b) sharing at least one LSH band. */
+  def candidatePairs(
+      sigs: DataFrame,
+      idCol: String,
+      numHashes: Int,
+      bands: Int): DataFrame = {
+    val banded = bandKeys(sigs, idCol, numHashes, bands)
     val left = banded.select(col(idCol).as("a"), col("band"), col("bkey"))
     val right = banded.select(col(idCol).as("b"), col("band"), col("bkey"))
     left

