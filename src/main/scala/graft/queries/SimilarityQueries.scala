@@ -418,6 +418,109 @@ object SimilarityQueries {
       WHERE krn <= 5 ORDER BY qid, krn""")
   )
 
+  /** E8: product-quantization ANN (ADC) — the memory-compressed shape
+    * production retrieval runs at 100 TB: each vector is encoded as M=4
+    * one-byte codes (nearest of K=8 learned centers per 16-dim subspace),
+    * so the index stores 4 bytes per vector instead of 256, and query
+    * distance is an asymmetric-distance-computation table lookup: the
+    * query's 4×8 code-distance table (32 rows, broadcast) is summed over
+    * each vector's codes — no full-vector math ever touches the corpus at
+    * query time. Codebooks are learned like e4's k-means (deterministic
+    * md5-sampled seeds + one integer-quantized Lloyd step, per subspace);
+    * ADC entries are quantized to 2^-20 longs so the per-vector sum is
+    * order-independent and bit-equal to the oracle.
+    */
+  val e8PqAdc: Q = Q(
+    "e8_pq_adc",
+    (s, dir) => {
+      FastVec.register(s)
+      val M = 4; val sub = 16; val K = 8
+      val q20d = (1L << 20).toDouble
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), Vectors.toDoubleVec(col("embedding")).as("v"))
+      // One row per (vector, subspace); scanned by seed pick, both argmin
+      // passes, and the query slice — persist + eager count (the usual
+      // concurrent-first-scan trap).
+      val subv = emb
+        .select(col("vec_id"), explode(sequence(lit(0), lit(M - 1))).as("m"), col("v"))
+        .select(col("vec_id"), col("m"), expr(s"slice(v, m * $sub + 1, $sub)").as("sv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      subv.count()
+      val seedIds = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(K)
+        .select(col("vec_id").as("cid"))
+      val seeds = subv.join(broadcast(seedIds), col("vec_id") === col("cid"))
+        .select(col("cid"), col("m"), col("sv").as("cv"))
+      val wvm = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cid"))
+      val a0 = subv.join(broadcast(seeds), Seq("m"))
+        .select(col("vec_id"), col("m"), col("sv"), col("cid"),
+          FastVec.l2sq(col("sv"), col("cv")).as("d2"))
+        .withColumn("rn", row_number().over(wvm)).filter(col("rn") === 1)
+        .select("vec_id", "m", "sv", "cid")
+      // One Lloyd step with integer-quantized component means (e4's trick:
+      // partial-sum order cannot perturb the learned centers).
+      val comp = a0
+        .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("i", "x")))
+        .groupBy("m", "cid", "i")
+        .agg((sum(round(col("x") * q20d).cast("long")).cast("double") /
+          (lit(q20d) * count(lit(1)))).as("cx"))
+      val cent = comp.groupBy("m", "cid")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
+          e => e("cx")).as("cv"))
+      val enc = subv.join(broadcast(cent), Seq("m"))
+        .select(col("vec_id"), col("m"), col("cid"),
+          FastVec.l2sq(col("sv"), col("cv")).as("d2"))
+        .withColumn("rn", row_number().over(wvm)).filter(col("rn") === 1)
+        .select("vec_id", "m", "cid")
+      val qsub = subv.filter(col("vec_id") === 0).select(col("m"), col("sv").as("qsv"))
+      val adc = cent.join(broadcast(qsub), Seq("m"))
+        .select(col("m"), col("cid"),
+          round(FastVec.l2sq(col("qsv"), col("cv")) * q20d).cast("long").as("qd"))
+      enc.join(broadcast(adc), Seq("m", "cid"))
+        .groupBy("vec_id")
+        .agg(sum(col("qd")).as("qdist"))
+        .filter(col("vec_id") =!= 0)
+        .join(emb.select("vec_id", "label"), Seq("vec_id"))
+        .select(col("vec_id"), col("label"),
+          (col("qdist").cast("double") / lit(q20d)).as("adc_dist"))
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(10)
+    },
+    Some(s"""WITH e AS ($sqlE),
+      subv AS (SELECT vec_id, m, v[(m*16+1):(m*16+16)] AS sv
+               FROM e CROSS JOIN range(4) r(m)),
+      seedids AS (SELECT vec_id AS cid FROM e
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      seeds AS (SELECT cid, m, sv AS cv FROM subv JOIN seedids ON vec_id = cid),
+      a0 AS (SELECT vec_id, m, sv, cid FROM (
+               SELECT s.vec_id, s.m, s.sv, c.cid,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m
+                   ORDER BY ${sqlL2sq("s.sv", "c.cv")}, c.cid) AS rn
+               FROM subv s JOIN seeds c ON s.m = c.m)
+             WHERE rn = 1),
+      compx AS (SELECT m, cid, i,
+          CAST(sum(CAST(round(sv[i+1] * 1048576.0) AS BIGINT)) AS DOUBLE)
+            / (1048576.0 * count(*)) AS cx
+        FROM a0 CROSS JOIN range(16) r(i) GROUP BY m, cid, i),
+      cent AS (SELECT m, cid, list(cx ORDER BY i) AS cv FROM compx GROUP BY m, cid),
+      enc AS (SELECT vec_id, m, cid FROM (
+               SELECT s.vec_id, s.m, c.cid,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m
+                   ORDER BY ${sqlL2sq("s.sv", "c.cv")}, c.cid) AS rn
+               FROM subv s JOIN cent c ON s.m = c.m)
+             WHERE rn = 1),
+      qsub AS (SELECT m, sv AS qsv FROM subv WHERE vec_id = 0),
+      adc AS (SELECT c.m, c.cid,
+          CAST(round(${sqlL2sq("q.qsv", "c.cv")} * 1048576.0) AS BIGINT) AS qd
+        FROM cent c JOIN qsub q ON c.m = q.m),
+      dist AS (SELECT vec_id, sum(qd) AS qdist
+               FROM enc JOIN adc USING (m, cid) GROUP BY vec_id)
+      SELECT e.vec_id, e.label, CAST(qdist AS DOUBLE) / 1048576.0 AS adc_dist
+      FROM dist JOIN e USING (vec_id) WHERE e.vec_id <> 0
+      ORDER BY adc_dist, vec_id LIMIT 10""")
+  )
+
   val all: Seq[Q] = Seq(e1CosineTopK, e2AnnIvf, e3BucketNearDup, e4AnnKmeans,
-    e5AnnHyperplane, e6SemanticDedup, e7AnnBatch)
+    e5AnnHyperplane, e6SemanticDedup, e7AnnBatch, e8PqAdc)
 }

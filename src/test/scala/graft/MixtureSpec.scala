@@ -86,6 +86,17 @@ class MixtureSpec extends SparkSpec {
     }
   }
 
+  test("e8: PQ-ADC top-10 is deterministic across physical plans and " +
+    "distances are nonnegative") {
+    val a = graft.queries.SimilarityQueries.e8PqAdc.fn(spark, sf)
+      .as[(Long, Int, Double)].collect()
+    assert(a.length == 10)
+    a.foreach { case (id, _, d) => assert(d >= 0.0, s"vec $id: negative ADC $d") }
+    val b = graft.queries.SimilarityQueries.e8PqAdc.fn(spark, sf)
+      .as[(Long, Int, Double)].collect()
+    assert(a.toSeq == b.toSeq)
+  }
+
   test("d8 plan: the band probe is an equi-join (no cartesian product " +
     "anywhere in the plan)") {
     val plan = MixtureQueries.d8IncrementalNearDup.fn(spark, sf)
