@@ -281,6 +281,65 @@ object MixtureQueries {
     })
   )
 
+  /** X12: quality-aware retention policy — what production dedup actually
+    * does with a duplicate cluster: keep the BEST document, not the lowest
+    * id. Composes d5's connected-component clusters (shared via the d3
+    * pair memo — the LSH pipeline never re-runs) with x3's composite
+    * quality score, and marks per cluster the max-quality member
+    * (doc_id tie-break) as the canonical survivor. One window over the
+    * cluster key; at 100 TB clusters are small and the window never sees
+    * more than a cluster per partition group.
+    */
+  val x12RetentionPolicy: Q = Q(
+    "x12_retention_policy",
+    (s, dir) => {
+      val clusters = PipelineExtras.d5DupClusters.fn(s, dir)
+      val toks = Text.tokens(col("text"))
+      val quality = t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          size(array_distinct(toks)).cast("long").as("n_types"),
+          length(col("text")).cast("long").as("chars"),
+          size(filter(toks, tk => tk.isin("the", "a"))).cast("long").as("n_stop"))
+        .select(col("doc_id"),
+          (lit(0.4) * (col("n_types") / col("n_tokens")) +
+            lit(0.3) * least(
+              ((col("chars") - col("n_tokens") + 1) / col("n_tokens")) / lit(10.0),
+              lit(1.0)) +
+            lit(0.3) * (lit(1.0) - col("n_stop") / col("n_tokens"))).as("quality"))
+      val w = Window.partitionBy("cluster").orderBy(col("quality").desc, col("doc_id"))
+      clusters
+        .join(quality, Seq("doc_id"))
+        .withColumn("keep", row_number().over(w) === 1)
+        .select("cluster", "doc_id", "quality", "keep")
+        .orderBy("cluster", "doc_id")
+    },
+    Some(s"""WITH RECURSIVE pairs AS (${DedupQueries.sqlD3Body}),
+      edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
+      walk(id, lbl) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT e.a, w.lbl FROM edges e JOIN walk w ON e.b = w.id),
+      clusters AS (SELECT id AS doc_id, min(lbl) AS cluster FROM walk GROUP BY id),
+      base AS (SELECT doc_id,
+          len(string_split(text, ' ')) AS n_tokens,
+          len(list_distinct(string_split(text, ' '))) AS n_types,
+          length(text) AS chars,
+          len(list_filter(string_split(text, ' '), tk -> tk IN ('the', 'a'))) AS n_stop
+        FROM documents),
+      quality AS (SELECT doc_id,
+          0.4 * (n_types / n_tokens)
+            + 0.3 * least(((chars - n_tokens + 1) / n_tokens) / 10.0, 1.0)
+            + 0.3 * (1.0 - n_stop / n_tokens) AS quality
+        FROM base)
+      SELECT cluster, doc_id, quality,
+        row_number() OVER (PARTITION BY cluster ORDER BY quality DESC, doc_id) = 1 AS keep
+      FROM clusters JOIN quality USING (doc_id)
+      ORDER BY cluster, doc_id""")
+  )
+
   val all: Seq[Q] = Seq(
-    c3MixtureBuild, p13WeightedSample, x11BigramSurprisal, d8IncrementalNearDup)
+    c3MixtureBuild, p13WeightedSample, x11BigramSurprisal, d8IncrementalNearDup,
+    x12RetentionPolicy)
 }

@@ -97,6 +97,19 @@ class MixtureSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("x12: every cluster keeps exactly one member, and the kept member " +
+    "has maximal quality (doc_id tie-break)") {
+    val out = MixtureQueries.x12RetentionPolicy.fn(spark, sf)
+      .as[(Long, Long, Double, Boolean)].collect()
+    out.groupBy(_._1).foreach { case (cluster, members) =>
+      val kept = members.filter(_._4)
+      assert(kept.length == 1, s"cluster $cluster keeps ${kept.length}")
+      val best = members.minBy(m => (-m._3, m._2))
+      assert(kept.head._2 == best._2,
+        s"cluster $cluster kept ${kept.head._2}, best is ${best._2}")
+    }
+  }
+
   test("d8 plan: the band probe is an equi-join (no cartesian product " +
     "anywhere in the plan)") {
     val plan = MixtureQueries.d8IncrementalNearDup.fn(spark, sf)
