@@ -39,7 +39,8 @@ object Bench {
     "x9_seq_packing", "x10_unigram_surprisal", "d6_segment_dedup", "e6_semantic_dedup",
     "f19_bucket_categorize", "m3_resize_meta",
     "c3_mixture_build", "p13_weighted_sample", "x11_bigram_surprisal",
-    "d8_incremental_neardup", "e8_pq_adc", "x12_retention_policy")
+    "d8_incremental_neardup", "e8_pq_adc", "x12_retention_policy",
+    "m4_media_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -301,8 +301,86 @@ object PipelineExtras {
       FROM walk GROUP BY id ORDER BY doc_id""")
   )
 
+  /** M4: media near-dup by frame signature — the video/image dedup shape:
+    * every payload is cut into fixed-size frames (m2's model), each frame
+    * contributes a 32-bit content hash, the per-doc SimHash of those frame
+    * hashes is the "perceptual" signature, and candidates sharing any
+    * signature byte are verified at Hamming ≤ 6 (d4's byte-block shape
+    * over FRAMES instead of tokens). Payloads stream through one narrow
+    * frame explode + one map-side-combinable signature aggregate — at
+    * 100 TB of video, only 8-byte signatures ever shuffle, never media
+    * bytes.
+    */
+  val m4MediaDedup: Q = Q(
+    "m4_media_dedup",
+    (s, dir) => {
+      val frames = t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .withColumn("n_frames", expr("(length(text) + 63) div 64"))
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0), col("n_frames") - 1)).as("fpos"))
+        .select(col("doc_id"),
+          graft.functions.Text.tokenHash32(
+            expr("substr(text, fpos * 64 + 1, 64)")).as("hv"))
+      val sims = frames
+        .groupBy("doc_id")
+        .agg(graft.functions.Text.simhashAgg(col("hv")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sims.count() // eager: byte-block explode + both verify sides rescan
+      val bytes = sims
+        .withColumn("k", explode(sequence(lit(0), lit(3))))
+        .select(col("doc_id"), col("k"),
+          expr("shiftright(simhash, k * 8) & 255").as("byte"))
+      val cand = bytes
+        .select(col("doc_id").as("a"), col("k"), col("byte"))
+        .join(bytes.select(col("doc_id").as("b"), col("k"), col("byte")),
+          Seq("k", "byte"))
+        .filter(col("a") < col("b"))
+        .select("a", "b")
+        .distinct()
+      cand
+        .join(sims.select(col("doc_id").as("a"), col("simhash").as("sim_a")), Seq("a"))
+        .join(sims.select(col("doc_id").as("b"), col("simhash").as("sim_b")), Seq("b"))
+        .select(col("a"), col("b"),
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 6)
+        .orderBy("a", "b")
+    },
+    Some("""WITH frames AS (SELECT doc_id,
+          substr(text, CAST(fpos * 64 + 1 AS INTEGER), 64) AS frame
+        FROM (SELECT doc_id, text, unnest(range((length(text) + 63) // 64)) AS fpos
+              FROM documents WHERE length(text) > 0)),
+      hv AS (SELECT doc_id,
+          (strpos('0123456789abcdef', md5(frame)[1]) - 1) * 268435456
+        + (strpos('0123456789abcdef', md5(frame)[2]) - 1) * 16777216
+        + (strpos('0123456789abcdef', md5(frame)[3]) - 1) * 1048576
+        + (strpos('0123456789abcdef', md5(frame)[4]) - 1) * 65536
+        + (strpos('0123456789abcdef', md5(frame)[5]) - 1) * 4096
+        + (strpos('0123456789abcdef', md5(frame)[6]) - 1) * 256
+        + (strpos('0123456789abcdef', md5(frame)[7]) - 1) * 16
+        + (strpos('0123456789abcdef', md5(frame)[8]) - 1) AS hv
+        FROM frames),
+      votes AS (SELECT doc_id, j, sum(((hv >> j) & 1) * 2 - 1) AS vote
+                FROM hv CROSS JOIN range(32) r(j) GROUP BY doc_id, j),
+      sims AS (SELECT doc_id,
+                 sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS simhash
+               FROM votes GROUP BY doc_id),
+      bytes AS (SELECT doc_id, k, (simhash >> CAST(k * 8 AS INTEGER)) & 255 AS byte
+                FROM sims CROSS JOIN range(4) r(k)),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+               FROM bytes x JOIN bytes y
+                 ON x.k = y.k AND x.byte = y.byte AND x.doc_id < y.doc_id)
+      SELECT c.a, c.b,
+        CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN sims sa ON sa.doc_id = c.a
+      JOIN sims sb ON sb.doc_id = c.b
+      WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 6
+      ORDER BY a, b""")
+  )
+
   val all: Seq[Q] = Seq(
     f14ArrayOps, f15MapOps, f16ExplodeSequence, f17StringFuncs,
     f18RegexpExtractAll, f19BucketCategorize, x6PiiScrub, x7BpeTokens,
-    m2FrameSample, m3ResizeMeta, d5DupClusters)
+    m2FrameSample, m3ResizeMeta, d5DupClusters, m4MediaDedup)
 }
