@@ -32,6 +32,31 @@ object Q {
   def davg(c: Column, scale: Int = 2): Column =
     dsum(c, scale) / count(c)
 
+  /** Exact integer-quantized SUM for double expressions whose TRUE values
+    * are fixed-point decimals (e.g. products of 2dp corpus columns are
+    * exact 4/6dp): `round(x·10^scale)` is evaluated on the bit-identical
+    * IEEE double in both engines (same multiply, same half-away integer
+    * rounding) and summed as longs, so the result is exact and immune to
+    * the engines' DIFFERENT double→DECIMAL rounding paths — which
+    * [[dsum]] at scale ≥ 8 is not: Spark rounds the double's exact
+    * decimal expansion while DuckDB converts through double arithmetic,
+    * and a three-factor product's double error reaches the 8th decimal,
+    * where the two procedures can disagree (observed at sf0.1 on
+    * q01.sum_charge). Keep `scale` at the expression's true decimal
+    * precision so the quantization is lossless and the long sum has
+    * ~10^(18−scale) of magnitude headroom.
+    */
+  def qsum(c: Column, scale: Int): Column = {
+    val p = math.pow(10, scale)
+    sum(round(c * p).cast("long")).cast("double") / p
+  }
+
+  /** SQL fragment mirroring [[qsum]] for the DuckDB oracle. */
+  def sqlQsum(expr: String, scale: Int): String = {
+    val p = s"1${"0" * scale}.0"
+    s"CAST(sum(CAST(round(($expr) * $p) AS BIGINT)) AS DOUBLE) / $p"
+  }
+
   /** SQL fragment mirroring [[dsum]] for the DuckDB oracle. */
   def sqlDsum(expr: String, scale: Int = 2): String =
     s"CAST(sum(CAST(($expr) AS DECIMAL(28,$scale))) AS DOUBLE)"

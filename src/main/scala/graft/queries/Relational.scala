@@ -27,12 +27,12 @@ object Relational {
         .agg(
           dsum(col("l_quantity")).as("sum_qty"),
           dsum(col("l_extendedprice")).as("sum_base_price"),
-          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 8)
+          qsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 6)
             .as("sum_disc_price"),
-          dsum(
+          qsum(
             col("l_extendedprice") * (lit(1.0) - col("l_discount")) *
               (lit(1.0) + col("l_tax")),
-            8).as("sum_charge"),
+            6).as("sum_charge"),
           davg(col("l_quantity")).as("avg_qty"),
           davg(col("l_extendedprice")).as("avg_price"),
           davg(col("l_discount")).as("avg_disc"),
@@ -42,8 +42,8 @@ object Relational {
     Some(s"""SELECT l_returnflag, l_linestatus,
       ${sqlDsum("l_quantity")} AS sum_qty,
       ${sqlDsum("l_extendedprice")} AS sum_base_price,
-      ${sqlDsum("l_extendedprice * (1.0 - l_discount)", 8)} AS sum_disc_price,
-      ${sqlDsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 8)} AS sum_charge,
+      ${sqlQsum("l_extendedprice * (1.0 - l_discount)", 6)} AS sum_disc_price,
+      ${sqlQsum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)", 6)} AS sum_charge,
       ${sqlDavg("l_quantity")} AS avg_qty,
       ${sqlDavg("l_extendedprice")} AS avg_price,
       ${sqlDavg("l_discount")} AS avg_disc,
