@@ -181,5 +181,67 @@ object TextAnalysis {
       GROUP BY tok ORDER BY freq DESC, token LIMIT 20""")
   )
 
-  val all: Seq[Q] = Seq(x1TokenStats, x2LangId, x3Quality, x4Fingerprint, x5TokenFreq)
+  /** X13: BM25 relevance scoring — the lexical-retrieval counterpart of the
+    * e-family's ANN: score every document against a fixed query using the
+    * corpus's own df/length statistics (k₁ = 1.2, b = 0.75). The df and
+    * avgdl censuses are vocab-/1-row-bounded and broadcast; term
+    * frequencies shuffle once on (doc, term). Per-term contributions are
+    * integer-quantized (x10's trick) before the per-doc sum so Spark's
+    * partial-sum order and DuckDB's sequential scan agree exactly; `ln`
+    * runs on bit-identical doubles in both engines (every mixed-type
+    * subexpression is explicitly double-cast — BIGINT + DECIMAL would
+    * silently go decimal in the oracle and diverge).
+    */
+  val x13Bm25: Q = Q(
+    "x13_bm25",
+    (s, dir) => {
+      val query = Seq("the", "data", "market")
+      val q20d = (1L << 20).toDouble
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      val dl = toks.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      dl.count() // eager: stats + the contribution join both scan it
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      val tf = toks.filter(col("tok").isin(query: _*))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val idf = log(
+        (col("n_docs").cast("double") - col("df") + lit(0.5)) /
+          (col("df").cast("double") + lit(0.5)) + lit(1.0))
+      val contrib = tf
+        .join(broadcast(df), Seq("tok"))
+        .join(dl, Seq("doc_id"))
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          round(idf *
+            (col("tf").cast("double") * lit(2.2)) /
+            (col("tf") + lit(1.2) * (lit(1.0) - lit(0.75) +
+              lit(0.75) * col("dl") / col("avgdl"))) * lit(q20d))
+            .cast("long").as("q"))
+      contrib.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"),
+          (sum(col("q")).cast("double") / lit(q20d)).as("bm25"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      stats AS (SELECT count(*) AS n_docs, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM dl),
+      tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks
+             WHERE tok IN ('the', 'data', 'market') GROUP BY doc_id, tok),
+      df AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+      contrib AS (SELECT t.doc_id,
+          CAST(round(ln((CAST(n_docs AS DOUBLE) - df + 0.5) / (CAST(df AS DOUBLE) + 0.5) + 1.0)
+            * (CAST(tf AS DOUBLE) * 2.2)
+            / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / avgdl))
+            * 1048576.0) AS BIGINT) AS q
+        FROM tf t JOIN df USING (tok) JOIN dl ON t.doc_id = dl.doc_id CROSS JOIN stats)
+      SELECT doc_id, count(*) AS n_terms,
+        CAST(sum(q) AS DOUBLE) / 1048576.0 AS bm25
+      FROM contrib GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  val all: Seq[Q] = Seq(x1TokenStats, x2LangId, x3Quality, x4Fingerprint, x5TokenFreq,
+    x13Bm25)
 }
