@@ -97,4 +97,76 @@ object CorpusIngest {
   /** The admitted corpus as one DataFrame (all epochs). */
   def corpus(spark: SparkSession, corpusDir: String): DataFrame =
     spark.read.parquet(corpusDir)
+
+  /** Start the FUZZY admission stream — the streaming form of d8: after the
+    * exact-fingerprint gate, surviving documents are MinHash-banded and
+    * probed against the stored BAND census; any band collision with an
+    * already-admitted document rejects the candidate (the
+    * collision-is-enough gate production ingest runs when verification
+    * would require rescanning stored payloads — recall is the LSH band
+    * recall, precision is traded for never touching admitted media again).
+    * The census stores only (fp, band, bkey) signature rows — O(docs),
+    * payload-free — and both gates share the one `batch_id <` idempotence
+    * protocol, so replays rewrite rather than duplicate.
+    */
+  def startIngestNearDup(
+      spark: SparkSession,
+      inputDir: String,
+      corpusDir: String,
+      censusDir: String,
+      checkpointDir: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    readDocs(spark, inputDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (raw: DataFrame, batchId: Long) =>
+        val w = Window.partitionBy("fp").orderBy("doc_id")
+        val batch = raw
+          .withColumn("fp", Text.prefixFingerprint(Text.tokens(col("text")), 8))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .drop("rn")
+          .persist()
+        val sh = graft.operators.MinHashLSH
+          .shingleTable(batch, "doc_id", "text", 3)
+        val bands = graft.operators.MinHashLSH.bandKeys(
+          graft.operators.MinHashLSH.signatures(sh, "doc_id", 8), "doc_id", 8, 4)
+          .join(batch.select("doc_id", "fp"), Seq("doc_id"))
+        val fs = new org.apache.hadoop.fs.Path(censusDir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val admitted =
+          if (fs.exists(new org.apache.hadoop.fs.Path(censusDir))) {
+            val census = spark.read.parquet(censusDir)
+              .filter(col("batch_id") < batchId)
+            // exact gate: stored fingerprint match
+            val exactHit = census.select("fp").distinct()
+            // fuzzy gate: any LSH band collision with a stored signature
+            val fuzzyHit = bands
+              .join(census.select(col("band"), col("bkey")).distinct(),
+                Seq("band", "bkey"))
+              .select(col("doc_id")).distinct()
+            batch
+              .join(exactHit, Seq("fp"), "left_anti")
+              .join(fuzzyHit, Seq("doc_id"), "left_anti")
+          } else batch
+        val admittedBands = bands
+          .join(admitted.select("doc_id"), Seq("doc_id"))
+          .select(col("fp"), col("band"), col("bkey"), lit(batchId).as("batch_id"))
+        admitted
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(corpusDir)
+        admittedBands
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(censusDir)
+        batch.unpersist()
+        ()
+      }
+      .start()
 }

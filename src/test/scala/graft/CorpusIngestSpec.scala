@@ -65,4 +65,39 @@ class CorpusIngestSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(round3 == round2, s"re-run changed the corpus: $round3")
   }
+
+  test("near-dup ingest rejects exact dups, band-colliding near-dups, and " +
+    "admits novel documents across epochs") {
+    val root = Files.createTempDirectory("corpusingestnd").toString
+    val in = s"$root/in"; val corpus = s"$root/corpus"
+    val census = s"$root/census"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(in))
+
+    val tA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " +
+      "kilo lima mike november oscar papa quebec romeo sierra tango"
+    // near-dup of A: one token changed at the END — 3-gram shingle sets are
+    // nearly identical, so all 4 MinHash bands almost surely collide
+    val tANear = tA.replace(" tango", " zulu")
+    val tB = "one two three four five six seven eight nine ten eleven " +
+      "twelve thirteen fourteen fifteen sixteen seventeen eighteen nineteen twenty"
+
+    Files.writeString(Paths.get(s"$in/m0.json"),
+      s"""{"doc_id":1,"text":"$tA","source":"s"}
+         |""".stripMargin)
+    CorpusIngest.startIngestNearDup(spark, in, corpus, census, ckpt)
+      .awaitTermination(120000)
+
+    // epoch 1: exact dup of A (new id), near-dup of A, and a novel doc B
+    Files.writeString(Paths.get(s"$in/m1.json"),
+      s"""{"doc_id":5,"text":"$tA","source":"s"}
+         |{"doc_id":6,"text":"$tANear","source":"s"}
+         |{"doc_id":7,"text":"$tB","source":"s"}
+         |""".stripMargin)
+    CorpusIngest.startIngestNearDup(spark, in, corpus, census, ckpt)
+      .awaitTermination(120000)
+
+    val ids = CorpusIngest.corpus(spark, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 7L), s"near-dup ingest admitted $ids")
+  }
 }
