@@ -46,4 +46,23 @@ class PropertySpec extends SparkSpec {
       assert(keys == expected, s"key preservation failed for seed $seed")
     }
   }
+
+  test("qsum is exact on fixed-point inputs regardless of partitioning " +
+    "(equals the BigDecimal sum, unlike a naive double sum)") {
+    val centsGen = Gen.choose(-50_000_000L, 50_000_000L) // ±500k, 2dp
+    (1L to 5L).foreach { seed =>
+      val cents = Gen.listOfN(500, centsGen)
+        .apply(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+      assert(cents.nonEmpty)
+      val exact = cents.map(c => BigDecimal(c) / 100).sum.toDouble
+      Seq(1, 7).foreach { parts =>
+        val got = cents.map(_ / 100.0).toDF("x")
+          .repartition(parts)
+          .agg(graft.Q.qsum(org.apache.spark.sql.functions.col("x"), 2))
+          .head.getDouble(0)
+        assert(got == exact,
+          s"seed $seed parts $parts: qsum $got != exact $exact")
+      }
+    }
+  }
 }
