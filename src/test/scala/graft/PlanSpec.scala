@@ -161,6 +161,32 @@ class PlanSpec extends SparkSpec {
     assert(exchanges <= 2, s"too many shuffles ($exchanges):\n${plan.take(3000)}")
   }
 
+  test("runtime Bloom-filter pruning engages on selective shuffle joins " +
+    "(the big-big join path when no side can broadcast)") {
+    // At 100 TB a selective dim filter can't broadcast past the threshold;
+    // Spark's runtime Bloom filter injects might_contain on the fact scan
+    // so non-matching rows die before the exchange. Assert the engine's
+    // session leaves that path available by forcing the shuffle-join shape.
+    val restore = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" ->
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" ->
+        spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      import org.apache.spark.sql.functions._
+      val li = Tables.table(spark, sf, "lineitem")
+      val part = Tables.table(spark, sf, "part").filter(col("p_size") === 1)
+      val j = li.join(part, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_size").count()
+      val plan = finalPlan(j)
+      assert(plan.contains("might_contain"),
+        "runtime Bloom filter did not engage:\n" + plan.take(3000))
+    } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("shingle table is generator+window, never a re-splitting HOF lambda") {
     // Regression guard: transform(sequence(...), i -> get(split(text), ..))
     // inlines the split into every lambda element (interpreted,
