@@ -187,6 +187,32 @@ class PlanSpec extends SparkSpec {
     } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("AQE splits skewed join partitions at runtime (the automatic " +
+    "complement of Skew.saltedJoin's static salting)") {
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor")
+    val restore = keys.map(k => k -> spark.conf.get(k))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "10KB")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      import org.apache.spark.sql.functions._
+      // heavy-tailed: 90% of the fact rows share one key
+      val big = spark.range(200000).select(
+        when(col("id") % 10 === 0, col("id") % 100).otherwise(lit(0)).as("k"),
+        col("id").as("v"))
+      val dim = spark.range(100).select(col("id").as("k"), (col("id") * 2).as("w"))
+      val j = big.join(dim, Seq("k")).groupBy("w").count()
+      val plan = finalPlan(j)
+      assert(plan.contains("skew=true") || plan.contains("skewed"),
+        "AQE skew-join split did not engage:\n" + plan.take(3000))
+    } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("shingle table is generator+window, never a re-splitting HOF lambda") {
     // Regression guard: transform(sequence(...), i -> get(split(text), ..))
     // inlines the split into every lambda element (interpreted,
