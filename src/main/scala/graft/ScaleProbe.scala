@@ -66,6 +66,65 @@ object ScaleProbe {
       val (best, pairs) = times.minBy(_._1)
       println(f"[scale] factor=$f%2d docs=${docs.count() * f}%7d pairs=$pairs%7d time=$best%7.2f s")
     }
+    annProbe(spark, sfDir)
     spark.stop()
+  }
+
+  /** Embedding-side linearity: inflate `embeddings` with deterministically
+    * perturbed copies and run the bucketed near-dup core (e3's shape) with
+    * the codebook scaled ∝ √factor — the production rule that keeps the
+    * within-bucket pair term ~linear in corpus size (fixed buckets would
+    * grow it quadratically; this probe demonstrates WHY e2/e3's "learn
+    * more centroids at scale" note is load-bearing, with numbers).
+    */
+  def inflateEmb(emb: DataFrame, factor: Int): DataFrame = {
+    val copies = (0 until factor).map { k =>
+      emb.select(
+        (col("vec_id") * factor + k).as("vec_id"),
+        transform(col("v"), (x, j) =>
+          x + ((lit(k) * (j + 1)) % 97).cast("double") * lit(1e-4)).as("v"))
+    }
+    copies.reduce(_.unionByName(_))
+  }
+
+  def annProbe(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.FastVec.register(spark)
+    val emb = Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    emb.persist(); emb.count()
+    Seq(1, 2, 4, 8).foreach { f =>
+      val inflated = inflateEmb(emb, f)
+      val nCent = (8 * math.sqrt(f)).round.toInt
+      val times = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        emb.persist(); emb.count()
+        val t0 = System.nanoTime()
+        val cent = inflated.orderBy("vec_id").limit(nCent)
+          .select(col("vec_id").as("cid"), col("v").as("cv"))
+        val byVec = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+        val assign = inflated
+          .crossJoin(broadcast(cent))
+          .select(col("vec_id"), col("v"), col("cid"),
+            graft.functions.FastVec.l2sq(col("v"), col("cv")).as("d2"))
+          .withColumn("rn", row_number().over(byVec))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("v"), col("cid"),
+            graft.functions.FastVec.norm(col("v")).as("nv"))
+        val left = assign.select(
+          col("vec_id").as("a"), col("v").as("va"), col("nv").as("na"), col("cid"))
+        val right = assign.select(
+          col("vec_id").as("b"), col("v").as("vb"), col("nv").as("nb"), col("cid"))
+        val pairs = left.join(right, Seq("cid"))
+          .filter(col("a") < col("b"))
+          .filter(graft.functions.FastVec
+            .cosinePre(col("va"), col("vb"), col("na"), col("nb")) >= 0.999)
+          .count()
+        (System.nanoTime() - t0) / 1e9 -> pairs
+      }
+      val (best, pairs) = times.minBy(_._1)
+      println(f"[scale-ann] factor=$f%2d vecs=${emb.count() * f}%7d cents=$nCent%3d neardup=$pairs%7d time=$best%7.2f s")
+    }
   }
 }
