@@ -40,7 +40,7 @@ object Bench {
     "f19_bucket_categorize", "m3_resize_meta",
     "c3_mixture_build", "p13_weighted_sample", "x11_bigram_surprisal",
     "d8_incremental_neardup", "e8_pq_adc", "x12_retention_policy",
-    "m4_media_dedup", "x13_bm25")
+    "m4_media_dedup", "x13_bm25", "a19_sketch_rollup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -308,7 +308,35 @@ object Aggregates {
       FROM events ORDER BY user_id, ts, event_id""")
   )
 
+  /** A19: mergeable-sketch rollup — THE 100 TB pattern for serving distinct
+    * counts: per-day HLL sketches are pre-aggregated once (map-side
+    * combinable, bytes-bounded state), and any coarser rollup (weekly here)
+    * is a cheap `hll_union_agg` over stored sketches — the raw events are
+    * never rescanned. Sketch merges are commutative/idempotent max-register
+    * ops, so the estimate is deterministic under any partitioning; bytes
+    * differ across engines → rows-only check like a10, with the accuracy
+    * bound asserted in AggregatesSketchSpec against the exact count.
+    */
+  val a19SketchRollup: Q = Q(
+    "a19_sketch_rollup",
+    (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(expr("hll_sketch_agg(user_id)").as("sk"),
+          count(lit(1)).as("n_events"))
+      daily
+        .groupBy(date_trunc("week", col("day")).cast("date").as("week"))
+        .agg(
+          expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_users"),
+          sum(col("n_events")).as("n_events"),
+          count(lit(1)).as("n_days"))
+        .orderBy("week")
+    },
+    None
+  )
+
   val all: Seq[Q] = Seq(
     a3MaxBy, a5DailyDedup, a6Upsert, a7GroupStats, a8Rollup, a9Cube,
-    a10ApproxDistinct, w1LagLead, w2MovingAvg, w3TopNPerGroup, w4RunningSum)
+    a10ApproxDistinct, a19SketchRollup, w1LagLead, w2MovingAvg, w3TopNPerGroup,
+    w4RunningSum)
 }
