@@ -58,4 +58,37 @@ class StatefulPricesSpec extends SparkSpec {
       assert(batch == latest)
     } finally query.stop()
   }
+
+  test("keyed state runs on the RocksDB state store (the production " +
+    "backend: state spills off-heap instead of growing executor heap)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Trade]
+    val query = StatefulPrices
+      .latestPerSymbol(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("latest_prices_rocksdb")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      input.addData(Trade("AAPL", 100.0, ts("2024-01-02 10:00:00")))
+      query.processAllAvailable()
+      input.addData(Trade("AAPL", 55.0, ts("2024-01-02 09:00:00")),
+        Trade("TSLA", 200.0, ts("2024-01-02 11:00:00")))
+      query.processAllAvailable()
+      val latest = spark.table("latest_prices_rocksdb").as[Latest].collect()
+        .groupBy(_.symbol).map { case (s, rows) => s -> rows.last }.toMap
+      // stale AAPL update rejected by state carried in RocksDB
+      assert(latest("AAPL") == Latest("AAPL", 100.0, ts("2024-01-02 10:00:00")))
+      assert(latest("TSLA") == Latest("TSLA", 200.0, ts("2024-01-02 11:00:00")))
+    } finally {
+      query.stop()
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
 }
