@@ -108,6 +108,14 @@ object CorpusIngest {
     * The census stores only (fp, band, bkey) signature rows — O(docs),
     * payload-free — and both gates share the one `batch_id <` idempotence
     * protocol, so replays rewrite rather than duplicate.
+    *
+    * Two deliberate batch-granularity trade-offs: (1) near-dups arriving
+    * in the SAME epoch are admitted together (the gate is batch × census;
+    * the periodic corpus-wide d3/d5 sweep catches them — running
+    * clustering inside every epoch would serialize ingest on an iterative
+    * job); (2) the census accrues one `batch_id=` partition per epoch, so
+    * a long-running stream should roll [[graft.sources.Compact]] over it —
+    * admission only reads `fp/band/bkey`, which compaction preserves.
     */
   def startIngestNearDup(
       spark: SparkSession,
