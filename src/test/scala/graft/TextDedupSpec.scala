@@ -62,6 +62,28 @@ class TextDedupSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(sims(1L) ^ sims(3L)) > 0)
   }
 
+  test("prefix-filtered similarity join equals brute force at t=0.5 on " +
+    "real corpus data (the SSJoin lemma + length filter lose NOTHING)") {
+    val sh = MinHashLSH.shingleTable(
+      Tables.table(spark, "/root/testdata/sf0.001", "documents"),
+      "doc_id", "text", 5)
+      .persist()
+    sh.count()
+    val brute = MinHashLSH.jaccardAllPairs(sh, "doc_id")
+      .filter(col("jaccard") >= 0.5)
+      .select("a", "b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    val filtered = MinHashLSH
+      .verifyJaccard(MinHashLSH.prefixFilteredPairs(sh, "doc_id"), sh, "doc_id")
+      .filter(col("jaccard") >= 0.5)
+      .select("a", "b", "jaccard")
+      .as[(Long, Long, Double)].collect().toSet
+    sh.unpersist()
+    assert(filtered == brute,
+      s"missing=${(brute -- filtered).take(5)} extra=${(filtered -- brute).take(5)}")
+    assert(brute.nonEmpty, "corpus should contain at least one near-dup pair")
+  }
+
   test("tokenHash32 is a stable 32-bit value") {
     val vals = Seq(("x", 1), ("x", 2)).toDF("tok", "i")
       .select(Text.tokenHash32($"tok").as("h")).collect().map(_.getLong(0))
