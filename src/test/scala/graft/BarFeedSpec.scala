@@ -90,6 +90,25 @@ class BarFeedSpec extends SparkSpec {
     assert(rows.select("symbol").distinct().count() == 3)
   }
 
+  test("trades feed: dropDuplicatesWithinWatermark dedups with state " +
+    "EVICTION guarantees (the unbounded-key-safe production variant)") {
+    // Plain dropDuplicates keeps every key's state forever even under a
+    // watermark; WithinWatermark evicts state older than the watermark —
+    // the only form that survives an unbounded key universe at 100 TB.
+    import graft.streaming.LiveFeed
+    import org.apache.spark.sql.streaming.Trigger
+    val q = LiveFeed.readTradesFeed(spark, Seq("AAPL", "MSFT", "GOOG"), maxPolls = 3)
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("symbol")
+      .writeStream.format("memory").queryName("trades_dedup_ww")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rows = spark.table("trades_dedup_ww")
+    // all polls land within one watermark window → exactly one row per key
+    assert(rows.select("symbol").distinct().count() == 3)
+    assert(rows.count() == 3)
+  }
+
   test("trades feed end-to-end: poll stream -> partition-incremental upsert (E2)") {
     import graft.operators.Merge
     import graft.streaming.LiveFeed
