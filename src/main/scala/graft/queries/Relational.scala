@@ -424,8 +424,56 @@ object Relational {
       ORDER BY nationkey""")
   )
 
+  /** Q07/Q08: the SQL FRONT DOOR — every other registry query declares its
+    * plan through the DataFrame API; these two run ONE ANSI SQL text
+    * through `spark.sql` (over temp views of the corpus) and hand the
+    * SAME text to DuckDB as the oracle: dialect-portable SQL in, identical
+    * rows out. q07's above-average comparison is an integer cross-multiply
+    * (cents · n > Σcents) so no engine ever materializes a float average;
+    * q08 is a NOT EXISTS anti-join. Catalyst plans both exactly like their
+    * DataFrame twins (hash aggregate / broadcast anti join).
+    */
+  private val sqlQ07 =
+    """WITH cents AS (SELECT c_nationkey, CAST(round(c_acctbal * 100) AS BIGINT) AS cb
+         FROM customer),
+       stats AS (SELECT c_nationkey, sum(cb) AS s, count(*) AS n
+         FROM cents GROUP BY c_nationkey)
+       SELECT n.n_name, count(*) AS n_above_avg
+       FROM cents c
+       JOIN stats st ON c.c_nationkey = st.c_nationkey
+       JOIN nation n ON c.c_nationkey = n.n_nationkey
+       WHERE c.cb * st.n > st.s
+       GROUP BY n.n_name ORDER BY n.n_name"""
+
+  val q07SqlAboveAvg: Q = Q(
+    "q07_sql_above_avg",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      s.sql(sqlQ07)
+    },
+    Some(sqlQ07)
+  )
+
+  private val sqlQ08 =
+    """SELECT p.p_brand, count(*) AS n_never_bulk
+       FROM part p
+       WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                         WHERE l.l_partkey = p.p_partkey AND l.l_quantity >= 45)
+       GROUP BY p.p_brand ORDER BY p.p_brand"""
+
+  val q08SqlNotExists: Q = Q(
+    "q08_sql_not_exists",
+    (s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sqlQ08)
+    },
+    Some(sqlQ08)
+  )
+
   val all: Seq[Q] = Seq(
-    q01PricingSummary,
+    q01PricingSummary, q07SqlAboveAvg, q08SqlNotExists,
     p1Drop, p2Rename, p3Project, p4Filter, p5Isin, p6Validity, p8MaskedUpdate,
     f1Respell, f2Case, f3Split, f4StringAgg, f5Concat, f6TimeTrunc, f9TsArith,
     f11CastNull, f13Json,
