@@ -82,8 +82,17 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
     // Untimed JVM/codegen warmup (no benchmark data touched): the first
     // timed query should measure the engine, not JIT + codegen-compiler
-    // cold start.
+    // cold start. The parquet round-trip on SYNTHETIC rows warms the
+    // reader/writer/columnar-to-row classes that otherwise bill their
+    // classloading to whichever query runs first (~1.5 s on q01).
     spark.range(1000).selectExpr("sum(id * 2)").collect()
+    val warmDir = s"/tmp/graft-bench-warm-${System.nanoTime()}"
+    spark.range(1000).selectExpr("id", "cast(id as double) AS v", "cast(id as string) AS s")
+      .write.mode("overwrite").parquet(warmDir)
+    spark.read.parquet(warmDir)
+      .filter(org.apache.spark.sql.functions.col("id") > 10)
+      .groupBy("s").count().collect()
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warmDir))
     val all = SparkEntry.queries
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
       case Some(only) => only.split(",").map(_.trim).filter(all.contains).toSeq
