@@ -55,4 +55,47 @@ object StatefulPrices {
         max_by(col("price"), struct(col("ts"), col("price"))).as("price"),
         max(col("ts")).as("ts"))
   }
+
+  /** Same state machine on Spark 4's `transformWithState` — the successor
+    * API to `mapGroupsWithState`: explicit named state variables managed by
+    * the processor, TTL support, and a state schema the engine can evolve.
+    * Semantics are IDENTICAL to [[latestPerSymbol]] (same [[newer]] fold),
+    * which StatefulPricesSpec asserts differentially.
+    */
+  class LatestProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[String, Trade, Latest] {
+    @transient private var latest: org.apache.spark.sql.streaming.ValueState[Latest] = _
+
+    override def init(
+        outputMode: org.apache.spark.sql.streaming.OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      latest = getHandle.getValueState[Latest](
+        "latest",
+        org.apache.spark.sql.Encoders.product[Latest],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(
+        key: String,
+        inputRows: Iterator[Trade],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[Latest] = {
+      val batchBest = inputRows
+        .map(t => Latest(key, t.price, t.ts))
+        .reduce(newer)
+      val best = Option(latest.get()).map(newer(_, batchBest)).getOrElse(batchBest)
+      latest.update(best)
+      Iterator.single(best)
+    }
+  }
+
+  /** [[latestPerSymbol]] via the transformWithState API. */
+  def latestPerSymbolTws(trades: Dataset[Trade]): Dataset[Latest] = {
+    import trades.sparkSession.implicits._
+    trades
+      .groupByKey(_.symbol)
+      .transformWithState(
+        new LatestProcessor,
+        org.apache.spark.sql.streaming.TimeMode.None(),
+        org.apache.spark.sql.streaming.OutputMode.Update())
+  }
 }

@@ -59,6 +59,49 @@ class StatefulPricesSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("transformWithState (Spark 4 state API) agrees with the " +
+    "mapGroupsWithState path and the batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // transformWithState requires the RocksDB state store provider
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val input = MemoryStream[Trade]
+    val query = StatefulPrices
+      .latestPerSymbolTws(input.toDS())
+      .writeStream
+      .format("memory")
+      .queryName("latest_prices_tws")
+      .outputMode(OutputMode.Update())
+      .start()
+    try {
+      val trades = Seq(
+        Trade("AAPL", 100.0, ts("2024-01-02 10:00:00")),
+        Trade("AAPL", 101.0, ts("2024-01-02 10:00:00")),
+        Trade("MSFT", 390.0, ts("2024-01-02 10:00:00")))
+      input.addData(trades: _*)
+      query.processAllAvailable()
+      input.addData(Trade("AAPL", 55.0, ts("2024-01-02 09:00:00")),
+        Trade("MSFT", 391.0, ts("2024-01-02 11:00:00")))
+      query.processAllAvailable()
+      val latest = spark.table("latest_prices_tws").as[Latest].collect()
+        .groupBy(_.symbol).map { case (s, rows) => s -> rows.last }.toMap
+      assert(latest("AAPL") == Latest("AAPL", 101.0, ts("2024-01-02 10:00:00")))
+      assert(latest("MSFT") == Latest("MSFT", 391.0, ts("2024-01-02 11:00:00")))
+      val all = (trades ++ Seq(
+        Trade("AAPL", 55.0, ts("2024-01-02 09:00:00")),
+        Trade("MSFT", 391.0, ts("2024-01-02 11:00:00")))).toDF()
+      val batch = StatefulPrices.latestPerSymbolBatch(all).as[Latest]
+        .collect().map(l => l.symbol -> l).toMap
+      assert(batch == latest)
+    } finally {
+      query.stop()
+      prev.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+    }
+  }
+
   test("keyed state runs on the RocksDB state store (the production " +
     "backend: state spills off-heap instead of growing executor heap)") {
     import spark.implicits._
