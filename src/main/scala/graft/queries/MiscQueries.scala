@@ -103,6 +103,49 @@ object MiscQueries {
     * alignment of two live schemas). Oracle-free: the result is driver-side
     * metadata, not DuckDB-reproducible data.
     */
+  /** V4: column profiling — the ANALYZE-TABLE shape every warehouse runs
+    * before planning: per column, null count / distinct count / min / max,
+    * computed in ONE scan (a single multi-expression aggregate, reshaped
+    * to rows with `stack`), not one pass per column. String/int columns
+    * only — float min/max would hit engine-specific double formatting.
+    */
+  val v4ColumnProfile: Q = Q(
+    "v4_column_profile",
+    (s, dir) => {
+      val cols = Seq("o_orderstatus", "o_orderpriority", "o_custkey")
+      val aggs = cols.flatMap { c =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+          countDistinct(col(c)).as(s"${c}_distinct"),
+          min(col(c)).cast("string").as(s"${c}_min"),
+          max(col(c)).cast("string").as(s"${c}_max"))
+      }
+      val stackExpr = cols
+        .map(c => s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max")
+        .mkString(s"stack(${cols.size}, ", ", ", ")")
+      t(s, dir, "orders")
+        .agg(aggs.head, aggs.tail: _*)
+        .selectExpr(s"$stackExpr AS (column_name, n_nulls, n_distinct, min_s, max_s)")
+        .orderBy("column_name")
+    },
+    Some("""SELECT 'o_custkey' AS column_name,
+        sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+        count(DISTINCT o_custkey) AS n_distinct,
+        CAST(min(o_custkey) AS VARCHAR) AS min_s, CAST(max(o_custkey) AS VARCHAR) AS max_s
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority',
+        sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+        count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority)
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus',
+        sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+        count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus)
+      FROM orders
+      ORDER BY column_name""")
+  )
+
   val v2SchemaDiff: Q = Q(
     "v2_schema_diff",
     (s, dir) => {
@@ -168,6 +211,6 @@ object MiscQueries {
   )
 
   val all: Seq[Q] = Seq(
-    a2Counts, a11Percentiles, f8Timezone, u2InsertAbsent, v2SchemaDiff,
+    a2Counts, a11Percentiles, f8Timezone, u2InsertAbsent, v2SchemaDiff, v4ColumnProfile,
     o4FileListing, m1BinaryMeta)
 }
