@@ -157,8 +157,10 @@ object MixtureQueries {
       val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
       bigrams
         .join(bi, Seq("w1", "w2"))
-        .join(broadcast(uni.select(col("tok").as("w1"), col("c1").as("c1p"))), Seq("w1"))
-        .join(broadcast(uni.select(col("tok").as("w2"), col("c1").as("c1c"))), Seq("w2"))
+        // Vocab-sized censuses carry no forced broadcast hint (see x10):
+        // auto-broadcast under the threshold, shuffled join beyond it.
+        .join(uni.select(col("tok").as("w1"), col("c1").as("c1p")), Seq("w1"))
+        .join(uni.select(col("tok").as("w2"), col("c1").as("c1c")), Seq("w2"))
         .crossJoin(broadcast(total))
         .select(col("doc_id"),
           round(-log2(

@@ -313,7 +313,12 @@ object TrainPipeline {
       val total = census.agg(sum(col("c")).as("n_total"))
       val q20 = (1L << 20).toDouble
       toks
-        .join(broadcast(census), Seq("tok"))
+        // No FORCED broadcast on the vocab-sized census: an explicit hint
+        // would build it on the driver regardless of size. Under the
+        // auto-broadcast threshold Catalyst broadcasts it anyway; at web
+        // scale (~10M types > threshold) the plan degrades to a shuffled
+        // join on the token key — the right plan at that size.
+        .join(census, Seq("tok"))
         .crossJoin(broadcast(total))
         .select(col("doc_id"),
           round((log2(col("n_total")) - log2(col("c"))) * q20).cast("long").as("qbits"))
