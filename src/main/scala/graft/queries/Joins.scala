@@ -55,13 +55,16 @@ object Joins {
       ORDER BY p_partkey""")
   )
 
-  /** J3: inner equi-join, dimension broadcast. */
+  /** J3: inner equi-join. NO forced broadcast: customer GROWS with scale
+    * (unlike nation/region), so the hint is left to Catalyst — broadcast
+    * under the threshold, sort-merge on the shared key beyond it.
+    */
   val j3Inner: Q = Q(
     "j3_inner_join",
     (s, dir) => {
       val o = t(s, dir, "orders")
       val c = t(s, dir, "customer").select("c_custkey", "c_name")
-      o.join(broadcast(c), col("o_custkey") === col("c_custkey"), "inner")
+      o.join(c, col("o_custkey") === col("c_custkey"), "inner")
         .select("o_orderkey", "c_name", "o_totalprice")
         .orderBy("o_orderkey")
     },
@@ -136,9 +139,11 @@ object Joins {
     "j7_theta_range_join",
     (s, dir) => {
       val li = t(s, dir, "lineitem")
+      // part grows with scale — no forced broadcast (see j3); the theta
+      // predicate rides on the equi key either way.
       val p = t(s, dir, "part")
       li.join(
-          broadcast(p),
+          p,
           col("l_partkey") === col("p_partkey") &&
             col("l_quantity") > col("p_size").cast("double"),
           "inner")
