@@ -41,7 +41,8 @@ object Bench {
     "c3_mixture_build", "p13_weighted_sample", "x11_bigram_surprisal",
     "d8_incremental_neardup", "e8_pq_adc", "x12_retention_policy",
     "m4_media_dedup", "x13_bm25", "a19_sketch_rollup",
-    "q07_sql_above_avg", "q08_sql_not_exists", "v4_column_profile")
+    "q07_sql_above_avg", "q08_sql_not_exists", "v4_column_profile",
+    "a18_sessionize")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

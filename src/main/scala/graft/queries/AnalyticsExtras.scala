@@ -412,9 +412,52 @@ object AnalyticsExtras {
       GROUP BY 1, 2 ORDER BY cohort, day_offset""")
   )
 
+  /** A18: gap-based sessionization with EXPLICIT session ids — the
+    * row-level twin of s3's `session_window`: users also need the id ON
+    * each event (for joins, funnels, replay), which the windowed form
+    * doesn't give. Classic two-window shape: a lag-gap flag, then a
+    * running sum of flags as the id — one shuffle on user_id serves both
+    * windows. Gaps compare integer MICROSECONDS (`unix_micros` /
+    * `epoch_us`), never float seconds.
+    */
+  val a18Sessionize: Q = Q(
+    "a18_sessionize",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val gapUs = 1800L * 1000000L
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(run))
+        .groupBy("user_id", "session_id")
+        .agg(
+          min(col("ts")).as("session_start"),
+          count(lit(1)).as("n_events"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts"))))
+            .as("duration_us"))
+        .orderBy("user_id", "session_id")
+    },
+    Some("""WITH o AS (SELECT user_id, ts, event_id,
+          CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                 OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+               THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      s AS (SELECT user_id, ts,
+          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS session_id
+        FROM o)
+      SELECT user_id, session_id, min(ts) AS session_start, count(*) AS n_events,
+        max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us
+      FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""")
+  )
+
   val all: Seq[Q] = Seq(
     w5RankAnalytics, w6FirstLast, w7RangeFrame, a12StatsMoments,
     a13Conditional, a14MedianDistinct, a15GroupingSets, a16Funnel,
-    a17Retention, p9Pivot, p10Unpivot, p11HashSample, q05RevenueByNation,
-    q06ForecastRevenue)
+    a17Retention, a18Sessionize, p9Pivot, p10Unpivot, p11HashSample,
+    q05RevenueByNation, q06ForecastRevenue)
 }
