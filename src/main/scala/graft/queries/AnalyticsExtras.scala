@@ -447,8 +447,8 @@ object AnalyticsExtras {
                THEN 1 ELSE 0 END AS new_s
         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       s AS (SELECT user_id, ts,
-          sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-            ROWS UNBOUNDED PRECEDING) AS session_id
+          CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM o)
       SELECT user_id, session_id, min(ts) AS session_start, count(*) AS n_events,
         max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us

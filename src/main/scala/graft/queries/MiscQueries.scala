@@ -129,18 +129,18 @@ object MiscQueries {
         .orderBy("column_name")
     },
     Some("""SELECT 'o_custkey' AS column_name,
-        sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+        CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
         count(DISTINCT o_custkey) AS n_distinct,
         CAST(min(o_custkey) AS VARCHAR) AS min_s, CAST(max(o_custkey) AS VARCHAR) AS max_s
       FROM orders
       UNION ALL
       SELECT 'o_orderpriority',
-        sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END),
+        CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         count(DISTINCT o_orderpriority), min(o_orderpriority), max(o_orderpriority)
       FROM orders
       UNION ALL
       SELECT 'o_orderstatus',
-        sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END),
+        CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
         count(DISTINCT o_orderstatus), min(o_orderstatus), max(o_orderstatus)
       FROM orders
       ORDER BY column_name""")

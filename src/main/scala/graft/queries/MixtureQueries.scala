@@ -77,16 +77,18 @@ object MixtureQueries {
              WHEN CAST(substr(source, 4) AS INT) <= 14 THEN 'books'
              ELSE 'code' END AS domain
       FROM documents),
-      census AS (SELECT domain, count(*) AS corpus_docs, sum(n_tokens) AS corpus_tokens,
+      census AS (SELECT domain, count(*) AS corpus_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS corpus_tokens,
           CAST(CASE domain WHEN 'web' THEN 10000 WHEN 'books' THEN 6000 ELSE 4000 END AS BIGINT) AS budget_tokens
         FROM d GROUP BY domain),
-      c2 AS (SELECT *, least(1048576, budget_tokens * 1048576 // corpus_tokens) AS frac_q20
+      c2 AS (SELECT *, CAST(least(1048576, budget_tokens * 1048576 // corpus_tokens) AS BIGINT) AS frac_q20
         FROM census),
-      adm AS (SELECT domain, count(*) AS admitted_docs, sum(n_tokens) AS admitted_tokens
+      adm AS (SELECT domain, count(*) AS admitted_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS admitted_tokens
         FROM d JOIN c2 USING (domain) WHERE hv % 1048576 < frac_q20 GROUP BY domain)
       SELECT c2.domain, corpus_docs, corpus_tokens, budget_tokens, frac_q20,
-        coalesce(admitted_docs, 0) AS admitted_docs,
-        coalesce(admitted_tokens, 0) AS admitted_tokens
+        CAST(coalesce(admitted_docs, 0) AS BIGINT) AS admitted_docs,
+        CAST(coalesce(admitted_tokens, 0) AS BIGINT) AS admitted_tokens
       FROM c2 LEFT JOIN adm ON c2.domain = adm.domain ORDER BY c2.domain""")
   )
 

@@ -233,7 +233,7 @@ object TrainPipeline {
               FROM segs),
       fpc AS (SELECT fp, count(*) AS c FROM fps GROUP BY fp)
       SELECT f.doc_id, count(*) AS n_segments,
-        sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS n_dup_segments,
+        CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segments,
         CAST(sum(CASE WHEN c.c > 1 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_seg_frac
       FROM fps f JOIN fpc c ON f.fp = c.fp
       GROUP BY f.doc_id ORDER BY doc_id""")
@@ -282,7 +282,8 @@ object TrainPipeline {
         FROM (SELECT *,
                 CAST('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
               FROM keep))
-      SELECT split, lang, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+      SELECT split, lang, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens
       FROM split GROUP BY split, lang ORDER BY split, lang""")
   )
 

@@ -54,6 +54,18 @@ for name, sql in oracle.items():
             b = pd.to_datetime(b).astype("datetime64[us]")
             eq = (a.values == b.values) | (pd.isna(a).values & pd.isna(b).values)
         elif a.dtype.kind == "f" or b.dtype.kind == "f":
+            # Driver-faithful: the driver hashes raw dtyped values, so an
+            # integer column on one side vs a float column on the other
+            # (the DuckDB HUGEINT->pandas float64 trap: bare sum() of an
+            # integer) hash-mismatches even when values are numerically
+            # equal. float == int here would mask exactly that class.
+            if (a.dtype.kind in "iu") != (b.dtype.kind in "iu") and \
+               (a.dtype.kind in "iuf" and b.dtype.kind in "iuf"):
+                print(f"FAIL {name}: col '{c}' dtype kind mismatch: "
+                      f"spark={a.dtype} oracle={b.dtype} "
+                      f"(bare sum() in oracle? wrap in CAST(... AS BIGINT))")
+                ok = False
+                break
             av, bv = a.astype(float).values, b.astype(float).values
             eq = (av == bv) | (np.isnan(av) & np.isnan(bv))
             if not eq.all():
