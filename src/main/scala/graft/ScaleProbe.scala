@@ -67,7 +67,34 @@ object ScaleProbe {
       println(f"[scale] factor=$f%2d docs=${docs.count() * f}%7d pairs=$pairs%7d time=$best%7.2f s")
     }
     annProbe(spark, sfDir)
+    ccProbe(spark, sfDir)
     spark.stop()
+  }
+
+  /** d5's two connected-components strategies head-to-head on the REAL
+    * d3 near-dup graph: the driver union-find (what the bench exercises —
+    * the sf0.1 edge count is far below the 1M cutoff) vs the frontier
+    * Pregel loop the 100 TB story rests on (`smallGraphMaxEdges = 0`
+    * forces it, exactly as the specs do). Records the distributed path's
+    * measured wall time so its scale claim isn't spec-only.
+    */
+  def ccProbe(spark: SparkSession, sfDir: String): Unit = {
+    // Edge generation (the full LSH pipeline) is shared setup, not what
+    // this probe measures: materialize once, time ONLY the clustering.
+    val pairs = graft.queries.DedupQueries.d3Pairs(spark, sfDir)
+      .select(col("a"), col("b"))
+    pairs.count()
+    Seq("union-find" -> (1L << 20), "pregel" -> 0L).foreach { case (name, cutoff) =>
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = graft.operators.ConnectedComponents
+          .minLabels(pairs, smallGraphMaxEdges = cutoff)
+          .count()
+        (System.nanoTime() - t0) / 1e9 -> n
+      }
+      val (best, n) = times.minBy(_._1)
+      println(f"[scale-cc] path=$name%-10s labels=$n%6d time=$best%7.2f s")
+    }
   }
 
   /** Embedding-side linearity: inflate `embeddings` with deterministically

@@ -28,11 +28,19 @@ object Verify {
     // it, so the full registry always runs in the real gate.
     val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
       .map(_.split(",").map(_.trim).toSet)
+    // Per-query engine dtype manifest (column → Spark simpleString), written
+    // alongside the parquet: lets oracle/engine type drift (e.g. DuckDB
+    // HUGEINT→float64 vs Spark bigint, the r4 failure class) be diffed
+    // from artifacts alone, without running DuckDB.
+    val dtypes = scala.collection.mutable.LinkedHashMap.empty[String, Seq[(String, String)]]
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        dtypes(name) = df.schema.fields.toSeq.map(f => f.name -> f.dataType.simpleString)
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
@@ -52,6 +60,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val dtypeJson = dtypes
+      .map { case (name, cols) =>
+        s"${q(name)}: ${cols.map { case (c, t) => s"${q(c)}: ${q(t)}" }.mkString("{", ",", "}")}"
+      }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/dtypes.json"), dtypeJson)
     spark.stop()
   }
 }

@@ -140,7 +140,7 @@ object DedupQueries {
     */
   def clearMemo(): Unit = pairsCache.clear()
 
-  private[queries] def d3Pairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
+  private[graft] def d3Pairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =
     pairsCache.getOrElseUpdate((s, dir), {
       val p = MinHashLSH
         .nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -161,15 +161,36 @@ object DedupQueries {
   )
 
   /** D4: SimHash near-dup — 32-bit signatures from per-token md5 hashes
-    * (token multiplicity = vote weight), candidates share one of 4 signature
-    * bytes (any pair within Hamming ≤ 8 of each other must agree on ≥1
-    * byte), verified at Hamming ≤ 6.
+    * (token multiplicity = vote weight), candidates from the classic
+    * PERMUTED-TABLE SORTED-NEIGHBORHOOD generator (Manku et al., WWW'07
+    * shape), verified at Hamming ≤ 6.
+    *
+    * Why not byte-block buckets (the r1-r4 shape): natural-language bit
+    * bias concentrates signature bytes — measured at sf0.1, ONE (k, byte)
+    * bucket held 31.8 % of all candidate pair work, the straggler at any
+    * scale — and the candidate set itself is quadratic in the corpus's
+    * duplicate density (913 k verified pairs at sf0.1). Instead: for each
+    * of 4 cyclic byte-rotations of the signature, sort (rotated key,
+    * doc_id) and pair every doc with its W=4 nearest neighbors. Candidate
+    * count is bounded at 4·n·W BY CONSTRUCTION — no bucket can explode —
+    * and the measured max work-unit share at sf0.1 is 2.3 %.
+    *
+    * Scale shape: the global sort order is decomposed so nothing needs a
+    * single-partition window — ranks are computed within 16-bit prefix
+    * blocks of each rotation (a partitioned window, O(block) each), block
+    * adjacency comes from a dense index over the ≤ 2^16-row non-empty
+    * block census (bounded window), and neighbor pairs are equi-joins on
+    * (rotation, block, rank+w) plus a (rotation, block+1) boundary join.
+    * Pairs whose sorted-order gap spans ≥ 2 block boundaries are not
+    * candidates (they need ≥ 2 consecutive near-empty blocks; the oracle
+    * computes the identical decomposition).
     */
   val d4SimHash: Q = Q(
     "d4_simhash",
     (s, dir) => {
-      // One row per doc; scanned from THREE subtrees of the one action
-      // (byte-block explode + both verify sides). Persist + eager count, or
+      val W = 4
+      // One row per doc; scanned from FOUR subtrees of the one action
+      // (rotation explode + both verify sides). Persist + eager count, or
       // each subtree re-runs the tokenize→hash→agg pipeline over every
       // token (trap: concurrent first-scan of an unmaterialized cache).
       val sims = t(s, dir, "documents")
@@ -179,18 +200,38 @@ object DedupQueries {
         .agg(Text.simhashAgg(col("hv")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sims.count()
-      val bytes = sims
-        .withColumn("k", explode(sequence(lit(0), lit(3))))
-        .select(
-          col("doc_id"), col("k"),
-          expr("shiftright(simhash, k * 8) & 255").as("byte"))
-      val cand = bytes
-        .select(col("doc_id").as("a"), col("k"), col("byte"))
-        .join(bytes.select(col("doc_id").as("b"), col("k"), col("byte")), Seq("k", "byte"))
-        .filter(col("a") < col("b"))
-        .select("a", "b")
+      val blocks = sims
+        .withColumn("r", explode(sequence(lit(0), lit(3))))
+        .select(col("doc_id"), col("r"),
+          expr("(shiftleft(simhash, r * 8) | shiftright(simhash, 32 - r * 8)) & 4294967295").as("rk"))
+        .withColumn("blk", expr("shiftright(rk, 16)"))
+      val census = blocks.groupBy("r", "blk").agg(count(lit(1)).as("cnt"))
+        .withColumn("bi", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("r").orderBy("blk")))
+      val ranked = blocks.join(broadcast(census), Seq("r", "blk"))
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("r", "bi")
+            .orderBy(col("rk"), col("doc_id"))))
+        .select("doc_id", "r", "bi", "cnt", "rn")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ranked.count() // scanned by the within-join (both sides) and both boundary sides
+      val within = ranked
+        .withColumn("w", explode(sequence(lit(1), lit(W))))
+        .select(col("r"), col("bi"), (col("rn") + col("w")).as("rn2"), col("doc_id").as("da"))
+        .join(ranked.select(col("r"), col("bi"), col("rn").as("rn2"), col("doc_id").as("db")),
+          Seq("r", "bi", "rn2"))
+        .select("da", "db")
+      val bound = ranked.filter(col("rn") > col("cnt") - W)
+        .select(col("r"), (col("bi") + 1).as("bi2"),
+          (col("cnt") - col("rn")).as("ga"), col("doc_id").as("da"))
+        .join(ranked.filter(col("rn") <= W)
+          .select(col("r"), col("bi").as("bi2"), col("rn").as("gb"), col("doc_id").as("db")),
+          Seq("r", "bi2"))
+        .filter(col("ga") + col("gb") <= W)
+        .select("da", "db")
+      within.unionByName(bound)
+        .select(least(col("da"), col("db")).as("a"), greatest(col("da"), col("db")).as("b"))
         .distinct()
-      cand
         .join(sims.select(col("doc_id").as("a"), col("simhash").as("sim_a")), Seq("a"))
         .join(sims.select(col("doc_id").as("b"), col("simhash").as("sim_b")), Seq("b"))
         .select(
@@ -215,11 +256,25 @@ object DedupQueries {
       sims AS (SELECT doc_id,
                  sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS simhash
                FROM votes GROUP BY doc_id),
-      bytes AS (SELECT doc_id, k, (simhash >> CAST(k * 8 AS INTEGER)) & 255 AS byte
-                FROM sims CROSS JOIN range(4) r(k)),
-      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
-               FROM bytes x JOIN bytes y
-                 ON x.k = y.k AND x.byte = y.byte AND x.doc_id < y.doc_id)
+      rots AS (SELECT doc_id, r,
+          ((simhash << CAST(8*r AS INTEGER)) | (simhash >> CAST(32 - 8*r AS INTEGER))) & 4294967295 AS rk
+        FROM sims CROSS JOIN range(4) q(r)),
+      census AS (SELECT r, rk >> 16 AS blk, count(*) AS cnt,
+          row_number() OVER (PARTITION BY r ORDER BY rk >> 16) AS bi
+        FROM rots GROUP BY r, rk >> 16),
+      ranked AS (SELECT t.doc_id, t.r, c.bi, c.cnt,
+          row_number() OVER (PARTITION BY t.r, c.bi ORDER BY t.rk, t.doc_id) AS rn
+        FROM rots t JOIN census c ON t.r = c.r AND (t.rk >> 16) = c.blk),
+      within AS (SELECT x.doc_id AS da, y.doc_id AS db
+                 FROM ranked x JOIN ranked y
+                   ON x.r = y.r AND x.bi = y.bi AND y.rn BETWEEN x.rn + 1 AND x.rn + 4),
+      bound AS (SELECT x.doc_id AS da, y.doc_id AS db
+                FROM ranked x JOIN ranked y
+                  ON x.r = y.r AND y.bi = x.bi + 1
+                 AND x.rn > x.cnt - 4 AND y.rn <= 4
+                 AND (x.cnt - x.rn) + y.rn <= 4),
+      cand AS (SELECT DISTINCT least(da, db) AS a, greatest(da, db) AS b
+               FROM (SELECT * FROM within UNION ALL SELECT * FROM bound))
       SELECT c.a, c.b,
         CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
       FROM cand c

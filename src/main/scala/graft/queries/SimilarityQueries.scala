@@ -112,6 +112,16 @@ object SimilarityQueries {
   /** E3: embedding near-dup — top-20 most similar pairs searched only
     * WITHIN each IVF bucket (the blocked formulation that avoids the n²
     * cross product; at scale each bucket joins co-partitioned).
+    *
+    * The codebook is √n-sized (C = max(8, ceil(√n)) deterministic
+    * md5-sampled seeds — e4's draw), NOT a fixed constant: with C fixed,
+    * expected within-bucket pair work is Σ(n/C)²·C = n²/C — quadratic in
+    * corpus size; with C = √n it is n^1.5, the classic balance point where
+    * the n·C assignment cost and the within-bucket pair cost grow at the
+    * SAME rate (ScaleProbe.annProbe measures this shape linear-per-row).
+    * The corpus count that sizes the codebook is one scalar aggregate
+    * (count → literal), and the seed pick is a distributed
+    * TakeOrderedAndProject — no global window, nothing single-partition.
     */
   val e3BucketNearDup: Q = Q(
     "e3_bucket_neardup",
@@ -119,7 +129,11 @@ object SimilarityQueries {
       FastVec.register(s)
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), Vectors.toDoubleVec(col("embedding")).as("v"))
-      val cent = emb.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("v").as("cv"))
+      val nC = math.max(8, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+      val cent = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(nC)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
       val byVec = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
       val assign = emb
         .crossJoin(broadcast(cent))
@@ -141,7 +155,9 @@ object SimilarityQueries {
         .limit(20)
     },
     Some(s"""WITH e AS ($sqlE),
-      c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e
+            QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+              <= (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM e)),
       assign AS (SELECT vec_id, v, cid FROM (
                    SELECT e.vec_id, e.v, c.cid, ${sqlL2sq("e.v", "c.cv")} AS d2
                    FROM e CROSS JOIN c)
