@@ -118,12 +118,26 @@ object ConnectedComponents {
       return out.toDF("id", "lbl")
     }
 
+    // Logical-plan truncation for the iterative loop: without it, each
+    // round's DataFrame embeds every previous round's logical plan PLUS the
+    // full edge lineage (for LSH-derived graphs, the whole shingle→band→
+    // verify pipeline), so per-action Catalyst analysis grows with rounds —
+    // measured ~2.6 s PER ACTION on d3's 640-edge graph, where execution
+    // itself is milliseconds. Wrapping the materialized cache's RDD in a
+    // fresh LogicalRDD keeps every round's plan O(1) while preserving both
+    // the cached blocks and the recompute path (an RDD cache miss still
+    // falls back through the captured physical plan); the every-N-rounds
+    // reliable checkpoint below still truncates the RDD lineage itself.
+    def truncate(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema)
+    val edgesT = truncate(edges)
+
     // No eager count here: init derives from the ALREADY-materialized edges
     // cache, so the concurrent-first-scan recompute risk that forces
     // edges.count() above costs only a distinct over cached rows — not worth
     // a whole extra job (each action is ~seconds of fixed overhead on an
     // oversubscribed host, and round 1 materializes init anyway).
-    val init = edges.select(col("a").as("id")).distinct()
+    val init = edgesT.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -140,7 +154,7 @@ object ConnectedComponents {
         throw new InterruptedException("ConnectedComponents cancelled")
       round += 1
       // Best label reachable over one edge from a node that moved last round.
-      val cand = edges
+      val cand = edgesT
         .join(frontier.select(col("id").as("b"), col("lbl").as("blbl")), Seq("b"))
         .groupBy("a")
         .agg(min(col("blbl")).as("cmin"))
@@ -165,8 +179,11 @@ object ConnectedComponents {
       if (trace) System.err.println(s"[cc] round $round changed=$changed")
       superseded.foreach(_.unpersist())
       superseded = Some(next)
-      labels = next.select("id", "lbl")
-      frontier = next.filter(col("chg")).select("id", "lbl")
+      // checkpoint() already returns a truncated plan; only persisted
+      // rounds need the LogicalRDD wrap.
+      val nextT = if (round % checkpointEvery == 0) next else truncate(next)
+      labels = nextT.select("id", "lbl")
+      frontier = nextT.filter(col("chg")).select("id", "lbl")
     }
     if (changed > 0)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(

@@ -88,5 +88,37 @@ object WindowQueries {
       ORDER BY user_id, session_start""")
   )
 
-  val all: Seq[Q] = Seq(s1Tumbling, s2Sliding, s3Session)
+  /** S4: the reference's daily close+1h download scheduler
+    * (`download_historical_price.py:270-292`: fire at 16:00 market close
+    * + 1 h; if that moment has passed, the next day) re-expressed as DATA:
+    * each event is mapped to the scheduled run that would pick it up
+    * (`ts <= day's 17:00` → today's fire, else tomorrow's — the
+    * reference's strict `next < now` comparison), then the batch census
+    * per fire slot. The wall-clock loop itself stays outside the engine
+    * (SURVEY §3); this is its engine-side analogue, the same shape
+    * `Trigger.ProcessingTime` batches resolve to in LiveFeed.
+    */
+  val s4ScheduleFire: Q = Q(
+    "s4_schedule_fire",
+    (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), col("ts"))
+        .withColumn("day_fire", expr("date_trunc('DAY', ts) + INTERVAL '17' HOUR"))
+        .withColumn("next_fire",
+          when(col("ts") <= col("day_fire"), col("day_fire"))
+            .otherwise(expr("day_fire + INTERVAL '1' DAY")))
+        .groupBy("next_fire")
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+        .orderBy("next_fire"),
+    Some("""WITH f AS (SELECT event_id, ts,
+          date_trunc('day', ts) + INTERVAL 17 HOUR AS day_fire
+        FROM events)
+      SELECT CASE WHEN ts <= day_fire THEN day_fire
+                  ELSE day_fire + INTERVAL 1 DAY END AS next_fire,
+        count(*) AS n_events, min(ts) AS first_ts, max(ts) AS last_ts
+      FROM f GROUP BY next_fire ORDER BY next_fire""")
+  )
+
+  val all: Seq[Q] = Seq(s1Tumbling, s2Sliding, s3Session, s4ScheduleFire)
 }
