@@ -175,15 +175,10 @@ object DedupQueries {
     * count is bounded at 4·n·W BY CONSTRUCTION — no bucket can explode —
     * and the measured max work-unit share at sf0.1 is 2.3 %.
     *
-    * Scale shape: the global sort order is decomposed so nothing needs a
-    * single-partition window — ranks are computed within 16-bit prefix
-    * blocks of each rotation (a partitioned window, O(block) each), block
-    * adjacency comes from a dense index over the ≤ 2^16-row non-empty
-    * block census (bounded window), and neighbor pairs are equi-joins on
-    * (rotation, block, rank+w) plus a (rotation, block+1) boundary join.
-    * Pairs whose sorted-order gap spans ≥ 2 block boundaries are not
-    * candidates (they need ≥ 2 consecutive near-empty blocks; the oracle
-    * computes the identical decomposition).
+    * Candidate generation is [[graft.operators.SortedNeighborhood]] (see
+    * its scaladoc for the scale decomposition — partitioned rank windows
+    * over 16-bit prefix blocks, bounded census index, equi-join neighbor
+    * pairing; the oracle computes the identical decomposition).
     */
   val d4SimHash: Q = Q(
     "d4_simhash",
@@ -200,38 +195,8 @@ object DedupQueries {
         .agg(Text.simhashAgg(col("hv")))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sims.count()
-      val blocks = sims
-        .withColumn("r", explode(sequence(lit(0), lit(3))))
-        .select(col("doc_id"), col("r"),
-          expr("(shiftleft(simhash, r * 8) | shiftright(simhash, 32 - r * 8)) & 4294967295").as("rk"))
-        .withColumn("blk", expr("shiftright(rk, 16)"))
-      val census = blocks.groupBy("r", "blk").agg(count(lit(1)).as("cnt"))
-        .withColumn("bi", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("r").orderBy("blk")))
-      val ranked = blocks.join(broadcast(census), Seq("r", "blk"))
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("r", "bi")
-            .orderBy(col("rk"), col("doc_id"))))
-        .select("doc_id", "r", "bi", "cnt", "rn")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      ranked.count() // scanned by the within-join (both sides) and both boundary sides
-      val within = ranked
-        .withColumn("w", explode(sequence(lit(1), lit(W))))
-        .select(col("r"), col("bi"), (col("rn") + col("w")).as("rn2"), col("doc_id").as("da"))
-        .join(ranked.select(col("r"), col("bi"), col("rn").as("rn2"), col("doc_id").as("db")),
-          Seq("r", "bi", "rn2"))
-        .select("da", "db")
-      val bound = ranked.filter(col("rn") > col("cnt") - W)
-        .select(col("r"), (col("bi") + 1).as("bi2"),
-          (col("cnt") - col("rn")).as("ga"), col("doc_id").as("da"))
-        .join(ranked.filter(col("rn") <= W)
-          .select(col("r"), col("bi").as("bi2"), col("rn").as("gb"), col("doc_id").as("db")),
-          Seq("r", "bi2"))
-        .filter(col("ga") + col("gb") <= W)
-        .select("da", "db")
-      within.unionByName(bound)
-        .select(least(col("da"), col("db")).as("a"), greatest(col("da"), col("db")).as("b"))
-        .distinct()
+      graft.operators.SortedNeighborhood
+        .candidates(sims, "doc_id", "simhash", rotations = 4, window = W)
         .join(sims.select(col("doc_id").as("a"), col("simhash").as("sim_a")), Seq("a"))
         .join(sims.select(col("doc_id").as("b"), col("simhash").as("sim_b")), Seq("b"))
         .select(
