@@ -213,6 +213,28 @@ class PlanSpec extends SparkSpec {
     } finally restore.foreach { case (k, v) => spark.conf.set(k, v) }
   }
 
+  test("e3: the sqrt(n) seed pick is a distributed TakeOrdered, not a global sort") {
+    val plan = finalPlan(SimilarityQueries.e3BucketNearDup.fn(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "seed pick lost the distributed top-K shape:\n" + plan.take(3000))
+    assert(!plan.contains("CartesianProduct") ||
+      plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+  }
+
+  test("d4: sorted-neighborhood candidates are equi-joins, no cartesian, " +
+    "and rank windows are partitioned (no single-partition global sort)") {
+    val plan = executedPlan("d4_simhash")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // Every Window in the generator is partitioned by (rotation[, block]);
+    // an unpartitioned Window would render as "Window [...]" with an empty
+    // partition spec and log the single-partition warning. Assert the
+    // rank windows carry a partition spec on the rotation column.
+    val windowLines = plan.linesIterator.filter(_.contains("Window")).toSeq
+    assert(windowLines.nonEmpty, plan.take(3000))
+    assert(windowLines.forall(l => l.contains("sn_r") || !l.contains("row_number")),
+      "unpartitioned rank window in d4:\n" + windowLines.mkString("\n"))
+  }
+
   test("shingle table is generator+window, never a re-splitting HOF lambda") {
     // Regression guard: transform(sequence(...), i -> get(split(text), ..))
     // inlines the split into every lambda element (interpreted,
