@@ -173,6 +173,52 @@ object MinHashLSH {
       .distinct()
   }
 
+  /** EXACT threshold-CONTAINMENT candidates via the ASYMMETRIC prefix
+    * filter: C(A→B) = |A∩B| / |A| ≥ t (the quote/boilerplate relation —
+    * a short document fully inside a long one, which symmetric Jaccard
+    * misses because the union is dominated by the long side). If
+    * |A∩B| ≥ ⌈t·|A|⌉ = α then A shares an element with B within its first
+    * |A| − α + 1 ordered shingles, so only A's prefix needs indexing;
+    * B has NO prefix bound (any element of B can witness the overlap) and
+    * NO length filter applies — both are the point of containment. The
+    * candidate join is still a keyed equi-join on shingle: prefix(A) ×
+    * full inverted index, Σ df(s)·prefix-df(s) work, never all-pairs.
+    * t = tNum/tDen in integer arithmetic so engines agree exactly.
+    */
+  def containmentPairs(
+      shingles: DataFrame,
+      idCol: String,
+      tNum: Int,
+      tDen: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("shingle"))
+    val counts = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val pref = shingles
+      .withColumn("rn", row_number().over(w))
+      .join(counts, Seq(idCol))
+      .filter(col("rn") <= expr(s"n - (($tNum * n + $tDen - 1) div $tDen) + 1"))
+      .select(col(idCol).as("a"), col("shingle"))
+    pref
+      .join(shingles.select(col(idCol).as("b"), col("shingle")), Seq("shingle"))
+      .filter(col("a") =!= col("b"))
+      .select("a", "b")
+      .distinct()
+  }
+
+  /** Exact containment verification: C(a→b) = |A∩B| / |A| for candidate
+    * pairs. Returns (a, b, inter, na, containment).
+    */
+  def verifyContainment(pairs: DataFrame, shingles: DataFrame, idCol: String): DataFrame = {
+    val counts = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    pairs
+      .join(shingles.select(col(idCol).as("a"), col("shingle")), Seq("a"))
+      .join(shingles.select(col(idCol).as("b"), col("shingle")), Seq("b", "shingle"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("inter"))
+      .join(counts.select(col(idCol).as("a"), col("n").as("na")), Seq("a"))
+      .select(col("a"), col("b"), col("inter"), col("na"),
+        (col("inter") / col("na")).as("containment"))
+  }
+
   /** Exact Jaccard verification of candidate pairs against the shingle
     * table: |A∩B| via a two-sided shingle join, |A∪B| = |A|+|B|−|A∩B|.
     * Returns (a, b, inter, uni, jaccard).

@@ -284,6 +284,49 @@ object DedupQueries {
       GROUP BY fp ORDER BY admit_doc_id""")
   )
 
+  /** D9: containment near-dup — the ASYMMETRIC relation Jaccard misses: a
+    * short document quoted/embedded inside a long one has tiny J(A,B)
+    * (union dominated by the long side) but containment |A∩B|/|A| ≈ 1.
+    * Candidates via [[MinHashLSH.containmentPairs]]' exact asymmetric
+    * prefix filter at t = 0.8, verified with exact containment. The
+    * boilerplate/quotation detector every corpus-dedup pass runs next to
+    * its symmetric Jaccard pass (d2).
+    */
+  val d9Containment: Q = Q(
+    "d9_containment",
+    (s, dir) => {
+      // Prefix index, the full inverted index, and both verify sides all
+      // scan this one table — persist + eager count (d2's pattern).
+      val sh = MinHashLSH.shingleTable(t(s, dir, "documents"), "doc_id", "text", 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sh.count()
+      val cand = MinHashLSH.containmentPairs(sh, "doc_id", 4, 5)
+      MinHashLSH.verifyContainment(cand, sh, "doc_id")
+        .filter(col("containment") >= 0.8)
+        .orderBy("a", "b")
+    },
+    Some(s"""WITH sh AS ($sqlShingles5),
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      ord AS (SELECT doc_id, shingle,
+                row_number() OVER (PARTITION BY doc_id ORDER BY shingle) AS rn
+              FROM sh),
+      pref AS (SELECT o.doc_id, o.shingle
+               FROM ord o JOIN cnt c ON o.doc_id = c.doc_id
+               WHERE o.rn <= c.n - ((4 * c.n + 4) // 5) + 1),
+      cand AS (SELECT DISTINCT p.doc_id AS a, s.doc_id AS b
+               FROM pref p JOIN sh s
+                 ON p.shingle = s.shingle AND p.doc_id <> s.doc_id),
+      inter AS (SELECT c.a, c.b, count(*) AS inter
+                FROM cand c
+                JOIN sh sa ON sa.doc_id = c.a
+                JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+                GROUP BY c.a, c.b)
+      SELECT i.a, i.b, i.inter, ca.n AS na, i.inter / ca.n AS containment
+      FROM inter i JOIN cnt ca ON ca.doc_id = i.a
+      WHERE i.inter / ca.n >= 0.8
+      ORDER BY a, b""")
+  )
+
   val all: Seq[Q] = Seq(d1ExactDedup, d2NgramJaccard, d3MinHashLsh, d4SimHash,
-    d7IncrementalDedup)
+    d7IncrementalDedup, d9Containment)
 }

@@ -216,6 +216,10 @@ object SimilarityQueries {
         .select(col("vec_id"), col("label"), col("v"), col("cid"),
           FastVec.l2sq(col("v"), col("cv")).as("d2"))
       val assign = argmin(d1).select("vec_id", "label", "v", "cid")
+      // Unpartitioned window BY DESIGN (source of Spark's "No Partition
+      // Defined" warning): its input is the ONE query vector's C centroid
+      // distances — codebook-sized, never corpus-sized — so the single
+      // partition holds C rows at any scale.
       val qBuckets = d1.filter(col("vec_id") === 0)
         .withColumn("rn", row_number().over(Window.partitionBy().orderBy(col("d2"), col("cid"))))
         .filter(col("rn") <= 4)
@@ -277,6 +281,8 @@ object SimilarityQueries {
       FastVec.register(s)
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), Vectors.toDoubleVec(col("embedding")).as("v"))
+      // Unpartitioned window BY DESIGN: it ranks only the 16 already-picked
+      // hyperplane rows (the limit(16) below feeds it), never the corpus.
       val drawOrder = Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       val planes = emb
         .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))

@@ -84,6 +84,54 @@ class TextDedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "corpus should contain at least one near-dup pair")
   }
 
+  test("containment finds a short doc embedded in a long one that Jaccard misses") {
+    val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+      "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"), // contained in 2's opening
+      (2L, long),
+      (3L, "unrelated words that share nothing with either document at all here")
+    ).toDF("doc_id", "text")
+    val sh = MinHashLSH.shingleTable(docs, "doc_id", "text", 3).persist()
+    sh.count()
+    val cont = MinHashLSH
+      .verifyContainment(MinHashLSH.containmentPairs(sh, "doc_id", 4, 5), sh, "doc_id")
+      .filter(col("containment") >= 0.8)
+      .as[(Long, Long, Long, Long, Double)].collect()
+    assert(cont.exists(p => p._1 == 1L && p._2 == 2L && p._5 == 1.0),
+      s"embedded doc not found: ${cont.mkString(",")}")
+    // the same pair's Jaccard is small — the asymmetric relation is the point
+    val jac = MinHashLSH.jaccardAllPairs(sh, "doc_id")
+      .filter(col("a") === 1L && col("b") === 2L)
+      .select("jaccard").as[Double].collect().head
+    sh.unpersist()
+    assert(jac < 0.5, s"jaccard unexpectedly high: $jac")
+  }
+
+  test("containment prefix filter equals brute force at t=0.8 on real corpus data") {
+    val sh = MinHashLSH.shingleTable(
+      Tables.table(spark, "/root/testdata/sf0.001", "documents"),
+      "doc_id", "text", 5)
+      .persist()
+    sh.count()
+    // brute force: every pair sharing >= 1 shingle, exact containment
+    val allPairs = sh.select(col("doc_id").as("a"), col("shingle"))
+      .join(sh.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+      .filter(col("a") =!= col("b"))
+      .select("a", "b").distinct()
+    val brute = MinHashLSH.verifyContainment(allPairs, sh, "doc_id")
+      .filter(col("containment") >= 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val filtered = MinHashLSH
+      .verifyContainment(MinHashLSH.containmentPairs(sh, "doc_id", 4, 5), sh, "doc_id")
+      .filter(col("containment") >= 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    sh.unpersist()
+    assert(filtered == brute,
+      s"missing=${(brute -- filtered).take(5)} extra=${(filtered -- brute).take(5)}")
+    assert(brute.nonEmpty, "corpus should contain at least one containment pair")
+  }
+
   test("tokenHash32 is a stable 32-bit value") {
     val vals = Seq(("x", 1), ("x", 2)).toDF("tok", "i")
       .select(Text.tokenHash32($"tok").as("h")).collect().map(_.getLong(0))
