@@ -340,7 +340,48 @@ object TrainPipeline {
       FROM q GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** C4: split-leakage audit — the integrity check every pipeline runs
+    * AFTER split assignment: content fingerprints whose duplicate copies
+    * landed in more than one of train/val/test (c2 dedups before
+    * splitting; this audits the raw corpus, where a train/test duplicate
+    * is silent eval contamination). Identity = d1's canonical 8-token
+    * prefix fingerprint — the audit must use the SAME fingerprint as the
+    * dedup pass it guards, or it reports a different duplicate relation.
+    * One hash aggregate on fp with map-side combine; the split set is
+    * rendered as a sorted comma-joined string (`array_sort` before join —
+    * collect_set order is partition-dependent) so both engines emit
+    * identical rows.
+    */
+  val c4SplitLeakage: Q = Q(
+    "c4_split_leakage",
+    (s, dir) => {
+      val hv = Text.seededHash64(lit(0), col("doc_id").cast("string"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          Text.prefixFingerprint(Text.tokens(col("text")), 8).as("fp"),
+          when(hv % 10 <= 7, "train")
+            .when(hv % 10 === 8, "val")
+            .otherwise("test").as("split"))
+        .groupBy("fp")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("split")).as("n_splits"),
+          concat_ws(",", array_sort(collect_set(col("split")))).as("splits"))
+        .filter(col("n_splits") > 1)
+        .orderBy("fp")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+          md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp,
+          CASE WHEN hv % 10 <= 7 THEN 'train' WHEN hv % 10 = 8 THEN 'val'
+               ELSE 'test' END AS split
+        FROM (SELECT doc_id, text,
+                CAST('0x' || substr(md5('0|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+              FROM documents))
+      SELECT fp, count(*) AS n_docs, count(DISTINCT split) AS n_splits,
+        array_to_string(list_sort(list(DISTINCT split)), ',') AS splits
+      FROM d GROUP BY fp HAVING count(DISTINCT split) > 1 ORDER BY fp""")
+  )
+
   val all: Seq[Q] = Seq(
     c1Contamination, c2CorpusBuild, x8Repetition, p12StratifiedSample,
-    x9SeqPacking, x10UnigramSurprisal, d6SegmentDedup)
+    x9SeqPacking, x10UnigramSurprisal, d6SegmentDedup, c4SplitLeakage)
 }
