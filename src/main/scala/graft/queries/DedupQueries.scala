@@ -67,9 +67,10 @@ object DedupQueries {
     },
     Some(s"""WITH sh AS ($sqlShingles5),
       cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      ord AS (SELECT doc_id, shingle,
-                row_number() OVER (PARTITION BY doc_id ORDER BY shingle) AS rn
-              FROM sh),
+      dfc AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle),
+      ord AS (SELECT o.doc_id, o.shingle,
+                row_number() OVER (PARTITION BY o.doc_id ORDER BY d.c, o.shingle) AS rn
+              FROM sh o JOIN dfc d ON o.shingle = d.shingle),
       pref AS (SELECT o.doc_id, o.shingle
                FROM ord o JOIN cnt c ON o.doc_id = c.doc_id
                WHERE o.rn <= c.n - ((c.n + 1) // 2) + 1),
@@ -307,9 +308,10 @@ object DedupQueries {
     },
     Some(s"""WITH sh AS ($sqlShingles5),
       cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-      ord AS (SELECT doc_id, shingle,
-                row_number() OVER (PARTITION BY doc_id ORDER BY shingle) AS rn
-              FROM sh),
+      dfc AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle),
+      ord AS (SELECT o.doc_id, o.shingle,
+                row_number() OVER (PARTITION BY o.doc_id ORDER BY d.c, o.shingle) AS rn
+              FROM sh o JOIN dfc d ON o.shingle = d.shingle),
       pref AS (SELECT o.doc_id, o.shingle
                FROM ord o JOIN cnt c ON o.doc_id = c.doc_id
                WHERE o.rn <= c.n - ((4 * c.n + 4) // 5) + 1),
