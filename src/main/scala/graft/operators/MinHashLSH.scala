@@ -160,22 +160,35 @@ object MinHashLSH {
     * ⌈t·n⌉ is computed in integer arithmetic — `(n + 1) div 2` for the
     * t = 0.5 default — so Spark and the SQL oracle agree exactly.
     */
-  def prefixFilteredPairs(shingles: DataFrame, idCol: String): DataFrame = {
+  /** Shared prefix index: each document's rarest-first shingle prefix of
+    * length n − ⌈(tNum/tDen)·n⌉ + 1, carrying the set size `n`. The one
+    * prefix machine both threshold families run on — Jaccard
+    * ([[prefixFilteredPairs]], t = 1/2 + length filter) and containment
+    * ([[containmentPairs]], asymmetric, no length filter).
+    */
+  private def prefixIndex(
+      shingles: DataFrame,
+      idCol: String,
+      tNum: Int,
+      tDen: Int): DataFrame = {
     val dfc = shingles.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol)).orderBy(col("_df"), col("shingle"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("_df"), col("shingle"))
     val counts = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    shingles
+      .join(dfc, Seq("shingle"))
+      .withColumn("rn", row_number().over(w))
+      .join(counts, Seq(idCol))
+      .filter(col("rn") <= expr(s"n - (($tNum * n + $tDen - 1) div $tDen) + 1"))
+      .select(col(idCol), col("shingle"), col("n"))
+  }
+
+  def prefixFilteredPairs(shingles: DataFrame, idCol: String): DataFrame = {
     // Prefix entries carry the set size so the PPJoin LENGTH filter can run
     // inside the candidate join itself: J(A,B) ≥ 0.5 forces
     // 2·min(|A|,|B|) ≥ max(|A|,|B|) (since inter ≤ min and uni ≥ max), so
     // size-incompatible collisions are dropped BEFORE the pair-distinct and
     // the verify join ever see them. Exact bound, no recall loss.
-    val pref = shingles
-      .join(dfc, Seq("shingle"))
-      .withColumn("rn", row_number().over(w))
-      .join(counts, Seq(idCol))
-      .filter(col("rn") <= expr("n - ((n + 1) div 2) + 1"))
-      .select(col(idCol), col("shingle"), col("n"))
+    val pref = prefixIndex(shingles, idCol, 1, 2)
     pref.select(col(idCol).as("a"), col("shingle"), col("n").as("na"))
       .join(pref.select(col(idCol).as("b"), col("shingle"), col("n").as("nb")),
         Seq("shingle"))
@@ -205,14 +218,7 @@ object MinHashLSH {
       idCol: String,
       tNum: Int,
       tDen: Int): DataFrame = {
-    val dfc = shingles.groupBy(col("shingle")).agg(count(lit(1)).as("_df"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("_df"), col("shingle"))
-    val counts = shingles.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
-    val pref = shingles
-      .join(dfc, Seq("shingle"))
-      .withColumn("rn", row_number().over(w))
-      .join(counts, Seq(idCol))
-      .filter(col("rn") <= expr(s"n - (($tNum * n + $tDen - 1) div $tDen) + 1"))
+    val pref = prefixIndex(shingles, idCol, tNum, tDen)
       .select(col(idCol).as("a"), col("shingle"))
     pref
       .join(shingles.select(col(idCol).as("b"), col("shingle")), Seq("shingle"))

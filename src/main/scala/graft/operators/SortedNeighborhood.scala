@@ -45,9 +45,12 @@ object SortedNeighborhood {
     val step = bits / rotations
     val mask = (1L << bits) - 1
     val blocks = sigs
+      // BIGINT up-cast first: shiftright on an IntegerType signature with
+      // bit 31 set would sign-extend and OR garbage into the rotated key.
+      .withColumn("sn_sig", col(sigCol).cast("long"))
       .withColumn("sn_r", explode(sequence(lit(0), lit(rotations - 1))))
       .select(col(idCol).as("sn_id"), col("sn_r"),
-        expr(s"(shiftleft($sigCol, sn_r * $step) | shiftright($sigCol, $bits - sn_r * $step)) & $mask")
+        expr(s"(shiftleft(sn_sig, sn_r * $step) | shiftright(sn_sig, $bits - sn_r * $step)) & $mask")
           .as("sn_rk"))
       .withColumn("sn_blk", expr(s"shiftright(sn_rk, ${bits - prefixBits})"))
     val census = blocks.groupBy("sn_r", "sn_blk").agg(count(lit(1)).as("sn_cnt"))

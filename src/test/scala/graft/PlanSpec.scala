@@ -217,8 +217,8 @@ class PlanSpec extends SparkSpec {
     val plan = finalPlan(SimilarityQueries.e3BucketNearDup.fn(spark, sf))
     assert(plan.contains("TakeOrderedAndProject"),
       "seed pick lost the distributed top-K shape:\n" + plan.take(3000))
-    assert(!plan.contains("CartesianProduct") ||
-      plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"),
+      "codebook cross join lost its broadcast:\n" + plan.take(3000))
   }
 
   test("d4: sorted-neighborhood candidates are equi-joins, no cartesian, " +

@@ -26,21 +26,25 @@ class RegistrySpec extends SparkSpec {
   }
 
   test("s4 scheduler boundary: an event exactly at close+1h fires SAME day " +
-    "(the reference's strict next < now comparison)") {
+    "(the reference's strict next < now comparison) — via the shipped query") {
     import spark.implicits._
-    import org.apache.spark.sql.functions._
-    val rows = Seq(
-      java.sql.Timestamp.valueOf("2024-03-05 17:00:00"), // exactly at fire
-      java.sql.Timestamp.valueOf("2024-03-05 17:00:01"), // one second past
-      java.sql.Timestamp.valueOf("2024-03-05 16:59:59")) // just before
-      .toDF("ts")
-      .withColumn("day_fire", expr("date_trunc('DAY', ts) + INTERVAL '17' HOUR"))
-      .withColumn("next_fire",
-        when(col("ts") <= col("day_fire"), col("day_fire"))
-          .otherwise(expr("day_fire + INTERVAL '1' DAY")))
-      .select("next_fire").as[java.sql.Timestamp].collect()
-    assert(rows(0) == java.sql.Timestamp.valueOf("2024-03-05 17:00:00"))
-    assert(rows(1) == java.sql.Timestamp.valueOf("2024-03-06 17:00:00"))
-    assert(rows(2) == java.sql.Timestamp.valueOf("2024-03-05 17:00:00"))
+    // drive the REAL registry query on a synthetic events table so a change
+    // to s4ScheduleFire's comparison cannot slip past this test
+    val dir = java.nio.file.Files.createTempDirectory("s4spec").toString
+    // Tables.table("events") expects the driver file's shape: epoch-NANO
+    // long ts (the TIMESTAMP(NANOS) repair path) and the full column set.
+    def nanos(s: String) = java.sql.Timestamp.valueOf(s).getTime * 1000000L
+    Seq(
+      (1L, nanos("2024-03-05 17:00:00"), 1L, "click", 1.0, "{}"), // exactly at fire
+      (2L, nanos("2024-03-05 17:00:01"), 1L, "click", 1.0, "{}"), // one second past
+      (3L, nanos("2024-03-05 16:59:59"), 1L, "click", 1.0, "{}")) // just before
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = graft.queries.WindowQueries.s4ScheduleFire.fn(spark, dir)
+      .select("next_fire", "n_events")
+      .as[(java.sql.Timestamp, Long)].collect().toMap
+    assert(out == Map(
+      java.sql.Timestamp.valueOf("2024-03-05 17:00:00") -> 2L, // ids 1 and 3
+      java.sql.Timestamp.valueOf("2024-03-06 17:00:00") -> 1L)) // id 2
   }
 }

@@ -72,6 +72,13 @@ for name, sql in oracle.items():
                 bad = ~eq
                 md = np.nanmax(np.abs(av[bad] - bv[bad]))
                 print(f"  [{name}.{c}] {bad.sum()} float diffs, maxdiff={md:.3e}")
+        elif a.dtype.kind in "iu" and b.dtype.kind in "iu" and a.dtype != b.dtype:
+            # Same-kind width mismatch (int32 vs int64): integer VALUES render
+            # identically so the driver's value hash is expected to agree, but
+            # surface it — it is one CAST away from the float/int class above.
+            print(f"  [{name}.{c}] note: integer width differs "
+                  f"spark={a.dtype} oracle={b.dtype}")
+            eq = (a.astype("int64").values == b.astype("int64").values)
         else:
             a = a.where(pd.notna(a), None)
             b = b.where(pd.notna(b), None)
