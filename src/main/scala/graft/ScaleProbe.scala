@@ -68,7 +68,38 @@ object ScaleProbe {
     }
     annProbe(spark, sfDir)
     ccProbe(spark, sfDir)
+    snProbe(spark, sfDir)
     spark.stop()
+  }
+
+  /** d4's sorted-neighborhood generator under inflation: candidate count
+    * must track the 4·n·W construction bound (~linear in the factor) and
+    * wall time with it — the empirical twin of the bound that replaced the
+    * 31.8 %-in-one-bucket byte-block generator in r5.
+    */
+  def snProbe(spark: SparkSession, sfDir: String): Unit = {
+    import graft.functions.Text
+    val docs = Tables.table(spark, sfDir, "documents").select("doc_id", "text")
+    docs.persist(); docs.count()
+    Seq(1, 2, 4, 8).foreach { f =>
+      val inflated = inflate(docs, f)
+      val times = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        docs.persist(); docs.count()
+        val t0 = System.nanoTime()
+        val sims = inflated
+          .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), Text.tokenHash32(col("tok")).as("hv"))
+          .groupBy("doc_id")
+          .agg(Text.simhashAgg(col("hv")))
+        val cand = graft.operators.SortedNeighborhood
+          .candidates(sims, "doc_id", "simhash", rotations = 4, window = 4)
+          .count()
+        (System.nanoTime() - t0) / 1e9 -> cand
+      }
+      val (best, cand) = times.minBy(_._1)
+      println(f"[scale-sn] factor=$f%2d docs=${docs.count() * f}%7d candidates=$cand%8d time=$best%7.2f s")
+    }
   }
 
   /** d5's two connected-components strategies head-to-head on the REAL
