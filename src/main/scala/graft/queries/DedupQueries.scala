@@ -7,10 +7,11 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Deduplication surface over `documents` (north star): exact hash-groupBy
-  * dedup, inverted-index n-gram Jaccard, MinHash+LSH banding, and SimHash
-  * with byte-block candidate generation. Every pipeline avoids the O(n²)
-  * pair space — candidates come from equi-joins on hashes/buckets, so each
-  * stage shuffles on a natural key and survives a 100× scale-up.
+  * dedup, inverted-index n-gram Jaccard, MinHash+LSH banding, SimHash with
+  * sorted-neighborhood candidate generation, and asymmetric containment.
+  * Every pipeline avoids the O(n²) pair space — candidates come from
+  * equi-joins on hashes/buckets/prefixes with per-bucket work bounded, so
+  * each stage shuffles on a natural key and survives a 100× scale-up.
   */
 object DedupQueries {
   import Q._

@@ -147,6 +147,23 @@ object TrainPipeline {
   case class PackIn(doc_id: Long, shard: Int, n_tokens: Int)
   case class PackOut(doc_id: Long, shard: Int, bin: Int, n_tokens: Int)
 
+  /** DuckDB mirror of x9's greedy packing fold (recursive CTE), shared by
+    * the x9 oracle and c5's manifest oracle.
+    */
+  private val sqlX9Body: String =
+    """ord AS (
+        SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
+          CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
+          row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
+        FROM documents),
+      pack(shard, rn, doc_id, n_tokens, bin, bin_tokens) AS (
+        SELECT shard, rn, doc_id, n_tokens, 0, n_tokens FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+          CASE WHEN p.bin_tokens + o.n_tokens > 256 THEN p.bin + 1 ELSE p.bin END,
+          CASE WHEN p.bin_tokens + o.n_tokens > 256 THEN o.n_tokens ELSE p.bin_tokens + o.n_tokens END
+        FROM ord o JOIN pack p ON o.shard = p.shard AND o.rn = p.rn + 1)"""
+
   /** X9: greedy sequence packing — fill fixed token-budget bins (B = 256)
     * with whole documents, in doc_id order, a new bin whenever the next
     * document would overflow. Packing is inherently sequential, so it runs
@@ -180,18 +197,8 @@ object TrainPipeline {
         .toDF()
         .orderBy("doc_id")
     },
-    Some("""WITH RECURSIVE ord AS (
-        SELECT doc_id, CAST(doc_id % 8 AS INT) AS shard,
-          CAST(len(string_split(text, ' ')) AS INT) AS n_tokens,
-          row_number() OVER (PARTITION BY doc_id % 8 ORDER BY doc_id) AS rn
-        FROM documents),
-      pack(shard, rn, doc_id, n_tokens, bin, bin_tokens) AS (
-        SELECT shard, rn, doc_id, n_tokens, 0, n_tokens FROM ord WHERE rn = 1
-        UNION ALL
-        SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
-          CASE WHEN p.bin_tokens + o.n_tokens > 256 THEN p.bin + 1 ELSE p.bin END,
-          CASE WHEN p.bin_tokens + o.n_tokens > 256 THEN o.n_tokens ELSE p.bin_tokens + o.n_tokens END
-        FROM ord o JOIN pack p ON o.shard = p.shard AND o.rn = p.rn + 1)
+    Some("WITH RECURSIVE " + sqlX9Body +
+      """
       SELECT doc_id, shard, CAST(bin AS INT) AS bin, n_tokens
       FROM pack ORDER BY doc_id""")
   )
@@ -381,7 +388,47 @@ object TrainPipeline {
       FROM d GROUP BY fp HAVING count(DISTINCT split) > 1 ORDER BY fp""")
   )
 
+  /** C5: shard/bin export manifest — the audit artifact every corpus
+    * export writes next to its shards: per (shard, bin) of x9's packing,
+    * the doc count, exact token total, id range, and an ORDER-INDEPENDENT
+    * content checksum (bit_xor of each member's 60-bit content hash —
+    * xor commutes, so Spark's parallel partial aggregation and the
+    * oracle's sequential fold agree exactly; a sum would need overflow
+    * wrapping DuckDB's HUGEINT doesn't do). This is what makes a 100 TB
+    * export reproducible and diffable: re-running the pipeline and
+    * comparing manifests detects any divergence without reading payloads.
+    */
+  val c5ShardManifest: Q = Q(
+    "c5_shard_manifest",
+    (s, dir) => {
+      val packed = x9SeqPacking.fn(s, dir) // doc_id, shard, bin, n_tokens
+      val fps = t(s, dir, "documents").select(col("doc_id"),
+        Text.seededHash64(lit(0), col("text")).as("cfp"))
+      packed.join(fps, Seq("doc_id"))
+        .groupBy("shard", "bin")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens").cast("long")).as("bin_tokens"),
+          min(col("doc_id")).as("first_doc"),
+          max(col("doc_id")).as("last_doc"),
+          expr("bit_xor(cfp)").as("content_xor"))
+        .orderBy("shard", "bin")
+    },
+    Some("WITH RECURSIVE " + sqlX9Body +
+      """,
+      fps AS (SELECT doc_id,
+                CAST('0x' || substr(md5('0|' || text), 1, 15) AS BIGINT) AS cfp
+              FROM documents)
+      SELECT shard, CAST(bin AS INT) AS bin, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS bin_tokens,
+        min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        bit_xor(cfp) AS content_xor
+      FROM pack JOIN fps USING (doc_id)
+      GROUP BY shard, bin ORDER BY shard, bin""")
+  )
+
   val all: Seq[Q] = Seq(
     c1Contamination, c2CorpusBuild, x8Repetition, p12StratifiedSample,
-    x9SeqPacking, x10UnigramSurprisal, d6SegmentDedup, c4SplitLeakage)
+    x9SeqPacking, x10UnigramSurprisal, d6SegmentDedup, c4SplitLeakage,
+    c5ShardManifest)
 }
