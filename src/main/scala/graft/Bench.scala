@@ -42,7 +42,9 @@ object Bench {
     "d8_incremental_neardup", "e8_pq_adc", "x12_retention_policy",
     "m4_media_dedup", "x13_bm25", "a19_sketch_rollup",
     "q07_sql_above_avg", "q08_sql_not_exists", "v4_column_profile",
-    "a18_sessionize")
+    "a18_sessionize",
+    "s4_schedule_fire", "d9_containment", "c4_split_leakage",
+    "c5_shard_manifest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
