@@ -76,7 +76,78 @@ case class BpeTokenCount(child: Expression)
     copy(child = newChild)
 }
 
+/** Fused distinct word-n-gram shingling — one pass over the text, no
+  * shuffle. Semantically identical to the window formulation
+  * (posexplode(split) → per-doc lead window → concat_ws → distinct) that
+  * shingleTable used through r4, but that shape costs an Exchange(doc) +
+  * sort for the window and a second Exchange for the distinct, per
+  * construction, in EVERY dedup-family query. This expression computes the
+  * per-document distinct shingle set inline (first-occurrence order), so
+  * the shingle table becomes a narrow projection: scan → explode, zero
+  * exchanges before the consumer's own keyed shuffle.
+  *
+  * Tokenization matches `split(text, " ")` exactly (single-space regex,
+  * trailing empties kept, so consecutive spaces yield empty tokens — the
+  * DuckDB `string_split` oracle mirrors this).
+  */
+case class ShingleArray(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"shingle size must be >= 1, got $n")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_shingles"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ShingleArray.compute(input.asInstanceOf[UTF8String], n)
+
+  // Whole-stage codegen residency via a static helper call — the loop body
+  // allocates (strings, the set), so inlining Java source buys nothing over
+  // one static call, and this keeps the surrounding operators fused.
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.ShingleArray.compute($s, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleArray =
+    copy(child = newChild)
+}
+
+object ShingleArray {
+  def compute(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    // -1 keeps trailing empties: exact split(text, " ") semantics
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val seen = new java.util.LinkedHashSet[String]()
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = UTF8String.fromString(it.next()); j += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 object FastText {
   /** Column handle (requires [[FastVec.register]] or the extensions conf). */
   def bpeCount(s: Column): Column = call_function("graft_bpe_count", s)
+
+  /** Distinct word n-gram shingles in one fused pass (see [[ShingleArray]]). */
+  def shingles(text: Column, n: Int): Column =
+    call_function("graft_shingles", text, org.apache.spark.sql.functions.lit(n))
 }

@@ -141,7 +141,12 @@ object FastVec {
       (children: Seq[Expression]) => Md5PrefixLong(children.head, 15)),
     (FunctionIdentifier("graft_md5_32"),
       new ExpressionInfo(classOf[Md5PrefixLong].getName, "graft_md5_32"),
-      (children: Seq[Expression]) => Md5PrefixLong(children.head, 8)))
+      (children: Seq[Expression]) => Md5PrefixLong(children.head, 8)),
+    (FunctionIdentifier("graft_shingles"),
+      new ExpressionInfo(classOf[ShingleArray].getName, "graft_shingles"),
+      (children: Seq[Expression]) => ShingleArray(
+        children.head,
+        children(1).eval().asInstanceOf[Int])))
 
   /** Idempotent runtime registration for sessions built without the
     * extensions conf (tests, Verify, Bench).

@@ -28,30 +28,24 @@ object MinHashLSH {
 
   /** (id, shingle) exploded table, distinct shingles per document.
     *
-    * Shape matters here: tokenize ONCE per row with a generator
-    * (`posexplode(split(...))`), then assemble n-grams with window `lead`s
-    * over (doc, pos). The tempting array formulation
+    * Shape history: the array formulation
     * `explode(transform(sequence(...), i => get(toks, i+k)))` is a scale
-    * trap: Catalyst inlines the `split` into every `get` inside the lambda
-    * (CollapseProject doesn't guard expressions referenced inside
+    * trap — Catalyst inlines the `split` into every `get` inside the
+    * lambda (CollapseProject doesn't guard expressions referenced inside
     * higher-order functions), so each document re-splits its text
-    * O(tokens × n) times — and lambda bodies never enter whole-stage
-    * codegen. Judge-visible effect in round 2: the whole dedup family ran
-    * interpreted, single-task, ~30× slower. The window form is fully
-    * codegen'd and parallelizes on the first exchange.
+    * O(tokens × n) times, interpreted (round 2's ~30× collapse). Rounds
+    * 2-4 used posexplode + per-doc lead windows — codegen'd, but costing
+    * an Exchange(doc) + sort for the window and a second Exchange for the
+    * distinct, in every dedup-family query. Since r5 the whole thing is
+    * ONE fused expression ([[graft.functions.ShingleArray]]): scan →
+    * graft_shingles → explode, a narrow projection with ZERO exchanges —
+    * the consumer's own keyed shuffle is the first exchange in the plan.
+    * A spec pins set-equality against the window formulation.
     */
   def shingleTable(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("pos"))
-    val parts = col("tok") +: (1 until n).map(k => lead(col("tok"), k).over(w))
-    docs
-      .select(col(idCol), posexplode(Text.tokens(col(textCol))).as(Seq("pos", "tok")))
-      // concat_ws skips nulls, so guard on the LAST lead: only positions
-      // with a full n-gram survive (split yields no null tokens).
-      .select(col(idCol), concat_ws(" ", parts: _*).as("shingle"),
-        lead(col("tok"), n - 1).over(w).isNotNull.as("_full"))
-      .filter(col("_full"))
-      .select(col(idCol), col("shingle"))
-      .distinct()
+    graft.functions.FastVec.register(docs.sparkSession)
+    docs.select(col(idCol),
+      explode(graft.functions.FastText.shingles(col(textCol), n)).as("shingle"))
   }
 
   /** One MinHash signature column per seed: `s0 … s{numHashes-1}`.

@@ -235,17 +235,20 @@ class PlanSpec extends SparkSpec {
       "unpartitioned rank window in d4:\n" + windowLines.mkString("\n"))
   }
 
-  test("shingle table is generator+window, never a re-splitting HOF lambda") {
-    // Regression guard: transform(sequence(...), i -> get(split(text), ..))
-    // inlines the split into every lambda element (interpreted,
-    // O(tokens x n) re-splits per doc). The plan must show a Generate
-    // (posexplode) and a Window, and no lambdafunction over split.
+  test("shingle table is a narrow fused projection: zero exchanges, no window, " +
+    "no re-splitting HOF lambda") {
+    // r5 shape: scan -> graft_shingles -> explode. The r2 HOF-lambda trap
+    // (interpreted O(tokens x n) re-splits) and the r2-r4 window shape
+    // (Exchange + sort + Window + distinct Exchange per construction) must
+    // both stay gone.
     import graft.operators.MinHashLSH
     val df = MinHashLSH.shingleTable(
       Tables.table(spark, sf, "documents"), "doc_id", "text", 3)
     val plan = finalPlan(df)
     assert(plan.contains("Generate"), plan.take(3000))
-    assert(plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("Exchange"),
+      "shingle construction should not shuffle:\n" + plan.take(3000))
+    assert(!plan.contains("Window"), plan.take(3000))
     assert(!plan.contains("lambdafunction"),
       "higher-order lambda crept back into the shingle path:\n" + plan.take(3000))
   }

@@ -132,6 +132,34 @@ class TextDedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "corpus should contain at least one containment pair")
   }
 
+  test("fused shingleTable equals the window-lead reference formulation " +
+    "on real corpus data (every n, including empty-token edge cases)") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select($"doc_id", $"text")
+      // synthetic edge rows: consecutive spaces (empty tokens), short docs
+      .unionByName(Seq(
+        (100001L, "a  b c"), (100002L, "x"), (100003L, ""), (100004L, "p q")
+      ).toDF("doc_id", "text"))
+    for (n <- Seq(1, 3, 5)) {
+      val fused = MinHashLSH.shingleTable(docs, "doc_id", "text", n)
+        .as[(Long, String)].collect().toSet
+      val w = Window.partitionBy($"doc_id").orderBy($"pos")
+      val parts = col("tok") +: (1 until n).map(k => lead($"tok", k).over(w))
+      val reference = docs
+        .select($"doc_id", posexplode(Text.tokens($"text")).as(Seq("pos", "tok")))
+        .select($"doc_id", concat_ws(" ", parts: _*).as("shingle"),
+          lead($"tok", n - 1).over(w).isNotNull.as("_full"))
+        .filter($"_full")
+        .select($"doc_id", $"shingle")
+        .distinct()
+        .as[(Long, String)].collect().toSet
+      assert(fused == reference,
+        s"n=$n missing=${(reference -- fused).take(5)} extra=${(fused -- reference).take(5)}")
+      assert(fused.nonEmpty)
+    }
+  }
+
   test("tokenHash32 is a stable 32-bit value") {
     val vals = Seq(("x", 1), ("x", 2)).toDF("tok", "i")
       .select(Text.tokenHash32($"tok").as("h")).collect().map(_.getLong(0))
