@@ -51,7 +51,15 @@ object Plans {
     "m4_media_dedup" ->
       "Frame-signature media dedup: one Generate (frame explode) into one map-side-combined signature HashAggregate; candidates from an equi-join on (k, byte) — media bytes never shuffle.",
     "a19_sketch_rollup" ->
-      "Mergeable sketches: per-day hll_sketch_agg with partial aggregation before the day exchange; the weekly rollup unions sketch bytes only — raw events appear in exactly one scan.")
+      "Mergeable sketches: per-day hll_sketch_agg with partial aggregation before the day exchange; the weekly rollup unions sketch bytes only — raw events appear in exactly one scan.",
+    "d4_simhash" ->
+      "Sorted-neighborhood candidates: the fused graft_shingles/tokenHash scan feeds one signature HashAggregate; rank windows are PARTITIONED by (rotation, block) — no single-partition sort — and every neighbor pairing is an equi-join; candidate volume bounded at 4nW by construction.",
+    "d9_containment" ->
+      "Asymmetric containment: rarest-first prefix of the contained side equi-joins the full inverted index on shingle; verification is one map-side-combined count aggregate per pair — no length filter, no cartesian.",
+    "e3_bucket_neardup" ->
+      "sqrt(n) IVF codebook: seed pick is a distributed TakeOrderedAndProject; centroid assignment broadcasts the codebook; within-bucket pairing equi-joins on cid so pair work grows n^1.5, not n^2.",
+    "c5_shard_manifest" ->
+      "Export manifest: x9's per-shard packing feeds one (shard, bin) HashAggregate with map-side combine; the bit_xor content checksum is order-independent, so parallel partials agree with any sequential fold.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
