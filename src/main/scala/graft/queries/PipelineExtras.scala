@@ -173,6 +173,40 @@ object PipelineExtras {
       FROM documents ORDER BY doc_id""")
   )
 
+  /** X14: tokenizer fertility — bytes per BPE-style token, per language:
+    * THE standard tokenizer-efficiency metric (a tokenizer that spends 6
+    * bytes/token on one language and 3 on another doubles that language's
+    * effective cost per model token, which is how mixture budgets get
+    * silently skewed). Exact integer sums (UTF-8 byte length via
+    * octet_length, token count via the fused `graft_bpe_count` pass) with
+    * ONE division at the end — corpus-level ratios, not averaged per-doc
+    * ratios, so partial-aggregation order cannot perturb the result.
+    */
+  val x14TokenFertility: Q = Q(
+    "x14_token_fertility",
+    (s, dir) => {
+      graft.functions.FastVec.register(s)
+      t(s, dir, "documents")
+        .select(col("lang"),
+          octet_length(col("text")).cast("long").as("n_bytes"),
+          graft.functions.FastText.bpeCount(lower(col("text"))).cast("long").as("n_bpe"))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_bytes")).as("total_bytes"),
+          sum(col("n_bpe")).as("total_tokens"))
+        .withColumn("bytes_per_token",
+          round(col("total_bytes").cast("double") / col("total_tokens"), 6))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, count(*) AS n_docs,
+      CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+      CAST(sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT) AS total_tokens,
+      round(CAST(sum(strlen(text)) AS DOUBLE)
+            / sum(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]'))), 6) AS bytes_per_token
+      FROM documents GROUP BY lang ORDER BY lang""")
+  )
+
   /** M2: multimodal frame sampling — enumerate fixed-size frames of each
     * payload, keep every 4th, fingerprint each frame. The payload is text
     * standing in for media bytes (no codecs in the container, SURVEY
@@ -382,5 +416,6 @@ object PipelineExtras {
   val all: Seq[Q] = Seq(
     f14ArrayOps, f15MapOps, f16ExplodeSequence, f17StringFuncs,
     f18RegexpExtractAll, f19BucketCategorize, x6PiiScrub, x7BpeTokens,
-    m2FrameSample, m3ResizeMeta, d5DupClusters, m4MediaDedup)
+    x14TokenFertility, m2FrameSample, m3ResizeMeta, d5DupClusters,
+    m4MediaDedup)
 }
