@@ -330,6 +330,87 @@ object DedupQueries {
       ORDER BY a, b""")
   )
 
+  /** D10: duplicate-SPAN detection — the exact-substring complement of the
+    * whole-doc (d1) and segment (d6) passes: per document, which stride-1
+    * token windows (w = 15) occur anywhere else in the corpus, and what
+    * fraction of the document's tokens those duplicated windows COVER
+    * (the MassiveText/RefinedWeb "exact substring dedup" signal, computed
+    * at window rather than suffix-array granularity). Coverage is the
+    * exact interval union of overlapping [p, p+w) hits — a per-doc
+    * running-max window (gaps-and-islands), NOT a w-fold position
+    * explode, so the amplification stays 1 row per duplicated window.
+    *
+    * Scale: the window table is n_tokens rows/doc of (doc_id, pos, 16-byte
+    * fp) — payload never re-materialized per window; the census and
+    * join-back shuffle on fp with map-side combine; the coverage union is
+    * one keyed window over only the DUPLICATED rows. No stage is
+    * quadratic in corpus size.
+    */
+  val d10DupSpans: Q = Q(
+    "d10_dup_spans",
+    (s, dir) => {
+      val w = 15
+      val docsT = t(s, dir, "documents")
+        .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      // Scanned by the census, the join-back and the per-doc window count:
+      // persist + eager count (the concurrent-first-scan trap, see d2).
+      val wins = t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= w)
+        .select(col("doc_id"), explode(sequence(lit(0), size(col("t")) - w)).as("p"), col("t"))
+        .select(col("doc_id"), col("p"),
+          md5(concat_ws(" ", slice(col("t"), col("p") + 1, lit(w)))).as("fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      wins.count()
+      val census = wins.groupBy("fp").agg(count(lit(1)).as("c"))
+      val dup = wins.join(census, Seq("fp")).filter(col("c") > 1).select("doc_id", "p")
+      val prior = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("p")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val cov = dup
+        .withColumn("prev_end", coalesce(max(col("p") + (w - 1)).over(prior), lit(-1)))
+        .withColumn("contrib",
+          greatest(lit(0), col("p") + (w - 1) - greatest(col("p") - 1, col("prev_end"))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dup_windows"), sum(col("contrib").cast("long")).as("covered"))
+      val wstats = wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+      docsT
+        .join(wstats, Seq("doc_id"), "left")
+        .join(cov, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+          coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+          coalesce(col("covered"), lit(0L)).as("covered_tokens"),
+          (coalesce(col("covered"), lit(0L)).cast("double") / col("n_tokens"))
+            .as("dup_token_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      dstats AS (SELECT doc_id, len(t) AS n_tokens FROM base),
+      fps AS (SELECT doc_id, p, md5(array_to_string(t[(p+1):(p+15)], ' ')) AS fp
+              FROM (SELECT doc_id, unnest(range(len(t) - 14)) AS p, t
+                    FROM base WHERE len(t) >= 15)),
+      census AS (SELECT fp, count(*) AS c FROM fps GROUP BY fp),
+      dup AS (SELECT f.doc_id, f.p FROM fps f JOIN census c ON f.fp = c.fp WHERE c.c > 1),
+      cov0 AS (SELECT doc_id, p,
+                 coalesce(max(p + 14) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1) AS prev_end
+               FROM dup),
+      cov AS (SELECT doc_id, count(*) AS n_dup_windows,
+                CAST(sum(greatest(0, p + 14 - greatest(p - 1, prev_end))) AS BIGINT) AS covered
+              FROM cov0 GROUP BY doc_id),
+      wstats AS (SELECT doc_id, count(*) AS n_windows FROM fps GROUP BY doc_id)
+      SELECT d.doc_id, d.n_tokens,
+        CAST(coalesce(w.n_windows, 0) AS BIGINT) AS n_windows,
+        CAST(coalesce(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+        CAST(coalesce(c.covered, 0) AS BIGINT) AS covered_tokens,
+        CAST(coalesce(c.covered, 0) AS DOUBLE) / d.n_tokens AS dup_token_frac
+      FROM dstats d
+      LEFT JOIN wstats w ON d.doc_id = w.doc_id
+      LEFT JOIN cov c ON d.doc_id = c.doc_id
+      ORDER BY d.doc_id""")
+  )
+
   val all: Seq[Q] = Seq(d1ExactDedup, d2NgramJaccard, d3MinHashLsh, d4SimHash,
-    d7IncrementalDedup, d9Containment)
+    d7IncrementalDedup, d9Containment, d10DupSpans)
 }

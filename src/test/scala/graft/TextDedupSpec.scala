@@ -160,6 +160,36 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("d10 duplicate-span coverage is the exact interval union of " +
+    "duplicated windows (w=15), including overlap merging and short docs") {
+    val shared30 = (1 to 30).map(i => s"w$i")
+    val shared20 = (1 to 20).map(i => s"s$i")
+    val docs = Seq(
+      (1L, shared30.mkString(" ")),                                     // dup of 2
+      (2L, shared30.mkString(" ")),
+      (3L, (shared30.take(15) ++ (1 to 25).map(i => s"u$i")).mkString(" ")), // one dup window
+      (4L, (1 to 10).map(i => s"v$i").mkString(" ")),                   // too short: 0 windows
+      (6L, (shared20 ++ (1 to 10).map(i => s"a$i")).mkString(" ")),     // overlapping dups
+      (7L, ((1 to 10).map(i => s"b$i") ++ shared20).mkString(" "))
+    ).toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("src0"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("d10spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.DedupQueries.d10DupSpans.fn(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // (n_tokens, n_windows, n_dup_windows, covered_tokens)
+    assert(out(1L) == ((30L, 16L, 16L, 30L)), s"got ${out(1L)}")   // fully covered
+    assert(out(2L) == ((30L, 16L, 16L, 30L)))
+    assert(out(3L) == ((40L, 26L, 1L, 15L)), s"got ${out(3L)}")    // single dup window
+    assert(out(4L) == ((10L, 0L, 0L, 0L)))                         // shorter than w
+    // six overlapping dup windows [0,14]..[5,19] merge to 20 covered, not 90
+    assert(out(6L) == ((30L, 16L, 6L, 20L)), s"got ${out(6L)}")
+    assert(out(7L) == ((30L, 16L, 6L, 20L)), s"got ${out(7L)}")
+  }
+
   test("tokenHash32 is a stable 32-bit value") {
     val vals = Seq(("x", 1), ("x", 2)).toDF("tok", "i")
       .select(Text.tokenHash32($"tok").as("h")).collect().map(_.getLong(0))
