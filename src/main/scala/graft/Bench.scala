@@ -44,7 +44,8 @@ object Bench {
     "q07_sql_above_avg", "q08_sql_not_exists", "v4_column_profile",
     "a18_sessionize",
     "s4_schedule_fire", "d9_containment", "c4_split_leakage",
-    "c5_shard_manifest", "d10_dup_spans")
+    "c5_shard_manifest", "d10_dup_spans", "c6_fuzzy_decontam",
+    "c7_epoch_shuffle")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

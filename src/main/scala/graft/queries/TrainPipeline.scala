@@ -427,8 +427,97 @@ object TrainPipeline {
       GROUP BY shard, bin ORDER BY shard, bin""")
   )
 
+  private val sqlShingles8 =
+    """SELECT doc_id, unnest(list_distinct(list_transform(
+         range(len(t) - 7), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7] || ' ' || t[i+8]))) AS shingle
+       FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+       WHERE len(t) >= 8"""
+
+  /** C6: fuzzy decontamination — the graded complement of c1's pair-level
+    * leak report: per EVAL document (source = 'src0'), the fraction of its
+    * distinct 8-gram shingles that appear anywhere in the training split,
+    * and the resulting flag at the 20 % overlap threshold (the GPT-3/PaLM
+    * decontamination rule: a benchmark document is dropped when enough of
+    * its n-grams leak, not only on exact match). One distinct-shingle
+    * census over the train side, one left join keyed on shingle, one
+    * map-side-combinable aggregate — the train side never materializes
+    * pairs, and at 100 TB the eval side stays tiny while the census
+    * shuffle is the same bounded inverted-index shape as c1/d2.
+    */
+  val c6FuzzyDecontam: Q = Q(
+    "c6_fuzzy_decontam",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val src = docs.select(col("doc_id"), col("source"))
+      // Both the eval and train sides scan this one shingle table:
+      // persist + eager count (the concurrent-first-scan trap, see c1).
+      val sh = MinHashLSH.shingleTable(docs, "doc_id", "text", 8)
+        .join(src, Seq("doc_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sh.count()
+      val ev = sh.filter(col("source") === "src0")
+        .select(col("doc_id").as("eval_doc"), col("shingle"))
+      val tr = sh.filter(col("source") =!= "src0")
+        .select("shingle").distinct()
+        .withColumn("hit", lit(1L))
+      ev.join(tr, Seq("shingle"), "left")
+        .groupBy("eval_doc")
+        .agg(count(lit(1)).as("n_ngrams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_leaked"))
+        .select(col("eval_doc"), col("n_ngrams"), col("n_leaked"),
+          (col("n_leaked").cast("double") / col("n_ngrams")).as("leak_frac"),
+          (col("n_leaked").cast("double") / col("n_ngrams") >= 0.2).as("contaminated"))
+        .orderBy("eval_doc")
+    },
+    Some(s"""WITH sh AS ($sqlShingles8),
+      j AS (SELECT sh.doc_id, sh.shingle, d.source
+            FROM sh JOIN documents d ON sh.doc_id = d.doc_id),
+      tr AS (SELECT DISTINCT shingle FROM j WHERE source <> 'src0'),
+      ev AS (SELECT doc_id AS eval_doc, shingle FROM j WHERE source = 'src0')
+      SELECT eval_doc, count(*) AS n_ngrams,
+        CAST(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+        CAST(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS leak_frac,
+        CAST(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) >= 0.2 AS contaminated
+      FROM ev LEFT JOIN tr t ON ev.shingle = t.shingle
+      GROUP BY eval_doc ORDER BY eval_doc""")
+  )
+
+  /** C7: deterministic epoch shuffle — the training-order assignment for a
+    * multi-epoch run: per epoch, every document gets a fresh pseudo-random
+    * order from the seeded 60-bit hash (seed = epoch, so epochs are
+    * independent permutations yet each is exactly reproducible), sharded
+    * into 8 consumer streams with a per-(epoch, shard) position. The
+    * window partitions on (epoch, shard) — deliberately NOT a global
+    * row_number, which would serialize 100 TB through one partition; the
+    * production reader consumes shards round-robin, so per-shard order IS
+    * the contract. One keyed shuffle per epoch-shard group, reproducible
+    * on any cluster size with no RNG state (p12's property, extended to
+    * ordering).
+    */
+  val c7EpochShuffle: Q = Q(
+    "c7_epoch_shuffle",
+    (s, dir) => {
+      val epochs = s.range(0, 3).select(col("id").as("epoch"))
+      val w = Window.partitionBy("epoch", "shard").orderBy("hv", "doc_id")
+      t(s, dir, "documents").select(col("doc_id"))
+        .crossJoin(broadcast(epochs))
+        .withColumn("hv", Text.seededHash64(col("epoch"), col("doc_id").cast("string")))
+        .withColumn("shard", pmod(col("hv"), lit(8)))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select("epoch", "shard", "pos", "doc_id")
+        .orderBy("epoch", "shard", "pos")
+    },
+    Some("""WITH h AS (SELECT e.epoch, d.doc_id,
+          CAST('0x' || substr(md5(CAST(e.epoch AS VARCHAR) || '|' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+        FROM documents d CROSS JOIN (SELECT unnest(range(3)) AS epoch) e)
+      SELECT epoch, hv % 8 AS shard,
+        row_number() OVER (PARTITION BY epoch, hv % 8 ORDER BY hv, doc_id) AS pos,
+        doc_id
+      FROM h ORDER BY epoch, shard, pos""")
+  )
+
   val all: Seq[Q] = Seq(
     c1Contamination, c2CorpusBuild, x8Repetition, p12StratifiedSample,
     x9SeqPacking, x10UnigramSurprisal, d6SegmentDedup, c4SplitLeakage,
-    c5ShardManifest)
+    c5ShardManifest, c6FuzzyDecontam, c7EpochShuffle)
 }

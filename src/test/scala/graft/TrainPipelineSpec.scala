@@ -68,6 +68,58 @@ class TrainPipelineSpec extends SparkSpec {
     }
   }
 
+  test("c6: leak fraction is exact on a handcrafted corpus — full dup = 1.0, " +
+    "partial 8-gram overlap is graded, clean doc = 0.0") {
+    val run20 = (1 to 20).map(i => s"r$i")  // 13 distinct 8-grams
+    val docs = Seq(
+      // eval (src0)
+      (1L, run20.mkString(" "), "src0"),                                // exact dup of 10 → 1.0
+      (2L, (run20.take(8) ++ (1 to 12).map(i => s"u$i")).mkString(" "), "src0"), // 1 of 13 leaked
+      (3L, (1 to 20).map(i => s"c$i").mkString(" "), "src0"),           // clean → 0.0
+      // train
+      (10L, run20.mkString(" "), "src1"),
+      (11L, (1 to 15).map(i => s"z$i").mkString(" "), "src2")
+    ).map { case (id, txt, src) => (id, txt, "en", src, txt.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = java.nio.file.Files.createTempDirectory("c6spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TrainPipeline.c6FuzzyDecontam.fn(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(4))))
+      .toMap
+    assert(out(1L) == ((13L, 13L, true)), s"got ${out(1L)}")
+    // doc 2: 13 distinct 8-grams, only tokens 1..8 == run20.take(8) is shared
+    assert(out(2L) == ((13L, 1L, false)), s"got ${out(2L)}")
+    assert(out(3L) == ((13L, 0L, false)), s"got ${out(3L)}")
+  }
+
+  test("c7: every epoch is a complete, reproducible permutation and " +
+    "epochs order documents differently") {
+    val out = TrainPipeline.c7EpochShuffle.fn(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()   // epoch, shard, pos, doc_id
+    val nDocs = Tables.table(spark, sf, "documents").count()
+    val byEpoch = out.groupBy(_._1)
+    assert(byEpoch.keySet == Set(0L, 1L, 2L))
+    byEpoch.foreach { case (ep, rows) =>
+      // completeness: each doc appears exactly once per epoch
+      assert(rows.map(_._4).distinct.length == nDocs, s"epoch $ep incomplete")
+      // per-shard positions are 1..k contiguous
+      rows.groupBy(_._2).foreach { case (shard, srows) =>
+        assert(srows.map(_._3).sorted.sameElements(1L to srows.length),
+          s"epoch $ep shard $shard positions not contiguous")
+      }
+    }
+    // epochs permute differently: the (shard, pos) → doc map differs
+    val e0 = byEpoch(0L).map(r => (r._2, r._3) -> r._4).toMap
+    val e1 = byEpoch(1L).map(r => (r._2, r._3) -> r._4).toMap
+    assert(e0 != e1, "epoch 0 and 1 produced the identical order")
+    // reproducibility under physical repartitioning
+    val again = TrainPipeline.c7EpochShuffle.fn(spark, sf)
+      .repartition(7)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(again == out.toSet)
+  }
+
   test("c1: contamination pairs never relate two eval docs or two train docs") {
     val docs = Tables.table(spark, sf, "documents")
       .select(col("doc_id"), col("source")).as[(Long, String)].collect().toMap
