@@ -543,6 +543,48 @@ object SimilarityQueries {
       ORDER BY adc_dist, vec_id LIMIT 10""")
   )
 
+  /** E9: ANN recall@10 evaluation — the harness every production ANN
+    * deployment runs before trusting an index: for each approximate
+    * variant (e2's fixed-codebook IVF, e4's learned k-means IVF, e5's
+    * hyperplane LSH), the fraction of the exact brute-force top-10 (e1)
+    * the variant actually returned. Composed from the SAME Q definitions
+    * the registry serves — the evaluation measures the shipped pipelines,
+    * not a parallel reimplementation — and the oracle composes the same
+    * four oracle statements as subqueries. Each recall is one 10-row
+    * equi-join + count; the dominant cost is the variants themselves.
+    */
+  val e9AnnRecall: Q = Q(
+    "e9_ann_recall",
+    (s, dir) => {
+      val exact = e1CosineTopK.fn(s, dir).select(col("vec_id"))
+      def recallRow(name: String, q: Q) =
+        q.fn(s, dir).select(col("vec_id"))
+          .join(exact, Seq("vec_id"))
+          .agg(count(lit(1)).as("n_overlap"))
+          .select(lit(name).as("variant"), col("n_overlap"),
+            (col("n_overlap").cast("double") / 10).as("recall_at_10"))
+      recallRow("e2_ivf", e2AnnIvf)
+        .unionByName(recallRow("e4_kmeans", e4AnnKmeans))
+        .unionByName(recallRow("e5_hyperplane", e5AnnHyperplane))
+        .orderBy("variant")
+    },
+    Some {
+      def sub(q: Q) = s"(SELECT vec_id FROM (${q.oracle.get}))"
+      s"""WITH exact AS ${sub(e1CosineTopK)}
+      SELECT variant, n_overlap, CAST(n_overlap AS DOUBLE) / 10 AS recall_at_10
+      FROM (
+        SELECT 'e2_ivf' AS variant, count(*) AS n_overlap
+        FROM ${sub(e2AnnIvf)} a JOIN exact ON a.vec_id = exact.vec_id
+        UNION ALL
+        SELECT 'e4_kmeans' AS variant, count(*) AS n_overlap
+        FROM ${sub(e4AnnKmeans)} a JOIN exact ON a.vec_id = exact.vec_id
+        UNION ALL
+        SELECT 'e5_hyperplane' AS variant, count(*) AS n_overlap
+        FROM ${sub(e5AnnHyperplane)} a JOIN exact ON a.vec_id = exact.vec_id)
+      ORDER BY variant"""
+    }
+  )
+
   val all: Seq[Q] = Seq(e1CosineTopK, e2AnnIvf, e3BucketNearDup, e4AnnKmeans,
-    e5AnnHyperplane, e6SemanticDedup, e7AnnBatch, e8PqAdc)
+    e5AnnHyperplane, e6SemanticDedup, e7AnnBatch, e8PqAdc, e9AnnRecall)
 }

@@ -252,4 +252,31 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("lambdafunction"),
       "higher-order lambda crept back into the shingle path:\n" + plan.take(3000))
   }
+
+  test("d10: window census and coverage are keyed joins/aggregates — " +
+    "no cartesian, and the interval-union window partitions on doc_id") {
+    val plan = executedPlan("d10_dup_spans")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("HashAggregate"), plan.take(3000)) // fp census map-side combines
+    assert(plan.contains("hashpartitioning(doc_id"),
+      "coverage window must partition on doc_id, not collapse to one partition:\n" +
+        plan.take(3000))
+  }
+
+  test("c6: decontamination is an equi-join on shingle — no cartesian") {
+    val plan = executedPlan("c6_fuzzy_decontam")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+  }
+
+  test("c7: the epoch-shuffle window partitions on (epoch, shard) — " +
+    "never a global single-partition order") {
+    val plan = executedPlan("c7_epoch_shuffle")
+    assert(plan.contains("hashpartitioning(epoch"),
+      "per-(epoch, shard) window lost its keyed partitioning:\n" + plan.take(3000))
+    assert(!plan.contains("Exchange SinglePartition"),
+      "global single-partition stage in the epoch shuffle:\n" + plan.take(3000))
+  }
 }

@@ -26,4 +26,16 @@ class VectorsSpec extends SparkSpec {
       .select(Vectors.cosine(Vectors.toDoubleVec($"a"), Vectors.toDoubleVec($"b")).as("c"))
     assert(math.abs(df.collect().head.getDouble(0)) < eps)
   }
+
+  test("e9 recall harness: one row per ANN variant, overlap bounded by k, " +
+    "recall is exactly overlap/k") {
+    val rows = graft.queries.SimilarityQueries.e9AnnRecall
+      .fn(spark, "/root/testdata/sf0.001")
+      .as[(String, Long, Double)].collect()
+    assert(rows.map(_._1).toSeq == Seq("e2_ivf", "e4_kmeans", "e5_hyperplane"))
+    rows.foreach { case (v, overlap, recall) =>
+      assert(overlap >= 0 && overlap <= 10, s"$v overlap $overlap out of range")
+      assert(recall == overlap / 10.0, s"$v recall $recall != $overlap/10")
+    }
+  }
 }
