@@ -59,7 +59,13 @@ object Plans {
     "e3_bucket_neardup" ->
       "sqrt(n) IVF codebook: seed pick is a distributed TakeOrderedAndProject; centroid assignment broadcasts the codebook; within-bucket pairing equi-joins on cid so pair work grows n^1.5, not n^2.",
     "c5_shard_manifest" ->
-      "Export manifest: x9's per-shard packing feeds one (shard, bin) HashAggregate with map-side combine; the bit_xor content checksum is order-independent, so parallel partials agree with any sequential fold.")
+      "Export manifest: x9's per-shard packing feeds one (shard, bin) HashAggregate with map-side combine; the bit_xor content checksum is order-independent, so parallel partials agree with any sequential fold.",
+    "d10_dup_spans" ->
+      "Duplicate spans: stride-1 window fingerprints explode narrowly from the fused token scan; the census and join-back shuffle on fp with map-side combine; the interval-union window is PARTITIONED by doc_id over only duplicated rows — no position explode, no cartesian.",
+    "c6_fuzzy_decontam" ->
+      "Fuzzy decontamination: one distinct-shingle census over the train side, one left equi-join on shingle, one map-side-combined leak count — the train side never materializes pairs.",
+    "c7_epoch_shuffle" ->
+      "Epoch shuffle: the position window is PARTITIONED by (epoch, shard) — never a global single-partition row_number; the epoch table is a 3-row broadcast.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -69,7 +69,41 @@ object ScaleProbe {
     annProbe(spark, sfDir)
     ccProbe(spark, sfDir)
     snProbe(spark, sfDir)
+    spanProbe(spark, sfDir)
     spark.stop()
+  }
+
+  /** d10's duplicate-span core under inflation: the window table is
+    * n_tokens rows/doc and every stage keys on fp or doc_id, so wall time
+    * must track the factor ~linearly (the salted copies keep window
+    * fingerprints disjoint, so duplicate counts scale with the factor
+    * too); any pair-forming formulation would bend quadratic by factor 8.
+    */
+  def spanProbe(spark: SparkSession, sfDir: String): Unit = {
+    import graft.functions.Text
+    val w = 15
+    val docs = Tables.table(spark, sfDir, "documents").select("doc_id", "text")
+    docs.persist(); docs.count()
+    Seq(1, 2, 4, 8).foreach { f =>
+      val inflated = inflate(docs, f)
+      val times = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        docs.persist(); docs.count()
+        val t0 = System.nanoTime()
+        val wins = inflated
+          .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= w)
+          .select(col("doc_id"),
+            explode(sequence(lit(0), size(col("t")) - w)).as("p"), col("t"))
+          .select(col("doc_id"), col("p"),
+            md5(concat_ws(" ", slice(col("t"), col("p") + 1, lit(w)))).as("fp"))
+        val census = wins.groupBy("fp").agg(count(lit(1)).as("c"))
+        val nDup = wins.join(census, Seq("fp")).filter(col("c") > 1).count()
+        (System.nanoTime() - t0) / 1e9 -> nDup
+      }
+      val (best, nDup) = times.minBy(_._1)
+      println(f"[scale-span] factor=$f%2d docs=${docs.count() * f}%7d dupwins=$nDup%8d time=$best%7.2f s")
+    }
   }
 
   /** d4's sorted-neighborhood generator under inflation: candidate count
