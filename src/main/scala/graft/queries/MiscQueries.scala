@@ -210,7 +210,48 @@ object MiscQueries {
       FROM documents ORDER BY doc_id""")
   )
 
+  /** V5: cross-source duplicate overlap — the provenance audit next to
+    * c4's split audit: for every pair of sources, how many canonical
+    * fingerprints they share and how many document PAIRS that implies
+    * (which feeds tell you the same thing — the census behind source
+    * weighting and crawl dedup decisions). Scale shape: documents
+    * collapse to per-(fp, source) GROUP COUNTS first, and the self-join
+    * multiplies counts — doc×doc duplicate pairs never materialize, so a
+    * 10 k-copy boilerplate fingerprint costs one row per source, not 10 k²
+    * join rows.
+    */
+  val v5SourceOverlap: Q = Q(
+    "v5_source_overlap",
+    (s, dir) => {
+      import graft.functions.Text
+      val fpsrc = t(s, dir, "documents")
+        .select(col("source"),
+          Text.prefixFingerprint(Text.tokens(col("text")), 8).as("fp"))
+        .groupBy("fp", "source")
+        .agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      fpsrc.count() // eager: both self-join sides scan this one census
+      val a = fpsrc.select(col("fp"), col("source").as("src_a"), col("c").as("ca"))
+      val b = fpsrc.select(col("fp"), col("source").as("src_b"), col("c").as("cb"))
+      a.join(b, Seq("fp"))
+        .filter(col("src_a") < col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(count(lit(1)).as("shared_fps"),
+          sum(col("ca") * col("cb")).as("doc_pairs"))
+        .orderBy("src_a", "src_b")
+    },
+    Some("""WITH fpsrc AS (
+        SELECT md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp,
+               source, count(*) AS c
+        FROM documents GROUP BY 1, 2)
+      SELECT a.source AS src_a, b.source AS src_b,
+        count(*) AS shared_fps,
+        CAST(sum(a.c * b.c) AS BIGINT) AS doc_pairs
+      FROM fpsrc a JOIN fpsrc b ON a.fp = b.fp AND a.source < b.source
+      GROUP BY 1, 2 ORDER BY 1, 2""")
+  )
+
   val all: Seq[Q] = Seq(
     a2Counts, a11Percentiles, f8Timezone, u2InsertAbsent, v2SchemaDiff, v4ColumnProfile,
-    o4FileListing, m1BinaryMeta)
+    v5SourceOverlap, o4FileListing, m1BinaryMeta)
 }

@@ -556,7 +556,11 @@ object SimilarityQueries {
   val e9AnnRecall: Q = Q(
     "e9_ann_recall",
     (s, dir) => {
+      // 10-row result scanned by all three recall joins: persist + eager
+      // count so the brute-force pass runs once, not once per variant.
       val exact = e1CosineTopK.fn(s, dir).select(col("vec_id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      exact.count()
       def recallRow(name: String, q: Q) =
         q.fn(s, dir).select(col("vec_id"))
           .join(exact, Seq("vec_id"))
