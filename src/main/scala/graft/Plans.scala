@@ -65,7 +65,9 @@ object Plans {
     "c6_fuzzy_decontam" ->
       "Fuzzy decontamination: one distinct-shingle census over the train side, one left equi-join on shingle, one map-side-combined leak count — the train side never materializes pairs.",
     "c7_epoch_shuffle" ->
-      "Epoch shuffle: the position window is PARTITIONED by (epoch, shard) — never a global single-partition row_number; the epoch table is a 3-row broadcast.")
+      "Epoch shuffle: the position window is PARTITIONED by (epoch, shard) — never a global single-partition row_number; the epoch table is a 3-row broadcast.",
+    "v5_source_overlap" ->
+      "Source-overlap audit: documents collapse to a per-(fp, source) count census BEFORE the self-join, so duplicate doc pairs multiply as counts — a 10k-copy fingerprint is one row per source, never 10k² join rows.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -560,13 +560,16 @@ object SimilarityQueries {
       // count so the brute-force pass runs once, not once per variant.
       val exact = e1CosineTopK.fn(s, dir).select(col("vec_id"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      exact.count()
+      // Divide by the ACTUAL exact-set size, not a hardcoded 10: on a
+      // corpus with fewer than 10 non-query vectors a variant returning
+      // the complete exact set must score 1.0, not |exact|/10.
+      val k = exact.count()
       def recallRow(name: String, q: Q) =
         q.fn(s, dir).select(col("vec_id"))
           .join(exact, Seq("vec_id"))
           .agg(count(lit(1)).as("n_overlap"))
           .select(lit(name).as("variant"), col("n_overlap"),
-            (col("n_overlap").cast("double") / 10).as("recall_at_10"))
+            (col("n_overlap").cast("double") / k).as("recall_at_10"))
       recallRow("e2_ivf", e2AnnIvf)
         .unionByName(recallRow("e4_kmeans", e4AnnKmeans))
         .unionByName(recallRow("e5_hyperplane", e5AnnHyperplane))
@@ -575,7 +578,8 @@ object SimilarityQueries {
     Some {
       def sub(q: Q) = s"(SELECT vec_id FROM (${q.oracle.get}))"
       s"""WITH exact AS ${sub(e1CosineTopK)}
-      SELECT variant, n_overlap, CAST(n_overlap AS DOUBLE) / 10 AS recall_at_10
+      SELECT variant, n_overlap,
+        CAST(n_overlap AS DOUBLE) / (SELECT count(*) FROM exact) AS recall_at_10
       FROM (
         SELECT 'e2_ivf' AS variant, count(*) AS n_overlap
         FROM ${sub(e2AnnIvf)} a JOIN exact ON a.vec_id = exact.vec_id

@@ -460,26 +460,45 @@ object TrainPipeline {
       val tr = sh.filter(col("source") =!= "src0")
         .select("shingle").distinct()
         .withColumn("hit", lit(1L))
-      ev.join(tr, Seq("shingle"), "left")
+      val stats = ev.join(tr, Seq("shingle"), "left")
         .groupBy("eval_doc")
         .agg(count(lit(1)).as("n_ngrams"),
           sum(coalesce(col("hit"), lit(0L))).as("n_leaked"))
-        .select(col("eval_doc"), col("n_ngrams"), col("n_leaked"),
-          (col("n_leaked").cast("double") / col("n_ngrams")).as("leak_frac"),
-          (col("n_leaked").cast("double") / col("n_ngrams") >= 0.2).as("contaminated"))
+      // Anchor on the eval DOCUMENT set, not the shingle table: an eval doc
+      // shorter than the n-gram (no shingles) must still get a verdict row
+      // (0 n-grams, not contaminated), or downstream joins read it as
+      // un-audited. Same left-join-and-coalesce shape as d10's short docs.
+      docs.filter(col("source") === "src0")
+        .select(col("doc_id").as("eval_doc"))
+        .join(stats, Seq("eval_doc"), "left")
+        .select(col("eval_doc"),
+          coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+          coalesce(col("n_leaked"), lit(0L)).as("n_leaked"))
+        .withColumn("leak_frac",
+          when(col("n_ngrams") > 0,
+            col("n_leaked").cast("double") / col("n_ngrams")).otherwise(lit(0.0)))
+        .withColumn("contaminated", col("leak_frac") >= 0.2)
         .orderBy("eval_doc")
     },
     Some(s"""WITH sh AS ($sqlShingles8),
       j AS (SELECT sh.doc_id, sh.shingle, d.source
             FROM sh JOIN documents d ON sh.doc_id = d.doc_id),
       tr AS (SELECT DISTINCT shingle FROM j WHERE source <> 'src0'),
-      ev AS (SELECT doc_id AS eval_doc, shingle FROM j WHERE source = 'src0')
-      SELECT eval_doc, count(*) AS n_ngrams,
-        CAST(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
-        CAST(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS leak_frac,
-        CAST(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) >= 0.2 AS contaminated
-      FROM ev LEFT JOIN tr t ON ev.shingle = t.shingle
-      GROUP BY eval_doc ORDER BY eval_doc""")
+      ev AS (SELECT doc_id AS eval_doc, shingle FROM j WHERE source = 'src0'),
+      stats AS (SELECT eval_doc, count(*) AS n_ngrams,
+          CAST(sum(CASE WHEN t.shingle IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked
+        FROM ev LEFT JOIN tr t ON ev.shingle = t.shingle
+        GROUP BY eval_doc)
+      SELECT d.doc_id AS eval_doc,
+        CAST(coalesce(s.n_ngrams, 0) AS BIGINT) AS n_ngrams,
+        CAST(coalesce(s.n_leaked, 0) AS BIGINT) AS n_leaked,
+        CASE WHEN coalesce(s.n_ngrams, 0) > 0
+             THEN CAST(s.n_leaked AS DOUBLE) / s.n_ngrams ELSE 0.0 END AS leak_frac,
+        CASE WHEN coalesce(s.n_ngrams, 0) > 0
+             THEN CAST(s.n_leaked AS DOUBLE) / s.n_ngrams ELSE 0.0 END >= 0.2 AS contaminated
+      FROM documents d LEFT JOIN stats s ON d.doc_id = s.eval_doc
+      WHERE d.source = 'src0'
+      ORDER BY eval_doc""")
   )
 
   /** C7: deterministic epoch shuffle — the training-order assignment for a

@@ -76,6 +76,7 @@ class TrainPipelineSpec extends SparkSpec {
       (1L, run20.mkString(" "), "src0"),                                // exact dup of 10 → 1.0
       (2L, (run20.take(8) ++ (1 to 12).map(i => s"u$i")).mkString(" "), "src0"), // 1 of 13 leaked
       (3L, (1 to 20).map(i => s"c$i").mkString(" "), "src0"),           // clean → 0.0
+      (5L, (1 to 5).map(i => s"q$i").mkString(" "), "src0"),            // < 8 tokens: no shingles
       // train
       (10L, run20.mkString(" "), "src1"),
       (11L, (1 to 15).map(i => s"z$i").mkString(" "), "src2")
@@ -91,6 +92,8 @@ class TrainPipelineSpec extends SparkSpec {
     // doc 2: 13 distinct 8-grams, only tokens 1..8 == run20.take(8) is shared
     assert(out(2L) == ((13L, 1L, false)), s"got ${out(2L)}")
     assert(out(3L) == ((13L, 0L, false)), s"got ${out(3L)}")
+    // a too-short eval doc still gets a verdict row, never silently dropped
+    assert(out(5L) == ((0L, 0L, false)), s"got ${out(5L)}")
   }
 
   test("c7: every epoch is a complete, reproducible permutation and " +
