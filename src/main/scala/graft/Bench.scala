@@ -45,7 +45,8 @@ object Bench {
     "a18_sessionize",
     "s4_schedule_fire", "d9_containment", "c4_split_leakage",
     "c5_shard_manifest", "d10_dup_spans", "c6_fuzzy_decontam",
-    "c7_epoch_shuffle", "e9_ann_recall", "v5_source_overlap")
+    "c7_epoch_shuffle", "e9_ann_recall", "v5_source_overlap",
+    "d11_lsh_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -67,7 +67,9 @@ object Plans {
     "c7_epoch_shuffle" ->
       "Epoch shuffle: the position window is PARTITIONED by (epoch, shard) — never a global single-partition row_number; the epoch table is a 3-row broadcast.",
     "v5_source_overlap" ->
-      "Source-overlap audit: documents collapse to a per-(fp, source) count census BEFORE the self-join, so duplicate doc pairs multiply as counts — a 10k-copy fingerprint is one row per source, never 10k² join rows.")
+      "Source-overlap audit: documents collapse to a per-(fp, source) count census BEFORE the self-join, so duplicate doc pairs multiply as counts — a 10k-copy fingerprint is one row per source, never 10k² join rows.",
+    "d11_lsh_recall" ->
+      "LSH recall: the exact truth side is the inverted-index self-join flowing into a map-side-combined intersection count — no candidate set is ever materialized and no verify re-join exists (at t=0.3 that shape beats prefix+verify 5×); the LSH side reuses d3's memoized verified pairs; recall is one left equi-join on (a,b) into a single aggregate row.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

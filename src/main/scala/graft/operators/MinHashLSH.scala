@@ -176,18 +176,28 @@ object MinHashLSH {
       .select(col(idCol), col("shingle"), col("n"))
   }
 
-  def prefixFilteredPairs(shingles: DataFrame, idCol: String): DataFrame = {
-    // Prefix entries carry the set size so the PPJoin LENGTH filter can run
-    // inside the candidate join itself: J(A,B) ≥ 0.5 forces
-    // 2·min(|A|,|B|) ≥ max(|A|,|B|) (since inter ≤ min and uni ≥ max), so
-    // size-incompatible collisions are dropped BEFORE the pair-distinct and
-    // the verify join ever see them. Exact bound, no recall loss.
-    val pref = prefixIndex(shingles, idCol, 1, 2)
+  def prefixFilteredPairs(shingles: DataFrame, idCol: String): DataFrame =
+    prefixFilteredPairsAt(shingles, idCol, 1, 2)
+
+  /** [[prefixFilteredPairs]] at an arbitrary rational threshold
+    * t = tNum/tDen. Prefix entries carry the set size so the PPJoin LENGTH
+    * filter can run inside the candidate join itself: J(A,B) ≥ t forces
+    * t·max(|A|,|B|) ≤ min(|A|,|B|) (since inter ≤ min and uni ≥ max) —
+    * checked in exact integer arithmetic (`max·tNum ≤ min·tDen`) — so
+    * size-incompatible collisions are dropped BEFORE the pair-distinct and
+    * the verify join ever see them. Exact bound, no recall loss.
+    */
+  def prefixFilteredPairsAt(
+      shingles: DataFrame,
+      idCol: String,
+      tNum: Int,
+      tDen: Int): DataFrame = {
+    val pref = prefixIndex(shingles, idCol, tNum, tDen)
     pref.select(col(idCol).as("a"), col("shingle"), col("n").as("na"))
       .join(pref.select(col(idCol).as("b"), col("shingle"), col("n").as("nb")),
         Seq("shingle"))
       .filter(col("a") < col("b") &&
-        greatest(col("na"), col("nb")) <= least(col("na"), col("nb")) * 2)
+        greatest(col("na"), col("nb")) * tNum <= least(col("na"), col("nb")) * tDen)
       .select("a", "b")
       .distinct()
   }

@@ -84,6 +84,38 @@ class TextDedupSpec extends SparkSpec {
     assert(brute.nonEmpty, "corpus should contain at least one near-dup pair")
   }
 
+  test("prefix-filtered similarity join at t=3/10 equals brute force on " +
+    "real corpus data (the generalized-threshold lemma loses nothing)") {
+    val sh = MinHashLSH.shingleTable(
+      Tables.table(spark, "/root/testdata/sf0.001", "documents"),
+      "doc_id", "text", 3)
+      .persist()
+    sh.count()
+    val brute = MinHashLSH.jaccardAllPairs(sh, "doc_id")
+      .filter(col("jaccard") >= 0.3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val filtered = MinHashLSH
+      .verifyJaccard(MinHashLSH.prefixFilteredPairsAt(sh, "doc_id", 3, 10), sh, "doc_id")
+      .filter(col("jaccard") >= 0.3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    sh.unpersist()
+    assert(filtered == brute,
+      s"missing=${(brute -- filtered).take(5)} extra=${(filtered -- brute).take(5)}")
+    assert(brute.nonEmpty, "corpus should contain at least one pair at t=0.3")
+  }
+
+  test("d11: LSH recall is bounded by 1, n_found never exceeds n_truth, " +
+    "and every LSH pair at the threshold is in the truth set") {
+    val r = graft.queries.DedupQueries.d11LshRecall
+      .fn(spark, "/root/testdata/sf0.001")
+      .as[(Long, Long, Double)].collect().head
+    val (nTruth, nFound, recall) = r
+    assert(nTruth > 0)
+    assert(nFound <= nTruth)
+    assert(recall >= 0.0 && recall <= 1.0)
+    assert(recall == nFound.toDouble / nTruth)
+  }
+
   test("containment finds a short doc embedded in a long one that Jaccard misses") {
     val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
