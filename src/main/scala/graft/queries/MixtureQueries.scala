@@ -343,7 +343,103 @@ object MixtureQueries {
       ORDER BY cluster, doc_id""")
   )
 
+  /** C8: DSIR-style importance resampling — data selection by importance
+    * weights (Xie et al. 2023, "Data Selection for Language Models via
+    * Importance Resampling"): score every raw document by the
+    * log-likelihood ratio between a TARGET-domain unigram LM and the
+    * raw-corpus LM, then resample via deterministic Gumbel-top-k — sampling
+    * with probability ∝ exp(score), not a hard threshold, so near-boundary
+    * documents keep proportional mass (the paper's point vs top-k
+    * filtering). Target here = the 'books' domain (c3's mapping); both LMs
+    * are add-one smoothed over the raw vocabulary so unseen-in-target
+    * tokens score finitely.
+    *
+    * Determinism: per-token bits are integer-quantized to 2^-20 (x10's
+    * trick) and summed as longs; the Gumbel key g = −ln(−ln(u)) uses
+    * md5-uniform u (p13's machinery) and the final key is re-quantized
+    * with doc_id as tie-break, so a last-ulp `ln` divergence between
+    * engines cannot flip a rank. Plan shape: one token explode, two
+    * vocab-bounded censuses (auto-broadcast under the threshold, keyed
+    * join beyond — the right plan at web scale), one keyed join-back on
+    * tok, one doc aggregate, TakeOrdered top-40 — no all-pairs, no RNG
+    * state, reproducible months later at any cluster size.
+    */
+  val c8DsirAdmission: Q = Q(
+    "c8_dsir_admission",
+    (s, dir) => {
+      val q40 = 1L << 40
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(substring(col("source"), 4, 10).cast("int") <= 9, "web")
+            .when(substring(col("source"), 4, 10).cast("int") <= 14, "books")
+            .otherwise("code").as("domain"),
+          explode(Text.tokens(col("text"))).as("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      toks.count() // raw census, target census and join-back all scan it
+      val raw = toks.groupBy("tok").agg(count(lit(1)).as("cr"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      raw.count()
+      val tgt = toks.filter(col("domain") === "books")
+        .groupBy("tok").agg(count(lit(1)).as("ct"))
+      // 1-row totals: raw tokens, target tokens, vocab size (raw types).
+      val tot = raw.agg(sum(col("cr")).as("nr"), count(lit(1)).as("v"))
+        .crossJoin(toks.filter(col("domain") === "books")
+          .agg(count(lit(1)).as("nt")))
+      val scored = toks
+        .join(raw, Seq("tok"))
+        .join(tgt, Seq("tok"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"), col("domain"),
+          round(log2(
+            ((coalesce(col("ct"), lit(0L)) + 1).cast("double") / (col("nt") + col("v")))
+              / ((col("cr") + 1).cast("double") / (col("nr") + col("v"))))
+            * lit(q20.toDouble)).cast("long").as("qbits"))
+        .groupBy("doc_id", "domain")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("qbits")).as("sbits"))
+        .select(col("doc_id"), col("domain"), col("n_tokens"),
+          (col("sbits").cast("double") / (lit(q20.toDouble) * col("n_tokens")))
+            .as("score_bits"))
+      scored
+        .withColumn("u",
+          (pmod(Text.seededHash64(lit(11), col("doc_id").cast("string")), lit(q40)) + 1)
+            .cast("double") / lit(q40.toDouble))
+        .withColumn("qkey",
+          round((col("score_bits") - log(-log(col("u")))) * lit(q20.toDouble))
+            .cast("long"))
+        .select("doc_id", "domain", "n_tokens", "score_bits", "qkey")
+        .orderBy(col("qkey").desc, col("doc_id"))
+        .limit(40)
+    },
+    Some("""WITH d AS (SELECT doc_id,
+        CASE WHEN CAST(substr(source, 4) AS INT) <= 9 THEN 'web'
+             WHEN CAST(substr(source, 4) AS INT) <= 14 THEN 'books'
+             ELSE 'code' END AS domain,
+        string_split(text, ' ') AS t
+      FROM documents),
+      toks AS (SELECT doc_id, domain, unnest(t) AS tok FROM d),
+      raw AS (SELECT tok, count(*) AS cr FROM toks GROUP BY tok),
+      tgt AS (SELECT tok, count(*) AS ct FROM toks WHERE domain = 'books' GROUP BY tok),
+      tot AS (SELECT (SELECT CAST(sum(cr) AS BIGINT) FROM raw) AS nr,
+                     (SELECT count(*) FROM raw) AS v,
+                     (SELECT count(*) FROM toks WHERE domain = 'books') AS nt),
+      q AS (SELECT tk.doc_id, tk.domain,
+          CAST(round(log2(
+            ((coalesce(ct, 0) + 1.0) / (nt + v)) / ((cr + 1.0) / (nr + v)))
+            * 1048576) AS BIGINT) AS qbits
+        FROM toks tk JOIN raw USING (tok) LEFT JOIN tgt USING (tok) CROSS JOIN tot),
+      sc AS (SELECT doc_id, domain, count(*) AS n_tokens,
+          CAST(sum(qbits) AS DOUBLE) / (1048576.0 * count(*)) AS score_bits
+        FROM q GROUP BY doc_id, domain),
+      k AS (SELECT doc_id, domain, n_tokens, score_bits,
+          CAST(round((score_bits - ln(-ln(
+            (CAST('0x' || substr(md5('11|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+              % 1099511627776 + 1) / 1099511627776.0))) * 1048576) AS BIGINT) AS qkey
+        FROM sc)
+      SELECT doc_id, domain, n_tokens, score_bits, qkey
+      FROM k ORDER BY qkey DESC, doc_id LIMIT 40""")
+  )
+
   val all: Seq[Q] = Seq(
     c3MixtureBuild, p13WeightedSample, x11BigramSurprisal, d8IncrementalNearDup,
-    x12RetentionPolicy)
+    x12RetentionPolicy, c8DsirAdmission)
 }

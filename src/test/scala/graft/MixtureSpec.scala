@@ -110,6 +110,30 @@ class MixtureSpec extends SparkSpec {
     }
   }
 
+  test("c8: exactly 40 rows ordered by (qkey desc, doc_id), valid domains, " +
+    "invariant under repartitioning, and the Gumbel key recomputes exactly " +
+    "from score_bits + the md5-uniform draw") {
+    val a = MixtureQueries.c8DsirAdmission.fn(spark, sf)
+      .as[(Long, String, Long, Double, Long)].collect()
+    assert(a.length == 40)
+    assert(a.forall(r => Set("web", "books", "code").contains(r._2)))
+    assert(a.toSeq == a.sortBy(r => (-r._5, r._1)).toSeq, "not qkey-desc ordered")
+    val b = MixtureQueries.c8DsirAdmission.fn(spark, sf)
+      .repartition(7).as[(Long, String, Long, Double, Long)].collect()
+    assert(a.toSet == b.toSet)
+    val q20 = (1L << 20).toDouble
+    val q40 = 1L << 40
+    a.foreach { case (docId, _, _, scoreBits, qkey) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"11|$docId".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val hv = java.lang.Long.parseLong(hex, 16)
+      val u = (hv % q40 + 1).toDouble / q40.toDouble
+      val expected = math.round((scoreBits - math.log(-math.log(u))) * q20)
+      assert(qkey == expected, s"doc $docId: qkey $qkey != $expected")
+    }
+  }
+
   test("d8 plan: the band probe is an equi-join (no cartesian product " +
     "anywhere in the plan)") {
     val plan = MixtureQueries.d8IncrementalNearDup.fn(spark, sf)
