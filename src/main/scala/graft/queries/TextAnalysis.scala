@@ -242,6 +242,45 @@ object TextAnalysis {
       FROM contrib GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** X15: BPE merge-pair counting — the inner loop of byte-pair-encoding
+    * tokenizer training (Sennrich et al. 2016): count adjacent symbol
+    * pairs across the corpus, weighted by word frequency; the top pair is
+    * the next merge. The scale move is that all pair work runs on the
+    * VOCAB-BOUNDED word census, not per occurrence: a word appearing 10M
+    * times contributes its character pairs ONCE with weight 10M, so the
+    * explode is O(vocab × word-length) regardless of corpus size — at
+    * 100 TB the census is the only corpus-sized aggregate and the rest is
+    * bounded. Top-30 via TakeOrderedAndProject with (c1, c2) tie-break.
+    * Full BPE training iterates this with vocab-bounded merge state — a
+    * driver loop over this exact query shape, one merge per round.
+    */
+  val x15BpePairs: Q = Q(
+    "x15_bpe_pairs",
+    (s, dir) => {
+      val wc = t(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+      // sequence(1, len-1) needs len >= 2: Spark's sequence steps BACKWARD
+      // when start > stop, so a 1-char word would yield [1, 0], not [].
+      wc.filter(length(col("word")) >= 2)
+        .select(col("c"), explode(expr(
+          "transform(sequence(1, length(word) - 1), " +
+            "i -> struct(substr(word, i, 1) AS c1, substr(word, i + 1, 1) AS c2))"))
+          .as("p"))
+        .groupBy(col("p.c1").as("c1"), col("p.c2").as("c2"))
+        .agg(sum(col("c")).as("freq"))
+        .orderBy(col("freq").desc, col("c1"), col("c2"))
+        .limit(30)
+    },
+    Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      wc AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+      pairs AS (SELECT substr(word, i, 1) AS c1, substr(word, i + 1, 1) AS c2, c
+                FROM (SELECT word, c, unnest(range(1, length(word))) AS i
+                      FROM wc WHERE length(word) >= 2)),
+      agg AS (SELECT c1, c2, CAST(sum(c) AS BIGINT) AS freq FROM pairs GROUP BY c1, c2)
+      SELECT c1, c2, freq FROM agg ORDER BY freq DESC, c1, c2 LIMIT 30""")
+  )
+
   val all: Seq[Q] = Seq(x1TokenStats, x2LangId, x3Quality, x4Fingerprint, x5TokenFreq,
-    x13Bm25)
+    x13Bm25, x15BpePairs)
 }

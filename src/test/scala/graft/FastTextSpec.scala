@@ -59,6 +59,26 @@ class FastTextSpec extends SparkSpec {
     }
   }
 
+  test("x15: weighted merge-pair counts equal a Scala brute force over the " +
+    "raw corpus, and the top-30 is its true prefix") {
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select("text").as[String].collect()
+    val brute = scala.collection.mutable.Map.empty[(String, String), Long]
+    docs.flatMap(_.split(" ", -1)).foreach { w =>
+      (0 until w.length - 1).foreach { i =>
+        val k = (w.substring(i, i + 1), w.substring(i + 1, i + 2))
+        brute(k) = brute.getOrElse(k, 0L) + 1L
+      }
+    }
+    val expected = brute.toSeq
+      .sortBy { case ((c1, c2), f) => (-f, c1, c2) }.take(30)
+      .map { case ((c1, c2), f) => (c1, c2, f) }
+    val got = graft.queries.TextAnalysis.x15BpePairs
+      .fn(spark, "/root/testdata/sf0.001")
+      .as[(String, String, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
   test("null input → null count") {
     FastVec.register(spark)
     val r = Seq[Option[String]](None).toDF("text")
