@@ -251,7 +251,58 @@ object MiscQueries {
       GROUP BY 1, 2 ORDER BY 1, 2""")
   )
 
+  /** V6: shard-skew audit — the straggler detector every sharded training
+    * job needs: per shard (x9's `doc_id mod 8` assignment), document and
+    * token totals, the load factor (shard tokens ÷ perfectly-balanced
+    * share — 1.0 is ideal, the max is the straggler multiplier), and the
+    * Lorenz cumulative share (ascending-load order) whose deviation from
+    * the diagonal is the Gini skew picture. The corpus is scanned ONCE
+    * into the 8-row per-shard census (persisted); every metric after that
+    * is arithmetic on 8 rows — the audit stays O(shards) at 100 TB, and
+    * the 8-row window is bounded by the shard count, not the data. All
+    * ratios are exact-long products/sums divided once at the end, so both
+    * engines emit identical doubles.
+    */
+  val v6ShardSkew: Q = Q(
+    "v6_shard_skew",
+    (s, dir) => {
+      import graft.functions.Text
+      val perShard = t(s, dir, "documents")
+        .select(pmod(col("doc_id"), lit(8)).cast("int").as("shard"),
+          size(Text.tokens(col("text"))).as("n_tokens"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("shard_tokens"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      perShard.count() // totals and the final select both scan it
+      val tot = perShard.agg(sum(col("shard_tokens")).as("total"),
+        count(lit(1)).as("n_shards"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("shard_tokens"), col("shard"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      perShard.crossJoin(broadcast(tot))
+        .select(col("shard"), col("n_docs"), col("shard_tokens"),
+          ((col("shard_tokens") * col("n_shards")).cast("double") / col("total"))
+            .as("load_factor"),
+          (sum(col("shard_tokens")).over(w).cast("double") / col("total"))
+            .as("cum_share"))
+        .orderBy("shard")
+    },
+    Some("""WITH d AS (SELECT doc_id % 8 AS shard,
+        len(string_split(text, ' ')) AS n_tokens FROM documents),
+      ps AS (SELECT CAST(shard AS INT) AS shard, count(*) AS n_docs,
+          CAST(sum(n_tokens) AS BIGINT) AS shard_tokens
+        FROM d GROUP BY 1),
+      tot AS (SELECT CAST(sum(shard_tokens) AS BIGINT) AS total,
+          count(*) AS n_shards FROM ps)
+      SELECT shard, n_docs, shard_tokens,
+        CAST(shard_tokens * n_shards AS DOUBLE) / total AS load_factor,
+        CAST(sum(shard_tokens) OVER (ORDER BY shard_tokens, shard
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) / total
+          AS cum_share
+      FROM ps CROSS JOIN tot ORDER BY shard""")
+  )
+
   val all: Seq[Q] = Seq(
     a2Counts, a11Percentiles, f8Timezone, u2InsertAbsent, v2SchemaDiff, v4ColumnProfile,
-    v5SourceOverlap, o4FileListing, m1BinaryMeta)
+    v5SourceOverlap, o4FileListing, m1BinaryMeta, v6ShardSkew)
 }

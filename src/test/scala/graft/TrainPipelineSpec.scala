@@ -39,6 +39,22 @@ class TrainPipelineSpec extends SparkSpec {
     }
   }
 
+  test("v6: load factors average to exactly 1, the Lorenz cumulative share " +
+    "is monotone and ends at 1, and shard totals reconcile with the corpus") {
+    val rows = graft.queries.MiscQueries.v6ShardSkew.fn(spark, sf)
+      .as[(Int, Long, Long, Double, Double)].collect()
+    assert(rows.length == 8 && rows.map(_._1).toSet == (0 until 8).toSet)
+    val total = rows.map(_._3).sum
+    val corpus = Tables.table(spark, sf, "documents")
+      .select(size(split(col("text"), " ")).as("n")).agg(sum("n"))
+      .as[Long].collect().head
+    assert(total == corpus, s"shard tokens $total != corpus tokens $corpus")
+    assert(math.abs(rows.map(_._4).sum - 8.0) < 1e-9, "load factors must sum to n_shards")
+    val lorenz = rows.sortBy(r => (r._3, r._1)).map(_._5)
+    assert(lorenz.zip(lorenz.tail).forall { case (x, y) => x <= y }, "cum_share not monotone")
+    assert(math.abs(lorenz.last - 1.0) < 1e-9)
+  }
+
   test("p12: split assignment and sample membership are invariant under " +
     "physical repartitioning (the reproducibility contract)") {
     val a = TrainPipeline.p12StratifiedSample.fn(spark, sf)
