@@ -46,7 +46,8 @@ object Bench {
     "s4_schedule_fire", "d9_containment", "c4_split_leakage",
     "c5_shard_manifest", "d10_dup_spans", "c6_fuzzy_decontam",
     "c7_epoch_shuffle", "e9_ann_recall", "v5_source_overlap",
-    "d11_lsh_recall", "c8_dsir_admission", "x15_bpe_pairs", "v6_shard_skew")
+    "d11_lsh_recall", "c8_dsir_admission", "x15_bpe_pairs", "v6_shard_skew",
+    "d12_oph_minhash")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -69,7 +69,15 @@ object Plans {
     "v5_source_overlap" ->
       "Source-overlap audit: documents collapse to a per-(fp, source) count census BEFORE the self-join, so duplicate doc pairs multiply as counts — a 10k-copy fingerprint is one row per source, never 10k² join rows.",
     "d11_lsh_recall" ->
-      "LSH recall: the exact truth side is the inverted-index self-join flowing into a map-side-combined intersection count — no candidate set is ever materialized and no verify re-join exists (at t=0.3 that shape beats prefix+verify 5×); the LSH side reuses d3's memoized verified pairs; recall is one left equi-join on (a,b) into a single aggregate row.")
+      "LSH recall: the exact truth side is the inverted-index self-join flowing into a map-side-combined intersection count — no candidate set is ever materialized and no verify re-join exists (at t=0.3 that shape beats prefix+verify 5×); the LSH side reuses d3's memoized verified pairs; recall is one left equi-join on (a,b) into a single aggregate row.",
+    "c8_dsir_admission" ->
+      "DSIR admission: the raw and target unigram censuses are vocab-bounded (auto-broadcast under the threshold, keyed join at web scale); the per-token score join-back shuffles once on tok with map-side-combined doc sums; the Gumbel top-40 is TakeOrderedAndProject, never a global sort.",
+    "x15_bpe_pairs" ->
+      "BPE merge pairs: the word census is the only corpus-sized aggregate — pair explode and the weighted (c1,c2) sum run on the vocab-bounded census with map-side combine; top-30 is TakeOrderedAndProject.",
+    "v6_shard_skew" ->
+      "Shard skew: one corpus scan into the 8-row per-shard census (persisted); totals broadcast back; the Lorenz window orders 8 rows — bounded by shard count, not data.",
+    "d12_oph_minhash" ->
+      "OPH near-dup: signatures are ONE HashAggregate over ONE md5 per shingle (8 binned conditional mins — d3 computes 8 md5s per shingle); candidates come from the same (band, bkey) equi-join, verification joins only candidate pairs — no cartesian anywhere.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -89,6 +89,30 @@ object MinHashLSH {
         (col("inter") / (col("na") + col("nb") - col("inter"))).as("jaccard"))
   }
 
+  /** One-permutation-hashing signatures (Li, Owen, Zhang 2012): ONE hash
+    * per shingle, binned by `h mod bins`; signature column j is the min
+    * hash landing in bin j. Versus [[signatures]] this cuts sketch compute
+    * `numHashes`× (one md5 per shingle row instead of eight) while the
+    * shuffled bytes stay identical — the decisive difference at 100 TB,
+    * where hashing dominates the sketch stage. The variance cost: a short
+    * document can leave bins EMPTY. Empty bins get a per-bin negative
+    * sentinel (real hashes are 60-bit nonnegative, so sentinels never
+    * collide with them) — two docs empty in the same band's bins DO
+    * band-collide, which only adds candidates that exact verification
+    * removes; proper densification (Shrivastava 2017) would instead
+    * recover recall for short docs and is the upgrade path.
+    */
+  def ophSignatures(shingles: DataFrame, idCol: String, bins: Int): DataFrame = {
+    val sigCols = (0 until bins).map { j =>
+      coalesce(
+        min(when(pmod(col("h"), lit(bins)) === j, col("h"))),
+        lit(-(j + 1).toLong)).as(s"s$j")
+    }
+    shingles
+      .select(col(idCol), Text.seededHash64(lit(0), col("shingle")).as("h"))
+      .groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
+  }
+
   /** Banded LSH keys: one (id, band, bkey) row per signature band. Band
     * key = plain "s_i|s_j" concat of the numeric signatures — an md5
     * wrapper would cost a hash per (doc, band) and buy nothing: the

@@ -162,6 +162,63 @@ object DedupQueries {
     Some(sqlD3Body + "\n      ORDER BY a, b")
   )
 
+  /** D12: one-permutation-hashing near-dup — d3's pipeline with
+    * [[MinHashLSH.ophSignatures]]: ONE md5 per shingle binned into 8 slots
+    * instead of 8 md5s per shingle, then the identical 4×2 banding,
+    * candidate equi-join and exact-Jaccard ≥ 0.3 verify. Same output
+    * semantics as d3 up to sketch randomness; 8× less hash compute in the
+    * sketch stage — at 100 TB, where hashing dominates sketching, this is
+    * the variant to run. Empty bins (short docs) carry per-bin sentinels:
+    * extra band collisions only ever ADD candidates, which the exact
+    * verify then removes (see [[MinHashLSH.ophSignatures]]).
+    */
+  private[queries] val sqlD12Body: String = {
+    val bandSelects = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, s${2 * b} || '|' || s${2 * b + 1} AS bkey FROM sigw")
+      .mkString(" UNION ALL ")
+    val sigCols = (0 until 8)
+      .map(j => s"coalesce(min(h) FILTER (h % 8 = $j), ${-(j + 1)}) AS s$j")
+      .mkString(", ")
+    s"""WITH sh AS ($sqlShingles3),
+      hs AS (SELECT doc_id,
+               CAST('0x' || substr(md5('0|' || shingle), 1, 15) AS BIGINT) AS h
+             FROM sh),
+      sigw AS (SELECT doc_id, $sigCols FROM hs GROUP BY doc_id),
+      bands AS ($bandSelects),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+               FROM bands x JOIN bands y
+                 ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT c.a, c.b, count(*) AS inter
+                FROM cand c
+                JOIN sh sa ON sa.doc_id = c.a
+                JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+                GROUP BY c.a, c.b)
+      SELECT i.a, i.b, i.inter, ca.n + cb.n - i.inter AS uni,
+        i.inter / (ca.n + cb.n - i.inter) AS jaccard
+      FROM inter i
+      JOIN cnt ca ON ca.doc_id = i.a
+      JOIN cnt cb ON cb.doc_id = i.b
+      WHERE i.inter / (ca.n + cb.n - i.inter) >= 0.3"""
+  }
+
+  val d12OphMinhash: Q = Q(
+    "d12_oph_minhash",
+    (s, dir) => {
+      // Signature agg, both verify sides and both count sides scan this
+      // one table: persist + eager count (d2's pattern).
+      val sh = MinHashLSH.shingleTable(t(s, dir, "documents"), "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sh.count()
+      val cand = MinHashLSH.candidatePairs(
+        MinHashLSH.ophSignatures(sh, "doc_id", 8), "doc_id", 8, 4)
+      MinHashLSH.verifyJaccard(cand, sh, "doc_id")
+        .filter(col("jaccard") >= 0.3)
+        .orderBy("a", "b")
+    },
+    Some(sqlD12Body + "\n      ORDER BY a, b")
+  )
+
   /** D4: SimHash near-dup — 32-bit signatures from per-token md5 hashes
     * (token multiplicity = vote weight), candidates from the classic
     * PERMUTED-TABLE SORTED-NEIGHBORHOOD generator (Manku et al., WWW'07
@@ -466,5 +523,5 @@ object DedupQueries {
   )
 
   val all: Seq[Q] = Seq(d1ExactDedup, d2NgramJaccard, d3MinHashLsh, d4SimHash,
-    d7IncrementalDedup, d9Containment, d10DupSpans, d11LshRecall)
+    d7IncrementalDedup, d9Containment, d10DupSpans, d11LshRecall, d12OphMinhash)
 }

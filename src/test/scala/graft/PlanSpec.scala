@@ -279,4 +279,34 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Exchange SinglePartition"),
       "global single-partition stage in the epoch shuffle:\n" + plan.take(3000))
   }
+
+  test("c8: the score join-back is an equi-join on tok and the Gumbel " +
+    "top-40 is TakeOrdered, never a global sort") {
+    val plan = executedPlan("c8_dsir_admission")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-40 must be TakeOrderedAndProject:\n" + plan.take(3000))
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+  }
+
+  test("x15: pair counting runs on the vocab-bounded census with map-side " +
+    "combine, and top-30 is TakeOrdered") {
+    val plan = executedPlan("x15_bpe_pairs")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-30 must be TakeOrderedAndProject:\n" + plan.take(3000))
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      "pair aggregate must partially combine before its exchange:\n" + plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("d12: OPH signatures are ONE hash aggregate (no seed explode) and " +
+    "candidates come from an equi-join — no cartesian") {
+    val plan = executedPlan("d12_oph_minhash")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // the 8 binned mins live in a single HashAggregate over the shingle
+    // scan — a Generate (explode) ABOVE the signature aggregate would mean
+    // a per-seed fan-out crept back in
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+  }
 }

@@ -116,6 +116,26 @@ class TextDedupSpec extends SparkSpec {
     assert(recall == nFound.toDouble / nTruth)
   }
 
+  test("d12: OPH pairs are a subset of the exact Jaccard >= 0.3 truth with " +
+    "exact jaccard values, and the pipeline finds pairs on real corpus data") {
+    val sf = "/root/testdata/sf0.001"
+    val sh = MinHashLSH.shingleTable(
+      Tables.table(spark, sf, "documents"), "doc_id", "text", 3).persist()
+    sh.count()
+    val brute = MinHashLSH.jaccardAllPairs(sh, "doc_id")
+      .filter(col("jaccard") >= 0.3)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    sh.unpersist()
+    val oph = graft.queries.DedupQueries.d12OphMinhash.fn(spark, sf)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(oph.nonEmpty, "OPH should surface at least one near-dup pair")
+    oph.foreach { case (a, b, j) =>
+      assert(brute.contains((a, b)), s"($a,$b) not in the exact truth set")
+      assert(j == brute((a, b)), s"($a,$b) jaccard $j != exact ${brute((a, b))}")
+    }
+  }
+
   test("containment finds a short doc embedded in a long one that Jaccard misses") {
     val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
