@@ -77,7 +77,9 @@ object Plans {
     "v6_shard_skew" ->
       "Shard skew: one corpus scan into the 8-row per-shard census (persisted); totals broadcast back; the Lorenz window orders 8 rows — bounded by shard count, not data.",
     "d12_oph_minhash" ->
-      "OPH near-dup: signatures are ONE HashAggregate over ONE md5 per shingle (8 binned conditional mins — d3 computes 8 md5s per shingle); candidates come from the same (band, bkey) equi-join, verification joins only candidate pairs — no cartesian anywhere.")
+      "OPH near-dup: signatures are ONE HashAggregate over ONE md5 per shingle (8 binned conditional mins — d3 computes 8 md5s per shingle); candidates come from the same (band, bkey) equi-join, verification joins only candidate pairs — no cartesian anywhere.",
+    "d13_oph_dense" ->
+      "Densified OPH: identical plan shape to d12 — the rotation borrow-chain is a narrow coalesce projection over the one signature HashAggregate (PlanSpec pins equal exchange counts), so the short-doc recall fix is free at the plan level.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -113,6 +113,40 @@ object MinHashLSH {
       .groupBy(col(idCol)).agg(sigCols.head, sigCols.tail: _*)
   }
 
+  /** Densified OPH signatures (Shrivastava & Li 2014, "rotation"
+    * densification): [[ophSignatures]]' empty-bin problem solved the
+    * published way — an empty bin j borrows the min of the NEAREST
+    * non-empty bin to its right (circularly), offset by `k·2^60` where k
+    * is the borrow distance. Hashes are 60-bit ([[Text.seededHash64]]),
+    * so the worst case `7·2^60 + (2^60−1)` is exactly Long.MaxValue — no
+    * overflow, and borrowed values can never equal a real min. Why this
+    * beats sentinels: under sentinels two SHORT documents with disjoint
+    * shingles still band-collide wherever both leave the same bins empty
+    * (false candidates ∝ short-doc count²); under rotation the borrowed
+    * value is a real min-hash, so P(collision) stays ∝ Jaccard — the LSH
+    * guarantee extends to documents with fewer shingles than bins. The
+    * distance offset is load-bearing: without it, two docs agreeing on one
+    * bin would spuriously agree on every bin that borrows from it at
+    * different distances. Cost: the same ONE hash per shingle and one
+    * fixed-width HashAggregate; the coalesce chain is a narrow projection.
+    */
+  def ophDensifiedSignatures(shingles: DataFrame, idCol: String, bins: Int): DataFrame = {
+    val offsetC = 1L << 60
+    val rawMins = (0 until bins).map { j =>
+      min(when(pmod(col("h"), lit(bins)) === j, col("h"))).as(s"m$j")
+    }
+    val binned = shingles
+      .select(col(idCol), Text.seededHash64(lit(0), col("shingle")).as("h"))
+      .groupBy(col(idCol)).agg(rawMins.head, rawMins.tail: _*)
+    val denseCols = (0 until bins).map { j =>
+      coalesce((0 until bins).map { k =>
+        val src = (j + k) % bins
+        if (k == 0) col(s"m$src") else col(s"m$src") + lit(k.toLong * offsetC)
+      }: _*).as(s"s$j")
+    }
+    binned.select(col(idCol) +: denseCols: _*)
+  }
+
   /** Banded LSH keys: one (id, band, bkey) row per signature band. Band
     * key = plain "s_i|s_j" concat of the numeric signatures — an md5
     * wrapper would cost a hash per (doc, band) and buy nothing: the

@@ -219,6 +219,70 @@ object DedupQueries {
     Some(sqlD12Body + "\n      ORDER BY a, b")
   )
 
+  /** D13: DENSIFIED one-permutation-hashing near-dup — d12 with the
+    * published fix for its short-document weakness
+    * ([[MinHashLSH.ophDensifiedSignatures]], Shrivastava & Li 2014): empty
+    * bins borrow the nearest non-empty bin's min (circularly, distance-
+    * offset by k·2^60) instead of carrying a sentinel, so band-collision
+    * probability stays ∝ Jaccard even for documents with fewer shingles
+    * than bins. Identical cost profile to d12 — ONE md5 per shingle, one
+    * fixed-width HashAggregate — making this the production OPH variant:
+    * d12 documents the sentinel failure mode, d13 ships the fix.
+    */
+  private[queries] val sqlD13Body: String = {
+    val c = 1L << 60
+    val bandSelects = (0 until 4)
+      .map(b => s"SELECT doc_id, $b AS band, s${2 * b} || '|' || s${2 * b + 1} AS bkey FROM dense")
+      .mkString(" UNION ALL ")
+    val minCols = (0 until 8)
+      .map(j => s"min(h) FILTER (h % 8 = $j) AS m$j")
+      .mkString(", ")
+    val denseCols = (0 until 8).map { j =>
+      val chain = (0 until 8).map { k =>
+        val src = (j + k) % 8
+        if (k == 0) s"m$src" else s"m$src + ${k.toLong * c}"
+      }.mkString(", ")
+      s"coalesce($chain) AS s$j"
+    }.mkString(", ")
+    s"""WITH sh AS ($sqlShingles3),
+      hs AS (SELECT doc_id,
+               CAST('0x' || substr(md5('0|' || shingle), 1, 15) AS BIGINT) AS h
+             FROM sh),
+      sigw AS (SELECT doc_id, $minCols FROM hs GROUP BY doc_id),
+      dense AS (SELECT doc_id, $denseCols FROM sigw),
+      bands AS ($bandSelects),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+               FROM bands x JOIN bands y
+                 ON x.band = y.band AND x.bkey = y.bkey AND x.doc_id < y.doc_id),
+      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      inter AS (SELECT c.a, c.b, count(*) AS inter
+                FROM cand c
+                JOIN sh sa ON sa.doc_id = c.a
+                JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+                GROUP BY c.a, c.b)
+      SELECT i.a, i.b, i.inter, ca.n + cb.n - i.inter AS uni,
+        i.inter / (ca.n + cb.n - i.inter) AS jaccard
+      FROM inter i
+      JOIN cnt ca ON ca.doc_id = i.a
+      JOIN cnt cb ON cb.doc_id = i.b
+      WHERE i.inter / (ca.n + cb.n - i.inter) >= 0.3"""
+  }
+
+  val d13OphDense: Q = Q(
+    "d13_oph_dense",
+    (s, dir) => {
+      val sh = MinHashLSH.shingleTable(t(s, dir, "documents"), "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sh.count()
+      val cand = MinHashLSH.candidatePairs(
+        MinHashLSH.ophDensifiedSignatures(sh, "doc_id", 8), "doc_id", 8, 4)
+      MinHashLSH.verifyJaccard(cand, sh, "doc_id")
+        .filter(col("jaccard") >= 0.3)
+        .orderBy("a", "b")
+    },
+    Some(sqlD13Body + "\n      ORDER BY a, b")
+  )
+
   /** D4: SimHash near-dup — 32-bit signatures from per-token md5 hashes
     * (token multiplicity = vote weight), candidates from the classic
     * PERMUTED-TABLE SORTED-NEIGHBORHOOD generator (Manku et al., WWW'07
@@ -523,5 +587,6 @@ object DedupQueries {
   )
 
   val all: Seq[Q] = Seq(d1ExactDedup, d2NgramJaccard, d3MinHashLsh, d4SimHash,
-    d7IncrementalDedup, d9Containment, d10DupSpans, d11LshRecall, d12OphMinhash)
+    d7IncrementalDedup, d9Containment, d10DupSpans, d11LshRecall, d12OphMinhash,
+    d13OphDense)
 }

@@ -309,4 +309,18 @@ class PlanSpec extends SparkSpec {
     // a per-seed fan-out crept back in
     assert(plan.contains("HashAggregate"), plan.take(3000))
   }
+
+  test("d13: densification is a narrow projection over the one signature " +
+    "aggregate — no extra exchange, no cartesian") {
+    val plan = executedPlan("d13_oph_dense")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+    // densified and sentinel variants must cost the same number of
+    // shuffles: the coalesce borrow-chain is projection-only
+    val d12Exchanges = "Exchange".r.findAllIn(executedPlan("d12_oph_minhash")).size
+    val d13Exchanges = "Exchange".r.findAllIn(plan).size
+    assert(d13Exchanges == d12Exchanges,
+      s"densification added exchanges: d12=$d12Exchanges d13=$d13Exchanges")
+  }
 }

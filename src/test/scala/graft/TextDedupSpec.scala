@@ -136,6 +136,47 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("d13: rotation densification kills the sentinel band-collisions of " +
+    "disjoint short docs that d12's sentinels produce") {
+    // One shingle per doc → 7 of 8 OPH bins empty. Disjoint content, so the
+    // ONLY way these two can band-collide is through the empty-bin encoding.
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val sh = MinHashLSH.shingleTable(docs, "doc_id", "text", 3)
+    // Sentinels: every band containing neither doc's occupied bin is
+    // sentinel-only on BOTH sides → guaranteed false candidate.
+    val sentinel = MinHashLSH.candidatePairs(
+      MinHashLSH.ophSignatures(sh, "doc_id", 8), "doc_id", 8, 4).collect()
+    assert(sentinel.nonEmpty,
+      "sentinel OPH must band-collide the disjoint short docs (d12's documented weakness)")
+    // Densified: empty bins carry the doc's own (distance-offset) real min,
+    // so signature equality again requires shingle agreement.
+    val dense = MinHashLSH.candidatePairs(
+      MinHashLSH.ophDensifiedSignatures(sh, "doc_id", 8), "doc_id", 8, 4).collect()
+    assert(dense.isEmpty,
+      "densified OPH must not band-collide docs with disjoint shingles")
+  }
+
+  test("d13: densified pairs are a subset of the exact Jaccard >= 0.3 truth " +
+    "with exact jaccard values on real corpus data") {
+    val sf = "/root/testdata/sf0.001"
+    val sh = MinHashLSH.shingleTable(
+      Tables.table(spark, sf, "documents"), "doc_id", "text", 3).persist()
+    sh.count()
+    val brute = MinHashLSH.jaccardAllPairs(sh, "doc_id")
+      .filter(col("jaccard") >= 0.3)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    sh.unpersist()
+    val dense = graft.queries.DedupQueries.d13OphDense.fn(spark, sf)
+      .select("a", "b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(dense.nonEmpty, "densified OPH should surface at least one near-dup pair")
+    dense.foreach { case (a, b, j) =>
+      assert(brute.contains((a, b)), s"($a,$b) not in the exact truth set")
+      assert(j == brute((a, b)), s"($a,$b) jaccard $j != exact ${brute((a, b))}")
+    }
+  }
+
   test("containment finds a short doc embedded in a long one that Jaccard misses") {
     val long = "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
       "lambda mu nu xi omicron pi rho sigma tau upsilon phi chi psi omega"
