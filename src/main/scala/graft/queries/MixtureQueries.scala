@@ -439,7 +439,66 @@ object MixtureQueries {
       FROM k ORDER BY qkey DESC, doc_id LIMIT 40""")
   )
 
+  /** C9: temperature-scaled mixture weights — the multilingual sampling
+    * rule (Lample & Conneau 2019 §3.1; Conneau et al. 2020 use α = 0.3):
+    * raw per-language token shares p_i are flattened to
+    * q_i = p_i^α / Σ_j p_j^α, which upsamples low-resource languages
+    * without letting any one language dominate. Output is the sampling
+    * table a pretraining run pins in its config: raw share, scaled share,
+    * boost factor q/p, and expected tokens drawn per language at a 1M
+    * token budget.
+    *
+    * Determinism: the only transcendental is one pow(p, 0.3) per LANGUAGE
+    * (a handful of rows, not per document) — its result is quantized to
+    * 2^-20 (`round(x·2^20)` as long, x10's trick) and every downstream
+    * share/boost/budget number is integer arithmetic on those quantized
+    * weights (`a·2^20 div b`), so Spark and DuckDB agree bit-for-bit.
+    * Plan shape at 100 TB: ONE map-side-combinable census over the corpus
+    * (languages ≈ dozens of rows), then window sums over that census —
+    * the single-partition windows touch only the tiny census, never data.
+    */
+  val c9TemperatureMixture: Q = Q(
+    "c9_temperature_mixture",
+    (s, dir) => {
+      val census = t(s, dir, "documents")
+        .select(col("lang"), size(Text.tokens(col("text"))).as("n_tokens"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("lang_tokens"))
+      val w = Window.partitionBy(lit(1))
+      census
+        .withColumn("total_tokens", sum(col("lang_tokens")).over(w))
+        .withColumn("p_q20", // DECIMAL(38) intermediate: lang_tokens·2^20
+          // would overflow int64 past ~8.8e12 tokens/lang (~35 TB of text)
+          expr("cast(lang_tokens as decimal(38,0)) * 1048576 div total_tokens"))
+        .withColumn("w_q20",
+          round(pow(col("lang_tokens").cast("double") / col("total_tokens").cast("double"),
+            lit(0.3)) * lit(q20.toDouble)).cast("long"))
+        .withColumn("q_q20", expr("w_q20 * 1048576 div sum(w_q20) over ()"))
+        .withColumn("boost_q20", expr("q_q20 * 1048576 div p_q20"))
+        .withColumn("sampled_tokens", expr("q_q20 * 1000000 div 1048576"))
+        .select("lang", "n_docs", "lang_tokens", "p_q20", "w_q20", "q_q20",
+          "boost_q20", "sampled_tokens")
+        .orderBy("lang")
+    },
+    Some("""WITH census AS (SELECT lang, count(*) AS n_docs,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+      FROM documents GROUP BY lang),
+      shares AS (SELECT lang, n_docs, lang_tokens,
+          CAST(sum(lang_tokens) OVER () AS BIGINT) AS total_tokens
+        FROM census),
+      wq AS (SELECT *, CAST(CAST(lang_tokens AS HUGEINT) * 1048576 // total_tokens AS BIGINT) AS p_q20,
+          CAST(round(pow(CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 0.3)
+            * 1048576) AS BIGINT) AS w_q20
+        FROM shares),
+      qq AS (SELECT *, w_q20 * 1048576 // CAST(sum(w_q20) OVER () AS BIGINT) AS q_q20
+        FROM wq)
+      SELECT lang, n_docs, lang_tokens, p_q20, w_q20, q_q20,
+        q_q20 * 1048576 // p_q20 AS boost_q20,
+        q_q20 * 1000000 // 1048576 AS sampled_tokens
+      FROM qq ORDER BY lang""")
+  )
+
   val all: Seq[Q] = Seq(
     c3MixtureBuild, p13WeightedSample, x11BigramSurprisal, d8IncrementalNearDup,
-    x12RetentionPolicy, c8DsirAdmission)
+    x12RetentionPolicy, c8DsirAdmission, c9TemperatureMixture)
 }

@@ -134,6 +134,35 @@ class MixtureSpec extends SparkSpec {
     }
   }
 
+  test("c9: shares sum to ~2^20, w_q20 recomputes exactly from the token " +
+    "census, and temperature flattening boosts rarer languages more") {
+    val out = MixtureQueries.c9TemperatureMixture.fn(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long)].collect()
+    assert(out.nonEmpty)
+    val q20 = 1L << 20
+    // integer-floor shares: each sum lands in (2^20 - #langs, 2^20]
+    val pSum = out.map(_._4).sum
+    val qSum = out.map(_._6).sum
+    assert(pSum > q20 - out.length && pSum <= q20, s"p_q20 sum $pSum")
+    assert(qSum > q20 - out.length && qSum <= q20, s"q_q20 sum $qSum")
+    val total = out.map(_._3).sum
+    out.foreach { case (lang, _, toks, _, wq, _, _, _) =>
+      val expected = math.round(math.pow(toks.toDouble / total, 0.3) * q20)
+      assert(wq == expected, s"$lang: w_q20 $wq != $expected")
+    }
+    // flattening: strictly rarer language => boost at least as large,
+    // yet scaled shares never invert the raw ordering
+    val byToks = out.sortBy(_._3)
+    byToks.sliding(2).foreach {
+      case Array(small, large) if small._3 < large._3 =>
+        assert(small._7 >= large._7,
+          s"${small._1} boost ${small._7} < ${large._1} boost ${large._7}")
+        assert(small._6 <= large._6 + 1,
+          s"${small._1} q_q20 ${small._6} inverts ${large._1} ${large._6}")
+      case _ => ()
+    }
+  }
+
   test("d8 plan: the band probe is an equi-join (no cartesian product " +
     "anywhere in the plan)") {
     val plan = MixtureQueries.d8IncrementalNearDup.fn(spark, sf)
