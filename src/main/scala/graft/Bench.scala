@@ -47,7 +47,8 @@ object Bench {
     "c5_shard_manifest", "d10_dup_spans", "c6_fuzzy_decontam",
     "c7_epoch_shuffle", "e9_ann_recall", "v5_source_overlap",
     "d11_lsh_recall", "c8_dsir_admission", "x15_bpe_pairs", "v6_shard_skew",
-    "d12_oph_minhash", "d13_oph_dense", "c9_temperature_mixture")
+    "d12_oph_minhash", "d13_oph_dense", "c9_temperature_mixture",
+    "x16_pii_scrub")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -281,6 +281,78 @@ object TextAnalysis {
       SELECT c1, c2, freq FROM agg ORDER BY freq DESC, c1, c2 LIMIT 30""")
   )
 
+  /** X16: PII detection + redaction — the scrubbing pass every public
+    * training corpus runs before release (C4 removed pages on a blocklist;
+    * Dolma and FineWeb regex-scrub emails/IPs/phone numbers in place).
+    * Three detector families over each document — email addresses, IPv4
+    * addresses, long digit runs (phone/account-number shaped) — each
+    * counted pre-redaction and then replaced innermost-first (emails, then
+    * IPs, then bare digit runs) so a digit sequence inside an already
+    * redacted span is not double-counted.
+    *
+    * The synthetic corpus contains no PII (digit-free prose), so a
+    * deterministic doc_id-derived contact footer is appended before
+    * scrubbing — a loudly-marked stand-in (the Multimodal.FakeCodec
+    * pattern) that gives every detector real matches while keeping the
+    * DuckDB oracle bit-exact. Patterns stay inside the Java-regex ∩ RE2
+    * portable subset: explicit classes, greedy bounded quantifiers, no
+    * lookaround, no backrefs.
+    *
+    * Scale shape: a pure narrow map — codegen `regexp_count`/
+    * `regexp_replace` per row, zero shuffles before the oracle's ORDER BY.
+    * At 100 TB this is the cheapest kind of pass there is; it pipelines
+    * inside whole-stage codegen with whatever scan feeds it.
+    */
+  val x16PiiScrub: Q = Q(
+    "x16_pii_scrub",
+    (s, dir) => {
+      val emailRe = "[a-z0-9._]+@[a-z][a-z.]+"
+      val ipRe = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+      val digitsRe = "[0-9]{7,}"
+      val withPii = t(s, dir, "documents")
+        .select(col("doc_id"),
+          concat(
+            col("text"),
+            lit(" contact u"), col("doc_id"), lit("@mail.example from ip 10."),
+            pmod(col("doc_id"), lit(200L)), lit("."),
+            pmod(col("doc_id") * 7, lit(200L)), lit("."),
+            pmod(col("doc_id") * 13, lit(250L)),
+            lit(" account "), lpad(col("doc_id").cast("string"), 9, "0"),
+            expr("repeat(' ping 192.168.1.' || cast(doc_id % 9 as string), " +
+              "cast(doc_id % 3 as int))")
+          ).as("raw"))
+      withPii
+        .select(
+          col("doc_id"),
+          regexp_count(col("raw"), lit(emailRe)).as("n_emails"),
+          regexp_count(col("raw"), lit(ipRe)).as("n_ips"),
+          regexp_count(col("raw"), lit(digitsRe)).as("n_digit_runs"),
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(col("raw"), emailRe, "<EMAIL>"),
+              ipRe, "<IP>"),
+            digitsRe, "<NUM>").as("redacted"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH p AS (SELECT doc_id,
+        text || ' contact u' || CAST(doc_id AS VARCHAR) || '@mail.example from ip 10.'
+          || CAST(doc_id % 200 AS VARCHAR) || '.' || CAST(doc_id * 7 % 200 AS VARCHAR)
+          || '.' || CAST(doc_id * 13 % 250 AS VARCHAR)
+          || ' account ' || lpad(CAST(doc_id AS VARCHAR), 9, '0')
+          || repeat(' ping 192.168.1.' || CAST(doc_id % 9 AS VARCHAR),
+               CAST(doc_id % 3 AS INT)) AS raw
+      FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z][a-z.]+')) AS INT) AS n_emails,
+        CAST(len(regexp_extract_all(raw, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INT) AS n_ips,
+        CAST(len(regexp_extract_all(raw, '[0-9]{7,}')) AS INT) AS n_digit_runs,
+        regexp_replace(regexp_replace(regexp_replace(raw,
+          '[a-z0-9._]+@[a-z][a-z.]+', '<EMAIL>', 'g'),
+          '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
+          '[0-9]{7,}', '<NUM>', 'g') AS redacted
+      FROM p ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(x1TokenStats, x2LangId, x3Quality, x4Fingerprint, x5TokenFreq,
-    x13Bm25, x15BpePairs)
+    x13Bm25, x15BpePairs, x16PiiScrub)
 }

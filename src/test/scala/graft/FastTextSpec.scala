@@ -79,6 +79,24 @@ class FastTextSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("x16: per-doc detector counts match the injected footer arithmetic, " +
+    "and no email/IP/long-digit-run shape survives redaction") {
+    val rows = graft.queries.TextAnalysis.x16PiiScrub
+      .fn(spark, "/root/testdata/sf0.001")
+      .as[(Long, Int, Int, Int, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (docId, nEmails, nIps, nRuns, red) =>
+      assert(nEmails == 1, s"doc $docId emails $nEmails")
+      assert(nIps == 1 + (docId % 3).toInt, s"doc $docId ips $nIps")
+      assert(nRuns == 1, s"doc $docId runs $nRuns")
+      assert(!red.contains("@"), s"doc $docId leaks an email")
+      assert(!"[0-9]{7,}".r.findFirstIn(red).isDefined, s"doc $docId leaks digits")
+      assert(!"[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}".r
+        .findFirstIn(red).isDefined, s"doc $docId leaks an IP")
+      assert(red.contains("<EMAIL>") && red.contains("<IP>") && red.contains("<NUM>"))
+    }
+  }
+
   test("null input → null count") {
     FastVec.register(spark)
     val r = Seq[Option[String]](None).toDF("text")
