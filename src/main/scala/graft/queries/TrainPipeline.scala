@@ -535,8 +535,75 @@ object TrainPipeline {
       FROM h ORDER BY epoch, shard, pos""")
   )
 
+  /** C10: quality-annealed curriculum schedule — the data-ORDERING step of
+    * a modern pretraining run (curriculum learning, Bengio et al. 2009;
+    * quality-ascending "annealing" in recent open recipes): documents are
+    * split into four quality quartiles (phase 0 = worst seen first,
+    * phase 3 = best reserved for the end of training) and, within each
+    * phase, given the same sharded deterministic order as c7's epoch
+    * shuffle.
+    *
+    * The scale trick is HOW the quartiles are computed: no global sort of
+    * documents and no approx-percentile drift. Quality scores (x3's
+    * formula, reused verbatim) are integer-quantized to 2^-20, and the
+    * quartile boundaries come from a running sum over the QUANTIZED-VALUE
+    * census — a window over at most 2^20 distinct score buckets, bounded
+    * regardless of corpus size, never over documents. Every document in
+    * one bucket lands in one phase (the phase of the bucket's first rank),
+    * so assignment is exact integer arithmetic both engines reproduce.
+    * The per-phase order then partitions on (phase, shard) — 32 window
+    * groups, never a global row_number.
+    */
+  val c10Curriculum: Q = Q(
+    "c10_curriculum",
+    (s, dir) => {
+      val q20d = (1L << 20).toDouble
+      val scored = TextAnalysis.x3Quality.fn(s, dir)
+        .select(col("doc_id"), round(col("quality") * q20d).cast("long").as("qq"))
+      val census = scored.groupBy("qq").agg(count(lit(1)).as("c"))
+      val wc = Window.orderBy("qq") // census window: ≤ 2^20 rows by construction
+      val phased = census
+        .withColumn("cum", sum(col("c")).over(wc))
+        .crossJoin(broadcast(scored.agg(count(lit(1)).as("n"))))
+        .withColumn("phase", least(lit(3L), expr("(cum - c) * 4 div n")))
+        .select("qq", "phase")
+      val w = Window.partitionBy("phase", "shard").orderBy("hv", "doc_id")
+      scored
+        .join(phased, Seq("qq"))
+        .withColumn("hv", Text.seededHash64(lit(21), col("doc_id").cast("string")))
+        .withColumn("shard", pmod(col("hv"), lit(8)))
+        .withColumn("pos", row_number().over(w).cast("long"))
+        .select("phase", "shard", "pos", "doc_id", "qq")
+        .orderBy("phase", "shard", "pos")
+    },
+    Some("""WITH base AS (
+        SELECT doc_id,
+          len(string_split(text, ' ')) AS n_tokens,
+          len(list_distinct(string_split(text, ' '))) AS n_types,
+          length(text) AS chars,
+          len(list_filter(string_split(text, ' '), w -> w = 'the' OR w = 'a')) AS n_stop
+        FROM documents),
+      q AS (SELECT doc_id,
+          CAST(round((0.4 * (n_types / n_tokens)
+            + 0.3 * least(((chars - n_tokens + 1) / n_tokens) / 10.0, 1.0)
+            + 0.3 * (1.0 - (n_stop / n_tokens))) * 1048576) AS BIGINT) AS qq
+        FROM base),
+      census AS (SELECT qq, count(*) AS c FROM q GROUP BY qq),
+      cum AS (SELECT qq, c, CAST(sum(c) OVER (ORDER BY qq) AS BIGINT) AS cum FROM census),
+      phased AS (SELECT qq,
+          least(3, (cum - c) * 4 // (SELECT count(*) FROM q)) AS phase
+        FROM cum),
+      h AS (SELECT q.doc_id, q.qq, p.phase,
+          CAST('0x' || substr(md5('21|' || CAST(q.doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+        FROM q JOIN phased p USING (qq))
+      SELECT phase, hv % 8 AS shard,
+        row_number() OVER (PARTITION BY phase, hv % 8 ORDER BY hv, doc_id) AS pos,
+        doc_id, qq
+      FROM h ORDER BY phase, shard, pos""")
+  )
+
   val all: Seq[Q] = Seq(
     c1Contamination, c2CorpusBuild, x8Repetition, p12StratifiedSample,
     x9SeqPacking, x10UnigramSurprisal, d6SegmentDedup, c4SplitLeakage,
-    c5ShardManifest, c6FuzzyDecontam, c7EpochShuffle)
+    c5ShardManifest, c6FuzzyDecontam, c7EpochShuffle, c10Curriculum)
 }

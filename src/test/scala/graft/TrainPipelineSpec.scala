@@ -112,6 +112,35 @@ class TrainPipelineSpec extends SparkSpec {
     assert(out(5L) == ((0L, 0L, false)), s"got ${out(5L)}")
   }
 
+  test("c10: phases cover every doc once, are quality-ordered ranges with " +
+    "bucket-bounded quartile sizes, and per-shard positions are contiguous") {
+    val out = TrainPipeline.c10Curriculum.fn(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect() // phase, shard, pos, doc_id, qq
+    val nDocs = Tables.table(spark, sf, "documents").count()
+    assert(out.map(_._4).distinct.length == nDocs, "docs dropped or duplicated")
+    val byPhase = out.groupBy(_._1)
+    assert(byPhase.keySet.forall(p => p >= 0 && p <= 3))
+    // phases are non-overlapping quality ranges: max(qq) of phase k is at
+    // most min(qq) of phase k+1 (equal only never — buckets are atomic)
+    val ranges = byPhase.toSeq.sortBy(_._1)
+      .map { case (p, rows) => (p, rows.map(_._5).min, rows.map(_._5).max) }
+    ranges.sliding(2).foreach {
+      case Seq((pa, _, maxA), (pb, minB, _)) =>
+        assert(maxA < minB, s"phase $pa [..$maxA] overlaps phase $pb [$minB..]")
+      case _ => ()
+    }
+    // quartile balance up to one quality bucket's worth of ties
+    val maxBucket = out.groupBy(_._5).values.map(_.length).max
+    byPhase.foreach { case (p, rows) =>
+      assert(rows.length <= nDocs / 4 + maxBucket,
+        s"phase $p has ${rows.length} docs (bucket bound ${nDocs / 4 + maxBucket})")
+    }
+    out.groupBy(r => (r._1, r._2)).foreach { case ((p, sh), rows) =>
+      assert(rows.map(_._3).sorted.sameElements(1L to rows.length),
+        s"phase $p shard $sh positions not contiguous")
+    }
+  }
+
   test("c7: every epoch is a complete, reproducible permutation and " +
     "epochs order documents differently") {
     val out = TrainPipeline.c7EpochShuffle.fn(spark, sf)
