@@ -593,6 +593,105 @@ object SimilarityQueries {
     }
   )
 
+  /** E10: MMR diverse re-ranking (maximal marginal relevance, Carbonell &
+    * Goldstein 1998) — the rerank stage retrieval pipelines run after ANN:
+    * from a C = 24 candidate pool, greedily pick k = 10 results maximizing
+    * λ·rel(q, d) − (1−λ)·max_{s∈S} sim(d, s) with λ = 0.7, trading raw
+    * relevance for diversity against the already-picked set.
+    *
+    * Scale split, by design: candidate generation is the DISTRIBUTED part
+    * (top-C over the full corpus — TakeOrderedAndProject, the e1 shape),
+    * while the greedy rerank is O(C²) on a fixed candidate budget and runs
+    * on the driver — the same bounded-by-construction pattern as
+    * [[graft.operators.ConnectedComponents]]'s small-graph path. C never
+    * grows with the corpus; a 1000-executor cluster still reranks 24 rows.
+    * Pairwise candidate similarities are computed in Spark with the SAME
+    * codegen cosine as relevance, so the driver never re-implements vector
+    * arithmetic.
+    *
+    * Determinism: sims are quantized to 2^-20 longs; the greedy objective
+    * is pure integer arithmetic (score10 = 7·qrel − 3·qmax, λ = 7/10) with
+    * vec_id tie-break, replayed by the oracle as a recursive CTE whose
+    * per-step argmax is `arg_max` over the composite key
+    * score10·2^40 − vec_id.
+    */
+  val e10MmrRerank: Q = Q(
+    "e10_mmr_rerank",
+    (s, dir) => {
+      FastVec.register(s)
+      val q20d = (1L << 20).toDouble
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), Vectors.toDoubleVec(col("embedding")).as("v"))
+      val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val cand = emb
+        .crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), col("v"),
+          round(FastVec.cosine(col("v"), col("qv")) * q20d).cast("long").as("qrel"))
+        .orderBy(col("qrel").desc, col("vec_id"))
+        .limit(24)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      cand.count() // eager: the rel collect and the pairwise join both read it
+      val a = cand.select(col("vec_id").as("ai"), col("v").as("va"))
+      val b = cand.select(col("vec_id").as("bi"), col("v").as("vb"))
+      val pairSims = a.crossJoin(b).filter(col("ai") =!= col("bi"))
+        .select(col("ai"), col("bi"),
+          round(FastVec.cosine(col("va"), col("vb")) * q20d).cast("long").as("qsim"))
+      // BOUNDED collects: C rows + C·(C−1) pair sims, constant in corpus size.
+      val rels = cand.select("vec_id", "qrel").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val sims = pairSims.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+      cand.unpersist()
+      val pickedIds = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val out = (1 to 10).map { rank =>
+        var bestKey = Long.MinValue
+        var bestVec = -1L
+        var bestScore = 0L
+        rels.keysIterator.filterNot(pickedIds.contains).foreach { vId =>
+          val qmax = // cosines can be NEGATIVE: no 0-seeded fold
+            if (pickedIds.isEmpty) 0L
+            else pickedIds.iterator.map(p => sims((vId, p))).max
+          val sc = 7L * rels(vId) - 3L * qmax
+          val key = sc * (1L << 40) - vId
+          if (key > bestKey) { bestKey = key; bestVec = vId; bestScore = sc }
+        }
+        pickedIds += bestVec
+        (rank.toLong, bestVec, rels(bestVec), bestScore)
+      }
+      import s.implicits._
+      out.toDF("rank", "vec_id", "qrel", "score10").orderBy("rank")
+    },
+    Some {
+      val sc = """7*c.qrel - 3*coalesce((SELECT max(p.qsim) FROM pairs p
+        WHERE p.ai = c.vec_id AND list_contains(s.picked, p.bi)), 0)"""
+      val key = s"($sc) * 1099511627776 - c.vec_id"
+      s"""WITH RECURSIVE e AS ($sqlE),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      cand AS (SELECT vec_id, v, CAST(round((${sqlCos("v", "qv")}) * 1048576) AS BIGINT) AS qrel
+        FROM e CROSS JOIN q WHERE vec_id <> 0
+        ORDER BY qrel DESC, vec_id LIMIT 24),
+      pairs AS (SELECT a.vec_id AS ai, b.vec_id AS bi,
+          CAST(round((${sqlCos("a.v", "b.v")}) * 1048576) AS BIGINT) AS qsim
+        FROM cand a CROSS JOIN cand b WHERE a.vec_id <> b.vec_id),
+      sel(rank, vec_id, qrel, score10, picked) AS (
+        SELECT * FROM (SELECT CAST(1 AS BIGINT) AS rank, vec_id, qrel,
+            7*qrel AS score10, [vec_id] AS picked
+          FROM cand ORDER BY qrel DESC, vec_id LIMIT 1)
+        UNION ALL
+        SELECT s.rank + 1,
+          arg_max(c.vec_id, $key),
+          arg_max(c.qrel, $key),
+          arg_max($sc, $key),
+          list_append(any_value(s.picked), arg_max(c.vec_id, $key))
+        FROM sel s JOIN cand c ON NOT list_contains(s.picked, c.vec_id)
+        WHERE s.rank < 10
+        GROUP BY s.rank, s.picked)
+      SELECT rank, vec_id, qrel, score10 FROM sel ORDER BY rank"""
+    }
+  )
+
   val all: Seq[Q] = Seq(e1CosineTopK, e2AnnIvf, e3BucketNearDup, e4AnnKmeans,
-    e5AnnHyperplane, e6SemanticDedup, e7AnnBatch, e8PqAdc, e9AnnRecall)
+    e5AnnHyperplane, e6SemanticDedup, e7AnnBatch, e8PqAdc, e9AnnRecall,
+    e10MmrRerank)
 }

@@ -38,4 +38,36 @@ class VectorsSpec extends SparkSpec {
       assert(recall == overlap / 10.0, s"$v recall $recall != $overlap/10")
     }
   }
+
+  test("e10: 10 distinct picks ranked 1..10, the first pick is the pure " +
+    "relevance winner, diversity actually reorders, and the run is " +
+    "reproducible") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.SimilarityQueries.e10MmrRerank
+      .fn(spark, sf)
+      .as[(Long, Long, Long, Long)].collect() // rank, vec_id, qrel, score10
+    assert(rows.map(_._1).toSeq == (1L to 10L))
+    assert(rows.map(_._2).distinct.length == 10)
+    // rank 1 is pure relevance (empty penalty set): score10 == 7·qrel and
+    // it matches e1's brute-force top result
+    val first = rows.head
+    assert(first._4 == 7 * first._3, "rank-1 score is not 7*qrel")
+    val e1Top = graft.queries.SimilarityQueries.e1CosineTopK.fn(spark, sf)
+      .select("vec_id").as[Long].head()
+    assert(first._2 == e1Top, s"rank-1 pick ${first._2} != e1 top $e1Top")
+    // diversity: picked qrels are NOT in pure-relevance order (the penalty
+    // term must have reordered at least one step on this corpus)
+    val qrels = rows.map(_._3).toSeq
+    assert(qrels != qrels.sorted.reverse, "MMR degenerated to pure top-k")
+    // the penalty term is a cosine in [−1, 1] quantized to 2^-20:
+    // score10 = 7·qrel − 3·qmax stays within 3·2^20 of pure relevance
+    // (negative qmax legitimately RAISES the score above 7·qrel)
+    rows.tail.foreach { case (r, v, qrel, s10) =>
+      assert(math.abs(s10 - 7 * qrel) <= 3L * (1L << 20),
+        s"rank $r vec $v score $s10 outside the cosine penalty envelope")
+    }
+    val again = graft.queries.SimilarityQueries.e10MmrRerank.fn(spark, sf)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(again.toSeq == rows.toSeq)
+  }
 }
