@@ -323,4 +323,57 @@ class PlanSpec extends SparkSpec {
     assert(d13Exchanges == d12Exchanges,
       s"densification added exchanges: d12=$d12Exchanges d13=$d13Exchanges")
   }
+
+  test("c9: one map-side-combined census feeds the weight table — the " +
+    "single-partition windows touch only the tiny census") {
+    val plan = executedPlan("c9_temperature_mixture")
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      "language census must combine map-side:\n" + plan.take(3000))
+    // the SinglePartition exchange is allowed ONLY above the census
+    // aggregate (languages ≈ dozens of rows), so it must appear after the
+    // keyed census exchange in the bottom-up plan — both exist, and the
+    // big-table scan feeds the keyed one
+    assert(plan.contains("hashpartitioning(lang"),
+      "census must shuffle on lang before any global window:\n" + plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("x16: the scrub is a pure narrow map — regexes run inside codegen " +
+    "and nothing shuffles except the oracle's final sort") {
+    val plan = executedPlan("x16_pii_scrub")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("HashAggregate"),
+      "a scrub pass must not aggregate:\n" + plan.take(3000))
+    val exchanges = "Exchange".r.findAllIn(plan).size
+    assert(exchanges <= 1, // the rangepartitioning for ORDER BY doc_id only
+      s"narrow scrub has $exchanges exchanges:\n" + plan.take(3000))
+    assert(plan.contains("*(1) Project"), // *(n) = whole-stage codegen stage
+      "regex projection fell out of codegen:\n" + plan.take(3000))
+  }
+
+  test("c10: phase assignment joins docs to the bucket census by qq and " +
+    "the curriculum window partitions on (phase, shard)") {
+    val plan = executedPlan("c10_curriculum")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the curriculum window keys on (phase, shard) — AQE may elide the
+    // exchange at tiny scale (input already one partition), but the window
+    // spec itself must stay keyed, never a global ORDER-only window
+    assert(plan.contains("windowspecdefinition(phase"),
+      "per-(phase, shard) window lost its keys:\n" + plan.take(3000))
+    assert(plan.contains("partial_count"),
+      "bucket census must combine map-side:\n" + plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      "the qq phase map should broadcast-join back to docs:\n" + plan.take(3000))
+  }
+
+  test("e10: the returned rerank result is a bounded local relation (the " +
+    "distributed candidate scan happened inside, in e1's TakeOrdered shape)") {
+    val plan = executedPlan("e10_mmr_rerank")
+    assert(plan.contains("LocalTableScan") || plan.contains("LocalRelation"),
+      "rerank output should be the bounded driver-side result:\n" + plan.take(3000))
+    // the distributed stage it feeds on is e1's shape, asserted above;
+    // here we pin that the rerank itself never becomes a distributed job
+    assert(!plan.contains("FileScan"),
+      "rerank output must not rescan the corpus:\n" + plan.take(3000))
+  }
 }
