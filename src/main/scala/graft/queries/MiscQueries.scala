@@ -302,7 +302,55 @@ object MiscQueries {
       FROM ps CROSS JOIN tot ORDER BY shard""")
   )
 
+  /** V7: per-source data card — the datasheet table published alongside a
+    * corpus release (Gebru et al. 2021, "Datasheets for Datasets"; every
+    * open-corpus paper ships one): for each source, document and token
+    * totals, language spread, exact-duplicate rate (via d1's opening-phrase
+    * fingerprint), and the short-document fraction — the five numbers a
+    * consumer checks before training on a slice.
+    *
+    * One hash aggregate on source over a narrow projection; the dup rate
+    * rides the same pass as a count(DISTINCT fp) (Spark plans the distinct
+    * as a partial expand, still map-side combinable). O(sources) output —
+    * at 100 TB the answer is still twenty rows.
+    */
+  val v7DataCard: Q = Q(
+    "v7_data_card",
+    (s, dir) => {
+      import graft.functions.Text
+      val toks = Text.tokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("source"), col("lang"),
+          size(toks).as("n_tokens"),
+          Text.prefixFingerprint(toks, 8).as("fp"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          countDistinct(col("lang")).as("n_langs"),
+          countDistinct(col("fp")).as("n_distinct_fp"),
+          sum(when(col("n_tokens") < 20, 1L).otherwise(0L)).as("n_short"))
+        .select(col("source"), col("n_docs"), col("total_tokens"),
+          col("n_langs"),
+          (lit(1.0) - col("n_distinct_fp").cast("double") / col("n_docs"))
+            .as("dup_rate"),
+          (col("n_short").cast("double") / col("n_docs")).as("short_frac"))
+        .orderBy("source")
+    },
+    Some("""WITH d AS (SELECT source, lang,
+        len(string_split(text, ' ')) AS n_tokens,
+        md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp
+      FROM documents)
+      SELECT source, count(*) AS n_docs,
+        CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+        count(DISTINCT lang) AS n_langs,
+        1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*) AS dup_rate,
+        CAST(sum(CASE WHEN n_tokens < 20 THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+          AS short_frac
+      FROM d GROUP BY source ORDER BY source""")
+  )
+
   val all: Seq[Q] = Seq(
     a2Counts, a11Percentiles, f8Timezone, u2InsertAbsent, v2SchemaDiff, v4ColumnProfile,
-    v5SourceOverlap, o4FileListing, m1BinaryMeta, v6ShardSkew)
+    v5SourceOverlap, o4FileListing, m1BinaryMeta, v6ShardSkew, v7DataCard)
 }

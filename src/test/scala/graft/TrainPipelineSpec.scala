@@ -55,6 +55,26 @@ class TrainPipelineSpec extends SparkSpec {
     assert(math.abs(lorenz.last - 1.0) < 1e-9)
   }
 
+  test("v7: data-card totals reconcile with a brute-force per-source " +
+    "recount, and rates stay inside [0, 1]") {
+    val rows = graft.queries.MiscQueries.v7DataCard.fn(spark, sf)
+      .as[(String, Long, Long, Long, Double, Double)].collect()
+    val raw = Tables.table(spark, sf, "documents")
+      .select(col("source"), col("lang"), col("text")).as[(String, String, String)]
+      .collect()
+    val bySource = raw.groupBy(_._1)
+    assert(rows.map(_._1).toSet == bySource.keySet)
+    rows.foreach { case (src, nDocs, nTokens, nLangs, dupRate, shortFrac) =>
+      val docs = bySource(src)
+      assert(nDocs == docs.length, s"$src n_docs")
+      assert(nTokens == docs.map(_._3.split(" ", -1).length.toLong).sum, s"$src tokens")
+      assert(nLangs == docs.map(_._2).distinct.length, s"$src langs")
+      val fps = docs.map(_._3.split(" ", -1).take(8).mkString(" ")).distinct.length
+      assert(math.abs(dupRate - (1.0 - fps.toDouble / docs.length)) < 1e-12, s"$src dup")
+      assert(dupRate >= 0.0 && dupRate < 1.0 && shortFrac >= 0.0 && shortFrac <= 1.0)
+    }
+  }
+
   test("p12: split assignment and sample membership are invariant under " +
     "physical repartitioning (the reproducibility contract)") {
     val a = TrainPipeline.p12StratifiedSample.fn(spark, sf)
