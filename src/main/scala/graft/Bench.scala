@@ -48,7 +48,8 @@ object Bench {
     "c7_epoch_shuffle", "e9_ann_recall", "v5_source_overlap",
     "d11_lsh_recall", "c8_dsir_admission", "x15_bpe_pairs", "v6_shard_skew",
     "d12_oph_minhash", "d13_oph_dense", "c9_temperature_mixture",
-    "x16_pii_scrub", "c10_curriculum", "e10_mmr_rerank", "v7_data_card")
+    "x16_pii_scrub", "c10_curriculum", "e10_mmr_rerank", "v7_data_card",
+    "c11_epoch_allocation", "e11_embedding_qa")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -498,7 +498,54 @@ object MixtureQueries {
       FROM qq ORDER BY lang""")
   )
 
+  /** C11: sampling-epochs allocation — the "epochs" column of a data-mix
+    * table (LLaMA's Table 1 shape: each source lists its sampling
+    * proportion AND how many passes over it that implies): c9's
+    * temperature-scaled share q_i of a 1M-token budget is divided by the
+    * language's own token count into (a) whole passes over the language
+    * (`n_full_epochs` — upsampled languages repeat; admission alone cannot
+    * oversample) and (b) a fractional final pass expressed as c3's integer
+    * hash-admission threshold (`frac_q20`), so the partial epoch is itself
+    * a deterministic, reproducible document subset. Identity
+    * target = full·tokens + partial-remainder is exact by construction and
+    * spec-checked. Pure integer arithmetic on c9's O(languages) output —
+    * the plan adds nothing to c9 but a projection.
+    */
+  val c11EpochAllocation: Q = Q(
+    "c11_epoch_allocation",
+    (s, dir) => {
+      c9TemperatureMixture.fn(s, dir)
+        .select(col("lang"), col("lang_tokens"), col("q_q20"),
+          col("sampled_tokens").as("target_tokens"))
+        .withColumn("n_full_epochs", expr("target_tokens div lang_tokens"))
+        .withColumn("rem_tokens", expr("target_tokens % lang_tokens"))
+        .withColumn("frac_q20", expr("rem_tokens * 1048576 div lang_tokens"))
+        .select("lang", "lang_tokens", "q_q20", "target_tokens",
+          "n_full_epochs", "rem_tokens", "frac_q20")
+        .orderBy("lang")
+    },
+    Some("""WITH census AS (SELECT lang, count(*) AS n_docs,
+        CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+      FROM documents GROUP BY lang),
+      shares AS (SELECT lang, n_docs, lang_tokens,
+          CAST(sum(lang_tokens) OVER () AS BIGINT) AS total_tokens
+        FROM census),
+      wq AS (SELECT *, CAST(round(pow(CAST(lang_tokens AS DOUBLE) / CAST(total_tokens AS DOUBLE), 0.3)
+            * 1048576) AS BIGINT) AS w_q20
+        FROM shares),
+      qq AS (SELECT *, w_q20 * 1048576 // CAST(sum(w_q20) OVER () AS BIGINT) AS q_q20
+        FROM wq),
+      alloc AS (SELECT lang, lang_tokens, q_q20,
+          q_q20 * 1000000 // 1048576 AS target_tokens
+        FROM qq)
+      SELECT lang, lang_tokens, q_q20, target_tokens,
+        target_tokens // lang_tokens AS n_full_epochs,
+        target_tokens % lang_tokens AS rem_tokens,
+        (target_tokens % lang_tokens) * 1048576 // lang_tokens AS frac_q20
+      FROM alloc ORDER BY lang""")
+  )
+
   val all: Seq[Q] = Seq(
     c3MixtureBuild, p13WeightedSample, x11BigramSurprisal, d8IncrementalNearDup,
-    x12RetentionPolicy, c8DsirAdmission, c9TemperatureMixture)
+    x12RetentionPolicy, c8DsirAdmission, c9TemperatureMixture, c11EpochAllocation)
 }

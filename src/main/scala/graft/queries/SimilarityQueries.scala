@@ -691,7 +691,54 @@ object SimilarityQueries {
     }
   )
 
+  /** E11: embedding QA audit — the hygiene gate an embedding table passes
+    * before anything downstream (ANN, semantic dedup, clustering) consumes
+    * it: per label, vector count, dimension consistency (distinct dims —
+    * anything but 1 is a pipeline bug), zero-vector count (unnormalizable;
+    * cosine is undefined), and the norm distribution (min / max / mean).
+    * Norms are quantized to 2^-20 longs per ROW and summed as integers, so
+    * the mean is one exact division — the same trick that keeps every
+    * float aggregate here engine-reproducible (doubles never sum across
+    * partitions).
+    *
+    * One narrow projection + one map-side-combinable aggregate on label;
+    * O(labels) output. At 100 TB this is the cheap pass that saves the
+    * expensive ones.
+    */
+  val e11EmbeddingQa: Q = Q(
+    "e11_embedding_qa",
+    (s, dir) => {
+      val q20d = (1L << 20).toDouble
+      t(s, dir, "embeddings")
+        .select(col("label"), Vectors.toDoubleVec(col("embedding")).as("v"))
+        .select(col("label"), size(col("v")).as("dim"),
+          round(Vectors.norm(col("v")) * q20d).cast("long").as("qnorm"))
+        .groupBy("label")
+        .agg(
+          count(lit(1)).as("n_vecs"),
+          countDistinct(col("dim")).as("n_dims"),
+          sum(when(col("qnorm") === 0, 1L).otherwise(0L)).as("n_zero"),
+          min(col("qnorm")).as("qnorm_min"),
+          max(col("qnorm")).as("qnorm_max"),
+          sum(col("qnorm")).as("sum_qnorm"))
+        .select(col("label"), col("n_vecs"), col("n_dims"), col("n_zero"),
+          col("qnorm_min"), col("qnorm_max"),
+          (col("sum_qnorm").cast("double") / (col("n_vecs") * lit(q20d)))
+            .as("mean_norm"))
+        .orderBy("label")
+    },
+    Some(s"""WITH e AS ($sqlE),
+      n AS (SELECT label, len(v) AS dim,
+          CAST(round(sqrt(${sqlDot("v", "v")}) * 1048576) AS BIGINT) AS qnorm
+        FROM e)
+      SELECT label, count(*) AS n_vecs, count(DISTINCT dim) AS n_dims,
+        CAST(sum(CASE WHEN qnorm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        min(qnorm) AS qnorm_min, max(qnorm) AS qnorm_max,
+        CAST(sum(qnorm) AS DOUBLE) / (count(*) * 1048576.0) AS mean_norm
+      FROM n GROUP BY label ORDER BY label""")
+  )
+
   val all: Seq[Q] = Seq(e1CosineTopK, e2AnnIvf, e3BucketNearDup, e4AnnKmeans,
     e5AnnHyperplane, e6SemanticDedup, e7AnnBatch, e8PqAdc, e9AnnRecall,
-    e10MmrRerank)
+    e10MmrRerank, e11EmbeddingQa)
 }

@@ -163,6 +163,21 @@ class MixtureSpec extends SparkSpec {
     }
   }
 
+  test("c11: the allocation identity holds exactly — target = full epochs " +
+    "times corpus + remainder, and the fractional threshold is sub-2^20") {
+    val rows = MixtureQueries.c11EpochAllocation.fn(spark, sf)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (lang, toks, _, target, nFull, rem, fracQ20) =>
+      assert(target == nFull * toks + rem, s"$lang allocation identity")
+      assert(rem >= 0 && rem < toks, s"$lang remainder out of range")
+      assert(fracQ20 >= 0 && fracQ20 < (1L << 20), s"$lang frac_q20 range")
+      // upsampled languages must repeat: any target above corpus size
+      // yields at least one full epoch
+      if (target >= toks) assert(nFull >= 1, s"$lang lost its full pass")
+    }
+  }
+
   test("d8 plan: the band probe is an equi-join (no cartesian product " +
     "anywhere in the plan)") {
     val plan = MixtureQueries.d8IncrementalNearDup.fn(spark, sf)

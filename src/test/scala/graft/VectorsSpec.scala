@@ -70,4 +70,21 @@ class VectorsSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect()
     assert(again.toSeq == rows.toSeq)
   }
+
+  test("e11: QA totals reconcile with the table, dims are consistent, and " +
+    "the norm envelope brackets the mean") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.SimilarityQueries.e11EmbeddingQa.fn(spark, sf)
+      .as[(Int, Long, Long, Long, Long, Long, Double)].collect()
+    val total = Tables.table(spark, sf, "embeddings").count()
+    assert(rows.map(_._2).sum == total, "per-label counts lose vectors")
+    rows.foreach { case (label, n, nDims, nZero, qMin, qMax, mean) =>
+      assert(nDims == 1, s"label $label has $nDims distinct dims")
+      assert(nZero >= 0 && nZero <= n)
+      assert(qMin <= qMax, s"label $label norm envelope inverted")
+      val q20 = (1L << 20).toDouble
+      assert(mean >= qMin / q20 - 1e-12 && mean <= qMax / q20 + 1e-12,
+        s"label $label mean norm $mean outside [$qMin, $qMax]/2^20")
+    }
+  }
 }
