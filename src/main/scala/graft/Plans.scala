@@ -79,7 +79,21 @@ object Plans {
     "d12_oph_minhash" ->
       "OPH near-dup: signatures are ONE HashAggregate over ONE md5 per shingle (8 binned conditional mins — d3 computes 8 md5s per shingle); candidates come from the same (band, bkey) equi-join, verification joins only candidate pairs — no cartesian anywhere.",
     "d13_oph_dense" ->
-      "Densified OPH: identical plan shape to d12 — the rotation borrow-chain is a narrow coalesce projection over the one signature HashAggregate (PlanSpec pins equal exchange counts), so the short-doc recall fix is free at the plan level.")
+      "Densified OPH: identical plan shape to d12 — the rotation borrow-chain is a narrow coalesce projection over the one signature HashAggregate (PlanSpec pins equal exchange counts), so the short-doc recall fix is free at the plan level.",
+    "c9_temperature_mixture" ->
+      "Temperature mixture: ONE map-side-combined language census over the corpus; the pow/share/boost arithmetic runs in windows over that O(languages) census — the single-partition stages never see documents.",
+    "x16_pii_scrub" ->
+      "PII scrub: a pure narrow map — all three regex detectors and the chained redaction run inside one codegen Project over the scan; the only exchange is the oracle's final sort.",
+    "c10_curriculum" ->
+      "Curriculum phases: exact quartiles from a running sum over the quantized-score census (bounded at 2^20 buckets, never documents); the phase map joins back by qq and the order window is PARTITIONED by (phase, shard).",
+    "e10_mmr_rerank" ->
+      "MMR rerank: candidate generation is e1's TakeOrderedAndProject shape; the greedy rerank runs on the driver over a bounded C=24 pool, so the returned result is a LocalTableScan that never rescans the corpus.",
+    "v7_data_card" ->
+      "Data card: one narrow projection into one hash aggregate on source (count-distinct planned as partial expands, still map-side combinable) — O(sources) output rows.",
+    "c11_epoch_allocation" ->
+      "Epoch allocation: c9's census plan plus a single integer projection — no additional exchange over the mixture-weight table.",
+    "e11_embedding_qa" ->
+      "Embedding QA: per-row quantized norms feed one map-side-combined aggregate on label; the mean is one exact division at the end — doubles never sum across partitions.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -281,13 +281,14 @@ object TextAnalysis {
       SELECT c1, c2, freq FROM agg ORDER BY freq DESC, c1, c2 LIMIT 30""")
   )
 
-  /** X16: PII detection + redaction — the scrubbing pass every public
-    * training corpus runs before release (C4 removed pages on a blocklist;
-    * Dolma and FineWeb regex-scrub emails/IPs/phone numbers in place).
-    * Three detector families over each document — email addresses, IPv4
+  /** X16: multi-class PII detection + redaction — the scrubbing pass every
+    * public training corpus runs before release (Dolma and FineWeb
+    * regex-scrub emails/IPs/phone numbers in place). Where `x6_pii_scrub`
+    * redacts ONE known token class, this is the production shape: three
+    * detector families over each document — email addresses, IPv4
     * addresses, long digit runs (phone/account-number shaped) — each
-    * counted pre-redaction and then replaced innermost-first (emails, then
-    * IPs, then bare digit runs) so a digit sequence inside an already
+    * counted pre-redaction and then replaced in precedence order (emails,
+    * then IPs, then bare digit runs) so a digit sequence inside an already
     * redacted span is not double-counted.
     *
     * The synthetic corpus contains no PII (digit-free prose), so a
