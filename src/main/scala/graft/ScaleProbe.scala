@@ -70,7 +70,34 @@ object ScaleProbe {
     ccProbe(spark, sfDir)
     snProbe(spark, sfDir)
     spanProbe(spark, sfDir)
+    curriculumProbe(spark, sfDir)
     spark.stop()
+  }
+
+  /** c10's exact-quartile machinery under inflation: the quantized-score
+    * census (the ONLY structure the quartile boundaries are computed from)
+    * must stay bounded as the corpus grows — inflated copies reuse the
+    * same score buckets — while wall time tracks the factor ~linearly.
+    * A global sort-based quartile would bend superlinear AND its sort
+    * width would grow with the corpus; the census window never does.
+    */
+  def curriculumProbe(spark: SparkSession, sfDir: String): Unit = {
+    val docs = Tables.table(spark, sfDir, "documents").select("doc_id", "text")
+    docs.persist(); docs.count()
+    Seq(1, 2, 4, 8).foreach { f =>
+      val inflated = inflate(docs, f)
+      val times = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        docs.persist(); docs.count()
+        val t0 = System.nanoTime()
+        val n = graft.queries.TrainPipeline.curriculumPlan(inflated).count()
+        (System.nanoTime() - t0) / 1e9 -> n
+      }
+      val censusRows = graft.queries.TextAnalysis.quality(inflated)
+        .select((col("quality") * (1L << 20).toDouble).cast("long")).distinct().count()
+      val (best, n) = times.minBy(_._1)
+      println(f"[scale-cur] factor=$f%2d docs=$n%7d censusRows=$censusRows%6d time=$best%7.2f s")
+    }
   }
 
   /** d10's duplicate-span core under inflation: the window table is

@@ -98,30 +98,34 @@ object TextAnalysis {
   /** X3: quality scoring — type/token ratio, mean token length, stopword
     * ratio folded into one deterministic composite score.
     */
+  /** The x3 composite quality score over any (doc_id, text) frame —
+    * shared by the x3 registry query, c10's curriculum phases, and the
+    * curriculum scale probe.
+    */
+  def quality(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = Text.tokens(col("text"))
+    docs
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_types"),
+        length(col("text")).cast("long").as("chars"),
+        profileScore(toks, Seq("the", "a")).as("n_stop"))
+      .select(
+        col("doc_id"),
+        (col("n_types") / col("n_tokens")).as("ttr"),
+        ((col("chars") - col("n_tokens") + 1) / col("n_tokens")).as("mean_token_len"),
+        (col("n_stop") / col("n_tokens")).as("stop_ratio"))
+      .withColumn(
+        "quality",
+        lit(0.4) * col("ttr") +
+          lit(0.3) * least(col("mean_token_len") / lit(10.0), lit(1.0)) +
+          lit(0.3) * (lit(1.0) - col("stop_ratio")))
+  }
+
   val x3Quality: Q = Q(
     "x3_quality_score",
-    (s, dir) => {
-      val toks = Text.tokens(col("text"))
-      val base = t(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          size(toks).cast("long").as("n_tokens"),
-          size(array_distinct(toks)).cast("long").as("n_types"),
-          length(col("text")).cast("long").as("chars"),
-          profileScore(toks, Seq("the", "a")).as("n_stop"))
-      base
-        .select(
-          col("doc_id"),
-          (col("n_types") / col("n_tokens")).as("ttr"),
-          ((col("chars") - col("n_tokens") + 1) / col("n_tokens")).as("mean_token_len"),
-          (col("n_stop") / col("n_tokens")).as("stop_ratio"))
-        .withColumn(
-          "quality",
-          lit(0.4) * col("ttr") +
-            lit(0.3) * least(col("mean_token_len") / lit(10.0), lit(1.0)) +
-            lit(0.3) * (lit(1.0) - col("stop_ratio")))
-        .orderBy("doc_id")
-    },
+    (s, dir) => quality(t(s, dir, "documents")).orderBy("doc_id"),
     Some(s"""WITH base AS (
         SELECT doc_id,
           len(string_split(text, ' ')) AS n_tokens,

@@ -554,28 +554,34 @@ object TrainPipeline {
     * The per-phase order then partitions on (phase, shard) — 32 window
     * groups, never a global row_number.
     */
+  /** c10's core over any (doc_id, text) frame — also driven by
+    * [[graft.ScaleProbe]] to show the quantized-score census stays bounded
+    * under corpus inflation.
+    */
+  def curriculumPlan(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val q20d = (1L << 20).toDouble
+    val scored = TextAnalysis.quality(docs)
+      .select(col("doc_id"), round(col("quality") * q20d).cast("long").as("qq"))
+    val census = scored.groupBy("qq").agg(count(lit(1)).as("c"))
+    val wc = Window.orderBy("qq") // census window: ≤ 2^20 rows by construction
+    val phased = census
+      .withColumn("cum", sum(col("c")).over(wc))
+      .crossJoin(broadcast(scored.agg(count(lit(1)).as("n"))))
+      .withColumn("phase", least(lit(3L), expr("(cum - c) * 4 div n")))
+      .select("qq", "phase")
+    val w = Window.partitionBy("phase", "shard").orderBy("hv", "doc_id")
+    scored
+      .join(phased, Seq("qq"))
+      .withColumn("hv", Text.seededHash64(lit(21), col("doc_id").cast("string")))
+      .withColumn("shard", pmod(col("hv"), lit(8)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select("phase", "shard", "pos", "doc_id", "qq")
+  }
+
   val c10Curriculum: Q = Q(
     "c10_curriculum",
-    (s, dir) => {
-      val q20d = (1L << 20).toDouble
-      val scored = TextAnalysis.x3Quality.fn(s, dir)
-        .select(col("doc_id"), round(col("quality") * q20d).cast("long").as("qq"))
-      val census = scored.groupBy("qq").agg(count(lit(1)).as("c"))
-      val wc = Window.orderBy("qq") // census window: ≤ 2^20 rows by construction
-      val phased = census
-        .withColumn("cum", sum(col("c")).over(wc))
-        .crossJoin(broadcast(scored.agg(count(lit(1)).as("n"))))
-        .withColumn("phase", least(lit(3L), expr("(cum - c) * 4 div n")))
-        .select("qq", "phase")
-      val w = Window.partitionBy("phase", "shard").orderBy("hv", "doc_id")
-      scored
-        .join(phased, Seq("qq"))
-        .withColumn("hv", Text.seededHash64(lit(21), col("doc_id").cast("string")))
-        .withColumn("shard", pmod(col("hv"), lit(8)))
-        .withColumn("pos", row_number().over(w).cast("long"))
-        .select("phase", "shard", "pos", "doc_id", "qq")
-        .orderBy("phase", "shard", "pos")
-    },
+    (s, dir) => curriculumPlan(t(s, dir, "documents"))
+      .orderBy("phase", "shard", "pos"),
     Some("""WITH base AS (
         SELECT doc_id,
           len(string_split(text, ' ')) AS n_tokens,
