@@ -93,7 +93,9 @@ object Plans {
     "c11_epoch_allocation" ->
       "Epoch allocation: c9's census plan plus a single integer projection — no additional exchange over the mixture-weight table.",
     "e11_embedding_qa" ->
-      "Embedding QA: per-row quantized norms feed one map-side-combined aggregate on label; the mean is one exact division at the end — doubles never sum across partitions.")
+      "Embedding QA: per-row quantized norms feed one map-side-combined aggregate on label; the mean is one exact division at the end — doubles never sum across partitions.",
+    "x17_vocab_growth" ->
+      "Heaps-law curve: first-occurrence docs come from ONE map-side-combined min(doc_id) census on tok — no prefix re-scans — and the growth curve is two running sums over ten decile rows.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -358,6 +358,72 @@ object TextAnalysis {
       FROM p ORDER BY doc_id""")
   )
 
+  /** X17: vocabulary growth curve (Heaps' law, V(n) ≈ K·n^β) — the corpus
+    * diversity diagnostic: how fast the type inventory grows as the corpus
+    * is consumed in doc_id order, reported per corpus decile with the
+    * running Heaps exponent estimate β = ln V / ln n. A flattening curve
+    * says more data adds few new types (near-duplicate or templated text);
+    * a β near 1 says the corpus never repeats itself (OCR noise, ids).
+    *
+    * The scale trick: NO prefix re-scans and no global sort. Each type
+    * contributes exactly its FIRST-occurrence document (min(doc_id) per
+    * type — one map-side-combinable census on tok), each doc its decile
+    * (integer `doc_id·10 div N`), and the curve is two running sums over
+    * TEN rows. The Heaps exponent is the only transcendental and runs on
+    * those 10 rows, quantized to 2^-20 (x10's trick) so both engines agree
+    * bit-for-bit.
+    */
+  val x17VocabGrowth: Q = Q(
+    "x17_vocab_growth",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      toks.count() // the type census and the per-doc counts both scan it
+      val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("n"))
+      val firstDocs = toks.groupBy("tok").agg(min(col("doc_id")).as("first_doc"))
+        .crossJoin(broadcast(nDocs))
+        .groupBy(expr("least(9, first_doc * 10 div n)").as("bucket"))
+        .agg(count(lit(1)).as("new_types"))
+      val tokCounts = toks
+        .crossJoin(broadcast(nDocs))
+        .groupBy(expr("least(9, doc_id * 10 div n)").as("bucket"))
+        .agg(count(lit(1)).as("bucket_tokens"))
+      val w = Window.orderBy("bucket") // 10 rows by construction
+        .rowsBetween(Window.unboundedPreceding, 0)
+      tokCounts
+        .join(firstDocs, Seq("bucket"), "left")
+        .select(col("bucket"), col("bucket_tokens"),
+          coalesce(col("new_types"), lit(0L)).as("new_types"))
+        .withColumn("cum_tokens", sum(col("bucket_tokens")).over(w))
+        .withColumn("vocab", sum(col("new_types")).over(w))
+        .withColumn("qbeta",
+          round(log(col("vocab").cast("double"))
+            / log(col("cum_tokens").cast("double")) * lit((1L << 20).toDouble))
+            .cast("long"))
+        .select("bucket", "bucket_tokens", "new_types", "cum_tokens", "vocab", "qbeta")
+        .orderBy("bucket")
+    },
+    Some("""WITH n AS (SELECT count(*) AS n FROM documents),
+      toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      fd AS (SELECT least(9, doc_id * 10 // n) AS bucket, count(*) AS new_types
+        FROM (SELECT tok, min(doc_id) AS doc_id FROM toks GROUP BY tok) CROSS JOIN n
+        GROUP BY 1),
+      tc AS (SELECT least(9, doc_id * 10 // n) AS bucket, count(*) AS bucket_tokens
+        FROM toks CROSS JOIN n GROUP BY 1),
+      cur AS (SELECT tc.bucket, tc.bucket_tokens,
+          CAST(coalesce(fd.new_types, 0) AS BIGINT) AS new_types,
+          CAST(sum(tc.bucket_tokens) OVER (ORDER BY tc.bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+          CAST(sum(coalesce(fd.new_types, 0)) OVER (ORDER BY tc.bucket
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS vocab
+        FROM tc LEFT JOIN fd ON tc.bucket = fd.bucket)
+      SELECT bucket, bucket_tokens, new_types, cum_tokens, vocab,
+        CAST(round(ln(CAST(vocab AS DOUBLE)) / ln(CAST(cum_tokens AS DOUBLE))
+          * 1048576) AS BIGINT) AS qbeta
+      FROM cur ORDER BY bucket""")
+  )
+
   val all: Seq[Q] = Seq(x1TokenStats, x2LangId, x3Quality, x4Fingerprint, x5TokenFreq,
-    x13Bm25, x15BpePairs, x16PiiScrub)
+    x13Bm25, x15BpePairs, x16PiiScrub, x17VocabGrowth)
 }

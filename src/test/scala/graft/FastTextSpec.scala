@@ -97,6 +97,27 @@ class FastTextSpec extends SparkSpec {
     }
   }
 
+  test("x17: the vocab curve reconciles with a brute-force prefix replay — " +
+    "cumulative types per decile equal the distinct-type count of the " +
+    "corpus prefix, and the curve is monotone") {
+    val sf = "/root/testdata/sf0.001"
+    val rows = graft.queries.TextAnalysis.x17VocabGrowth.fn(spark, sf)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(rows.map(_._1).toSeq == (0L to 9L))
+    val docs = Tables.table(spark, sf, "documents")
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1)
+    val n = docs.length
+    rows.foreach { case (bucket, _, _, cumTokens, vocab, _) =>
+      // prefix = all docs whose decile <= bucket
+      val prefix = docs.filter { case (id, _) => math.min(9L, id * 10 / n) <= bucket }
+      val toks = prefix.flatMap(_._2.split(" ", -1))
+      assert(cumTokens == toks.length.toLong, s"bucket $bucket cum tokens")
+      assert(vocab == toks.distinct.length.toLong, s"bucket $bucket vocab")
+    }
+    val vocabs = rows.map(_._5)
+    assert(vocabs.zip(vocabs.tail).forall { case (a, b) => a <= b }, "vocab not monotone")
+  }
+
   test("null input → null count") {
     FastVec.register(spark)
     val r = Seq[Option[String]](None).toDF("text")
