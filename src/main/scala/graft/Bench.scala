@@ -49,7 +49,8 @@ object Bench {
     "d11_lsh_recall", "c8_dsir_admission", "x15_bpe_pairs", "v6_shard_skew",
     "d12_oph_minhash", "d13_oph_dense", "c9_temperature_mixture",
     "x16_pii_scrub", "c10_curriculum", "e10_mmr_rerank", "v7_data_card",
-    "c11_epoch_allocation", "e11_embedding_qa", "x17_vocab_growth")
+    "c11_epoch_allocation", "e11_embedding_qa", "x17_vocab_growth",
+    "q09_sql_correlated")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

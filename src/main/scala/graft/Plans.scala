@@ -95,7 +95,9 @@ object Plans {
     "e11_embedding_qa" ->
       "Embedding QA: per-row quantized norms feed one map-side-combined aggregate on label; the mean is one exact division at the end — doubles never sum across partitions.",
     "x17_vocab_growth" ->
-      "Heaps-law curve: first-occurrence docs come from ONE map-side-combined min(doc_id) census on tok — no prefix re-scans — and the growth curve is two running sums over ten decile rows.")
+      "Heaps-law curve: first-occurrence docs come from ONE map-side-combined min(doc_id) census on tok — no prefix re-scans — and the growth curve is two running sums over ten decile rows.",
+    "q09_sql_correlated" ->
+      "TPC-H Q17 shape: both per-part correlated scalar subqueries decorrelate into ONE keyed aggregate joined back — no ScalarSubquery (per-row re-execution) survives in the physical plan.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

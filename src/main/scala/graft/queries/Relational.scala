@@ -472,8 +472,39 @@ object Relational {
     Some(sqlQ08)
   )
 
+  /** Q09: TPC-H Q17-shaped correlated scalar subquery — "orders below 20%
+    * of the part's average quantity" — the decorrelation stress test:
+    * both engines must rewrite the two per-part correlated aggregates into
+    * aggregate joins (Spark: RewriteCorrelatedScalarSubquery → one keyed
+    * aggregate + join; a naive per-row re-execution would rescan lineitem
+    * once per row). One ANSI text runs on both engines, q07/q08's
+    * front-door pattern. The 20%-of-average compare is exact integer
+    * cross-multiplication (q·cnt·5 < sum over round(q·100) cents), q07's
+    * trick extended to the correlated form, and revenue converts the exact
+    * integer-cents sum once at the end.
+    */
+  private val sqlQ09 =
+    """WITH li AS (SELECT l_partkey, CAST(round(l_quantity * 100) AS BIGINT) AS q100,
+         CAST(round(l_extendedprice * 100) AS BIGINT) AS price100 FROM lineitem)
+       SELECT p.p_brand, count(*) AS n_small_orders,
+         CAST(CAST(sum(l.price100) AS DOUBLE) / 100.0 AS DOUBLE) AS revenue
+       FROM li l JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE l.q100 * (SELECT count(*) FROM li l2 WHERE l2.l_partkey = l.l_partkey) * 5
+           < (SELECT sum(l2.q100) FROM li l2 WHERE l2.l_partkey = l.l_partkey)
+       GROUP BY p.p_brand ORDER BY p.p_brand"""
+
+  val q09SqlCorrelated: Q = Q(
+    "q09_sql_correlated",
+    (s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sqlQ09)
+    },
+    Some(sqlQ09)
+  )
+
   val all: Seq[Q] = Seq(
-    q01PricingSummary, q07SqlAboveAvg, q08SqlNotExists,
+    q01PricingSummary, q07SqlAboveAvg, q08SqlNotExists, q09SqlCorrelated,
     p1Drop, p2Rename, p3Project, p4Filter, p5Isin, p6Validity, p8MaskedUpdate,
     f1Respell, f2Case, f3Split, f4StringAgg, f5Concat, f6TimeTrunc, f9TsArith,
     f11CastNull, f13Json,

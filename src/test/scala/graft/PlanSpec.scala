@@ -324,6 +324,16 @@ class PlanSpec extends SparkSpec {
       s"densification added exchanges: d12=$d12Exchanges d13=$d13Exchanges")
   }
 
+  test("q09: both correlated scalar subqueries are decorrelated into " +
+    "aggregate joins — no per-row subquery execution remains") {
+    val plan = executedPlan("q09_sql_correlated")
+    assert(!plan.contains("ScalarSubquery"),
+      "correlated subquery survived decorrelation:\n" + plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("HashAggregate"),
+      "per-part aggregate missing:\n" + plan.take(3000))
+  }
+
   test("c9: one map-side-combined census feeds the weight table — the " +
     "single-partition windows touch only the tiny census") {
     val plan = executedPlan("c9_temperature_mixture")
