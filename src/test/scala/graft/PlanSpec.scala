@@ -324,6 +324,18 @@ class PlanSpec extends SparkSpec {
       s"densification added exchanges: d12=$d12Exchanges d13=$d13Exchanges")
   }
 
+  test("x17: the type census is ONE map-side-combined min aggregate on " +
+    "tok — no cartesian, no per-prefix re-scan") {
+    val plan = executedPlan("x17_vocab_growth")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("partial_min") || plan.contains("partial_count"),
+      "type census must combine map-side:\n" + plan.take(3000))
+    // exactly two corpus-scanning aggregates (type census + decile token
+    // counts) — a per-prefix formulation would scan once per decile
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans <= 3, s"x17 scans the corpus $scans times:\n" + plan.take(3000))
+  }
+
   test("q09: both correlated scalar subqueries are decorrelated into " +
     "aggregate joins — no per-row subquery execution remains") {
     val plan = executedPlan("q09_sql_correlated")
