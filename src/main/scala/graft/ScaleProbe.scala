@@ -94,7 +94,8 @@ object ScaleProbe {
         (System.nanoTime() - t0) / 1e9 -> n
       }
       val censusRows = graft.queries.TextAnalysis.quality(inflated)
-        .select((col("quality") * (1L << 20).toDouble).cast("long")).distinct().count()
+        .select(round(col("quality") * (1L << 20).toDouble).cast("long"))
+        .distinct().count() // round(), matching curriculumPlan's bucketing
       val (best, n) = times.minBy(_._1)
       println(f"[scale-cur] factor=$f%2d docs=$n%7d censusRows=$censusRows%6d time=$best%7.2f s")
     }

@@ -613,7 +613,11 @@ object SimilarityQueries {
     * is pure integer arithmetic (score10 = 7·qrel − 3·qmax, λ = 7/10) with
     * vec_id tie-break, replayed by the oracle as a recursive CTE whose
     * per-step argmax is `arg_max` over the composite key
-    * score10·2^40 − vec_id.
+    * score10·2^38 − vec_id. The 2^38 shift is the overflow-safe choice:
+    * |score10| ≤ 10·2^20, so |key| ≤ 10·2^58 + 2^38 < 2^63, while any
+    * vec_id below 2^38 (275 B vectors) still breaks ties exactly; a 2^40
+    * shift would wrap int64 (silently in Scala, a hard error in DuckDB)
+    * whenever the top-relevance candidate repels every picked item.
     */
   val e10MmrRerank: Q = Q(
     "e10_mmr_rerank",
@@ -644,7 +648,9 @@ object SimilarityQueries {
         .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
       cand.unpersist()
       val pickedIds = scala.collection.mutable.ArrayBuffer.empty[Long]
-      val out = (1 to 10).map { rank =>
+      // k capped by the pool: a short candidate table yields a short
+      // result, matching the recursive oracle's natural termination
+      val out = (1 to math.min(10, rels.size)).map { rank =>
         var bestKey = Long.MinValue
         var bestVec = -1L
         var bestScore = 0L
@@ -653,7 +659,7 @@ object SimilarityQueries {
             if (pickedIds.isEmpty) 0L
             else pickedIds.iterator.map(p => sims((vId, p))).max
           val sc = 7L * rels(vId) - 3L * qmax
-          val key = sc * (1L << 40) - vId
+          val key = sc * (1L << 38) - vId // 2^38: see scaladoc overflow bound
           if (key > bestKey) { bestKey = key; bestVec = vId; bestScore = sc }
         }
         pickedIds += bestVec
@@ -665,7 +671,7 @@ object SimilarityQueries {
     Some {
       val sc = """7*c.qrel - 3*coalesce((SELECT max(p.qsim) FROM pairs p
         WHERE p.ai = c.vec_id AND list_contains(s.picked, p.bi)), 0)"""
-      val key = s"($sc) * 1099511627776 - c.vec_id"
+      val key = s"($sc) * 274877906944 - c.vec_id" // 2^38 shift (overflow-safe)
       s"""WITH RECURSIVE e AS ($sqlE),
       q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
       cand AS (SELECT vec_id, v, CAST(round((${sqlCos("v", "qv")}) * 1048576) AS BIGINT) AS qrel

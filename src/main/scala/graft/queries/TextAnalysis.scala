@@ -95,12 +95,10 @@ object TextAnalysis {
     }
   )
 
-  /** X3: quality scoring — type/token ratio, mean token length, stopword
-    * ratio folded into one deterministic composite score.
-    */
-  /** The x3 composite quality score over any (doc_id, text) frame —
-    * shared by the x3 registry query, c10's curriculum phases, and the
-    * curriculum scale probe.
+  /** The composite quality score over any (doc_id, text) frame —
+    * type/token ratio, mean token length, stopword ratio folded into one
+    * deterministic composite; shared by the x3 registry query, c10's
+    * curriculum phases, and the curriculum scale probe.
     */
   def quality(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val toks = Text.tokens(col("text"))
@@ -123,6 +121,7 @@ object TextAnalysis {
           lit(0.3) * (lit(1.0) - col("stop_ratio")))
   }
 
+  /** X3: per-document quality scoring — [[quality]] as a registry query. */
   val x3Quality: Q = Q(
     "x3_quality_score",
     (s, dir) => quality(t(s, dir, "documents")).orderBy("doc_id"),
@@ -290,10 +289,12 @@ object TextAnalysis {
     * regex-scrub emails/IPs/phone numbers in place). Where `x6_pii_scrub`
     * redacts ONE known token class, this is the production shape: three
     * detector families over each document — email addresses, IPv4
-    * addresses, long digit runs (phone/account-number shaped) — each
-    * counted pre-redaction and then replaced in precedence order (emails,
-    * then IPs, then bare digit runs) so a digit sequence inside an already
-    * redacted span is not double-counted.
+    * addresses, long digit runs (phone/account-number shaped) — applied in
+    * precedence order (emails, then IPs, then bare digit runs), each class
+    * COUNTED on the text the previous classes already redacted, so a digit
+    * sequence inside an email or IP is attributed to exactly one class —
+    * never double-counted (a 7-digit local-part like `u1000000@…` is one
+    * email, zero digit runs).
     *
     * The synthetic corpus contains no PII (digit-free prose), so a
     * deterministic doc_id-derived contact footer is appended before
@@ -327,16 +328,14 @@ object TextAnalysis {
               "cast(doc_id % 3 as int))")
           ).as("raw"))
       withPii
+        .withColumn("r1", regexp_replace(col("raw"), emailRe, "<EMAIL>"))
+        .withColumn("r2", regexp_replace(col("r1"), ipRe, "<IP>"))
         .select(
           col("doc_id"),
           regexp_count(col("raw"), lit(emailRe)).as("n_emails"),
-          regexp_count(col("raw"), lit(ipRe)).as("n_ips"),
-          regexp_count(col("raw"), lit(digitsRe)).as("n_digit_runs"),
-          regexp_replace(
-            regexp_replace(
-              regexp_replace(col("raw"), emailRe, "<EMAIL>"),
-              ipRe, "<IP>"),
-            digitsRe, "<NUM>").as("redacted"))
+          regexp_count(col("r1"), lit(ipRe)).as("n_ips"),
+          regexp_count(col("r2"), lit(digitsRe)).as("n_digit_runs"),
+          regexp_replace(col("r2"), digitsRe, "<NUM>").as("redacted"))
         .orderBy("doc_id")
     },
     Some("""WITH p AS (SELECT doc_id,
@@ -346,16 +345,19 @@ object TextAnalysis {
           || ' account ' || lpad(CAST(doc_id AS VARCHAR), 9, '0')
           || repeat(' ping 192.168.1.' || CAST(doc_id % 9 AS VARCHAR),
                CAST(doc_id % 3 AS INT)) AS raw
-      FROM documents)
+      FROM documents),
+      r AS (SELECT doc_id, raw,
+          regexp_replace(raw, '[a-z0-9._]+@[a-z][a-z.]+', '<EMAIL>', 'g') AS r1
+        FROM p),
+      r2 AS (SELECT doc_id, raw, r1,
+          regexp_replace(r1, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g') AS r2
+        FROM r)
       SELECT doc_id,
         CAST(len(regexp_extract_all(raw, '[a-z0-9._]+@[a-z][a-z.]+')) AS INT) AS n_emails,
-        CAST(len(regexp_extract_all(raw, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INT) AS n_ips,
-        CAST(len(regexp_extract_all(raw, '[0-9]{7,}')) AS INT) AS n_digit_runs,
-        regexp_replace(regexp_replace(regexp_replace(raw,
-          '[a-z0-9._]+@[a-z][a-z.]+', '<EMAIL>', 'g'),
-          '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '<IP>', 'g'),
-          '[0-9]{7,}', '<NUM>', 'g') AS redacted
-      FROM p ORDER BY doc_id""")
+        CAST(len(regexp_extract_all(r1, '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS INT) AS n_ips,
+        CAST(len(regexp_extract_all(r2, '[0-9]{7,}')) AS INT) AS n_digit_runs,
+        regexp_replace(r2, '[0-9]{7,}', '<NUM>', 'g') AS redacted
+      FROM r2 ORDER BY doc_id""")
   )
 
   /** X17: vocabulary growth curve (Heaps' law, V(n) ≈ K·n^β) — the corpus

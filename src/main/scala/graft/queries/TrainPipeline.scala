@@ -562,11 +562,16 @@ object TrainPipeline {
     val q20d = (1L << 20).toDouble
     val scored = TextAnalysis.quality(docs)
       .select(col("doc_id"), round(col("quality") * q20d).cast("long").as("qq"))
+    // the census is ≤ 2^20 rows: persist it so the cum window, the total,
+    // and nothing else re-runs the tokenizing quality scan (scored itself
+    // is scanned once here and once in the join-back below)
     val census = scored.groupBy("qq").agg(count(lit(1)).as("c"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    census.count() // eager: window + total both read it
     val wc = Window.orderBy("qq") // census window: ≤ 2^20 rows by construction
     val phased = census
       .withColumn("cum", sum(col("c")).over(wc))
-      .crossJoin(broadcast(scored.agg(count(lit(1)).as("n"))))
+      .crossJoin(broadcast(census.agg(sum(col("c")).as("n"))))
       .withColumn("phase", least(lit(3L), expr("(cum - c) * 4 div n")))
       .select("qq", "phase")
     val w = Window.partitionBy("phase", "shard").orderBy("hv", "doc_id")

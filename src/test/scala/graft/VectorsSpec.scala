@@ -71,6 +71,22 @@ class VectorsSpec extends SparkSpec {
     assert(again.toSeq == rows.toSeq)
   }
 
+  test("e10: a candidate pool smaller than k yields a short result, not a " +
+    "crash (review regression: rels(-1) on pool exhaustion)") {
+    val dir = java.nio.file.Files.createTempDirectory("e10small").toString
+    val rnd = new scala.util.Random(7)
+    val rows = (0L to 5L).map { id =>
+      (id, Array.fill(8)(rnd.nextFloat()), id.toInt)
+    }
+    rows.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val out = graft.queries.SimilarityQueries.e10MmrRerank.fn(spark, dir)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(out.length == 5, s"expected 5 picks from a 5-candidate pool, got ${out.length}")
+    assert(out.map(_._1).toSeq == (1L to 5L))
+    assert(out.map(_._2).toSet == (1L to 5L).toSet, "every candidate picked once")
+  }
+
   test("e11: QA totals reconcile with the table, dims are consistent, and " +
     "the norm envelope brackets the mean") {
     val sf = "/root/testdata/sf0.001"
