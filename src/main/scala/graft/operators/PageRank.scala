@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed PageRank by synchronous power iteration over an edge list —
+  * the graph-importance primitive a corpus pipeline uses for link-graph
+  * quality signals (Common-Crawl-style domain ranking) and entity
+  * centrality over derived relation graphs.
+  *
+  * All arithmetic is INTEGER (ranks are longs in units of
+  * `totalMass / n`-ish micro-mass): per-edge contributions are
+  * `rank div outdeg`, the damping update is
+  * `(15·base) div 100 + (85·Σcontrib) div 100`. Sums of longs are
+  * order-independent and truncating division on non-negative operands is
+  * identical in Spark (`div`) and DuckDB (`//`), so the fixed-point result
+  * is bit-identical across engines and across cluster sizes — no
+  * float-summation nondeterminism anywhere (the x10/x11 quantization
+  * lesson applied to an iterative computation).
+  *
+  * Scale shape (the 100 TB story):
+  *   - the edge list and out-degree table are computed once, persisted, and
+  *     reused by every iteration — each round is ONE keyed shuffle
+  *     (`groupBy(dst)` with map-side partial sums) plus co-keyed joins on
+  *     the source id;
+  *   - each round's rank table is materialized and wrapped in a fresh
+  *     `LogicalRDD` (the ConnectedComponents lineage-truncation pattern,
+  *     `ConnectedComponents.scala:120-135`) so Catalyst analysis stays O(1)
+  *     per round instead of replaying the whole edge-derivation plan K
+  *     times;
+  *   - superseded rank tables are unpersisted as soon as their successor is
+  *     materialized, so at most one round's blocks are pinned.
+  *
+  * Contract: `edges` is a directed edge list with integral columns `a`
+  * (source) and `b` (target), already symmetrized by the caller if the
+  * graph is undirected; every node must appear as a source at least once
+  * (true for symmetrized graphs), so there is no dangling-mass term.
+  */
+object PageRank {
+
+  /** @param edges directed edges (`a`, `b`), every node present as a source
+    * @param iterations fixed number of power-iteration rounds (the oracle
+    *        unrolls the same count, so this is part of the result contract)
+    * @param totalMass initial mass to spread, in integer units
+    * @return one row per node: (`id`, `r` = integer rank after K rounds)
+    */
+  def ranks(
+      edges: DataFrame,
+      iterations: Int,
+      totalMass: Long = 1000000000000L): DataFrame = {
+    val sess = edges.sparkSession
+
+    val e = edges.select(col("a"), col("b"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // Eager materialize: round 1 scans `e` from two subtrees at once (the
+    // outdeg join and the edge join), and concurrent first scans of a
+    // not-yet-cached relation each recompute the upstream derivation
+    // (the d2/d10 concurrent-first-scan trap).
+    e.count()
+    def truncate(df: DataFrame): DataFrame =
+      sess.createDataFrame(df.rdd, df.schema)
+    val eT = truncate(e)
+
+    val outdeg = eT.groupBy("a").agg(count(lit(1)).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = eT.select(col("a").as("id")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = nodes.count()
+    require(n > 0, "PageRank over an empty edge list")
+    val base = totalMass / n
+    // Positive longs: Scala `/`, Spark `div` and DuckDB `//` all truncate
+    // identically, so the driver-side teleport constant matches the
+    // oracle's `(15 * (S // n)) // 100`.
+    val teleport = (15L * base) / 100L
+
+    var ranks = nodes.withColumn("r", lit(base))
+    var prev: Option[DataFrame] = None
+    for (_ <- 1 to iterations) {
+      // Cooperative cancellation under Bench's per-query watchdog (the
+      // ConnectedComponents pattern).
+      if (Thread.currentThread().isInterrupted)
+        throw new InterruptedException("PageRank cancelled")
+      val contrib = ranks.withColumnRenamed("id", "a")
+        .join(outdeg, Seq("a"))
+        .join(eT, Seq("a"))
+        .select(col("b").as("id"), expr("r div d").as("q"))
+        .groupBy("id")
+        .agg(sum(col("q")).as("s"))
+      val next = nodes.join(contrib, Seq("id"), "left")
+        .select(col("id"),
+          (lit(teleport) + expr("(85 * coalesce(s, 0)) div 100")).as("r"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      prev.foreach(_.unpersist())
+      prev = Some(next)
+      ranks = truncate(next)
+    }
+    ranks
+  }
+}
