@@ -455,9 +455,58 @@ object AnalyticsExtras {
       FROM s GROUP BY user_id, session_id ORDER BY user_id, session_id""")
   )
 
+  /** H1: slowly-changing-dimension Type-2 history build — collapse each
+    * user's event stream into [valid_from, valid_to) validity intervals of
+    * its changing state, the canonical warehouse dimension-history
+    * operator (Kimball SCD2) the reference's append-only price store never
+    * needs but any engine claiming its query surface does. Consecutive
+    * equal states are collapsed (gaps-and-islands via `lag`), versions are
+    * dense per key, the open interval carries `valid_to IS NULL` +
+    * `is_current = 1`.
+    *
+    * Scale: two windows and nothing else, both partitioned on the
+    * dimension key — one shuffle on `user_id` total, no joins, no
+    * self-join (the naive SCD2 build joins the stream to itself on
+    * version±1; `lead` over the same partitioning is the same result with
+    * zero extra shuffles). Order within a key is totalized by
+    * (ts, event_id) so same-timestamp ingest can't flip runs.
+    */
+  val h1Scd2History: Q = Q(
+    "h1_scd2_history",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val starts = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type").as("state"))
+        .withColumn("prev", lag(col("state"), 1).over(w))
+        .filter(col("prev").isNull || col("prev") =!= col("state"))
+        .select(col("user_id"), col("ts").as("valid_from"), col("state"),
+          row_number().over(w).cast("long").as("version"))
+      val wv = Window.partitionBy("user_id").orderBy("version")
+      starts
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+        .select(col("user_id"), col("version"), col("state"),
+          col("valid_from"), col("valid_to"),
+          when(col("valid_to").isNull, lit(1)).otherwise(lit(0)).as("is_current"))
+        .orderBy("user_id", "version")
+    },
+    Some("""WITH ordered AS (
+        SELECT user_id, event_id, ts, event_type AS state,
+               lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        FROM events),
+      starts AS (
+        SELECT user_id, ts AS valid_from, state,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+        FROM ordered WHERE prev IS NULL OR prev <> state)
+      SELECT user_id, version, state, valid_from,
+        lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
+        CASE WHEN lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL
+             THEN 1 ELSE 0 END AS is_current
+      FROM starts ORDER BY user_id, version""")
+  )
+
   val all: Seq[Q] = Seq(
     w5RankAnalytics, w6FirstLast, w7RangeFrame, a12StatsMoments,
     a13Conditional, a14MedianDistinct, a15GroupingSets, a16Funnel,
     a17Retention, a18Sessionize, p9Pivot, p10Unpivot, p11HashSample,
-    q05RevenueByNation, q06ForecastRevenue)
+    q05RevenueByNation, q06ForecastRevenue, h1Scd2History)
 }

@@ -586,7 +586,80 @@ object DedupQueries {
             FROM truth t LEFT JOIN lsh l ON t.a = l.a AND t.b = l.b) m""")
   )
 
+  /** D14: content-defined chunking dedup — the storage-dedup boundary rule
+    * (Rabin/FastCDC family) applied to token streams: a chunk boundary
+    * falls after position i whenever the hash of the 3-token window ending
+    * at i lands in 1/8 of the hash space (first md5 hex digit ∈ {0, 8}),
+    * so boundaries are decided by CONTENT, not offsets — an insertion
+    * early in a document shifts d6's fixed segment grid completely but
+    * leaves every boundary after the edit untouched, which is exactly why
+    * storage systems chunk this way. Expected chunk length 8 tokens;
+    * production CDC adds min/max chunk bounds, which would be one more
+    * `least`/`greatest` in the same per-doc array pass.
+    *
+    * Scale: boundary detection and chunk assembly are per-document array
+    * expressions (no shuffle, no explode until chunks exist — amplification
+    * is n_chunks ≈ n_tokens/8 rows per doc, 8× less than d10's per-window
+    * explode); the only shuffles are the chunk-fp census and join-back,
+    * both keyed on the 16-byte fp with map-side combine — d6's exact plan
+    * shape on content-defined extents.
+    */
+  val d14CdcChunks: Q = Q(
+    "d14_cdc_chunks",
+    (s, dir) => {
+      val chunks = t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+        .withColumn("cuts", expr(
+          """CASE WHEN size(t) >= 3 THEN
+               filter(sequence(3, size(t)),
+                 i -> substring(md5(concat_ws(' ',
+                        element_at(t, i - 2), element_at(t, i - 1), element_at(t, i))),
+                      1, 1) IN ('0', '8'))
+             ELSE cast(array() AS array<int>) END"""))
+        .withColumn("starts", expr("concat(array(0), cuts)"))
+        .withColumn("ends", expr("concat(cuts, array(size(t)))"))
+        .select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"),
+          explode(expr(
+            """filter(
+                 zip_with(starts, ends, (st, en) -> named_struct(
+                   'fp', md5(concat_ws(' ', slice(t, st + 1, en - st))),
+                   'ln', cast(en - st AS bigint))),
+                 c -> c.ln > 0)""")).as("c"))
+        .select(col("doc_id"), col("n_tokens"), col("c.fp").as("fp"), col("c.ln").as("ln"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      chunks.count() // eager: the fp census and the join-back both scan it
+      val census = chunks.groupBy("fp").agg(count(lit(1)).as("n"))
+      chunks.join(census, Seq("fp"))
+        .groupBy("doc_id", "n_tokens")
+        .agg(
+          count(lit(1)).as("n_chunks"),
+          sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_chunks"),
+          (sum(when(col("n") > 1, col("ln")).otherwise(0L)).cast("double")
+            / col("n_tokens")).as("dup_token_frac"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      cuts AS (SELECT doc_id, t,
+                 list_filter(range(3, len(t)+1),
+                   i -> substr(md5(t[i-2] || ' ' || t[i-1] || ' ' || t[i]), 1, 1) = '0'
+                     OR substr(md5(t[i-2] || ' ' || t[i-1] || ' ' || t[i]), 1, 1) = '8') AS cuts
+               FROM base),
+      ext AS (SELECT doc_id, t, [0] || cuts AS starts, cuts || [len(t)] AS ends FROM cuts),
+      ch AS (SELECT doc_id, len(t) AS n_tokens,
+               unnest(list_transform(range(1, len(starts)+1),
+                 j -> {'fp': md5(array_to_string(t[(starts[j]+1):(ends[j])], ' ')),
+                       'ln': ends[j] - starts[j]})) AS c
+             FROM ext),
+      fps AS (SELECT doc_id, n_tokens, c.fp AS fp, c.ln AS ln FROM ch WHERE c.ln > 0),
+      census AS (SELECT fp, count(*) AS n FROM fps GROUP BY fp)
+      SELECT f.doc_id, f.n_tokens, count(*) AS n_chunks,
+        CAST(sum(CASE WHEN cs.n > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+        CAST(sum(CASE WHEN cs.n > 1 THEN f.ln ELSE 0 END) AS DOUBLE) / f.n_tokens AS dup_token_frac
+      FROM fps f JOIN census cs ON f.fp = cs.fp
+      GROUP BY f.doc_id, f.n_tokens ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(d1ExactDedup, d2NgramJaccard, d3MinHashLsh, d4SimHash,
     d7IncrementalDedup, d9Containment, d10DupSpans, d11LshRecall, d12OphMinhash,
-    d13OphDense)
+    d13OphDense, d14CdcChunks)
 }

@@ -234,7 +234,50 @@ object Joins {
       GROUP BY user_id, c_name ORDER BY user_id""")
   )
 
+  /** R1: record linkage by blocking + edit-distance verify — the
+    * data-cleaning join family (Fellegi-Sunter style) next to the
+    * token-set joins in d2/d9: match documents whose 60-char openings are
+    * within Levenshtein 10, finding near-identical "titles" that token-set
+    * similarity can miss (single-character edits barely move Jaccard).
+    *
+    * Scale: candidates come from an equi-join on (first-3-tokens block,
+    * length-band) — never an all-pairs compare. The length band is sound
+    * pruning, not a heuristic: levenshtein(a, b) >= |len(a) - len(b)|, so
+    * same-prefix strings from distant bands can't pass the verify anyway.
+    * The O(n·m) DP verify runs only inside blocks; both engines implement
+    * the classic Wagner-Fischer distance, so the verdicts agree exactly.
+    */
+  val r1EntityMatch: Q = Q(
+    "r1_entity_match",
+    (s, dir) => {
+      val n = t(s, dir, "documents").select(
+        col("doc_id"),
+        substring(col("text"), 1, 60).as("pfx"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("blk"),
+        expr("length(text) div 50").as("lb"))
+      val a = n.select(col("doc_id").as("id_a"), col("pfx").as("pfx_a"),
+        col("blk"), col("lb"))
+      val b = n.select(col("doc_id").as("id_b"), col("pfx").as("pfx_b"),
+        col("blk"), col("lb"))
+      a.join(b, Seq("blk", "lb"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("pfx_a"), col("pfx_b")).cast("long").as("edit_dist"))
+        .filter(col("edit_dist") <= 10)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH n AS (SELECT doc_id, substr(text, 1, 60) AS pfx,
+               array_to_string((string_split(text, ' '))[1:3], ' ') AS blk,
+               len(text) // 50 AS lb
+             FROM documents)
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist
+      FROM n a JOIN n b ON a.blk = b.blk AND a.lb = b.lb AND a.doc_id < b.doc_id
+      WHERE levenshtein(a.pfx, b.pfx) <= 10
+      ORDER BY id_a, id_b""")
+  )
+
   val all: Seq[Q] = Seq(
     j1Semi, j2Anti, j3Inner, j4FullOuter, j5Left, j6Right, j7ThetaRange,
-    j8Cross, j9AsOf, j10SaltedSkew)
+    j8Cross, j9AsOf, j10SaltedSkew, r1EntityMatch)
 }

@@ -283,6 +283,38 @@ class TextDedupSpec extends SparkSpec {
     assert(out(7L) == ((30L, 16L, 6L, 20L)), s"got ${out(7L)}")
   }
 
+  test("d14 CDC chunking is shift-resistant: a front insertion re-chunks " +
+    "only the prefix, while the fixed grid (d6) would shift every segment") {
+    // 200 shared tokens drawn from a hashed alphabet so boundary hits occur;
+    // doc 2 = doc 1 with one token prepended. Content-defined boundaries
+    // resynchronize after the edit, so most of doc 1's chunk fingerprints
+    // must reappear in doc 2 — that shared mass is exactly what
+    // d14_cdc_chunks reports as duplicated chunks on both docs.
+    val body = (1 to 200).map(i => s"tok${i % 37}x$i")
+    val docs = Seq(
+      (1L, body.mkString(" ")),
+      (2L, ("INSERTED" +: body).mkString(" ")),
+      (3L, (1 to 40).map(i => s"z$i").mkString(" "))) // unrelated
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("src0"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("d14spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = graft.queries.DedupQueries.d14CdcChunks.fn(spark, dir)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getDouble(4))))
+      .toMap
+    // (n_chunks, n_dup_chunks, dup_token_frac)
+    val (c1, d1, f1) = out(1L)
+    val (_, d2, _) = out(2L)
+    assert(out(3L)._2 == 0L, s"unrelated doc must have no dup chunks: ${out(3L)}")
+    // the resynchronized suffix dominates: most chunks of doc 1 survive in 2
+    assert(d1 >= c1 / 2,
+      s"expected most of doc 1's $c1 chunks to survive the insertion, got $d1 dups")
+    assert(d2 >= d1, "doc 2 shares at least the chunks doc 1 shares")
+    assert(f1 > 0.4, s"shared token mass should dominate, got $f1")
+  }
+
   test("tokenHash32 is a stable 32-bit value") {
     val vals = Seq(("x", 1), ("x", 2)).toDF("tok", "i")
       .select(Text.tokenHash32($"tok").as("h")).collect().map(_.getLong(0))
