@@ -398,4 +398,36 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("FileScan"),
       "rerank output must not rescan the corpus:\n" + plan.take(3000))
   }
+
+  test("h1: the SCD2 build is windows over ONE key shuffle — no join, " +
+    "and both windows carry the user_id partition spec") {
+    val plan = executedPlan("h1_scd2_history")
+    assert(!plan.contains("Join"), "SCD2 must not self-join:\n" + plan.take(3000))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected one key shuffle, got $exchanges:\n" + plan.take(3000))
+    val windowLines = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windowLines.nonEmpty && windowLines.forall(_.contains("user_id")),
+      "unpartitioned window in h1:\n" + windowLines.mkString("\n"))
+  }
+
+  test("r1: linkage candidates come from an equi-join on (block, band) — " +
+    "no cartesian, no broadcast nested loop") {
+    val plan = executedPlan("r1_entity_match")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("blk"), "join should key on the token block:\n" + plan.take(3000))
+  }
+
+  test("d14: chunk assembly is per-doc array work — the corpus is scanned " +
+    "ONCE (cached), census and join-back are keyed, no cartesian") {
+    val plan = executedPlan("d14_cdc_chunks")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // Census AND join-back must both read the persisted chunk table; the
+    // FileScan text inside an InMemoryRelation is its stored recompute
+    // plan, not a live scan, so count cache-stage reads instead.
+    val cacheReads = plan.linesIterator.count(_.contains("TableCacheQueryStage"))
+    assert(cacheReads >= 2,
+      s"expected census + join-back to hit the chunk cache, got $cacheReads:\n" +
+        plan.take(3000))
+  }
 }
