@@ -50,7 +50,9 @@ object Bench {
     "d12_oph_minhash", "d13_oph_dense", "c9_temperature_mixture",
     "x16_pii_scrub", "c10_curriculum", "e10_mmr_rerank", "v7_data_card",
     "c11_epoch_allocation", "e11_embedding_qa", "x17_vocab_growth",
-    "q09_sql_correlated")
+    "q09_sql_correlated",
+    "g1_pagerank", "h1_scd2_history", "r1_entity_match", "d14_cdc_chunks",
+    "v8_pipeline_yield", "q10_sql_exists_chain", "e12_sq_recall")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -350,7 +350,91 @@ object MiscQueries {
       FROM d GROUP BY source ORDER BY source""")
   )
 
+  /** V8: pipeline-yield funnel — the release-note table every corpus build
+    * publishes: how many documents each admission gate dropped, in gate
+    * order (language allowlist → length floor → type-token-ratio quality
+    * floor → prefix-fingerprint dedup), with per-stage yield. Each doc is
+    * attributed to its FIRST failing gate; the dedup gate keeps the
+    * minimum-doc_id representative among docs that survived the earlier
+    * gates (a later-gate reject must not steal a dup group's canonical
+    * slot — the conditional window min encodes exactly that).
+    *
+    * Scale: one corpus scan computes every flag; the only shuffle is the
+    * fingerprint window; the funnel itself is a single-row aggregate
+    * unpivoted with `stack`. Yield divisions are the same IEEE long/long
+    * divide on both engines.
+    */
+  val v8PipelineYield: Q = Q(
+    "v8_pipeline_yield",
+    (s, dir) => {
+      import graft.functions.Text
+      val toks = Text.tokens(col("text"))
+      val base = t(s, dir, "documents")
+        .select(col("doc_id"),
+          col("lang").isin("en", "de", "es", "fr", "zh").as("p1"),
+          (size(toks) >= 20).as("p2"),
+          (size(array_distinct(toks)).cast("double") / size(toks) >= 0.35).as("p3"),
+          Text.prefixFingerprint(toks, 8).as("fp"))
+      val wfp = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      val ff = base
+        .withColumn("canon",
+          min(when(col("p1") && col("p2") && col("p3"), col("doc_id"))).over(wfp))
+        .select(
+          when(!col("p1"), 1).when(!col("p2"), 2).when(!col("p3"), 3)
+            .when(col("doc_id") =!= col("canon"), 4).otherwise(5).as("first_fail"))
+      ff.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("first_fail") === 1, 1L).otherwise(0L)).as("d1"),
+          sum(when(col("first_fail") === 2, 1L).otherwise(0L)).as("d2"),
+          sum(when(col("first_fail") === 3, 1L).otherwise(0L)).as("d3"),
+          sum(when(col("first_fail") === 4, 1L).otherwise(0L)).as("d4"))
+        .selectExpr(
+          """stack(4,
+               '1_lang',    n,              d1,
+               '2_length',  n - d1,         d2,
+               '3_quality', n - d1 - d2,    d3,
+               '4_dedup',   n - d1 - d2 - d3, d4) AS (stage, n_in, n_dropped)""")
+        .select(col("stage"), col("n_in"), col("n_dropped"),
+          (col("n_in") - col("n_dropped")).as("n_out"),
+          ((col("n_in") - col("n_dropped")).cast("double") / col("n_in"))
+            .as("yield_frac"))
+        .orderBy("stage")
+    },
+    Some("""WITH base AS (
+        SELECT doc_id,
+          lang IN ('en','de','es','fr','zh') AS p1,
+          len(string_split(text, ' ')) >= 20 AS p2,
+          CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) >= 0.35 AS p3,
+          md5(array_to_string((string_split(text, ' '))[1:8], ' ')) AS fp
+        FROM documents),
+      canon AS (
+        SELECT *, min(CASE WHEN p1 AND p2 AND p3 THEN doc_id END)
+                    OVER (PARTITION BY fp) AS canon
+        FROM base),
+      ff AS (
+        SELECT CASE WHEN NOT p1 THEN 1 WHEN NOT p2 THEN 2 WHEN NOT p3 THEN 3
+                    WHEN doc_id <> canon THEN 4 ELSE 5 END AS first_fail
+        FROM canon),
+      agg AS (
+        SELECT count(*) AS n,
+          CAST(sum(CASE WHEN first_fail = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+          CAST(sum(CASE WHEN first_fail = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+          CAST(sum(CASE WHEN first_fail = 3 THEN 1 ELSE 0 END) AS BIGINT) AS d3,
+          CAST(sum(CASE WHEN first_fail = 4 THEN 1 ELSE 0 END) AS BIGINT) AS d4
+        FROM ff),
+      st AS (
+        SELECT '1_lang' AS stage, n AS n_in, d1 AS n_dropped FROM agg
+        UNION ALL SELECT '2_length', n - d1, d2 FROM agg
+        UNION ALL SELECT '3_quality', n - d1 - d2, d3 FROM agg
+        UNION ALL SELECT '4_dedup', n - d1 - d2 - d3, d4 FROM agg)
+      SELECT stage, n_in, n_dropped, n_in - n_dropped AS n_out,
+        CAST(n_in - n_dropped AS DOUBLE) / n_in AS yield_frac
+      FROM st ORDER BY stage""")
+  )
+
   val all: Seq[Q] = Seq(
     a2Counts, a11Percentiles, f8Timezone, u2InsertAbsent, v2SchemaDiff, v4ColumnProfile,
-    v5SourceOverlap, o4FileListing, m1BinaryMeta, v6ShardSkew, v7DataCard)
+    v5SourceOverlap, o4FileListing, m1BinaryMeta, v6ShardSkew, v7DataCard,
+    v8PipelineYield)
 }

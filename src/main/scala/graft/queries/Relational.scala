@@ -503,8 +503,44 @@ object Relational {
     Some(sqlQ09)
   )
 
+  /** Q10: TPC-H Q21-shaped chained EXISTS + NOT EXISTS, both correlated on
+    * the same fact table — "the only supplier who shipped a returned line
+    * in a multi-supplier completed order". The planner stress here is
+    * turning BOTH quantified subqueries into joins on l_orderkey (Spark:
+    * RewritePredicateSubquery → left-semi then left-anti); naive per-row
+    * execution would rescan lineitem twice per lineitem row. Counts only,
+    * so no numeric-determinism machinery is needed.
+    */
+  private val sqlQ10 =
+    """SELECT s.s_suppkey, s.s_name, count(*) AS numwait
+       FROM supplier s
+       JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+       JOIN orders o ON o.o_orderkey = l1.l_orderkey
+       WHERE o.o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+         AND EXISTS (SELECT 1 FROM lineitem l2
+                     WHERE l2.l_orderkey = l1.l_orderkey
+                       AND l2.l_suppkey <> l1.l_suppkey)
+         AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                         WHERE l3.l_orderkey = l1.l_orderkey
+                           AND l3.l_suppkey <> l1.l_suppkey
+                           AND l3.l_returnflag = 'R')
+       GROUP BY s.s_suppkey, s.s_name
+       ORDER BY numwait DESC, s.s_suppkey"""
+
+  val q10SqlExistsChain: Q = Q(
+    "q10_sql_exists_chain",
+    (s, dir) => {
+      t(s, dir, "supplier").createOrReplaceTempView("supplier")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(sqlQ10)
+    },
+    Some(sqlQ10)
+  )
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q07SqlAboveAvg, q08SqlNotExists, q09SqlCorrelated,
+    q10SqlExistsChain,
     p1Drop, p2Rename, p3Project, p4Filter, p5Isin, p6Validity, p8MaskedUpdate,
     f1Respell, f2Case, f3Split, f4StringAgg, f5Concat, f6TimeTrunc, f9TsArith,
     f11CastNull, f13Json,

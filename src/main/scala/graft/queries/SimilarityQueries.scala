@@ -744,7 +744,82 @@ object SimilarityQueries {
       FROM n GROUP BY label ORDER BY label""")
   )
 
+  /** E12: int8 scalar quantization + quantized search — the cheap sibling
+    * of e8's product quantization and the compression every production
+    * vector store offers first (4× smaller than float32, SIMD-friendly
+    * integer dot products). Per-dimension symmetric SQ: one corpus pass
+    * learns max|x| per dimension, each component maps to
+    * round(x·127/scale) ∈ [−127, 127], and search scores are EXACT long
+    * dot products of the codes — so ranking is deterministic by
+    * construction, no float-sum quantization needed anywhere. The result
+    * carries recall@10 ground truth inline: which of the quantized top-10
+    * are also in the exact float top-10 (e1's baseline).
+    *
+    * Scale: the component table is the only wide thing (n·64 rows, the e8
+    * subv shape), scanned once from cache for the scale census and the
+    * quantize pass; the scale table (64 rows) and the query's 64 codes
+    * broadcast; scoring is ONE map-side-combined keyed aggregate. No
+    * all-pairs, no array reassembly shuffle.
+    */
+  val e12SqRecall: Q = Q(
+    "e12_sq_recall",
+    (s, dir) => {
+      FastVec.register(s)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), Vectors.toDoubleVec(col("embedding")).as("v"))
+      val comp = emb
+        .select(col("vec_id"), posexplode(col("v")).as(Seq("i", "x")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      comp.count() // eager: scale census + quantize pass both scan it
+      val scales = comp.groupBy("i").agg(max(abs(col("x"))).as("s"))
+      val qcomp = comp.join(broadcast(scales), Seq("i"))
+        .select(col("vec_id"),
+          col("i"),
+          when(col("s") === 0.0, 0L)
+            .otherwise(round(col("x") * 127.0 / col("s")).cast("long")).as("q"))
+      val qquery = qcomp.filter(col("vec_id") === 0).select(col("i"), col("q").as("qq"))
+      val topq = qcomp.filter(col("vec_id") =!= 0)
+        .join(broadcast(qquery), Seq("i"))
+        .groupBy("vec_id")
+        .agg(sum(col("q") * col("qq")).as("qdot"))
+        .orderBy(col("qdot").desc, col("vec_id"))
+        .limit(10)
+      val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val exact = emb.crossJoin(broadcast(qv)).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), FastVec.cosine(col("v"), col("qv")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+        .select(col("vec_id"), lit(1).as("hit"))
+      topq
+        .join(broadcast(exact), Seq("vec_id"), "left")
+        .join(emb.select("vec_id", "label"), Seq("vec_id"))
+        .select(col("vec_id"), col("label"), col("qdot"),
+          coalesce(col("hit"), lit(0)).as("in_exact_top10"))
+        .orderBy(col("qdot").desc, col("vec_id"))
+    },
+    Some(s"""WITH e AS ($sqlE),
+      comp AS (SELECT vec_id, i, v[i+1] AS x FROM e CROSS JOIN range(64) r(i)),
+      scales AS (SELECT i, max(abs(x)) AS s FROM comp GROUP BY i),
+      qcomp AS (SELECT vec_id, c.i,
+                  CASE WHEN s = 0 THEN 0
+                       ELSE CAST(round(x * 127.0 / s) AS BIGINT) END AS q
+                FROM comp c JOIN scales sc ON c.i = sc.i),
+      qq AS (SELECT i, q AS qq FROM qcomp WHERE vec_id = 0),
+      topq AS (SELECT c.vec_id, CAST(sum(c.q * qq.qq) AS BIGINT) AS qdot
+               FROM qcomp c JOIN qq ON c.i = qq.i WHERE c.vec_id <> 0
+               GROUP BY c.vec_id ORDER BY qdot DESC, c.vec_id LIMIT 10),
+      exact AS (SELECT vec_id FROM (
+                  SELECT vec_id, ${sqlCos("v", "qv")} AS sim
+                  FROM e CROSS JOIN (SELECT v AS qv FROM e WHERE vec_id = 0)
+                  WHERE vec_id <> 0 ORDER BY sim DESC, vec_id LIMIT 10))
+      SELECT t.vec_id, e.label, t.qdot,
+        CASE WHEN x.vec_id IS NULL THEN 0 ELSE 1 END AS in_exact_top10
+      FROM topq t JOIN e ON t.vec_id = e.vec_id
+      LEFT JOIN exact x ON t.vec_id = x.vec_id
+      ORDER BY t.qdot DESC, t.vec_id""")
+  )
+
   val all: Seq[Q] = Seq(e1CosineTopK, e2AnnIvf, e3BucketNearDup, e4AnnKmeans,
     e5AnnHyperplane, e6SemanticDedup, e7AnnBatch, e8PqAdc, e9AnnRecall,
-    e10MmrRerank, e11EmbeddingQa)
+    e10MmrRerank, e11EmbeddingQa, e12SqRecall)
 }

@@ -399,6 +399,14 @@ class PlanSpec extends SparkSpec {
       "rerank output must not rescan the corpus:\n" + plan.take(3000))
   }
 
+  test("q10: both quantified subqueries decorrelate — EXISTS becomes a " +
+    "left-semi and NOT EXISTS a left-anti join on l_orderkey") {
+    val plan = executedPlan("q10_sql_exists_chain")
+    assert(plan.contains("LeftSemi"), "EXISTS must plan as semi join:\n" + plan.take(3000))
+    assert(plan.contains("LeftAnti"), "NOT EXISTS must plan as anti join:\n" + plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("h1: the SCD2 build is windows over ONE key shuffle — no join, " +
     "and both windows carry the user_id partition spec") {
     val plan = executedPlan("h1_scd2_history")
