@@ -247,37 +247,125 @@ object Joins {
     * The O(n·m) DP verify runs only inside blocks; both engines implement
     * the classic Wagner-Fischer distance, so the verdicts agree exactly.
     */
-  val r1EntityMatch: Q = Q(
-    "r1_entity_match",
-    (s, dir) => {
-      val n = t(s, dir, "documents").select(
-        col("doc_id"),
-        substring(col("text"), 1, 60).as("pfx"),
-        concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("blk"),
-        expr("length(text) div 50").as("lb"))
-      val a = n.select(col("doc_id").as("id_a"), col("pfx").as("pfx_a"),
-        col("blk"), col("lb"))
-      val b = n.select(col("doc_id").as("id_b"), col("pfx").as("pfx_b"),
-        col("blk"), col("lb"))
-      a.join(b, Seq("blk", "lb"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          levenshtein(col("pfx_a"), col("pfx_b")).cast("long").as("edit_dist"))
-        .filter(col("edit_dist") <= 10)
-        .orderBy("id_a", "id_b")
-    },
-    Some("""WITH n AS (SELECT doc_id, substr(text, 1, 60) AS pfx,
+  /** r1's matched-pair table, shared with r2's golden-record build (r2's
+    * clustering must consume the SAME candidate semantics, not re-derive a
+    * variant).
+    */
+  private[queries] def r1Pairs(s: SparkSession, dir: String) = {
+    val n = t(s, dir, "documents").select(
+      col("doc_id"),
+      substring(col("text"), 1, 60).as("pfx"),
+      concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("blk"),
+      expr("length(text) div 50").as("lb"))
+    val a = n.select(col("doc_id").as("id_a"), col("pfx").as("pfx_a"),
+      col("blk"), col("lb"))
+    val b = n.select(col("doc_id").as("id_b"), col("pfx").as("pfx_b"),
+      col("blk"), col("lb"))
+    a.join(b, Seq("blk", "lb"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        levenshtein(col("pfx_a"), col("pfx_b")).cast("long").as("edit_dist"))
+      .filter(col("edit_dist") <= 10)
+  }
+
+  /** The same pair table in DuckDB SQL (columns id_a, id_b, edit_dist; no
+    * ORDER BY — callers wrap it).
+    */
+  private[queries] val sqlR1Pairs =
+    """WITH n AS (SELECT doc_id, substr(text, 1, 60) AS pfx,
                array_to_string((string_split(text, ' '))[1:3], ' ') AS blk,
                len(text) // 50 AS lb
              FROM documents)
       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
              CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS edit_dist
       FROM n a JOIN n b ON a.blk = b.blk AND a.lb = b.lb AND a.doc_id < b.doc_id
-      WHERE levenshtein(a.pfx, b.pfx) <= 10
-      ORDER BY id_a, id_b""")
+      WHERE levenshtein(a.pfx, b.pfx) <= 10"""
+
+  val r1EntityMatch: Q = Q(
+    "r1_entity_match",
+    (s, dir) => r1Pairs(s, dir).orderBy("id_a", "id_b"),
+    Some(s"""SELECT * FROM ($sqlR1Pairs) ORDER BY id_a, id_b""")
+  )
+
+  /** R2: golden-record survivorship — the consolidation step after r1's
+    * linkage, the second half of every master-data pipeline: matched pairs
+    * become entity clusters (connected components over the match graph —
+    * every endpoint of a match edge is in a ≥2-member cluster by
+    * construction, so the output is exactly the merged entities), and each
+    * cluster collapses to ONE canonical record under explicit survivorship
+    * rules: entity id = minimum member id (the component label itself),
+    * canonical payload = longest text (doc_id tie-break), language = most
+    * frequent member language (lexicographic tie-break), plus member /
+    * source / volume censuses.
+    *
+    * Scale: clustering reuses [[graft.operators.ConnectedComponents]]
+    * (frontier propagation, one action per round); survivorship is two
+    * keyed window passes + one keyed aggregate over the MEMBER table —
+    * which is match-graph-sized, not corpus-sized, because the cluster⋈
+    * documents join is a key equi-join that prunes every unmatched doc.
+    * Tie-breaks are total orders, so every engine and partitioning picks
+    * the same survivor.
+    */
+  val r2GoldenRecord: Q = Q(
+    "r2_golden_record",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val pairs = r1Pairs(s, dir)
+        .select(col("id_a").as("a"), col("id_b").as("b"))
+      val clusters = graft.operators.ConnectedComponents.minLabels(pairs)
+      val mem = clusters
+        .join(t(s, dir, "documents"), col("id") === col("doc_id"))
+        .select(col("lbl"), col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      mem.count() // eager: three downstream subtrees scan it
+      val wCanon = Window.partitionBy("lbl")
+        .orderBy(desc("n_chars"), col("doc_id"))
+      val canon = mem
+        .withColumn("rn", row_number().over(wCanon)).filter(col("rn") === 1)
+        .select(col("lbl"), col("doc_id").as("canonical_doc_id"),
+          col("n_chars").as("canonical_chars"))
+      val wLang = Window.partitionBy("lbl").orderBy(desc("c"), col("lang"))
+      val langMode = mem.groupBy("lbl", "lang").agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(wLang)).filter(col("rn") === 1)
+        .select(col("lbl"), col("lang").as("lang_mode"))
+      val stats = mem.groupBy("lbl").agg(
+        count(lit(1)).as("n_members"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(col("n_chars")).as("total_chars"))
+      stats.join(canon, Seq("lbl")).join(langMode, Seq("lbl"))
+        .select(col("lbl").as("entity_id"), col("n_members"), col("n_sources"),
+          col("total_chars"), col("canonical_doc_id"), col("canonical_chars"),
+          col("lang_mode"))
+        .orderBy("entity_id")
+    },
+    Some(s"""WITH RECURSIVE pairs AS ($sqlR1Pairs),
+      edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+                UNION SELECT id_b, id_a FROM pairs),
+      walk(id, lbl) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+        UNION
+        SELECT e.a, w.lbl FROM edges e JOIN walk w ON e.b = w.id),
+      cl AS (SELECT id, min(lbl) AS lbl FROM walk GROUP BY id),
+      mem AS (SELECT cl.lbl, d.doc_id, d.lang, d.source, d.n_chars
+              FROM cl JOIN documents d ON d.doc_id = cl.id),
+      canon AS (SELECT lbl, doc_id AS canonical_doc_id, n_chars AS canonical_chars
+                FROM (SELECT *, row_number() OVER (
+                        PARTITION BY lbl ORDER BY n_chars DESC, doc_id) AS rn
+                      FROM mem) WHERE rn = 1),
+      lm AS (SELECT lbl, lang AS lang_mode
+             FROM (SELECT lbl, lang, row_number() OVER (
+                     PARTITION BY lbl ORDER BY count(*) DESC, lang) AS rn
+                   FROM mem GROUP BY lbl, lang) WHERE rn = 1),
+      st AS (SELECT lbl, count(*) AS n_members, count(DISTINCT source) AS n_sources,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars
+             FROM mem GROUP BY lbl)
+      SELECT st.lbl AS entity_id, n_members, n_sources, total_chars,
+             canonical_doc_id, canonical_chars, lang_mode
+      FROM st JOIN canon ON canon.lbl = st.lbl JOIN lm ON lm.lbl = st.lbl
+      ORDER BY entity_id""")
   )
 
   val all: Seq[Q] = Seq(
     j1Semi, j2Anti, j3Inner, j4FullOuter, j5Left, j6Right, j7ThetaRange,
-    j8Cross, j9AsOf, j10SaltedSkew, r1EntityMatch)
+    j8Cross, j9AsOf, j10SaltedSkew, r1EntityMatch, r2GoldenRecord)
 }

@@ -433,8 +433,99 @@ object MiscQueries {
       FROM st ORDER BY stage""")
   )
 
+  /** V9: data-quality expectations audit — the Deequ-style constraint
+    * suite a pipeline runs before publishing a table: key uniqueness,
+    * completeness, accepted value domains, numeric ranges, and referential
+    * integrity, each emitted as one (table, check, n_checked, n_violations,
+    * status) row. The events accepted-values domain deliberately EXCLUDES
+    * the corpus's 'error' type, so the report demonstrably catches a
+    * violation class instead of rubber-stamping everything green.
+    *
+    * Scale: every row-local constraint family is ONE multi-expression
+    * aggregate over its table (all counters map-side combinable), the two
+    * referential checks are anti-join counts on the key, and the five
+    * resulting 1-row aggregates assemble into a single row (1-row cross
+    * joins are broadcast-trivial) that ONE `stack` unpivots — so each
+    * table is scanned once per role it plays (orders: own audit, RI fact,
+    * RI dim), never once per constraint. All counters are integer-exact.
+    */
+  val v9Expectations: Q = Q(
+    "v9_expectations",
+    (s, dir) => {
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val ordAgg = ord.agg(
+        count(lit(1)).as("ord_n"),
+        countDistinct(col("o_orderkey")).as("ord_nd"),
+        sum(when(col("o_custkey").isNull, 1L).otherwise(0L)).as("ord_nnull"),
+        sum(when(col("o_orderstatus").isin("F", "O", "P"), 0L).otherwise(1L))
+          .as("ord_nbad"))
+      val liAgg = li.agg(
+        count(lit(1)).as("li_n"),
+        countDistinct(col("l_orderkey"), col("l_linenumber")).as("li_nd"),
+        sum(when(col("l_quantity") < 1.0 || col("l_quantity") > 50.0, 1L)
+          .otherwise(0L)).as("li_nqty"),
+        sum(when(col("l_discount") < 0.0 || col("l_discount") > 0.1, 1L)
+          .otherwise(0L)).as("li_ndisc"))
+      val evAgg = t(s, dir, "events").agg(
+        count(lit(1)).as("ev_n"),
+        sum(when(col("event_type").isin("click", "view", "purchase", "signup"),
+          0L).otherwise(1L)).as("ev_nbad"))
+      val ri1 = ord
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"),
+          "left_anti")
+        .agg(count(lit(1)).as("ri1_v"))
+      val ri2 = li
+        .join(ord, col("l_orderkey") === col("o_orderkey"), "left_anti")
+        .agg(count(lit(1)).as("ri2_v"))
+      ordAgg.crossJoin(liAgg).crossJoin(evAgg).crossJoin(ri1).crossJoin(ri2)
+        .selectExpr("""stack(9,
+            'orders',   'o_orderkey.unique',            ord_n, ord_n - ord_nd,
+            'orders',   'o_custkey.complete',           ord_n, ord_nnull,
+            'orders',   'o_orderstatus.accepted_values', ord_n, ord_nbad,
+            'orders',   'o_custkey.ref_customer',       ord_n, ri1_v,
+            'lineitem', 'pk.unique',                    li_n,  li_n - li_nd,
+            'lineitem', 'l_quantity.range_1_50',        li_n,  li_nqty,
+            'lineitem', 'l_discount.range_0_01',        li_n,  li_ndisc,
+            'lineitem', 'l_orderkey.ref_orders',        li_n,  ri2_v,
+            'events',   'event_type.accepted_values',   ev_n,  ev_nbad)
+            AS (tbl, check_name, n_checked, n_violations)""")
+        .withColumn("status",
+          when(col("n_violations") === 0, lit("pass")).otherwise(lit("fail")))
+        .orderBy("tbl", "check_name")
+    },
+    Some("""WITH ord AS (SELECT count(*) AS n, count(DISTINCT o_orderkey) AS nd,
+          CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nnull,
+          CAST(sum(CASE WHEN o_orderstatus IN ('F','O','P') THEN 0 ELSE 1 END) AS BIGINT) AS nbad
+        FROM orders),
+      li AS (SELECT count(*) AS n, count(DISTINCT (l_orderkey, l_linenumber)) AS nd,
+          CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50 THEN 1 ELSE 0 END) AS BIGINT) AS nqty,
+          CAST(sum(CASE WHEN l_discount < 0 OR l_discount > CAST(0.1 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT) AS ndisc
+        FROM lineitem),
+      ev AS (SELECT count(*) AS n,
+          CAST(sum(CASE WHEN event_type IN ('click','view','purchase','signup') THEN 0 ELSE 1 END) AS BIGINT) AS nbad
+        FROM events),
+      rws AS (
+        SELECT 'orders' AS tbl, 'o_orderkey.unique' AS check_name, n AS n_checked, n - nd AS n_violations FROM ord
+        UNION ALL SELECT 'orders', 'o_custkey.complete', n, nnull FROM ord
+        UNION ALL SELECT 'orders', 'o_orderstatus.accepted_values', n, nbad FROM ord
+        UNION ALL SELECT 'lineitem', 'pk.unique', n, n - nd FROM li
+        UNION ALL SELECT 'lineitem', 'l_quantity.range_1_50', n, nqty FROM li
+        UNION ALL SELECT 'lineitem', 'l_discount.range_0_01', n, ndisc FROM li
+        UNION ALL SELECT 'events', 'event_type.accepted_values', n, nbad FROM ev
+        UNION ALL SELECT 'orders', 'o_custkey.ref_customer', (SELECT n FROM ord),
+          (SELECT count(*) FROM orders o WHERE NOT EXISTS
+             (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey))
+        UNION ALL SELECT 'lineitem', 'l_orderkey.ref_orders', (SELECT n FROM li),
+          (SELECT count(*) FROM lineitem l WHERE NOT EXISTS
+             (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)))
+      SELECT tbl, check_name, n_checked, n_violations,
+        CASE WHEN n_violations = 0 THEN 'pass' ELSE 'fail' END AS status
+      FROM rws ORDER BY tbl, check_name""")
+  )
+
   val all: Seq[Q] = Seq(
     a2Counts, a11Percentiles, f8Timezone, u2InsertAbsent, v2SchemaDiff, v4ColumnProfile,
     v5SourceOverlap, o4FileListing, m1BinaryMeta, v6ShardSkew, v7DataCard,
-    v8PipelineYield)
+    v8PipelineYield, v9Expectations)
 }

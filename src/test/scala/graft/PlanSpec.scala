@@ -438,4 +438,49 @@ class PlanSpec extends SparkSpec {
       s"expected census + join-back to hit the chunk cache, got $cacheReads:\n" +
         plan.take(3000))
   }
+
+  test("g2: wedge and closing joins are equi-joins over the CACHED oriented " +
+    "edge table — no cartesian, three reads of one cache") {
+    val plan = executedPlan("g2_triangle_count")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // The three readers of the cached oriented-edge table surface as query
+    // stages; AQE renders broadcast-side cache reads as BroadcastQueryStage
+    // without their InMemoryTableScan subtree, so count stage boundaries.
+    val cacheReads = plan.linesIterator.count(l =>
+      l.contains("TableCacheQueryStage") || l.contains("BroadcastQueryStage"))
+    assert(cacheReads >= 3,
+      s"wedge + closing joins must reuse the oriented-edge cache, got $cacheReads:\n" +
+        plan.take(3000))
+    assert(plan.contains("InMemoryTableScan"), "oriented edges must be cached:\n" +
+      plan.take(3000))
+  }
+
+  test("r2: survivorship windows and censuses all read the cached member " +
+    "table; cluster-to-documents linkage is a key equi-join") {
+    val plan = executedPlan("r2_golden_record")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // Three subtrees consume the member cache, but AQE stage-reuse prints
+    // canonically-identical readers once — two rendered stage boundaries is
+    // the floor (cache + one distinct reader), with zero live corpus scans.
+    val cacheReads = plan.linesIterator.count(l =>
+      l.contains("TableCacheQueryStage") || l.contains("BroadcastQueryStage"))
+    assert(cacheReads >= 2,
+      s"canon + lang-mode + stats must hit the member cache, got $cacheReads:\n" +
+        plan.take(3000))
+    assert(plan.contains("InMemoryTableScan"), "member table must be cached:\n" +
+      plan.take(3000))
+  }
+
+  test("v9: referential checks plan as anti joins and each audited table " +
+    "is scanned once per role, not once per constraint") {
+    val plan = executedPlan("v9_expectations")
+    val antis = "LeftAnti".r.findAllIn(plan).length
+    assert(antis >= 2, s"expected two anti-join RI checks, got $antis:\n" + plan.take(3000))
+    // orders plays three roles (own audit, RI fact, RI dim); nine
+    // constraints must not add scans beyond those roles.
+    val orderScans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && l.contains("orders.parquet"))
+    assert(orderScans <= 3,
+      s"orders scanned $orderScans times — constraints are re-scanning:\n" + plan.take(3000))
+  }
 }
