@@ -53,7 +53,8 @@ object Bench {
     "q09_sql_correlated",
     "g1_pagerank", "h1_scd2_history", "r1_entity_match", "d14_cdc_chunks",
     "v8_pipeline_yield", "q10_sql_exists_chain", "e12_sq_recall",
-    "g2_triangle_count", "r2_golden_record", "v9_expectations")
+    "g2_triangle_count", "r2_golden_record", "v9_expectations",
+    "p14_split_assign", "h2_point_in_time", "w8_streak", "q11_sql_nested_in")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

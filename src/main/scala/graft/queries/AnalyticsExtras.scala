@@ -471,25 +471,27 @@ object AnalyticsExtras {
     * zero extra shuffles). Order within a key is totalized by
     * (ts, event_id) so same-timestamp ingest can't flip runs.
     */
-  val h1Scd2History: Q = Q(
-    "h1_scd2_history",
-    (s, dir) => {
-      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val starts = t(s, dir, "events")
-        .select(col("user_id"), col("event_id"), col("ts"), col("event_type").as("state"))
-        .withColumn("prev", lag(col("state"), 1).over(w))
-        .filter(col("prev").isNull || col("prev") =!= col("state"))
-        .select(col("user_id"), col("ts").as("valid_from"), col("state"),
-          row_number().over(w).cast("long").as("version"))
-      val wv = Window.partitionBy("user_id").orderBy("version")
-      starts
-        .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
-        .select(col("user_id"), col("version"), col("state"),
-          col("valid_from"), col("valid_to"),
-          when(col("valid_to").isNull, lit(1)).otherwise(lit(0)).as("is_current"))
-        .orderBy("user_id", "version")
-    },
-    Some("""WITH ordered AS (
+  /** h1's interval table, shared with h2's point-in-time reconstruction
+    * (the snapshot must read the SAME history semantics).
+    */
+  private[queries] def h1History(s: SparkSession, dir: String) = {
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val starts = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type").as("state"))
+      .withColumn("prev", lag(col("state"), 1).over(w))
+      .filter(col("prev").isNull || col("prev") =!= col("state"))
+      .select(col("user_id"), col("ts").as("valid_from"), col("state"),
+        row_number().over(w).cast("long").as("version"))
+    val wv = Window.partitionBy("user_id").orderBy("version")
+    starts
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wv))
+      .select(col("user_id"), col("version"), col("state"),
+        col("valid_from"), col("valid_to"),
+        when(col("valid_to").isNull, lit(1)).otherwise(lit(0)).as("is_current"))
+  }
+
+  /** The same history in DuckDB SQL (no ORDER BY — callers wrap it). */
+  private[queries] val sqlH1History = """WITH ordered AS (
         SELECT user_id, event_id, ts, event_type AS state,
                lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
         FROM events),
@@ -501,12 +503,85 @@ object AnalyticsExtras {
         lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) AS valid_to,
         CASE WHEN lead(valid_from) OVER (PARTITION BY user_id ORDER BY version) IS NULL
              THEN 1 ELSE 0 END AS is_current
-      FROM starts ORDER BY user_id, version""")
+      FROM starts"""
+
+  val h1Scd2History: Q = Q(
+    "h1_scd2_history",
+    (s, dir) => h1History(s, dir).orderBy("user_id", "version"),
+    Some(s"""SELECT * FROM ($sqlH1History) ORDER BY user_id, version""")
+  )
+
+  /** H2: point-in-time snapshot — reconstruct every user's state AS OF one
+    * instant from h1's validity intervals, the query that makes an SCD2
+    * history worth building ("what did the dimension look like last
+    * Tuesday"): half-open interval containment `valid_from <= T <
+    * valid_to` with the current row's open end treated as +∞.
+    *
+    * Scale: the interval predicate is a per-row filter over the history —
+    * no join, no window beyond h1's own one-shuffle build; at 100 TB the
+    * snapshot reads the (much smaller) history table, never the event log.
+    */
+  val h2PointInTime: Q = Q(
+    "h2_point_in_time",
+    (s, dir) => {
+      val at = lit("2024-01-15 00:00:00").cast("timestamp")
+      h1History(s, dir)
+        .filter(col("valid_from") <= at &&
+          (col("valid_to").isNull || col("valid_to") > at))
+        .select(col("user_id"), col("version"), col("state"), col("valid_from"))
+        .orderBy("user_id")
+    },
+    Some(s"""SELECT user_id, version, state, valid_from
+      FROM ($sqlH1History)
+      WHERE valid_from <= TIMESTAMP '2024-01-15 00:00:00'
+        AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 00:00:00')
+      ORDER BY user_id""")
+  )
+
+  /** W8: longest activity streak per user — gaps-and-islands over active
+    * DAYS (the engagement metric every analytics stack ships): distinct
+    * active days, `day − row_number` collapses each consecutive run to a
+    * constant anchor, and the longest run survives a (length desc, start
+    * asc) tie-broken top-1 per user.
+    *
+    * Scale: two shuffles total, both carrying the user key — the day
+    * dedup shuffles on (user_id, day) with map-side combine (repeated
+    * events collapse before they move), then ONE user_id shuffle is
+    * shared by both windows and the run aggregate. Integer day
+    * arithmetic.
+    */
+  val w8Streak: Q = Q(
+    "w8_streak",
+    (s, dir) => {
+      val days = t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val wd = Window.partitionBy("user_id").orderBy("d")
+      val runs = days
+        .withColumn("grp", date_sub(col("d"), row_number().over(wd)))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("streak_len"), min(col("d")).as("streak_start"))
+      val wtop = Window.partitionBy("user_id")
+        .orderBy(desc("streak_len"), col("streak_start"))
+      runs.withColumn("rn", row_number().over(wtop)).filter(col("rn") === 1)
+        .select(col("user_id"), col("streak_start"), col("streak_len"))
+        .orderBy("user_id")
+    },
+    Some("""WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      runs AS (SELECT user_id,
+                      d - CAST(row_number() OVER (PARTITION BY user_id ORDER BY d) AS INTEGER) AS grp,
+                      d FROM days),
+      st AS (SELECT user_id, count(*) AS streak_len, min(d) AS streak_start
+             FROM runs GROUP BY user_id, grp)
+      SELECT user_id, streak_start, streak_len FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                    ORDER BY streak_len DESC, streak_start) AS rn
+        FROM st) WHERE rn = 1 ORDER BY user_id""")
   )
 
   val all: Seq[Q] = Seq(
     w5RankAnalytics, w6FirstLast, w7RangeFrame, a12StatsMoments,
     a13Conditional, a14MedianDistinct, a15GroupingSets, a16Funnel,
     a17Retention, a18Sessionize, p9Pivot, p10Unpivot, p11HashSample,
-    q05RevenueByNation, q06ForecastRevenue, h1Scd2History)
+    q05RevenueByNation, q06ForecastRevenue, h1Scd2History, h2PointInTime,
+    w8Streak)
 }

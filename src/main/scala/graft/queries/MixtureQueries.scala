@@ -545,7 +545,45 @@ object MixtureQueries {
       FROM alloc ORDER BY lang""")
   )
 
+  /** P14: deterministic train/val/test split assignment — the hash-split
+    * every corpus release ships: each document lands in a split by a
+    * 60-bit seeded hash of its id mod 100 (96/2/2 here), so membership is
+    * a pure function of the id — reproducible on any cluster size, stable
+    * under re-runs, and immune to the ordering/sampling nondeterminism
+    * that makes `randomSplit` unsuitable for published datasets. The
+    * output is the release-note census: docs and tokens per source×split.
+    *
+    * Scale: one corpus scan (hash + token count are narrow per-row
+    * expressions), one keyed aggregate with map-side combine. The split
+    * decision never needs a shuffle at all — it's the census that groups.
+    */
+  val p14SplitAssign: Q = Q(
+    "p14_split_assign",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("source"),
+          size(Text.tokens(col("text"))).as("n_tokens"),
+          pmod(Text.seededHash64(lit(14), col("doc_id").cast("string")), lit(100L))
+            .as("slot"))
+        .withColumn("split",
+          when(col("slot") < 96, "train")
+            .when(col("slot") < 98, "val").otherwise("test"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy("source", "split")
+    },
+    Some("""WITH d AS (SELECT source, len(string_split(text, ' ')) AS n_tokens,
+          CAST('0x' || substr(md5('14|' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100 AS slot
+        FROM documents)
+      SELECT source,
+        CASE WHEN slot < 96 THEN 'train' WHEN slot < 98 THEN 'val' ELSE 'test' END AS split,
+        count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      FROM d GROUP BY 1, 2 ORDER BY source, split""")
+  )
+
   val all: Seq[Q] = Seq(
     c3MixtureBuild, p13WeightedSample, x11BigramSurprisal, d8IncrementalNearDup,
-    x12RetentionPolicy, c8DsirAdmission, c9TemperatureMixture, c11EpochAllocation)
+    x12RetentionPolicy, c8DsirAdmission, c9TemperatureMixture, c11EpochAllocation,
+    p14SplitAssign)
 }

@@ -538,9 +538,43 @@ object Relational {
     Some(sqlQ10)
   )
 
+  /** Q11: IN-subquery over a grouped derivation, with a correlated scalar
+    * aggregate inside it (TPC-H Q20 shape, adapted to the corpus's tables:
+    * suppliers shipping more than half of some part's total volume). Two
+    * decorrelations compose: the IN becomes a left-semi join, and the
+    * correlated `sum` subquery becomes a grouped aggregate joined back on
+    * the correlation key — naive execution would rescan lineitem once per
+    * (part, supplier) group. Quantities are small integers stored as
+    * doubles, summed exactly; both engines compute the identical IEEE
+    * product for the threshold, so the comparison is deterministic with
+    * no quantization machinery. (0.15: TPC-H's uniform part→supplier
+    * spread means no supplier ever reaches Q20's half-share — measured
+    * max share is ~0.25 at every tested SF.)
+    */
+  private val sqlQ11 =
+    """SELECT s.s_suppkey, s.s_name
+       FROM supplier s
+       WHERE s.s_suppkey IN (
+         SELECT sp.l_suppkey FROM (
+           SELECT l_partkey, l_suppkey, sum(l_quantity) AS q
+           FROM lineitem GROUP BY l_partkey, l_suppkey) sp
+         WHERE sp.q > (SELECT sum(l_quantity) * CAST(0.15 AS DOUBLE)
+                       FROM lineitem l2 WHERE l2.l_partkey = sp.l_partkey))
+       ORDER BY s.s_suppkey"""
+
+  val q11SqlNestedIn: Q = Q(
+    "q11_sql_nested_in",
+    (s, dir) => {
+      t(s, dir, "supplier").createOrReplaceTempView("supplier")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sqlQ11)
+    },
+    Some(sqlQ11)
+  )
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q07SqlAboveAvg, q08SqlNotExists, q09SqlCorrelated,
-    q10SqlExistsChain,
+    q10SqlExistsChain, q11SqlNestedIn,
     p1Drop, p2Rename, p3Project, p4Filter, p5Isin, p6Validity, p8MaskedUpdate,
     f1Respell, f2Case, f3Split, f4StringAgg, f5Concat, f6TimeTrunc, f9TsArith,
     f11CastNull, f13Json,

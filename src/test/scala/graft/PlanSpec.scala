@@ -483,4 +483,26 @@ class PlanSpec extends SparkSpec {
     assert(orderScans <= 3,
       s"orders scanned $orderScans times — constraints are re-scanning:\n" + plan.take(3000))
   }
+
+  test("q11: IN decorrelates to a semi join and the correlated scalar sum " +
+    "becomes a grouped aggregate — no per-row rescan, no cartesian") {
+    val plan = executedPlan("q11_sql_nested_in")
+    assert(plan.contains("LeftSemi"), "IN must plan as semi join:\n" + plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // The correlated subquery must surface as a partial/final aggregate
+    // pair over l_partkey, not a scalar-subquery node per outer row.
+    assert(!plan.contains("ScalarSubquery"),
+      "correlated sum was not decorrelated:\n" + plan.take(3000))
+  }
+
+  test("w8: the streak build is a dedup shuffle plus ONE shared user_id " +
+    "shuffle — windows and run aggregate reuse the same partitioning") {
+    val plan = executedPlan("w8_streak")
+    assert(!plan.contains("Join"), plan.take(3000))
+    val hashShuffles = plan.linesIterator.filter(
+      _.contains("Exchange hashpartitioning")).toSeq
+    assert(hashShuffles.size == 2 && hashShuffles.forall(_.contains("user_id")),
+      s"expected dedup + one shared user_id shuffle, got:\n" +
+        hashShuffles.mkString("\n") + "\n" + plan.take(3000))
+  }
 }
