@@ -578,10 +578,77 @@ object AnalyticsExtras {
         FROM st) WHERE rn = 1 ORDER BY user_id""")
   )
 
+  /** A20: trailing-window z-score anomaly detection over the daily revenue
+    * series — the data-quality monitor an ingest pipeline runs on every
+    * partition landing ("is today's volume statistically unlike the last
+    * week's"): flag a day when its revenue is more than 3 population
+    * standard deviations from the trailing-7-day mean.
+    *
+    * Exactness: the z-test is evaluated ENTIRELY in integers — revenue is
+    * quantized to 1e-4 units (exact for 2dp×2dp products, see [[Q.qsum]]),
+    * and `z² > 9` is cross-multiplied into
+    * `(n·x − s)² > 9·(n·Σx² − s²)` so no division or square root ever
+    * happens. Squares reach ~1e24, past int64 — the engine carries them in
+    * `DECIMAL(38,0)` (exact, order-independent) and the oracle in DuckDB's
+    * HUGEINT (int128); both are exact integer arithmetic, so the flag is
+    * bit-identical however partial sums associate.
+    *
+    * Scale: one map-side-combinable groupBy collapses the fact table to
+    * calendar days BEFORE the window, so the unpartitioned trailing window
+    * (Spark's "No Partition Defined" warning, deliberate) sees thousands
+    * of rows at ANY corpus size — the same bounded-input argument as e4's
+    * centroid ranking. At 100 TB nothing but (day, long) pairs shuffles.
+    */
+  val a20Anomaly: Q = Q(
+    "a20_anomaly",
+    (s, dir) => {
+      val dec = DecimalType(38, 0)
+      val daily = t(s, dir, "lineitem")
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")).as("rev_u"))
+      val wt = Window.orderBy("d").rowsBetween(-7, -1)
+      daily
+        .withColumn("n", count(col("rev_u")).over(wt))
+        .withColumn("sv", sum(col("rev_u")).over(wt))
+        .withColumn("ssq", sum(col("rev_u").cast(dec) * col("rev_u").cast(dec)).over(wt))
+        .withColumn("num",
+          (col("n") * col("rev_u") - col("sv")).cast(dec) *
+            (col("n") * col("rev_u") - col("sv")).cast(dec))
+        .withColumn("den",
+          col("n").cast(dec) * col("ssq") - col("sv").cast(dec) * col("sv").cast(dec))
+        .select(
+          col("d"),
+          (col("rev_u").cast("double") / 10000).as("rev"),
+          col("n").as("n_prior"),
+          when(col("n") >= 4 && col("num") > lit(9).cast(dec) * col("den"), 1)
+            .otherwise(0).as("is_anomaly"))
+        .orderBy("d")
+    },
+    Some("""WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS d,
+               sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS rev_u
+        FROM lineitem GROUP BY 1),
+      win AS (
+        SELECT d, CAST(rev_u AS BIGINT) AS rev_u,
+               count(rev_u) OVER wt AS n,
+               CAST(sum(rev_u) OVER wt AS BIGINT) AS sv,
+               sum(CAST(rev_u AS HUGEINT) * CAST(rev_u AS HUGEINT)) OVER wt AS ssq
+        FROM (SELECT d, CAST(rev_u AS BIGINT) AS rev_u FROM daily)
+        WINDOW wt AS (ORDER BY d ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+      SELECT d, CAST(rev_u AS DOUBLE) / 10000 AS rev,
+        CAST(n AS BIGINT) AS n_prior,
+        CASE WHEN n >= 4
+              AND CAST(n * rev_u - sv AS HUGEINT) * CAST(n * rev_u - sv AS HUGEINT)
+                  > 9 * (n * ssq - CAST(sv AS HUGEINT) * CAST(sv AS HUGEINT))
+             THEN 1 ELSE 0 END AS is_anomaly
+      FROM win ORDER BY d""")
+  )
+
   val all: Seq[Q] = Seq(
     w5RankAnalytics, w6FirstLast, w7RangeFrame, a12StatsMoments,
     a13Conditional, a14MedianDistinct, a15GroupingSets, a16Funnel,
     a17Retention, a18Sessionize, p9Pivot, p10Unpivot, p11HashSample,
     q05RevenueByNation, q06ForecastRevenue, h1Scd2History, h2PointInTime,
-    w8Streak)
+    w8Streak, a20Anomaly)
 }

@@ -166,5 +166,83 @@ object GraphQueries {
       GROUP BY part_id ORDER BY n_tri DESC, part_id""")
   )
 
-  val all: Seq[Q] = Seq(g1PageRank, g2TriangleCount)
+  private val KcoreK = 2
+  private val KcoreRounds = 4
+
+  /** The oracle unrolls the same R peel rounds the engine runs: drop every
+    * node whose surviving degree is below k, drop edges touching dropped
+    * nodes, repeat. Pure integer counts; `CAST(count AS BIGINT)` on the
+    * output guards the HUGEINT→float64 driver-hash trap.
+    */
+  private def kcoreOracle(k: Int, rounds: Int): String = {
+    val iters = (1 to rounds).map { i =>
+      s""",
+      k$i AS (SELECT a FROM a${i - 1} GROUP BY a HAVING count(*) >= $k),
+      a$i AS (SELECT t.a, t.b FROM a${i - 1} t
+              JOIN k$i x ON t.a = x.a JOIN k$i y ON t.b = y.a)"""
+    }.mkString
+    s"""WITH co AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      edges AS (SELECT x.pk AS u, y.pk AS v FROM co x JOIN co y
+                ON x.ok = y.ok AND x.pk < y.pk GROUP BY 1, 2 HAVING count(*) >= 2),
+      a0 AS (SELECT u AS a, v AS b FROM edges
+             UNION ALL SELECT v AS a, u AS b FROM edges)$iters
+      SELECT a AS part_id, CAST(count(*) AS BIGINT) AS core_deg
+      FROM a$rounds GROUP BY a ORDER BY core_deg DESC, part_id"""
+  }
+
+  /** G3: k-core decomposition (k=2, R=4 peel rounds) over g2's part
+    * co-purchase graph — the subgraph-density primitive next to triangle
+    * counting: a node survives the 2-core iff it keeps ≥2 neighbors after
+    * every lower-degree node (and its edges) is repeatedly peeled away.
+    * Link-graph pipelines use the core number as a spam/quality signal
+    * (low-core pages are link-farm leaves; high-core ones sit in dense
+    * organic neighborhoods).
+    *
+    * Scale: each peel round is ONE map-side-combinable degree aggregation
+    * plus two semi-joins of the edge list against the (strictly smaller)
+    * survivor set — never an all-pairs product, never a driver collect.
+    * Rounds are a fixed R (the oracle unrolls the identical R), each
+    * round's edge list is persisted and the predecessor unpersisted, so
+    * lineage stays O(1) deep exactly like `PageRank.ranks` /
+    * `ConnectedComponents.minLabels`. Peeling strictly shrinks the edge
+    * set, so round cost is monotonically decreasing; on a 100 TB graph the
+    * degree agg shuffles only (node, count) pairs, not payloads.
+    * Integer-exact throughout — bit-identical across partitionings.
+    */
+  val g3KCore: Q = Q(
+    "g3_kcore",
+    (s, dir) => {
+      val co = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val edges = co.select(col("ok"), col("pk").as("u"))
+        .join(co.select(col("ok"), col("pk").as("v")), Seq("ok"))
+        .filter(col("u") < col("v"))
+        .groupBy("u", "v").agg(count(lit(1)).as("w"))
+        .filter(col("w") >= 2)
+        .select("u", "v")
+      var adj = edges.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      adj.count() // eager: scanned by the degree agg and both semi-joins
+      for (_ <- 1 to KcoreRounds) {
+        val keep = adj.groupBy("a").agg(count(lit(1)).as("d"))
+          .filter(col("d") >= KcoreK).select("a")
+        val next = adj
+          .join(keep, Seq("a"), "left_semi")
+          .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
+          .select("a", "b")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        adj.unpersist()
+        adj = next
+      }
+      adj.groupBy(col("a").as("part_id"))
+        .agg(count(lit(1)).as("core_deg"))
+        .orderBy(desc("core_deg"), col("part_id"))
+    },
+    Some(kcoreOracle(KcoreK, KcoreRounds))
+  )
+
+  val all: Seq[Q] = Seq(g1PageRank, g2TriangleCount, g3KCore)
 }

@@ -572,9 +572,44 @@ object Relational {
     Some(sqlQ11)
   )
 
+  /** Q12: top-supplier-by-revenue with a reused derived table (TPC-H Q15
+    * shape): the revenue aggregate appears BOTH as the join input and
+    * inside the scalar `max` subquery. Catalyst plans the CTE once per
+    * reference but AQE's subquery reuse dedups the exchange; the scalar
+    * max is a one-row broadcast into the filter, and ties (multiple
+    * suppliers at the max) survive, which is why the shape needs the
+    * scalar subquery rather than a LIMIT 1. Revenue is the integer-
+    * quantized exact sum ([[Q.qsum]] at 4dp), so the max comparison is
+    * bit-deterministic on both engines — a float-summed revenue here
+    * would make "equals the max" partition-order-dependent, the classic
+    * Q15 correctness trap.
+    */
+  private val sqlQ12 =
+    s"""WITH revenue AS (
+         SELECT l_suppkey AS supplier_no,
+                ${Q.sqlQsum("l_extendedprice * (1 - l_discount)", 4)} AS total_revenue
+         FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+           AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+         GROUP BY l_suppkey)
+       SELECT s.s_suppkey, s.s_name, r.total_revenue
+       FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+       WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+       ORDER BY s.s_suppkey"""
+
+  val q12SqlTopSupplier: Q = Q(
+    "q12_sql_top_supplier",
+    (s, dir) => {
+      t(s, dir, "supplier").createOrReplaceTempView("supplier")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sqlQ12)
+    },
+    Some(sqlQ12)
+  )
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q07SqlAboveAvg, q08SqlNotExists, q09SqlCorrelated,
-    q10SqlExistsChain, q11SqlNestedIn,
+    q10SqlExistsChain, q11SqlNestedIn, q12SqlTopSupplier,
     p1Drop, p2Rename, p3Project, p4Filter, p5Isin, p6Validity, p8MaskedUpdate,
     f1Respell, f2Case, f3Split, f4StringAgg, f5Concat, f6TimeTrunc, f9TsArith,
     f11CastNull, f13Json,

@@ -819,7 +819,154 @@ object SimilarityQueries {
       ORDER BY t.qdot DESC, t.vec_id""")
   )
 
+  /** E13: IVF-PQ with asymmetric distance — the composition production
+    * vector stores actually deploy at 100 TB (FAISS's `IVFx,PQy` index):
+    * a coarse quantizer routes each vector to a cell (e2's fixed 8-vector
+    * codebook), PQ codes are learned ON THE RESIDUALS `v − cell_centroid`
+    * (residuals are what PQ compresses well — they're centered near zero,
+    * so K=8 codes per 16-dim subspace capture far more variance than on
+    * raw vectors), and the query builds a SEPARATE ADC table per probed
+    * cell from its own per-cell residual. Index storage is 1 cell id +
+    * M=4 byte codes per vector; query-time work is nprobe=2 cells × a
+    * 32-row table lookup — no full-vector math touches the corpus.
+    *
+    * Exactness: residual subtraction is one IEEE subtract of identical
+    * doubles on both engines (`zip_with` / `list_transform`); Lloyd means
+    * are integer-quantized (e4's trick) and ADC entries are 2^-20 longs,
+    * so the summed distance is order-independent and bit-equal to the
+    * oracle.
+    *
+    * Scale: coarse assign is a broadcast cross-join + windowed argmin;
+    * PQ learning touches only the K seed rows' residuals plus one
+    * map-side-combinable component sum; encode is a broadcast join; the
+    * ADC probe is a 64-row broadcast equi-join on (cell, m, code) that
+    * prunes to the probed cells before anything shuffles. The residual
+    * subv table is persisted once and scanned by seed-pick, both argmin
+    * passes and the encode (the concurrent-first-scan trap).
+    */
+  val e13IvfPq: Q = Q(
+    "e13_ivf_pq",
+    (s, dir) => {
+      FastVec.register(s)
+      val M = 4; val sub = 16; val K = 8; val nprobe = 2
+      val q20d = (1L << 20).toDouble
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), Vectors.toDoubleVec(col("embedding")).as("v"))
+      val coarse = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("ccid"), col("v").as("ccv"))
+      val wv = Window.partitionBy("vec_id").orderBy(col("d2"), col("ccid"))
+      val res = emb.crossJoin(broadcast(coarse))
+        .select(col("vec_id"), col("v"), col("ccid"), col("ccv"),
+          FastVec.l2sq(col("v"), col("ccv")).as("d2"))
+        .withColumn("rn", row_number().over(wv)).filter(col("rn") === 1)
+        .select(col("vec_id"), col("ccid"),
+          zip_with(col("v"), col("ccv"), (x, y) => x - y).as("r"))
+      val subv = res
+        .select(col("vec_id"), col("ccid"),
+          explode(sequence(lit(0), lit(M - 1))).as("m"), col("r"))
+        .select(col("vec_id"), col("ccid"), col("m"),
+          expr(s"slice(r, m * $sub + 1, $sub)").as("sv"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      subv.count() // eager: seed pick, both argmins and encode scan it
+      val seedIds = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(K)
+        .select(col("vec_id").as("cid"))
+      val seeds = subv.join(broadcast(seedIds), col("vec_id") === col("cid"))
+        .select(col("cid"), col("m"), col("sv").as("cv"))
+      val wvm = Window.partitionBy("vec_id", "m").orderBy(col("d2"), col("cid"))
+      val a0 = subv.join(broadcast(seeds), Seq("m"))
+        .select(col("vec_id"), col("m"), col("sv"), col("cid"),
+          FastVec.l2sq(col("sv"), col("cv")).as("d2"))
+        .withColumn("rn", row_number().over(wvm)).filter(col("rn") === 1)
+        .select("vec_id", "m", "sv", "cid")
+      val comp = a0
+        .select(col("m"), col("cid"), posexplode(col("sv")).as(Seq("i", "x")))
+        .groupBy("m", "cid", "i")
+        .agg((sum(round(col("x") * q20d).cast("long")).cast("double") /
+          (lit(q20d) * count(lit(1)))).as("cx"))
+      val cent = comp.groupBy("m", "cid")
+        .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
+          e => e("cx")).as("cv"))
+      val enc = subv.join(broadcast(cent), Seq("m"))
+        .select(col("vec_id"), col("ccid"), col("m"), col("cid"),
+          FastVec.l2sq(col("sv"), col("cv")).as("d2"))
+        .withColumn("rn", row_number().over(wvm)).filter(col("rn") === 1)
+        .select("vec_id", "ccid", "m", "cid")
+      // Query-side: nprobe cells ranked over the 8-row broadcast codebook —
+      // codebook-sized work, never corpus-sized.
+      val qCells = emb.filter(col("vec_id") === 0).crossJoin(broadcast(coarse))
+        .select(col("ccid"), col("ccv"), FastVec.l2sq(col("v"), col("ccv")).as("d2"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy().orderBy(col("d2"), col("ccid"))))
+        .filter(col("rn") <= nprobe)
+      val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val qres = qCells.crossJoin(qv)
+        .select(col("ccid"), zip_with(col("qv"), col("ccv"), (x, y) => x - y).as("qr"))
+        .select(col("ccid"), explode(sequence(lit(0), lit(M - 1))).as("m"), col("qr"))
+        .select(col("ccid"), col("m"), expr(s"slice(qr, m * $sub + 1, $sub)").as("qsv"))
+      val adc = cent.join(broadcast(qres), Seq("m"))
+        .select(col("ccid"), col("m"), col("cid"),
+          round(FastVec.l2sq(col("qsv"), col("cv")) * q20d).cast("long").as("qd"))
+      enc.join(broadcast(adc), Seq("ccid", "m", "cid"))
+        .groupBy("vec_id", "ccid")
+        .agg(sum(col("qd")).as("qdist"))
+        .filter(col("vec_id") =!= 0)
+        .join(emb.select("vec_id", "label"), Seq("vec_id"))
+        .select(col("vec_id"), col("label"), col("ccid").as("cell"),
+          (col("qdist").cast("double") / lit(q20d)).as("adc_dist"))
+        .orderBy(col("adc_dist"), col("vec_id"))
+        .limit(10)
+    },
+    Some(s"""WITH e AS ($sqlE),
+      coarse AS (SELECT vec_id AS ccid, v AS ccv FROM e WHERE vec_id < 8),
+      cd AS (SELECT vec_id, v, ccid, ccv, d2,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, ccid) AS rn
+             FROM (SELECT e.vec_id, e.v, c.ccid, c.ccv,
+                     ${sqlL2sq("e.v", "c.ccv")} AS d2
+                   FROM e CROSS JOIN coarse c)),
+      res AS (SELECT vec_id, ccid,
+                list_transform(range(len(v)), i -> v[i+1] - ccv[i+1]) AS r
+              FROM cd WHERE rn = 1),
+      subv AS (SELECT vec_id, ccid, m, r[(m*16+1):(m*16+16)] AS sv
+               FROM res CROSS JOIN range(4) t(m)),
+      seedids AS (SELECT vec_id AS cid FROM e
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      seeds AS (SELECT cid, m, sv AS cv FROM subv JOIN seedids ON vec_id = cid),
+      a0 AS (SELECT vec_id, m, sv, cid FROM (
+               SELECT s.vec_id, s.m, s.sv, c.cid,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m
+                   ORDER BY ${sqlL2sq("s.sv", "c.cv")}, c.cid) AS rn
+               FROM subv s JOIN seeds c ON s.m = c.m)
+             WHERE rn = 1),
+      compx AS (SELECT m, cid, i,
+          CAST(sum(CAST(round(sv[i+1] * 1048576.0) AS BIGINT)) AS DOUBLE)
+            / (1048576.0 * count(*)) AS cx
+        FROM a0 CROSS JOIN range(16) r(i) GROUP BY m, cid, i),
+      cent AS (SELECT m, cid, list(cx ORDER BY i) AS cv FROM compx GROUP BY m, cid),
+      enc AS (SELECT vec_id, ccid, m, cid FROM (
+               SELECT s.vec_id, s.ccid, s.m, c.cid,
+                 row_number() OVER (PARTITION BY s.vec_id, s.m
+                   ORDER BY ${sqlL2sq("s.sv", "c.cv")}, c.cid) AS rn
+               FROM subv s JOIN cent c ON s.m = c.m)
+             WHERE rn = 1),
+      qc AS (SELECT ccid, ccv FROM cd WHERE vec_id = 0 AND rn <= 2),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      qres AS (SELECT ccid, m,
+                 (list_transform(range(len(qv)), i -> qv[i+1] - ccv[i+1]))[(m*16+1):(m*16+16)] AS qsv
+               FROM qc CROSS JOIN q CROSS JOIN range(4) t(m)),
+      adc AS (SELECT r.ccid, c.m, c.cid,
+                CAST(round(${sqlL2sq("r.qsv", "c.cv")} * 1048576.0) AS BIGINT) AS qd
+              FROM cent c JOIN qres r ON c.m = r.m),
+      dist AS (SELECT vec_id, ccid, sum(qd) AS qdist
+               FROM enc JOIN adc USING (ccid, m, cid) GROUP BY vec_id, ccid)
+      SELECT d.vec_id, e.label, d.ccid AS cell,
+        CAST(qdist AS DOUBLE) / 1048576.0 AS adc_dist
+      FROM dist d JOIN e ON e.vec_id = d.vec_id WHERE d.vec_id <> 0
+      ORDER BY adc_dist, d.vec_id LIMIT 10""")
+  )
+
   val all: Seq[Q] = Seq(e1CosineTopK, e2AnnIvf, e3BucketNearDup, e4AnnKmeans,
     e5AnnHyperplane, e6SemanticDedup, e7AnnBatch, e8PqAdc, e9AnnRecall,
-    e10MmrRerank, e11EmbeddingQa, e12SqRecall)
+    e10MmrRerank, e11EmbeddingQa, e12SqRecall, e13IvfPq)
 }

@@ -426,6 +426,63 @@ object TextAnalysis {
       FROM cur ORDER BY bucket""")
   )
 
+  /** X18: readability scoring (Flesch-reading-ease shape) — the
+    * document-level fluency signal quality filters stack next to x3's
+    * ratio features: long sentences and polysyllabic words drive the
+    * score down; corpus curation drops or down-weights the extremes.
+    * Syllables use the standard vowel-group heuristic (runs of
+    * `[aeiouy]+` in the lowercased text), sentences the terminal-punct
+    * census — crude linguistics, but the OPERATOR (two regex censuses +
+    * fixed-point arithmetic per row) is exactly what a real scorer runs.
+    *
+    * Exactness: the score is computed in MILLI-points with integer floor
+    * division (`206.835 → 206835`, `1.015·w/s → (1015·w) div s`,
+    * `84.6·y/w → (84600·y) div w`) — all operands non-negative, so
+    * Spark's truncating `div` and DuckDB's floor `//` agree and the
+    * result is bit-identical with no float rounding to drift.
+    *
+    * Scale: narrow per-row expressions only (regexp_count + arithmetic,
+    * all codegen'd builtins) — no shuffle, no UDF; streams through the
+    * scan at any corpus size.
+    */
+  val x18Readability: Q = Q(
+    "x18_readability",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("n_words"),
+          greatest(lit(1L), regexp_count(col("text"), lit("[.!?]"))).as("n_sentences"),
+          greatest(lit(1L), regexp_count(lower(col("text")), lit("[aeiouy]+"))).as("n_syllables"))
+        .filter(col("n_words") > 0)
+        .withColumn("score_milli",
+          lit(206835L) - expr("(1015 * n_words) div n_sentences")
+            - expr("(84600 * n_syllables) div n_words"))
+        .withColumn("band",
+          when(col("score_milli") >= 90000, "easy")
+            .when(col("score_milli") >= 60000, "standard")
+            .when(col("score_milli") >= 30000, "difficult")
+            .otherwise("very_hard"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH f AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          greatest(1, CAST(len(regexp_extract_all(text, '[.!?]')) AS BIGINT)) AS n_sentences,
+          greatest(1, CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)) AS n_syllables
+        FROM documents)
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+        206835 - (1015 * n_words) // n_sentences
+               - (84600 * n_syllables) // n_words AS score_milli,
+        CASE WHEN 206835 - (1015 * n_words) // n_sentences
+                         - (84600 * n_syllables) // n_words >= 90000 THEN 'easy'
+             WHEN 206835 - (1015 * n_words) // n_sentences
+                         - (84600 * n_syllables) // n_words >= 60000 THEN 'standard'
+             WHEN 206835 - (1015 * n_words) // n_sentences
+                         - (84600 * n_syllables) // n_words >= 30000 THEN 'difficult'
+             ELSE 'very_hard' END AS band
+      FROM f WHERE n_words > 0 ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(x1TokenStats, x2LangId, x3Quality, x4Fingerprint, x5TokenFreq,
-    x13Bm25, x15BpePairs, x16PiiScrub, x17VocabGrowth)
+    x13Bm25, x15BpePairs, x16PiiScrub, x17VocabGrowth, x18Readability)
 }
