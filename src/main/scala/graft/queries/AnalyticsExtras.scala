@@ -645,10 +645,65 @@ object AnalyticsExtras {
       FROM win ORDER BY d""")
   )
 
+  /** W9: bounded-kernel EWMA over the daily revenue series — the smoothed
+    * trend line next to w2's flat moving average: each day's value is the
+    * recursive blend `ewma = 0.8·prev + 0.2·x` folded over the trailing
+    * 8-day window (a bounded kernel, so late-arriving history outside the
+    * frame can never perturb old results — the re-statement property a
+    * production metric store needs).
+    *
+    * Exactness: EWMA is order-sensitive by definition, so the frame's
+    * values are collected, sorted by day, and folded SEQUENTIALLY —
+    * Spark seeds `aggregate` with the first element and folds the rest,
+    * which is exactly DuckDB `list_reduce`'s no-init semantics, so both
+    * engines evaluate the identical chain of IEEE operations
+    * (x19's fold discipline applied to a recursive kernel).
+    *
+    * Scale: same bounded-window argument as a20 — the fact table
+    * collapses to calendar days before the window, so the unpartitioned
+    * frame sees thousands of rows at any corpus size, each carrying an
+    * ≤8-element array.
+    */
+  val w9Ewma: Q = Q(
+    "w9_ewma",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")).as("rev_u"))
+        .select(col("d"), (col("rev_u").cast("double") / 10000).as("rev"))
+      val wf = Window.orderBy("d").rowsBetween(-7, 0)
+      daily
+        .withColumn("arr",
+          transform(array_sort(collect_list(struct(col("d"), col("rev"))).over(wf)),
+            e => e("rev")))
+        .select(col("d"), col("rev"),
+          round(aggregate(
+            slice(col("arr"), lit(2), size(col("arr")) - 1),
+            element_at(col("arr"), 1),
+            (acc, x) => acc * lit(0.8) + x * lit(0.2)), 6).as("ewma_r6"))
+        .orderBy("d")
+    },
+    Some("""WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS d,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                 AS DOUBLE) / 10000 AS rev
+        FROM lineitem GROUP BY 1),
+      win AS (
+        SELECT d, rev,
+               list_sort(list(struct_pack(d := d, rev := rev))
+                 OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)) AS arr
+        FROM daily)
+      SELECT d, rev,
+        round(list_reduce(list_transform(arr, x -> x.rev),
+          (a, b) -> a * 0.8 + b * 0.2), 6) AS ewma_r6
+      FROM win ORDER BY d""")
+  )
+
   val all: Seq[Q] = Seq(
     w5RankAnalytics, w6FirstLast, w7RangeFrame, a12StatsMoments,
     a13Conditional, a14MedianDistinct, a15GroupingSets, a16Funnel,
     a17Retention, a18Sessionize, p9Pivot, p10Unpivot, p11HashSample,
     q05RevenueByNation, q06ForecastRevenue, h1Scd2History, h2PointInTime,
-    w8Streak, a20Anomaly)
+    w8Streak, a20Anomaly, w9Ewma)
 }

@@ -524,8 +524,63 @@ object MiscQueries {
       FROM rws ORDER BY tbl, check_name""")
   )
 
+  /** V10: population-stability-index drift monitor — the
+    * distribution-shift alarm a production pipeline runs between a
+    * reference window and the current one ("did order values shift since
+    * H1?"): fixed price buckets, Laplace-smoothed shares on each side,
+    * and the per-bucket PSI contribution `(p−q)·ln(p/q)` (industry rule
+    * of thumb: Σ > 0.2 = significant drift).
+    *
+    * Exactness: counts are integers; each output row does ONE smoothed
+    * share division per side and ONE `ln` on bit-identical doubles — the
+    * bucket contributions are emitted as rows, never float-summed, so
+    * there is no association order to drift. Rounded to 6dp.
+    *
+    * Scale: one map-side-combinable groupBy on the 10 fixed buckets; the
+    * totals window runs over those 10 rows (bounded at any corpus size —
+    * the deliberate unpartitioned-window shape). Nothing but (bucket,
+    * long, long) triples ever shuffles.
+    */
+  val v10PsiDrift: Q = Q(
+    "v10_psi_drift",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      val split = lit("1998-07-01 00:00:00").cast("timestamp")
+      val pd = (col("n_p") + lit(1.0)) / (col("tot_p") + lit(10.0))
+      val qd = (col("n_q") + lit(1.0)) / (col("tot_q") + lit(10.0))
+      t(s, dir, "orders")
+        .select(
+          least(lit(9L), floor(col("o_totalprice") / 50000).cast("long")).as("bucket"),
+          (col("o_orderdate") < split).as("isp"))
+        .groupBy("bucket")
+        .agg(sum(when(col("isp"), 1L).otherwise(0L)).as("n_p"),
+          sum(when(col("isp"), 0L).otherwise(1L)).as("n_q"))
+        .withColumn("tot_p", sum(col("n_p")).over(w))
+        .withColumn("tot_q", sum(col("n_q")).over(w))
+        .select(col("bucket"), col("n_p"), col("n_q"),
+          round((pd - qd) * log(pd / qd), 6).as("psi_r6"))
+        .orderBy("bucket")
+    },
+    Some("""WITH b AS (SELECT least(9, CAST(floor(o_totalprice / 50000) AS BIGINT)) AS bucket,
+               o_orderdate < TIMESTAMP '1998-07-01 00:00:00' AS isp
+             FROM orders),
+      c AS (SELECT bucket,
+              CAST(sum(CASE WHEN isp THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+              CAST(sum(CASE WHEN isp THEN 0 ELSE 1 END) AS BIGINT) AS n_q
+            FROM b GROUP BY bucket),
+      w AS (SELECT bucket, n_p, n_q,
+              CAST(sum(n_p) OVER () AS BIGINT) AS tot_p,
+              CAST(sum(n_q) OVER () AS BIGINT) AS tot_q
+            FROM c)
+      SELECT bucket, n_p, n_q,
+        round(((n_p + 1.0) / (tot_p + 10.0) - (n_q + 1.0) / (tot_q + 10.0))
+          * ln(((n_p + 1.0) / (tot_p + 10.0)) / ((n_q + 1.0) / (tot_q + 10.0))), 6)
+          AS psi_r6
+      FROM w ORDER BY bucket""")
+  )
+
   val all: Seq[Q] = Seq(
     a2Counts, a11Percentiles, f8Timezone, u2InsertAbsent, v2SchemaDiff, v4ColumnProfile,
     v5SourceOverlap, o4FileListing, m1BinaryMeta, v6ShardSkew, v7DataCard,
-    v8PipelineYield, v9Expectations)
+    v8PipelineYield, v9Expectations, v10PsiDrift)
 }

@@ -582,8 +582,39 @@ object MixtureQueries {
       FROM d GROUP BY 1, 2 ORDER BY source, split""")
   )
 
+  /** C12: dedup-discounted source weights — the mixture correction that
+    * keeps a heavily-duplicated source from dominating training epochs by
+    * raw row count: each source's sampling weight is its UNIQUE-content
+    * share (d1's opening-phrase fingerprint census), so a source whose
+    * documents are 40% copies contributes 40% fewer effective tokens to
+    * the mix. The weight is emitted in integer ppm (floor division, both
+    * engines truncate non-negative operands identically).
+    *
+    * Scale: one (source, fp) distinct-count — Spark plans countDistinct
+    * as the standard two-phase expand/aggregate with map-side partials;
+    * only (source, 16-byte fp) pairs shuffle, never document payloads.
+    */
+  val c12DedupDiscount: Q = Q(
+    "c12_dedup_discount",
+    (s, dir) => {
+      t(s, dir, "documents")
+        .select(col("source"),
+          Text.prefixFingerprint(Text.tokens(col("text")), 8).as("fp"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), countDistinct(col("fp")).as("n_unique"))
+        .select(col("source"), col("n_docs"), col("n_unique"),
+          expr("(n_unique * 1000000) div n_docs").as("weight_ppm"))
+        .orderBy("source")
+    },
+    Some("""SELECT source, count(*) AS n_docs,
+        count(DISTINCT md5(array_to_string(string_split(text, ' ')[1:8], ' '))) AS n_unique,
+        (count(DISTINCT md5(array_to_string(string_split(text, ' ')[1:8], ' '))) * 1000000)
+          // count(*) AS weight_ppm
+      FROM documents GROUP BY source ORDER BY source""")
+  )
+
   val all: Seq[Q] = Seq(
     c3MixtureBuild, p13WeightedSample, x11BigramSurprisal, d8IncrementalNearDup,
     x12RetentionPolicy, c8DsirAdmission, c9TemperatureMixture, c11EpochAllocation,
-    p14SplitAssign)
+    p14SplitAssign, c12DedupDiscount)
 }

@@ -483,6 +483,54 @@ object TextAnalysis {
       FROM f WHERE n_words > 0 ORDER BY doc_id""")
   )
 
+  /** X19: per-document unigram entropy — the lexical-diversity signal
+    * (Gopher-style quality filtering flags both near-zero entropy, i.e.
+    * degenerate repetition, and implausibly high entropy, i.e. random
+    * noise): H = ln(n) − Σc·ln(c)/n over the doc's token counts.
+    *
+    * Exactness: the Σc·ln(c) term is a SEQUENTIAL left-fold over the
+    * counts sorted by token (Spark `aggregate` over an `array_sort`ed
+    * list, DuckDB `list_reduce` over `list(... ORDER BY tok)`), so both
+    * engines associate the float additions identically — the same
+    * determinism discipline as the vector dot products ([[SimilarityQueries]]).
+    * A 0.0 seed is exact under IEEE (+0.0 + x = x), so fold-with-init and
+    * DuckDB's no-init reduce agree. Result rounded to 6dp.
+    *
+    * Scale: one (doc_id, tok) count with map-side combine, one per-doc
+    * collect of the doc's OWN vocabulary (bounded by doc length, never
+    * corpus-wide) — the classic two-level aggregation; no joins.
+    */
+  val x19UnigramEntropy: Q = Q(
+    "x19_unigram_entropy",
+    (s, dir) => {
+      val cnts = t(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+      cnts.groupBy("doc_id")
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_distinct"),
+          transform(array_sort(collect_list(struct(col("tok"), col("c")))),
+            e => e("c").cast("double")).as("cl"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          round(log(col("n_tokens").cast("double")) -
+            aggregate(col("cl"), lit(0.0), (acc, x) => acc + x * log(x)) /
+              col("n_tokens"), 6).as("entropy_r6"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      cnts AS (SELECT doc_id, tok, count(*) AS c FROM toks GROUP BY doc_id, tok),
+      agg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+                count(*) AS n_distinct,
+                list(CAST(c AS DOUBLE) ORDER BY tok) AS cl
+              FROM cnts GROUP BY doc_id)
+      SELECT doc_id, n_tokens, n_distinct,
+        round(ln(CAST(n_tokens AS DOUBLE))
+          - list_reduce(list_transform(cl, x -> x * ln(x)), (a, b) -> a + b)
+            / n_tokens, 6) AS entropy_r6
+      FROM agg ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(x1TokenStats, x2LangId, x3Quality, x4Fingerprint, x5TokenFreq,
-    x13Bm25, x15BpePairs, x16PiiScrub, x17VocabGrowth, x18Readability)
+    x13Bm25, x15BpePairs, x16PiiScrub, x17VocabGrowth, x18Readability,
+    x19UnigramEntropy)
 }

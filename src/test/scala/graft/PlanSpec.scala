@@ -505,4 +505,75 @@ class PlanSpec extends SparkSpec {
       s"expected dedup + one shared user_id shuffle, got:\n" +
         hashShuffles.mkString("\n") + "\n" + plan.take(3000))
   }
+
+  test("g3: the surviving edge set is read from cache and every peel step " +
+    "is keyed — no cartesian anywhere in the final round") {
+    val plan = executedPlan("g3_kcore")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // The final aggregate must consume the last round's PERSISTED edge
+    // list (AQE renders the cache read as a TableCacheQueryStage), not
+    // re-derive four rounds of peeling from the raw scan.
+    assert(plan.contains("InMemoryTableScan") ||
+      plan.contains("TableCacheQueryStage"),
+      "final round's edges must come from cache:\n" + plan.take(3000))
+    // The top of the final plan must be the degree aggregate over the
+    // cached edges — a live parquet Scan node at the top level (outside
+    // the InMemoryRelation's recorded lineage) would mean the peel rounds
+    // were re-derived from the fact table.
+    val topLevelScans = plan.linesIterator.count(l =>
+      l.contains("Scan parquet") && !l.contains("InMemoryRelation"))
+    assert(topLevelScans == 0 || plan.indexOf("Scan parquet") > plan.indexOf("InMemoryTableScan"),
+      "final aggregate must not rescan the fact table:\n" + plan.take(3000))
+  }
+
+  test("a20: the fact table collapses to days BEFORE the bounded global " +
+    "window, and the scan reads only the three referenced columns") {
+    val plan = executedPlan("a20_anomaly")
+    // groupBy-to-days must aggregate below the window: a partial/final
+    // hash-aggregate pair, then ONE single-partition exchange feeding the
+    // windows (Spark may split the three frame aggregates across two
+    // Window nodes; what matters is they share the one bounded exchange).
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(3000))
+    assert(plan.linesIterator.count(_.contains("Exchange SinglePartition")) == 1,
+      "day series must cross to the driver-side window exactly once:\n" +
+        plan.take(3000))
+    assert(!plan.contains("l_orderkey") && !plan.contains("l_partkey") &&
+      !plan.contains("l_quantity"),
+      "unreferenced lineitem columns in scan:\n" + plan.take(3000))
+  }
+
+  test("e13: residual subvectors are cached once; PQ encode and the ADC " +
+    "probe are broadcast equi-joins — the corpus never sort-merge-joins") {
+    val plan = executedPlan("e13_ivf_pq")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("InMemoryTableScan"),
+      "residual subv table must be cached:\n" + plan.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      "encode + ADC probe must broadcast the codebook/table:\n" + plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"),
+      "no corpus-side shuffle join expected:\n" + plan.take(3000))
+  }
+
+  test("q12: the revenue aggregate's exchange is planned once and reused " +
+    "between the join input and the scalar max; shipdate range reaches " +
+    "the scan") {
+    val plan = executedPlan("q12_sql_top_supplier")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+      "shipdate range must push to parquet:\n" + plan.take(3000))
+    assert(plan.contains("ReusedExchange") || plan.contains("ReusedSubquery") ||
+      "Scan parquet".r.findAllIn(plan).count(_ => true) <= 3,
+      "revenue CTE must not be fully recomputed:\n" + plan.take(3000))
+  }
+
+  test("x18: readability is a pure narrow map — no join, no aggregate, " +
+    "only the sort exchange") {
+    val plan = executedPlan("x18_readability")
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("HashAggregate"), plan.take(3000))
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1,
+      s"expected at most the rangepartitioning sort exchange, got $exchanges:\n" +
+        plan.take(3000))
+  }
 }
