@@ -700,10 +700,223 @@ object AnalyticsExtras {
       FROM win ORDER BY d""")
   )
 
+  /** W10: maximum drawdown per series — the peak-to-trough risk metric the
+    * reference's asset-price domain lives on (how far below its running
+    * high-water mark did the series fall): running peak via an unbounded
+    * preceding window, drawdown = peak − value, and the per-series maximum
+    * of that gap. Computed over the event value stream keyed by type.
+    *
+    * Exactness: values are quantized to 1e-4 units (`round(v·10⁴)` on
+    * bit-identical doubles in both engines), so the running max, the
+    * subtraction and the final max are all integer-exact; the two output
+    * doubles are single exact-integer/constant divisions.
+    *
+    * Scale: ONE shuffle on the series key shared by the window and the
+    * final aggregate (same-key window→groupBy reuses the partitioning);
+    * the running max is a streaming frame (O(1) state per row, no frame
+    * re-scan). The (ts, event_id) ordering is total, so the running peak
+    * is deterministic under any partitioning.
+    */
+  val w10Drawdown: Q = Q(
+    "w10_drawdown",
+    (s, dir) => {
+      val ticks = t(s, dir, "events")
+        .select(col("event_type"), col("ts"), col("event_id"),
+          round(col("value") * 10000).cast("long").as("vu"))
+      val wp = Window.partitionBy("event_type").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ticks
+        .withColumn("peak_u", max(col("vu")).over(wp))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          max(col("peak_u")).as("hi_u"),
+          max(col("peak_u") - col("vu")).as("dd_u"))
+        .select(col("event_type"), col("n_events"),
+          (col("hi_u").cast("double") / 10000).as("peak"),
+          (col("dd_u").cast("double") / 10000).as("max_drawdown"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ticks AS (SELECT event_type, ts, event_id,
+               CAST(round(value * 10000) AS BIGINT) AS vu FROM events),
+      runs AS (SELECT event_type, vu,
+                 max(vu) OVER (PARTITION BY event_type ORDER BY ts, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak_u
+               FROM ticks)
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(max(peak_u) AS DOUBLE) / 10000 AS peak,
+             CAST(max(peak_u - vu) AS DOUBLE) / 10000 AS max_drawdown
+      FROM runs GROUP BY event_type ORDER BY event_type""")
+  )
+
+  /** A21: equi-width histogram with exact integer edges — the
+    * distribution profile (SURVEY §2.4's percentile family, bucketed
+    * form): order totals quantized to cents, bucketed into 20 fixed-width
+    * bins anchored at the GLOBAL min/max (two scalar aggregates broadcast
+    * into the binning expression), each bin reporting count and exact
+    * quantized mass.
+    *
+    * Scale: the min/max pass is one map-side-combinable scalar aggregate;
+    * the histogram is one groupBy on ≤20 keys with map-side combine —
+    * nothing but (bin, long, long) triples shuffles at any corpus size.
+    * All arithmetic is integer (cents), so bin assignment is bit-identical
+    * across engines and partitionings.
+    */
+  val a21Histogram: Q = Q(
+    "a21_histogram",
+    (s, dir) => {
+      val cents = t(s, dir, "orders")
+        .select(round(col("o_totalprice") * 100).cast("long").as("pc"))
+      val ext = cents.agg(min(col("pc")).as("lo"), max(col("pc")).as("hi"))
+      cents.crossJoin(ext)
+        .select(
+          least(lit(19L),
+            expr("(pc - lo) * 20 div (hi - lo + 1)")).as("bin"),
+          col("pc"), col("lo"), col("hi"))
+        .groupBy("bin", "lo", "hi")
+        .agg(count(lit(1)).as("n"), sum(col("pc")).as("mass_c"))
+        .select(col("bin"),
+          expr("lo + (bin * (hi - lo + 1)) div 20")
+            .cast("double").as("edge_lo_c"),
+          col("n"),
+          (col("mass_c").cast("double") / 100).as("mass"))
+        .orderBy("bin")
+    },
+    Some("""WITH c AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS pc FROM orders),
+      ext AS (SELECT min(pc) AS lo, max(pc) AS hi FROM c),
+      b AS (SELECT least(19, (pc - lo) * 20 // (hi - lo + 1)) AS bin, pc, lo, hi
+            FROM c, ext)
+      SELECT bin,
+             CAST(lo + (bin * (hi - lo + 1)) // 20 AS DOUBLE) AS edge_lo_c,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(pc) AS DOUBLE) / 100 AS mass
+      FROM b GROUP BY bin, lo, hi ORDER BY bin""")
+  )
+
+  /** W11: CUSUM changepoint monitor over the daily revenue series — the
+    * sequential drift detector (Page 1954) production metric stores run
+    * next to a20's pointwise z-score: accumulate above-mean deviation
+    * `Sᵢ = max(0, Sᵢ₋₁ + (xᵢ − µ))`, alarm when the accumulated excess
+    * crosses a threshold (here: one average day's revenue). CUSUM catches
+    * small persistent shifts a per-day z-test never flags.
+    *
+    * Exactness: ENTIRELY integer — the mean is never divided out; every
+    * term is scaled by n (`eᵢ = n·xᵢ − Σx`, threshold `Sᵢ > n·µ ⇔ Sᵢ >
+    * Σx`), and the clamped recursion is ELIMINATED via the prefix-sum
+    * identity `Sᵢ = Pᵢ − min(0, min_{j≤i} Pⱼ)` (P = running sum of e), so
+    * the whole monitor is two streaming window functions + one aggregate
+    * over exact int64s — no sequential fold anywhere, bit-identical on
+    * both engines by construction. n-scaled sums stay ≤ ~1e16 at sf0.1
+    * and ≤ ~1e18 at 100×; beyond that the same plan runs on DECIMAL(38,0).
+    *
+    * Scale: the fact table collapses to calendar days in one map-side-
+    * combinable groupBy BEFORE the windows; the running-sum/min frames
+    * are streaming (O(1) state per row) over the bounded day series
+    * (thousands of rows at any corpus size) — the same bounded-input
+    * argument as w9/a20.
+    */
+  val w11Cusum: Q = Q(
+    "w11_cusum",
+    (s, dir) => {
+      val wAll = Window.partitionBy()
+      val wRun = Window.orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "lineitem")
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")).as("x"))
+        .withColumn("n", count(lit(1)).over(wAll))
+        .withColumn("tot", sum(col("x")).over(wAll))
+        .withColumn("p", sum(col("n") * col("x") - col("tot")).over(wRun))
+        .withColumn("cusum", col("p") - least(lit(0L), min(col("p")).over(wRun)))
+        .agg(max(col("n")).as("n_days"), max(col("tot")).as("tot_u"),
+          max(col("cusum")).as("mx"),
+          sum(when(col("cusum") > col("tot"), 1L).otherwise(0L)).as("n_alarm_days"),
+          min(when(col("cusum") > col("tot"), col("d"))).as("first_alarm"))
+        .select(col("n_days"),
+          round(col("mx").cast("double") / (col("n_days") * 10000), 6)
+            .as("max_cusum_r6"),
+          col("n_alarm_days"), col("first_alarm"))
+    },
+    Some("""WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS d,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS x
+        FROM lineitem GROUP BY 1),
+      g AS (SELECT d, x,
+              CAST(count(*) OVER () AS BIGINT) AS n,
+              CAST(sum(x) OVER () AS BIGINT) AS tot
+            FROM daily),
+      p AS (SELECT d, n, tot,
+              CAST(sum(n * x - tot) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS p
+            FROM g),
+      c AS (SELECT d, n, tot,
+              p - least(CAST(0 AS BIGINT), min(p) OVER (ORDER BY d
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)) AS cusum
+            FROM p)
+      SELECT max(n) AS n_days,
+             round(CAST(max(cusum) AS DOUBLE) / (max(n) * 10000), 6) AS max_cusum_r6,
+             CAST(sum(CASE WHEN cusum > tot THEN 1 ELSE 0 END) AS BIGINT) AS n_alarm_days,
+             min(CASE WHEN cusum > tot THEN d END) AS first_alarm
+      FROM c""")
+  )
+
+  /** W12: day-of-week seasonal index — the seasonality profile a metric
+    * store computes before de-seasonalizing alerts ("Mondays run 12%
+    * hot"): per-weekday mean revenue relative to the global daily mean,
+    * as an integer permille index.
+    *
+    * Exactness: weekday is epoch-day mod 7 (identical integer arithmetic
+    * in both engines — the engines' native dayofweek() conventions
+    * DIFFER, Spark 1=Sunday vs DuckDB 0=Sunday, so neither is used);
+    * means are floor divisions of exact integer sums, evaluated with the
+    * same operands on both sides, and the index is one more integer
+    * floor division. No float ever appears before the final display
+    * column.
+    *
+    * Scale: fact → days (map-side combine) → 7 weekday rows; the global
+    * totals window runs over those ≤7 rows. Same bounded shape as v10.
+    */
+  val w12Seasonality: Q = Q(
+    "w12_seasonality",
+    (s, dir) => {
+      val wAll = Window.partitionBy()
+      t(s, dir, "lineitem")
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")).as("x"))
+        .withColumn("dow",
+          (datediff(col("d"), lit("1970-01-01").cast("date")) % 7).cast("long"))
+        .groupBy("dow")
+        .agg(count(lit(1)).as("n_days"), sum(col("x")).as("s_u"))
+        .withColumn("n_tot", sum(col("n_days")).over(wAll))
+        .withColumn("tot_u", sum(col("s_u")).over(wAll))
+        .select(col("dow"), col("n_days"),
+          (expr("s_u div n_days").cast("double") / 10000).as("mean_rev"),
+          expr("(1000 * (s_u div n_days)) div (tot_u div n_tot)").as("idx_pm"))
+        .orderBy("dow")
+    },
+    Some("""WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS d,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS x
+        FROM lineitem GROUP BY 1),
+      byd AS (SELECT CAST((d - DATE '1970-01-01') % 7 AS BIGINT) AS dow,
+                     CAST(count(*) AS BIGINT) AS n_days,
+                     CAST(sum(x) AS BIGINT) AS s_u
+              FROM daily GROUP BY 1),
+      g AS (SELECT *, CAST(sum(n_days) OVER () AS BIGINT) AS n_tot,
+                      CAST(sum(s_u) OVER () AS BIGINT) AS tot_u
+            FROM byd)
+      SELECT dow, n_days,
+             CAST(s_u // n_days AS DOUBLE) / 10000 AS mean_rev,
+             (1000 * (s_u // n_days)) // (tot_u // n_tot) AS idx_pm
+      FROM g ORDER BY dow""")
+  )
+
   val all: Seq[Q] = Seq(
     w5RankAnalytics, w6FirstLast, w7RangeFrame, a12StatsMoments,
     a13Conditional, a14MedianDistinct, a15GroupingSets, a16Funnel,
     a17Retention, a18Sessionize, p9Pivot, p10Unpivot, p11HashSample,
     q05RevenueByNation, q06ForecastRevenue, h1Scd2History, h2PointInTime,
-    w8Streak, a20Anomaly, w9Ewma)
+    w8Streak, a20Anomaly, w9Ewma, w10Drawdown, a21Histogram, w11Cusum,
+    w12Seasonality)
 }

@@ -15,6 +15,31 @@ object GraphQueries {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
 
+  /** The part co-purchase graph g2/g3/g4 share: parts connected when the
+    * same order buys both at least twice (w ≥ 2 kills one-off random
+    * co-occurrences — 97% of the raw edge set at sf0.1). Per-order pair
+    * fanout is bounded (order size ≤ 7 lines) and the weight threshold is
+    * applied INSIDE the map-side-combinable edge aggregation, so no
+    * sub-threshold edge ever shuffles twice.
+    */
+  private def partCoEdges(s: SparkSession, dir: String) = {
+    val co = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      .distinct()
+    co.select(col("ok"), col("pk").as("u"))
+      .join(co.select(col("ok"), col("pk").as("v")), Seq("ok"))
+      .filter(col("u") < col("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2)
+      .select("u", "v")
+  }
+
+  /** The same edge table in DuckDB SQL (CTE body producing columns u, v). */
+  private val sqlCoEdges =
+    """co AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      edges AS (SELECT x.pk AS u, y.pk AS v FROM co x JOIN co y
+                ON x.ok = y.ok AND x.pk < y.pk GROUP BY 1, 2 HAVING count(*) >= 2)"""
+
   private val PrMass = 1000000000000L
   private val PrIters = 6
 
@@ -244,5 +269,84 @@ object GraphQueries {
     Some(kcoreOracle(KcoreK, KcoreRounds))
   )
 
-  val all: Seq[Q] = Seq(g1PageRank, g2TriangleCount, g3KCore)
+  private val LpRounds = 4
+  private val LpPack = 4294967296L // 2^32: labels are partkeys, < 2^32 at any SF
+
+  /** The oracle unrolls the same R synchronous rounds with the identical
+    * packed argmax: `max(cnt·2³² + (2³²−1 − lab))` picks the most frequent
+    * neighbor label with smallest-label tie-break, in one BIGINT max.
+    */
+  private def lpOracle(rounds: Int): String = {
+    val iters = (1 to rounds).map { i =>
+      s""",
+      c$i AS (SELECT e.a, l.lab, count(*) AS c
+              FROM adj e JOIN l${i - 1} l ON l.id = e.b GROUP BY e.a, l.lab),
+      l$i AS (SELECT a AS id,
+                     4294967295 - (max(c * $LpPack + (4294967295 - lab)) % $LpPack) AS lab
+              FROM c$i GROUP BY a)"""
+    }.mkString
+    s"""WITH $sqlCoEdges,
+      adj AS (SELECT u AS a, v AS b FROM edges
+              UNION ALL SELECT v AS a, u AS b FROM edges),
+      l0 AS (SELECT DISTINCT a AS id, a AS lab FROM adj)$iters
+      SELECT lab AS community, CAST(count(*) AS BIGINT) AS size
+      FROM l$rounds GROUP BY lab ORDER BY size DESC, community"""
+  }
+
+  /** G4: community detection by synchronous label propagation (Raghavan
+    * et al. 2007) over the part co-purchase graph — the clustering
+    * primitive link-graph pipelines run after PageRank/triangles: every
+    * node starts as its own community and repeatedly adopts its
+    * neighborhood's most frequent label, so dense co-purchase
+    * neighborhoods collapse onto one label within a few rounds.
+    *
+    * Determinism: plain LPA is tie-unstable; here the argmax is TOTAL —
+    * `(count desc, label asc)` packed into one long
+    * (`cnt·2³² + (2³²−1 − lab)`, labels are partkeys < 2³²), so every
+    * engine, partitioning and cluster size picks the same label. Rounds
+    * are a fixed R=4 (synchronous JACOBI update — all nodes flip on the
+    * same snapshot — which is what makes an unrolled SQL oracle possible).
+    *
+    * Scale: each round is ONE keyed equi-join of the adjacency against
+    * the label table (both hash-partitioned on the join key) feeding a
+    * two-level aggregation whose first level is map-side combinable;
+    * per-round state is persisted and the predecessor unpersisted, so
+    * lineage stays O(1) deep exactly like `PageRank.ranks`. Only
+    * (node, label, count) triples ever shuffle — payload-free at 100 TB.
+    */
+  val g4LabelProp: Q = Q(
+    "g4_label_prop",
+    (s, dir) => {
+      val edges = partCoEdges(s, dir)
+      val adj = edges.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      adj.count() // eager: scanned by l0 and every round's join
+      var labels = adj.select(col("a").as("id")).distinct()
+        .withColumn("lab", col("id"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      labels.count()
+      for (_ <- 1 to LpRounds) {
+        val next = adj
+          .join(labels.select(col("id").as("b"), col("lab")), Seq("b"))
+          .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("c"))
+          .groupBy(col("a"))
+          .agg(max(col("c") * LpPack + (lit(LpPack - 1) - col("lab"))).as("sc"))
+          .select(col("a").as("id"),
+            (lit(LpPack - 1) - col("sc") % LpPack).as("lab"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        next.count()
+        labels.unpersist()
+        labels = next
+      }
+      val out = labels.groupBy(col("lab").as("community"))
+        .agg(count(lit(1)).as("size"))
+        .orderBy(desc("size"), col("community"))
+      adj.unpersist()
+      out
+    },
+    Some(lpOracle(LpRounds))
+  )
+
+  val all: Seq[Q] = Seq(g1PageRank, g2TriangleCount, g3KCore, g4LabelProp)
 }

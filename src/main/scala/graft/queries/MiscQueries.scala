@@ -579,8 +579,67 @@ object MiscQueries {
       FROM w ORDER BY bucket""")
   )
 
+  /** V11: per-stream freshness audit — the staleness monitor an ingest
+    * fleet runs before publishing ("how far behind the newest landed data
+    * is each stream, and is it still flowing"): per event-type last-seen
+    * timestamp, its lag in seconds behind the GLOBAL high-water mark, and
+    * recent-window liveness (events in the trailing 7 days before the
+    * watermark).
+    *
+    * Exactness: all lag arithmetic is integer epoch-seconds (`floor ∘
+    * epoch` on the same µs timestamps in both engines); liveness counts
+    * are integers.
+    *
+    * Scale: one map-side-combinable groupBy on the stream key carrying
+    * (max-ts, count, conditional count) partials; the global watermark is
+    * a scalar over the ALREADY-AGGREGATED per-stream rows (bounded by
+    * stream cardinality, not corpus size) via an unpartitioned window over
+    * that tiny set — the fact table is scanned exactly once.
+    */
+  val v11Freshness: Q = Q(
+    "v11_freshness",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      val per = t(s, dir, "events")
+        .select(col("event_type"),
+          unix_timestamp(col("ts")).as("es"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"), max(col("es")).as("last_es"))
+      val wm = per.withColumn("wm_es", max(col("last_es")).over(w))
+      val recent = t(s, dir, "events")
+        .select(col("event_type"),
+          unix_timestamp(col("ts")).as("es"))
+        .join(broadcast(wm.select(col("event_type"), col("wm_es"))), Seq("event_type"))
+        .filter(col("es") >= col("wm_es") - lit(7L * 86400))
+        .groupBy("event_type").agg(count(lit(1)).as("n_recent_7d"))
+      wm.join(recent, Seq("event_type"), "left")
+        .select(col("event_type"), col("n_events"),
+          (col("wm_es") - col("last_es")).as("lag_s"),
+          coalesce(col("n_recent_7d"), lit(0L)).as("n_recent_7d"),
+          when(col("wm_es") - col("last_es") <= 86400, lit("fresh"))
+            .otherwise(lit("stale")).as("status"))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (SELECT event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+      per AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                     max(es) AS last_es
+              FROM e GROUP BY event_type),
+      wm AS (SELECT *, max(last_es) OVER () AS wm_es FROM per),
+      rec AS (SELECT e.event_type, CAST(count(*) AS BIGINT) AS n_recent_7d
+              FROM e JOIN wm ON wm.event_type = e.event_type
+              WHERE e.es >= wm.wm_es - 7 * 86400
+              GROUP BY e.event_type)
+      SELECT w.event_type, w.n_events, w.wm_es - w.last_es AS lag_s,
+             coalesce(r.n_recent_7d, 0) AS n_recent_7d,
+             CASE WHEN w.wm_es - w.last_es <= 86400 THEN 'fresh'
+                  ELSE 'stale' END AS status
+      FROM wm w LEFT JOIN rec r ON r.event_type = w.event_type
+      ORDER BY w.event_type""")
+  )
+
   val all: Seq[Q] = Seq(
     a2Counts, a11Percentiles, f8Timezone, u2InsertAbsent, v2SchemaDiff, v4ColumnProfile,
     v5SourceOverlap, o4FileListing, m1BinaryMeta, v6ShardSkew, v7DataCard,
-    v8PipelineYield, v9Expectations, v10PsiDrift)
+    v8PipelineYield, v9Expectations, v10PsiDrift, v11Freshness)
 }

@@ -607,9 +607,48 @@ object Relational {
     Some(sqlQ12)
   )
 
+  /** Q13: minimum-cost supplier (TPC-H Q2 shape) — the classic
+    * correlated-scalar-min pattern: for each small part, keep exactly the
+    * suppliers whose observed unit cost equals the per-part minimum, with
+    * supplier/nation context joined in. Catalyst decorrelates the
+    * correlated `min` subquery into a per-part aggregate + equi-join (no
+    * per-row re-execution), and the nation/supplier dims ride broadcast
+    * joins. Unit cost is integer cents from `round(price/qty·100)` — both
+    * engines evaluate the identical IEEE division and half-away rounding,
+    * so "equals the min" is bit-deterministic (the Q2 tie trap) and ties
+    * survive as Q2 semantics require. Total ORDER BY + unique (part,
+    * supplier) tiebreak keeps LIMIT stable.
+    */
+  private val sqlQ13 =
+    """WITH cost AS (
+         SELECT l_partkey AS pk, l_suppkey AS sk,
+                min(CAST(round(l_extendedprice / l_quantity * 100) AS BIGINT)) AS unit_c
+         FROM lineitem GROUP BY l_partkey, l_suppkey)
+       SELECT p.p_partkey, p.p_brand, s.s_suppkey, s.s_name, n.n_name, c.unit_c
+       FROM part p
+       JOIN cost c ON c.pk = p.p_partkey
+       JOIN supplier s ON s.s_suppkey = c.sk
+       JOIN nation n ON n.n_nationkey = s.s_nationkey
+       WHERE p.p_size <= 15
+         AND c.unit_c = (SELECT min(c2.unit_c) FROM cost c2 WHERE c2.pk = p.p_partkey)
+       ORDER BY c.unit_c DESC, p.p_partkey, s.s_suppkey
+       LIMIT 100"""
+
+  val q13SqlMinCost: Q = Q(
+    "q13_sql_min_cost",
+    (s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part")
+      t(s, dir, "supplier").createOrReplaceTempView("supplier")
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sqlQ13)
+    },
+    Some(sqlQ13)
+  )
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q07SqlAboveAvg, q08SqlNotExists, q09SqlCorrelated,
-    q10SqlExistsChain, q11SqlNestedIn, q12SqlTopSupplier,
+    q10SqlExistsChain, q11SqlNestedIn, q12SqlTopSupplier, q13SqlMinCost,
     p1Drop, p2Rename, p3Project, p4Filter, p5Isin, p6Validity, p8MaskedUpdate,
     f1Respell, f2Case, f3Split, f4StringAgg, f5Concat, f6TimeTrunc, f9TsArith,
     f11CastNull, f13Json,

@@ -966,7 +966,55 @@ object SimilarityQueries {
       ORDER BY adc_dist, d.vec_id LIMIT 10""")
   )
 
+  /** E14: filtered vector search — the metadata-constrained retrieval
+    * every production vector store serves ("top matches WHERE tenant/lang/
+    * license allows"): restrict candidates by a label predicate, then
+    * return the top-5 PER surviving label for one query vector (the
+    * multi-tenant grouped form; a single-tenant filter is the same plan
+    * minus the window key).
+    *
+    * Scale: the predicate is a plain column filter, so it PUSHES DOWN to
+    * the parquet scan (row-group pruning — the pre-filter strategy, which
+    * beats post-filtering an ANN candidate list whenever selectivity is
+    * meaningful, and never under-fills k). The per-label top-k is a rank
+    * window PARTITIONED by label — one keyed shuffle, no global sort,
+    * arbitrarily many labels in parallel. The query vector is a 1-row
+    * broadcast; cosine is the codegen'd sequential fold ([[FastVec]]),
+    * bit-identical to the oracle.
+    */
+  val e14FilteredAnn: Q = Q(
+    "e14_filtered_ann",
+    (s, dir) => {
+      FastVec.register(s)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          Vectors.toDoubleVec(col("embedding")).as("v"))
+      val q = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val w = Window.partitionBy("label").orderBy(desc("sim"), col("vec_id"))
+      emb
+        .filter(col("vec_id") =!= 0 && col("label") >= 2)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"), col("label"), FastVec.cosine(col("v"), col("qv")).as("sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("label"), col("rk").cast("long").as("rk"), col("vec_id"),
+          round(col("sim"), 6).as("sim_r6"))
+        .orderBy("label", "rk")
+    },
+    Some(s"""WITH e AS ($sqlE),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      scored AS (
+        SELECT vec_id, label, ${sqlCos("v", "qv")} AS sim
+        FROM e CROSS JOIN q WHERE vec_id <> 0 AND label >= 2),
+      ranked AS (
+        SELECT label, vec_id, sim,
+               row_number() OVER (PARTITION BY label ORDER BY sim DESC, vec_id) AS rk
+        FROM scored)
+      SELECT label, CAST(rk AS BIGINT) AS rk, vec_id, round(sim, 6) AS sim_r6
+      FROM ranked WHERE rk <= 5 ORDER BY label, rk""")
+  )
+
   val all: Seq[Q] = Seq(e1CosineTopK, e2AnnIvf, e3BucketNearDup, e4AnnKmeans,
     e5AnnHyperplane, e6SemanticDedup, e7AnnBatch, e8PqAdc, e9AnnRecall,
-    e10MmrRerank, e11EmbeddingQa, e12SqRecall, e13IvfPq)
+    e10MmrRerank, e11EmbeddingQa, e12SqRecall, e13IvfPq, e14FilteredAnn)
 }

@@ -530,7 +530,178 @@ object TextAnalysis {
       FROM agg ORDER BY doc_id""")
   )
 
+  /** X20: Zipf exponent estimation — fit `ln(freq) = α·ln(rank) + c` by
+    * least squares over the top-100 token frequencies (natural corpora
+    * slope ≈ −1; synthetic/degenerate ones drift, so the slope is a
+    * corpus-health signal next to x17's Heaps curve).
+    *
+    * Exactness: a DISTRIBUTED regression with exact integer arithmetic —
+    * both logs are quantized to 2⁻²⁰ units on bit-identical doubles
+    * (x10's trick), all five regression sums are BIGINT-exact and
+    * order-independent, and the slope is ONE double division of identical
+    * exact operands (the 2²⁰ scale cancels in the ratio, so the output IS
+    * the dimensionless exponent). Rounded to 6dp.
+    *
+    * Scale: the vocabulary census is one map-side-combinable groupBy; the
+    * top-100 cut is TakeOrdered (no full sort); ranking and the sums run
+    * over exactly 100 rows — bounded at any corpus size.
+    */
+  val x20ZipfSlope: Q = Q(
+    "x20_zipf_slope",
+    (s, dir) => {
+      val q20 = (1L << 20).toDouble
+      val top = t(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("freq"))
+        .orderBy(desc("freq"), col("tok")).limit(100)
+      val w = Window.orderBy(desc("freq"), col("tok"))
+      top.withColumn("r", row_number().over(w))
+        .select(col("freq"),
+          round(log(col("r").cast("double")) * q20).cast("long").as("qx"),
+          round(log(col("freq").cast("double")) * q20).cast("long").as("qy"))
+        .agg(count(lit(1)).as("n_terms"), max(col("freq")).as("top_freq"),
+          sum(col("qx")).as("sx"), sum(col("qy")).as("sy"),
+          sum(col("qx") * col("qy")).as("sxy"),
+          sum(col("qx") * col("qx")).as("sxx"))
+        .select(col("n_terms"), col("top_freq"),
+          round(
+            (col("n_terms") * col("sxy") - col("sx") * col("sy")).cast("double") /
+              (col("n_terms") * col("sxx") - col("sx") * col("sx")).cast("double"),
+            6).as("slope_r6"))
+    },
+    Some("""WITH freqs AS (
+        SELECT tok, count(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+        GROUP BY tok ORDER BY freq DESC, tok LIMIT 100),
+      pts AS (SELECT freq,
+          CAST(round(ln(CAST(row_number() OVER (ORDER BY freq DESC, tok) AS DOUBLE))
+            * 1048576) AS BIGINT) AS qx,
+          CAST(round(ln(CAST(freq AS DOUBLE)) * 1048576) AS BIGINT) AS qy
+        FROM freqs),
+      agg AS (SELECT CAST(count(*) AS BIGINT) AS n_terms,
+          CAST(max(freq) AS BIGINT) AS top_freq,
+          CAST(sum(qx) AS BIGINT) AS sx, CAST(sum(qy) AS BIGINT) AS sy,
+          CAST(sum(qx * qy) AS BIGINT) AS sxy,
+          CAST(sum(qx * qx) AS BIGINT) AS sxx
+        FROM pts)
+      SELECT n_terms, top_freq,
+        round(CAST(n_terms * sxy - sx * sy AS DOUBLE)
+          / CAST(n_terms * sxx - sx * sx AS DOUBLE), 6) AS slope_r6
+      FROM agg""")
+  )
+
+  /** X21: n-gram novelty curve — for each document in arrival (doc_id)
+    * order, the fraction of its distinct 3-gram shingles never seen in
+    * any EARLIER document. Dataset curation uses this to decide when a
+    * source is mined out (novelty decays toward zero as the corpus
+    * saturates) — the per-doc form of d6's segment census.
+    *
+    * Exactness: a shingle is novel exactly when this doc IS its global
+    * first holder (`min(doc_id)`), so novelty needs no sequential scan —
+    * one census + join-back answers every document at once. Counts are
+    * integers; the ratio is integer permille.
+    *
+    * Scale: the fused codegen shingler ([[Text]]/FastText) emits each
+    * doc's DISTINCT shingles in the scan (no per-doc Exchange); the
+    * first-seen census is a map-side-combinable `min`; the join back is
+    * one keyed equi-join on the shingle. Nothing quadratic, nothing
+    * driver-side, at any corpus size.
+    */
+  val x21NgramNovelty: Q = Q(
+    "x21_ngram_novelty",
+    (s, dir) => {
+      graft.functions.FastVec.register(s) // graft_shingles (idempotent)
+      val sh = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.FastText.shingles(col("text"), 3)).as("shingle"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sh.count() // eager: census + join-back both scan it
+      val first = sh.groupBy("shingle").agg(min(col("doc_id")).as("first_doc"))
+      val out = sh.join(first, Seq("shingle"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          expr("(1000 * n_novel) div n_grams").as("novelty_pm"))
+        .orderBy("doc_id")
+      out
+    },
+    Some("""WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 3),
+      first AS (SELECT shingle, min(doc_id) AS first_doc FROM sh GROUP BY shingle)
+      SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+        (1000 * CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT))
+          // count(*) AS novelty_pm
+      FROM sh s JOIN first f ON f.shingle = s.shingle
+      GROUP BY s.doc_id ORDER BY s.doc_id""")
+  )
+
+  /** X22: language-ID confusion matrix — the evaluation harness next to
+    * x2's classifier (the e9/d11 "measure the shipped pipeline" pattern
+    * applied to text): cross-tabulate stored label × x2's prediction,
+    * with per-truth-row shares, so per-language precision/recall drops
+    * are visible the moment profiles drift.
+    *
+    * Exactness: x2's argmax is reproduced verbatim (same profile scores,
+    * same greatest + first-match tie-break); counts are integers and the
+    * share is an integer permille floor division.
+    *
+    * Scale: one narrow scan scoring every doc (codegen'd filters — no
+    * shuffle before the census), one map-side-combinable groupBy on the
+    * ≤|langs|² matrix cells, and a window over those bounded rows.
+    */
+  val x22LangConfusion: Q = Q(
+    "x22_lang_confusion",
+    (s, dir) => {
+      val toks = Text.tokens(col("text"))
+      val scored = t(s, dir, "documents")
+        .select(
+          Seq(col("doc_id"), col("lang")) ++
+            profiles.map { case (l, ws) => profileScore(toks, ws).as(s"${l}_score") }: _*)
+      val mx = greatest(profiles.map { case (l, _) => col(s"${l}_score") }: _*)
+      val predicted = profiles
+        .foldLeft(when(lit(false), lit(""))) { case (acc, (l, _)) =>
+          acc.when(col(s"${l}_score") === mx, lit(l))
+        }
+      val w = Window.partitionBy("lang")
+      scored.withColumn("predicted", predicted)
+        .groupBy("lang", "predicted")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("lang_total", sum(col("n")).over(w))
+        .select(col("lang"), col("predicted"), col("n"),
+          expr("(1000 * n) div lang_total").as("share_pm"),
+          when(col("lang") === col("predicted"), lit(1L)).otherwise(0L).as("is_correct"))
+        .orderBy("lang", "predicted")
+    },
+    Some {
+      val scores = profiles
+        .map { case (l, ws) => s"${sqlProfileScore(ws)} AS ${l}_score" }
+        .mkString(",\n      ")
+      val mx = s"greatest(${profiles.map { case (l, _) => s"${l}_score" }.mkString(", ")})"
+      val cases = profiles
+        .map { case (l, _) => s"WHEN ${l}_score = $mx THEN '$l'" }
+        .mkString(" ")
+      s"""WITH scored AS (
+        SELECT doc_id, lang,
+      $scores
+        FROM documents),
+      pred AS (SELECT lang, CASE $cases END AS predicted FROM scored),
+      cells AS (SELECT lang, predicted, CAST(count(*) AS BIGINT) AS n
+                FROM pred GROUP BY lang, predicted),
+      tot AS (SELECT *, CAST(sum(n) OVER (PARTITION BY lang) AS BIGINT) AS lang_total
+              FROM cells)
+      SELECT lang, predicted, n, (1000 * n) // lang_total AS share_pm,
+             CAST(CASE WHEN lang = predicted THEN 1 ELSE 0 END AS BIGINT) AS is_correct
+      FROM tot ORDER BY lang, predicted"""
+    }
+  )
+
   val all: Seq[Q] = Seq(x1TokenStats, x2LangId, x3Quality, x4Fingerprint, x5TokenFreq,
     x13Bm25, x15BpePairs, x16PiiScrub, x17VocabGrowth, x18Readability,
-    x19UnigramEntropy)
+    x19UnigramEntropy, x20ZipfSlope, x21NgramNovelty, x22LangConfusion)
 }

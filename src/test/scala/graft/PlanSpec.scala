@@ -576,4 +576,96 @@ class PlanSpec extends SparkSpec {
       s"expected at most the rangepartitioning sort exchange, got $exchanges:\n" +
         plan.take(3000))
   }
+
+  test("w10: the running-peak window and the final aggregate share ONE " +
+    "event_type shuffle — no join, no second keyed exchange") {
+    val plan = executedPlan("w10_drawdown")
+    assert(!plan.contains("Join"), plan.take(3000))
+    val keyed = plan.linesIterator.filter(
+      _.contains("Exchange hashpartitioning")).toSeq
+    assert(keyed.size == 1 && keyed.head.contains("event_type"),
+      s"expected one shared event_type shuffle, got:\n" +
+        keyed.mkString("\n") + "\n" + plan.take(3000))
+  }
+
+  test("a21: the orders scan reads only o_totalprice (column pruning) and " +
+    "the 1-row extremes broadcast — no shuffle join anywhere") {
+    val plan = executedPlan("a21_histogram")
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+    assert(!plan.contains("o_orderkey") && !plan.contains("o_custkey") &&
+      !plan.contains("o_orderdate"),
+      "unreferenced orders columns in scan:\n" + plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "global min/max must broadcast into the binning:\n" + plan.take(3000))
+  }
+
+  test("v11: the recent-liveness probe joins the tiny per-stream watermark " +
+    "table by broadcast; no sort-merge join of the fact table") {
+    val plan = executedPlan("v11_freshness")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("g4: the final community census reads the last round's labels from " +
+    "cache — the propagation rounds are not re-derived from the raw scan") {
+    val plan = executedPlan("g4_label_prop")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("InMemoryTableScan") ||
+      plan.contains("TableCacheQueryStage"),
+      "labels must come from cache:\n" + plan.take(3000))
+  }
+
+  test("q13: the correlated min subquery decorrelates into an aggregate + " +
+    "join (no per-row re-execution) and the part filter pushes to parquet") {
+    val plan = executedPlan("q13_sql_min_cost")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+      "p_size range must push to parquet:\n" + plan.take(3000))
+    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
+      "dimension joins must broadcast:\n" + plan.take(3000))
+  }
+
+  test("x20: the vocabulary census cuts to top-100 via TakeOrdered (no " +
+    "full global sort) and the regression sums run over bounded rows") {
+    val plan = executedPlan("x20_zipf_slope")
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-100 must be TakeOrdered, not a global Sort+Limit:\n" + plan.take(3000))
+    assert(!plan.contains("Join"), plan.take(3000))
+  }
+
+  test("x21: the shingle table is cached once and both census and " +
+    "join-back consume the cache; candidates join on the shingle key only") {
+    val plan = executedPlan("x21_ngram_novelty")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("InMemoryTableScan") ||
+      plan.contains("TableCacheQueryStage"),
+      "shingle table must be cached:\n" + plan.take(3000))
+    // "Scan parquet" may appear inside the InMemoryRelation's recorded
+    // lineage; a LIVE rescan would show one before the first cache read.
+    assert(plan.indexOf("Scan parquet") < 0 ||
+      plan.indexOf("Scan parquet") > plan.indexOf("InMemoryTableScan"),
+      "census/join-back must not rescan documents:\n" + plan.take(3000))
+  }
+
+  test("e14: the label range predicate reaches the embeddings parquet scan " +
+    "(pre-filter strategy) and the query vector broadcasts") {
+    val plan = executedPlan("e14_filtered_ann")
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+      "label range must push to parquet:\n" + plan.take(3000))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      "query vector must broadcast:\n" + plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("w11: the fact table collapses to days before the bounded fold — " +
+    "one single-partition exchange, pruned scan") {
+    val plan = executedPlan("w11_cusum")
+    assert("HashAggregate".r.findAllIn(plan).length >= 2, plan.take(3000))
+    assert(plan.linesIterator.count(_.contains("Exchange SinglePartition")) <= 2,
+      "day series must stay bounded crossing to the fold:\n" + plan.take(3000))
+    assert(!plan.contains("l_orderkey") && !plan.contains("l_partkey"),
+      "unreferenced lineitem columns in scan:\n" + plan.take(3000))
+  }
 }
