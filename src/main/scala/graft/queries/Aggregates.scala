@@ -335,8 +335,75 @@ object Aggregates {
     None
   )
 
+  /** A22: Count-Min sketch heavy hitters — the fixed-memory frequency
+    * sketch (Cormode & Muthukrishnan 2005) next to a10's HLL, but — unlike
+    * HLL — built from DETERMINISTIC md5 row hashes, so the full sketch AND
+    * its estimates are exactly reproducible in ANSI SQL and oracle-checked
+    * (a10 is rows-only by design; this one isn't). d=4 rows × w=64
+    * counters; each top-20 true heavy hitter is probed as
+    * `min_i counter[i][h_i(token)]`, and the one-sided CMS error
+    * (`est ≥ true`) is emitted as the overestimate column.
+    *
+    * Scale: THE point of CMS — the counting pass is one map-side-
+    * combinable aggregation into 256 cells regardless of corpus size
+    * (per-executor partials are 256 longs; the shuffle is 256 rows); the
+    * probe side is a 256-row broadcast against the bounded top-20. The
+    * 60-bit seeded hash is the fused codegen expression d3 uses
+    * ([[graft.functions.Text.seededHash64]]).
+    */
+  val a22CountMin: Q = Q(
+    "a22_count_min",
+    (s, dir) => {
+      graft.functions.FastVec.register(s) // graft_md5_60 (idempotent)
+      import graft.functions.Text
+      val seeds = 0 to 3
+      val toks = Tables.table(s, dir, "documents")
+        .select(explode(Text.tokens(col("text"))).as("tok"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      toks.count() // eager: census + sketch both scan it
+      val cms = toks
+        .select(explode(array(seeds.map(i =>
+          struct(lit(i).as("i"),
+            pmod(Text.seededHash64(lit(i), col("tok")), lit(64L)).as("h"))): _*))
+          .as("cell"))
+        .select(col("cell")("i").as("i"), col("cell")("h").as("h"))
+        .groupBy("i", "h").agg(count(lit(1)).as("c"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("true_freq"))
+        .orderBy(desc("true_freq"), col("tok")).limit(20)
+      val probes = top.select(col("tok"), col("true_freq"),
+        explode(array(seeds.map(i =>
+          struct(lit(i).as("i"),
+            pmod(Text.seededHash64(lit(i), col("tok")), lit(64L)).as("h"))): _*))
+          .as("cell"))
+        .select(col("tok"), col("true_freq"),
+          col("cell")("i").as("i"), col("cell")("h").as("h"))
+      probes.join(broadcast(cms), Seq("i", "h"))
+        .groupBy("tok", "true_freq")
+        .agg(min(col("c")).as("est_freq"))
+        .select(col("tok").as("token"), col("true_freq"), col("est_freq"),
+          (col("est_freq") - col("true_freq")).as("overestimate"))
+        .orderBy(desc("true_freq"), col("token"))
+    },
+    Some("""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      seeds AS (SELECT unnest([0, 1, 2, 3]) AS i),
+      cells AS (SELECT s.i,
+                  CAST('0x' || substr(md5(s.i || '|' || t.tok), 1, 15) AS BIGINT) % 64 AS h
+                FROM toks t CROSS JOIN seeds s),
+      cms AS (SELECT i, h, CAST(count(*) AS BIGINT) AS c FROM cells GROUP BY i, h),
+      top AS (SELECT tok, CAST(count(*) AS BIGINT) AS true_freq FROM toks
+              GROUP BY tok ORDER BY true_freq DESC, tok LIMIT 20),
+      probe AS (SELECT t.tok, t.true_freq, s.i,
+                  CAST('0x' || substr(md5(s.i || '|' || t.tok), 1, 15) AS BIGINT) % 64 AS h
+                FROM top t CROSS JOIN seeds s),
+      est AS (SELECT p.tok, p.true_freq, min(c.c) AS est_freq
+              FROM probe p JOIN cms c ON c.i = p.i AND c.h = p.h
+              GROUP BY p.tok, p.true_freq)
+      SELECT tok AS token, true_freq, est_freq, est_freq - true_freq AS overestimate
+      FROM est ORDER BY true_freq DESC, token""")
+  )
+
   val all: Seq[Q] = Seq(
     a3MaxBy, a5DailyDedup, a6Upsert, a7GroupStats, a8Rollup, a9Cube,
     a10ApproxDistinct, a19SketchRollup, w1LagLead, w2MovingAvg, w3TopNPerGroup,
-    w4RunningSum)
+    w4RunningSum, a22CountMin)
 }

@@ -3,7 +3,7 @@ package graft.queries
 import graft.{Q, Tables}
 import graft.functions.Text
 import graft.operators.MinHashLSH
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Deduplication surface over `documents` (north star): exact hash-groupBy
@@ -53,21 +53,14 @@ object DedupQueries {
     * shingle prefix is indexed (no recall loss by the SSJoin lemma),
     * candidates verified with full exact Jaccard ≥ 0.5.
     */
-  val d2NgramJaccard: Q = Q(
-    "d2_ngram_jaccard",
-    (s, dir) => {
-      // Persisted for the same reason as nearDupPairs: the prefix index,
-      // both verify sides and both count sides all scan this one table.
-      val sh = MinHashLSH.shingleTable(t(s, dir, "documents"), "doc_id", "text", 5)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sh.count() // eager: see nearDupPairs — concurrent first-scan race
-      val cand = MinHashLSH.prefixFilteredPairs(sh, "doc_id")
-      MinHashLSH.verifyJaccard(cand, sh, "doc_id")
-        .filter(col("jaccard") >= 0.5)
-        .orderBy("a", "b")
-    },
-    Some(s"""WITH sh AS ($sqlShingles5),
-      cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+  /** DuckDB mirror of the d2 exact near-dup pair pipeline as CTE bodies
+    * (expects a preceding `sh AS (...)` shingle CTE; exposes `d2pairs`
+    * with columns a, b, inter, uni, jaccard) — shared by the d2 oracle
+    * and d15's banding-tuner oracle so both consume identical pair
+    * semantics.
+    */
+  private[queries] val sqlD2PairsBody: String =
+    """cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       dfc AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle),
       ord AS (SELECT o.doc_id, o.shingle,
                 row_number() OVER (PARTITION BY o.doc_id ORDER BY d.c, o.shingle) AS rn
@@ -82,14 +75,31 @@ object DedupQueries {
                 FROM cand c
                 JOIN sh sa ON sa.doc_id = c.a
                 JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
-                GROUP BY c.a, c.b)
-      SELECT i.a, i.b, i.inter, ca.n + cb.n - i.inter AS uni,
-        i.inter / (ca.n + cb.n - i.inter) AS jaccard
-      FROM inter i
-      JOIN cnt ca ON ca.doc_id = i.a
-      JOIN cnt cb ON cb.doc_id = i.b
-      WHERE i.inter / (ca.n + cb.n - i.inter) >= 0.5
-      ORDER BY a, b""")
+                GROUP BY c.a, c.b),
+      d2pairs AS (
+        SELECT i.a, i.b, i.inter, ca.n + cb.n - i.inter AS uni,
+          i.inter / (ca.n + cb.n - i.inter) AS jaccard
+        FROM inter i
+        JOIN cnt ca ON ca.doc_id = i.a
+        JOIN cnt cb ON cb.doc_id = i.b
+        WHERE i.inter / (ca.n + cb.n - i.inter) >= 0.5)"""
+
+  val d2NgramJaccard: Q = Q(
+    "d2_ngram_jaccard",
+    (s, dir) => {
+      // Persisted for the same reason as nearDupPairs: the prefix index,
+      // both verify sides and both count sides all scan this one table.
+      val sh = MinHashLSH.shingleTable(t(s, dir, "documents"), "doc_id", "text", 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sh.count() // eager: see nearDupPairs — concurrent first-scan race
+      val cand = MinHashLSH.prefixFilteredPairs(sh, "doc_id")
+      MinHashLSH.verifyJaccard(cand, sh, "doc_id")
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("a", "b")
+    },
+    Some(s"""WITH sh AS ($sqlShingles5),
+      $sqlD2PairsBody
+      SELECT a, b, inter, uni, jaccard FROM d2pairs ORDER BY a, b""")
   )
 
   /** DuckDB mirror of the full d3 MinHash-LSH pipeline WITHOUT the final
@@ -659,7 +669,174 @@ object DedupQueries {
       GROUP BY f.doc_id, f.n_tokens ORDER BY doc_id""")
   )
 
+  /** D15: LSH banding tuner — given the corpus's OWN verified near-dup
+    * population (d2's exact-Jaccard pairs), the expected detection
+    * probability `1 − (1 − jʳ)ᵇ` of each candidate (r rows × b bands)
+    * configuration of a 32-hash MinHash sketch. This is the capacity-
+    * planning table an engineer reads before picking d3's banding: which
+    * (r, b) catches this workload's duplicates, not a textbook's.
+    *
+    * Exactness: jʳ and (1−jʳ)ᵇ are evaluated by EXPLICIT repeated
+    * squaring (r, b are powers of two), so both engines execute the
+    * identical IEEE multiply tree on the identical j = inter/union
+    * division; per-pair probabilities are quantized to 1e-6 BEFORE the
+    * mean (exact integer sum, one final division) — no float-sum order
+    * anywhere.
+    *
+    * Scale: the pair table is the d2 pipeline (prefix-filtered SSJoin —
+    * no all-pairs); the tuner itself is ONE aggregate over that
+    * match-graph-sized table producing a single row.
+    */
+  val d15BandTuning: Q = Q(
+    "d15_band_tuning",
+    (s, dir) => {
+      val sh = MinHashLSH.shingleTable(t(s, dir, "documents"), "doc_id", "text", 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sh.count() // eager: prefix index + verify sides share it
+      val pairs = MinHashLSH
+        .verifyJaccard(MinHashLSH.prefixFilteredPairs(sh, "doc_id"), sh, "doc_id")
+        .filter(col("jaccard") >= 0.5)
+      // p_detect(r, b) = 1 − (1 − j^r)^b via explicit squaring chains.
+      def pow2(c: Column, k: Int): Column =
+        (1 to k).foldLeft(c)((acc, _) => acc * acc) // c^(2^k)
+      def pDetect(r: Int, b: Int): Column = {
+        val jr = pow2(col("jaccard"), Integer.numberOfTrailingZeros(r))
+        lit(1.0) - pow2(lit(1.0) - jr, Integer.numberOfTrailingZeros(b))
+      }
+      val grid = Seq(2 -> 16, 4 -> 8, 8 -> 4, 16 -> 2)
+      pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        grid.map { case (r, b) =>
+          (sum(round(pDetect(r, b) * 1000000).cast("long")).cast("double") /
+            (count(lit(1)) * lit(1000000))).as(s"recall_r${r}_b$b")
+        }: _*)
+    },
+    Some(s"""WITH sh AS ($sqlShingles5),
+      $sqlD2PairsBody,
+      q AS (SELECT jaccard AS j,
+              jaccard * jaccard AS j2 FROM d2pairs),
+      q2 AS (SELECT j, j2, j2 * j2 AS j4 FROM q),
+      q3 AS (SELECT j, j2, j4, j4 * j4 AS j8, (1 - j2) AS u2 FROM q2),
+      q4 AS (SELECT j2, j4, j8, j8 * j8 AS j16, u2,
+               (1 - j4) AS u4, (1 - j8) AS u8 FROM q3),
+      p AS (SELECT
+              1 - ((((u2 * u2) * (u2 * u2)) * ((u2 * u2) * (u2 * u2))) *
+                   (((u2 * u2) * (u2 * u2)) * ((u2 * u2) * (u2 * u2)))) AS p_r2_b16,
+              1 - (((u4 * u4) * (u4 * u4)) * ((u4 * u4) * (u4 * u4))) AS p_r4_b8,
+              1 - ((u8 * u8) * (u8 * u8)) AS p_r8_b4,
+              1 - ((1 - j16) * (1 - j16)) AS p_r16_b2
+            FROM q4)
+      SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+        CAST(sum(CAST(round(p_r2_b16 * 1000000) AS BIGINT)) AS DOUBLE)
+          / (count(*) * 1000000) AS recall_r2_b16,
+        CAST(sum(CAST(round(p_r4_b8 * 1000000) AS BIGINT)) AS DOUBLE)
+          / (count(*) * 1000000) AS recall_r4_b8,
+        CAST(sum(CAST(round(p_r8_b4 * 1000000) AS BIGINT)) AS DOUBLE)
+          / (count(*) * 1000000) AS recall_r8_b4,
+        CAST(sum(CAST(round(p_r16_b2 * 1000000) AS BIGINT)) AS DOUBLE)
+          / (count(*) * 1000000) AS recall_r16_b2
+      FROM p""")
+  )
+
+  /** D16: TF-IDF weighted near-dup — cosine similarity over IDF-WEIGHTED
+    * 3-gram shingle sets (binary tf), the weighted-set sibling of d2's
+    * unweighted Jaccard: sharing a RARE shingle counts for much more than
+    * sharing a boilerplate one, which is exactly how web-scale near-dup
+    * verdicts are weighted in practice.
+    *
+    * Candidates come from an inverted index restricted to DISCRIMINATIVE
+    * shingles (2 ≤ df ≤ 25): df ≥ 2 because a unique shingle can't link a
+    * pair, df ≤ 25 because high-df postings generate quadratic candidate
+    * blow-up while contributing negligible idf weight — the standard
+    * rare-feature blocking tradeoff (a pair sharing ONLY boilerplate
+    * shingles is not recalled; documented, same honesty contract as d4's
+    * neighborhood bound). The verify then scores ALL shared shingles.
+    *
+    * Exactness: idf is quantized to 2⁻²⁰ units on bit-identical doubles
+    * (x10's trick); dot and both norms are exact BIGINT sums of squared
+    * quantized weights; the cos ≥ 0.8 verdict is cross-multiplied into
+    * `25·dot² ≥ 16·‖a‖²·‖b‖²` and evaluated in DECIMAL(38,0)/HUGEINT —
+    * no float ever decides membership. The displayed cosine is one
+    * sqrt+division on identical exact operands, rounded to 6dp.
+    *
+    * Scale: df census and norms are map-side-combinable aggregations;
+    * candidate generation and verify are keyed equi-joins on the shingle
+    * (posting lists bounded by the df cap); nothing all-pairs anywhere.
+    */
+  val d16TfidfDedup: Q = Q(
+    "d16_tfidf_dedup",
+    (s, dir) => {
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+      val sh = MinHashLSH.shingleTable(t(s, dir, "documents"), "doc_id", "text", 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sh.count() // eager: df census, norms, index and verify all scan it
+      val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val wsq = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("shingle"), col("df"),
+          {
+            val qidf = round((log(col("n_docs").cast("double")) -
+              log(col("df").cast("double"))) * 1048576).cast("long")
+            (qidf * qidf).as("wsq")
+          })
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      wsq.count() // eager: norms + verify share it
+      val weighted = sh.join(wsq, Seq("shingle"))
+      val norms = weighted.groupBy("doc_id").agg(sum(col("wsq")).as("nsq"))
+      val rare = weighted.filter(col("df").between(2, 25))
+        .select(col("doc_id"), col("shingle"))
+      val cand = rare.select(col("doc_id").as("a"), col("shingle"))
+        .join(rare.select(col("doc_id").as("b"), col("shingle")), Seq("shingle"))
+        .filter(col("a") < col("b"))
+        .select("a", "b").distinct()
+      val dot = cand
+        .join(weighted.select(col("doc_id").as("a"), col("shingle"), col("wsq")), Seq("a"))
+        .join(weighted.select(col("doc_id").as("b"), col("shingle")), Seq("b", "shingle"))
+        .groupBy("a", "b").agg(sum(col("wsq")).as("dot"))
+      dot
+        .join(norms.select(col("doc_id").as("a"), col("nsq").as("na")), Seq("a"))
+        .join(norms.select(col("doc_id").as("b"), col("nsq").as("nb")), Seq("b"))
+        .filter(lit(25).cast(dec) * col("dot").cast(dec) * col("dot").cast(dec) >=
+          lit(16).cast(dec) * col("na").cast(dec) * col("nb").cast(dec))
+        .select(col("a"), col("b"), col("dot"),
+          round(col("dot").cast("double") /
+            (sqrt(col("na").cast("double")) * sqrt(col("nb").cast("double"))), 6)
+            .as("cos_r6"))
+        .orderBy("a", "b")
+    },
+    Some(s"""WITH sh AS ($sqlShingles3),
+      nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+      wsq AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df,
+                CAST(round((ln(CAST(n_docs AS DOUBLE)) - ln(CAST(count(*) AS DOUBLE)))
+                  * 1048576) AS BIGINT)
+                * CAST(round((ln(CAST(n_docs AS DOUBLE)) - ln(CAST(count(*) AS DOUBLE)))
+                  * 1048576) AS BIGINT) AS wsq
+              FROM sh CROSS JOIN nd GROUP BY shingle, n_docs),
+      norms AS (SELECT s.doc_id, CAST(sum(w.wsq) AS BIGINT) AS nsq
+                FROM sh s JOIN wsq w ON w.shingle = s.shingle GROUP BY s.doc_id),
+      rare AS (SELECT s.doc_id, s.shingle FROM sh s
+               JOIN wsq w ON w.shingle = s.shingle WHERE w.df BETWEEN 2 AND 25),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+               FROM rare x JOIN rare y
+                 ON x.shingle = y.shingle AND x.doc_id < y.doc_id),
+      dt AS (SELECT c.a, c.b, CAST(sum(w.wsq) AS BIGINT) AS dot
+             FROM cand c
+             JOIN sh sa ON sa.doc_id = c.a
+             JOIN sh sb ON sb.doc_id = c.b AND sb.shingle = sa.shingle
+             JOIN wsq w ON w.shingle = sa.shingle
+             GROUP BY c.a, c.b)
+      SELECT d.a, d.b, d.dot,
+        round(CAST(d.dot AS DOUBLE)
+          / (sqrt(CAST(na.nsq AS DOUBLE)) * sqrt(CAST(nb.nsq AS DOUBLE))), 6) AS cos_r6
+      FROM dt d
+      JOIN norms na ON na.doc_id = d.a
+      JOIN norms nb ON nb.doc_id = d.b
+      WHERE 25 * CAST(d.dot AS HUGEINT) * CAST(d.dot AS HUGEINT)
+            >= 16 * CAST(na.nsq AS HUGEINT) * CAST(nb.nsq AS HUGEINT)
+      ORDER BY d.a, d.b""")
+  )
+
   val all: Seq[Q] = Seq(d1ExactDedup, d2NgramJaccard, d3MinHashLsh, d4SimHash,
     d7IncrementalDedup, d9Containment, d10DupSpans, d11LshRecall, d12OphMinhash,
-    d13OphDense, d14CdcChunks)
+    d13OphDense, d14CdcChunks, d15BandTuning, d16TfidfDedup)
 }
