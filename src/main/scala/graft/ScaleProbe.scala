@@ -71,7 +71,39 @@ object ScaleProbe {
     snProbe(spark, sfDir)
     spanProbe(spark, sfDir)
     curriculumProbe(spark, sfDir)
+    graphProbe(spark, sfDir)
     spark.stop()
+  }
+
+  /** Iterative-graph linearity: inflate the part co-purchase graph with
+    * node-disjoint copies (node ids offset per copy, so each copy keeps
+    * its own community structure) and run the g4 label-propagation core
+    * at growing edge counts. Every round is one keyed join + a two-level
+    * combinable aggregation, so wall time must track the factor
+    * ~linearly — a round materializing neighbor LISTS (or any per-node
+    * gather into driver memory) would bend superlinear by factor 8.
+    */
+  def graphProbe(spark: SparkSession, sfDir: String): Unit = {
+    val edges = graft.queries.GraphQueries.partCoEdges(spark, sfDir)
+      .persist()
+    val nEdges = edges.count()
+    Seq(1, 2, 4, 8).foreach { f =>
+      val inflated = (0 until f).map { k =>
+        edges.select(
+          (col("u") * f + k).as("u"),
+          (col("v") * f + k).as("v"))
+      }.reduce(_.unionByName(_))
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val n = graft.queries.GraphQueries.labelPropagate(inflated, rounds = 4)
+          .count()
+        (System.nanoTime() - t0) / 1e9 -> n
+      }
+      val (best, n) = times.minBy(_._1)
+      println(f"[scale-graph] factor=$f%2d edges=${nEdges * f}%8d " +
+        f"communities=$n%6d time=$best%7.2f s")
+    }
+    edges.unpersist()
   }
 
   /** c10's exact-quartile machinery under inflation: the quantized-score

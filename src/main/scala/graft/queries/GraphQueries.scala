@@ -22,7 +22,7 @@ object GraphQueries {
     * applied INSIDE the map-side-combinable edge aggregation, so no
     * sub-threshold edge ever shuffles twice.
     */
-  private def partCoEdges(s: SparkSession, dir: String) = {
+  private[graft] def partCoEdges(s: SparkSession, dir: String) = {
     val co = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
@@ -314,37 +314,43 @@ object GraphQueries {
     * lineage stays O(1) deep exactly like `PageRank.ranks`. Only
     * (node, label, count) triples ever shuffle — payload-free at 100 TB.
     */
+  /** The g4 core on an arbitrary undirected edge list (u, v) — also driven
+    * by `ScaleProbe.graphProbe` at growing edge counts.
+    */
+  private[graft] def labelPropagate(
+      edges: org.apache.spark.sql.DataFrame,
+      rounds: Int): org.apache.spark.sql.DataFrame = {
+    val adj = edges.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    adj.count() // eager: scanned by l0 and every round's join
+    var labels = adj.select(col("a").as("id")).distinct()
+      .withColumn("lab", col("id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    labels.count()
+    for (_ <- 1 to rounds) {
+      val next = adj
+        .join(labels.select(col("id").as("b"), col("lab")), Seq("b"))
+        .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("c"))
+        .groupBy(col("a"))
+        .agg(max(col("c") * LpPack + (lit(LpPack - 1) - col("lab"))).as("sc"))
+        .select(col("a").as("id"),
+          (lit(LpPack - 1) - col("sc") % LpPack).as("lab"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      next.count()
+      labels.unpersist()
+      labels = next
+    }
+    val out = labels.groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("size"))
+      .orderBy(desc("size"), col("community"))
+    adj.unpersist()
+    out
+  }
+
   val g4LabelProp: Q = Q(
     "g4_label_prop",
-    (s, dir) => {
-      val edges = partCoEdges(s, dir)
-      val adj = edges.select(col("u").as("a"), col("v").as("b"))
-        .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      adj.count() // eager: scanned by l0 and every round's join
-      var labels = adj.select(col("a").as("id")).distinct()
-        .withColumn("lab", col("id"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      labels.count()
-      for (_ <- 1 to LpRounds) {
-        val next = adj
-          .join(labels.select(col("id").as("b"), col("lab")), Seq("b"))
-          .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("c"))
-          .groupBy(col("a"))
-          .agg(max(col("c") * LpPack + (lit(LpPack - 1) - col("lab"))).as("sc"))
-          .select(col("a").as("id"),
-            (lit(LpPack - 1) - col("sc") % LpPack).as("lab"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        labels.unpersist()
-        labels = next
-      }
-      val out = labels.groupBy(col("lab").as("community"))
-        .agg(count(lit(1)).as("size"))
-        .orderBy(desc("size"), col("community"))
-      adj.unpersist()
-      out
-    },
+    (s, dir) => labelPropagate(partCoEdges(s, dir), LpRounds),
     Some(lpOracle(LpRounds))
   )
 
