@@ -54,7 +54,14 @@ object Bench {
     "g1_pagerank", "h1_scd2_history", "r1_entity_match", "d14_cdc_chunks",
     "v8_pipeline_yield", "q10_sql_exists_chain", "e12_sq_recall",
     "g2_triangle_count", "r2_golden_record", "v9_expectations",
-    "p14_split_assign", "h2_point_in_time", "w8_streak", "q11_sql_nested_in")
+    "p14_split_assign", "h2_point_in_time", "w8_streak", "q11_sql_nested_in",
+    "e13_ivf_pq", "g3_kcore", "a20_anomaly", "x18_readability",
+    "q12_sql_top_supplier", "x19_unigram_entropy", "v10_psi_drift",
+    "c12_dedup_discount", "w9_ewma",
+    "w10_drawdown", "a21_histogram", "v11_freshness", "g4_label_prop",
+    "q13_sql_min_cost", "x20_zipf_slope", "x21_ngram_novelty",
+    "e14_filtered_ann", "w11_cusum", "w12_seasonality", "x22_lang_confusion",
+    "d15_band_tuning", "a22_count_min", "d16_tfidf_dedup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

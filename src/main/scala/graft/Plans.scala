@@ -97,7 +97,19 @@ object Plans {
     "x17_vocab_growth" ->
       "Heaps-law curve: first-occurrence docs come from ONE map-side-combined min(doc_id) census on tok — no prefix re-scans — and the growth curve is two running sums over ten decile rows.",
     "q09_sql_correlated" ->
-      "TPC-H Q17 shape: both per-part correlated scalar subqueries decorrelate into ONE keyed aggregate joined back — no ScalarSubquery (per-row re-execution) survives in the physical plan.")
+      "TPC-H Q17 shape: both per-part correlated scalar subqueries decorrelate into ONE keyed aggregate joined back — no ScalarSubquery (per-row re-execution) survives in the physical plan.",
+    "g4_label_prop" ->
+      "Synchronous label propagation: every round is one keyed adjacency⋈labels join feeding a two-level aggregation (first level map-side combinable); the final community census reads the last round's labels from CACHE — the rounds are never re-derived from the raw scan.",
+    "q13_sql_min_cost" ->
+      "TPC-H Q2 shape: the correlated per-part scalar min decorrelates into an aggregate + equi-join; supplier/nation dims broadcast; the p_size range pushes to the parquet scan.",
+    "e14_filtered_ann" ->
+      "Filtered vector search: the label range predicate reaches the embeddings parquet scan (pre-filter beats post-filtering an ANN candidate list and never under-fills k); the query vector is a 1-row broadcast; per-label top-k is a rank window partitioned on the label key — no global sort.",
+    "w11_cusum" ->
+      "CUSUM by prefix-sum identity: the fact table collapses to calendar days BEFORE the bounded windows; running sum + running min are streaming frames (O(1) state/row) over the day series; the whole monitor is integer-exact.",
+    "d16_tfidf_dedup" ->
+      "IDF-weighted near-dup: candidates from a rare-feature (2≤df≤25) inverted-index equi-join, verify join keyed on the shingle, norms/dot map-side-combinable integer sums; the cos≥0.8 verdict cross-multiplies in DECIMAL(38,0) — no cartesian anywhere.",
+    "a22_count_min" ->
+      "Count-Min sketch: the counting pass aggregates into 4×64=256 cells regardless of corpus size (partials are 256 longs/executor); the heavy-hitter probe is a 256-row broadcast join against the bounded top-20.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
