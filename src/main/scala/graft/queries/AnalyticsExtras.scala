@@ -678,10 +678,16 @@ object AnalyticsExtras {
           transform(array_sort(collect_list(struct(col("d"), col("rev"))).over(wf)),
             e => e("rev")))
         .select(col("d"), col("rev"),
-          round(aggregate(
+          // floor-quantize, don't round: the fold's blend lands near
+          // x.xxxxxx5 often enough that Spark's HALF_UP-on-binary and the
+          // oracle's round() disagree by 1 ulp of the 6th decimal
+          // (observed at sf0.1); floor of the identical product has no
+          // tie semantics to disagree on.
+          (floor(aggregate(
             slice(col("arr"), lit(2), size(col("arr")) - 1),
             element_at(col("arr"), 1),
-            (acc, x) => acc * lit(0.8) + x * lit(0.2)), 6).as("ewma_r6"))
+            (acc, x) => acc * lit(0.8) + x * lit(0.2)) * 1000000) / 1000000)
+            .as("ewma_f6"))
         .orderBy("d")
     },
     Some("""WITH daily AS (
@@ -695,8 +701,8 @@ object AnalyticsExtras {
                  OVER (ORDER BY d ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)) AS arr
         FROM daily)
       SELECT d, rev,
-        round(list_reduce(list_transform(arr, x -> x.rev),
-          (a, b) -> a * 0.8 + b * 0.2), 6) AS ewma_r6
+        floor(list_reduce(list_transform(arr, x -> x.rev),
+          (a, b) -> a * 0.8 + b * 0.2) * 1000000) / 1000000 AS ewma_f6
       FROM win ORDER BY d""")
   )
 
