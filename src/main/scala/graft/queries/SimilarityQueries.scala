@@ -184,38 +184,73 @@ object SimilarityQueries {
     * sweeps (each = broadcast centroids + one argmin window + one
     * map-side-combinable sum), freeze the codebook, bucket-prune queries.
     */
+  /** The e4 learned-IVF model as DuckDB CTE bodies (exposes `e`, `d1`,
+    * `assign`) — shared by the e4 oracle and e15's sweep oracle.
+    */
+  private lazy val sqlIvfCtes: String =
+    s"""e AS ($sqlE),
+      seeds AS (SELECT vec_id AS cid, v AS cv FROM e
+                QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 32),
+      a0 AS (SELECT vec_id, v, cid FROM (
+               SELECT e.vec_id, e.v, s.cid, ${sqlL2sq("e.v", "s.cv")} AS d2
+               FROM e CROSS JOIN seeds s)
+             QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+      comp AS (SELECT cid, i - 1 AS i,
+                 CAST(sum(CAST(round(x * 1048576) AS BIGINT)) AS DOUBLE)
+                   / (1048576.0 * count(*)) AS cx
+               FROM (SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM a0)
+               GROUP BY cid, i - 1),
+      cent AS (SELECT cid, list(cx ORDER BY i) AS cv FROM comp GROUP BY cid),
+      d1 AS (SELECT e.vec_id, e.label, e.v, c.cid, ${sqlL2sq("e.v", "c.cv")} AS d2
+             FROM e CROSS JOIN cent c),
+      assign AS (SELECT vec_id, label, v, cid FROM d1
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1)"""
+
+  /** e4's learned-IVF model build, shared with e15's nprobe sweep so the
+    * sweep measures EXACTLY the shipped index (same seeds, same one
+    * integer-quantized Lloyd step, same tie-breaks): returns the
+    * (vec, centroid, d²) distance table and the final assignment.
+    */
+  private def ivfModel(s: SparkSession, dir: String)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    FastVec.register(s)
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), Vectors.toDoubleVec(col("embedding")).as("v"))
+    val seeds = emb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(32)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    def argmin(dists: org.apache.spark.sql.DataFrame) = {
+      val byVec = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+      dists.withColumn("rn", row_number().over(byVec)).filter(col("rn") === 1)
+    }
+    val a0 = argmin(
+      emb.crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("v"), col("cid"),
+          FastVec.l2sq(col("v"), col("cv")).as("d2")))
+      .select("vec_id", "v", "cid")
+    val q20 = (1 << 20).toDouble
+    val comp = a0
+      .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("cid", "i")
+      .agg((sum(round(col("x") * q20).cast("long")).cast("double") /
+        (lit(q20) * count(lit(1)))).as("cx"))
+    val cent = comp.groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
+        e => e("cx")).as("cv"))
+    val d1 = emb.crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("label"), col("v"), col("cid"),
+        FastVec.l2sq(col("v"), col("cv")).as("d2"))
+    val assign = argmin(d1).select("vec_id", "label", "v", "cid")
+    (d1, assign)
+  }
+
   val e4AnnKmeans: Q = Q(
     "e4_ann_kmeans",
     (s, dir) => {
-      FastVec.register(s)
+      val (d1, assign) = ivfModel(s, dir)
       val emb = t(s, dir, "embeddings")
-        .select(col("vec_id"), col("label"), Vectors.toDoubleVec(col("embedding")).as("v"))
-      val seeds = emb
-        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(32)
-        .select(col("vec_id").as("cid"), col("v").as("cv"))
-      def argmin(dists: org.apache.spark.sql.DataFrame) = {
-        val byVec = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
-        dists.withColumn("rn", row_number().over(byVec)).filter(col("rn") === 1)
-      }
-      val a0 = argmin(
-        emb.crossJoin(broadcast(seeds))
-          .select(col("vec_id"), col("v"), col("cid"),
-            FastVec.l2sq(col("v"), col("cv")).as("d2")))
-        .select("vec_id", "v", "cid")
-      val q20 = (1 << 20).toDouble
-      val comp = a0
-        .select(col("cid"), posexplode(col("v")).as(Seq("i", "x")))
-        .groupBy("cid", "i")
-        .agg((sum(round(col("x") * q20).cast("long")).cast("double") /
-          (lit(q20) * count(lit(1)))).as("cx"))
-      val cent = comp.groupBy("cid")
-        .agg(transform(array_sort(collect_list(struct(col("i"), col("cx")))),
-          e => e("cx")).as("cv"))
-      val d1 = emb.crossJoin(broadcast(cent))
-        .select(col("vec_id"), col("label"), col("v"), col("cid"),
-          FastVec.l2sq(col("v"), col("cv")).as("d2"))
-      val assign = argmin(d1).select("vec_id", "label", "v", "cid")
+        .select(col("vec_id"), Vectors.toDoubleVec(col("embedding")).as("v"))
       // Unpartitioned window BY DESIGN (source of Spark's "No Partition
       // Defined" warning): its input is the ONE query vector's C centroid
       // distances — codebook-sized, never corpus-sized — so the single
@@ -234,23 +269,7 @@ object SimilarityQueries {
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
     },
-    Some(s"""WITH e AS ($sqlE),
-      seeds AS (SELECT vec_id AS cid, v AS cv FROM e
-                QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 32),
-      a0 AS (SELECT vec_id, v, cid FROM (
-               SELECT e.vec_id, e.v, s.cid, ${sqlL2sq("e.v", "s.cv")} AS d2
-               FROM e CROSS JOIN seeds s)
-             QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
-      comp AS (SELECT cid, i - 1 AS i,
-                 CAST(sum(CAST(round(x * 1048576) AS BIGINT)) AS DOUBLE)
-                   / (1048576.0 * count(*)) AS cx
-               FROM (SELECT cid, unnest(v) AS x, generate_subscripts(v, 1) AS i FROM a0)
-               GROUP BY cid, i - 1),
-      cent AS (SELECT cid, list(cx ORDER BY i) AS cv FROM comp GROUP BY cid),
-      d1 AS (SELECT e.vec_id, e.label, e.v, c.cid, ${sqlL2sq("e.v", "c.cv")} AS d2
-             FROM e CROSS JOIN cent c),
-      assign AS (SELECT vec_id, label, v, cid FROM d1
-                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+    Some(s"""WITH $sqlIvfCtes,
       qb AS (SELECT cid FROM d1 WHERE vec_id = 0
              QUALIFY row_number() OVER (ORDER BY d2, cid) <= 4),
       q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
@@ -1014,7 +1033,86 @@ object SimilarityQueries {
       FROM ranked WHERE rk <= 5 ORDER BY label, rk""")
   )
 
+  /** E15: recall-vs-nprobe sweep — the capacity-planning curve an ANN
+    * operator reads before picking e4's probe width (d15's tuner pattern
+    * applied to IVF): for nprobe ∈ {1, 2, 4, 8} of the 32-centroid
+    * learned codebook, recall@10 of the bucket-restricted top-10 against
+    * the exact full-scan top-10. Built on the SAME model build as the
+    * shipped e4 query (shared [[ivfModel]] / CTE text), so the curve
+    * measures the production index, not a variant.
+    *
+    * Scale: the model build is e4's (broadcast codebook, one keyed
+    * argmin window); the assignment is persisted once and each probe adds
+    * only a broadcast bucket filter + TakeOrdered(10) + a 10×10 overlap
+    * join — sweep cost is ~4 probe scans of the assignment, not 4 model
+    * builds. All recall arithmetic is integer.
+    */
+  val e15NprobeSweep: Q = Q(
+    "e15_nprobe_sweep",
+    (s, dir) => {
+      val (d1, assign) = ivfModel(s, dir)
+      val assignP = assign
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      assignP.count() // eager: four probes + nothing else rebuilds the model
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), Vectors.toDoubleVec(col("embedding")).as("v"))
+      val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val exact = emb.filter(col("vec_id") =!= 0)
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), FastVec.cosine(col("v"), col("qv")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(10)
+        .select("vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      exact.count()
+      val qd = d1.filter(col("vec_id") === 0).select(col("cid"), col("d2"))
+      val wq = Window.partitionBy().orderBy(col("d2"), col("cid"))
+      val out = Seq(1, 2, 4, 8).map { k =>
+        val qb = qd.withColumn("rn", row_number().over(wq))
+          .filter(col("rn") <= k).select("cid")
+        val topk = assignP
+          .join(broadcast(qb), Seq("cid"))
+          .filter(col("vec_id") =!= 0)
+          .crossJoin(broadcast(qv))
+          .select(col("vec_id"), FastVec.cosine(col("v"), col("qv")).as("sim"))
+          .orderBy(col("sim").desc, col("vec_id")).limit(10)
+          .select("vec_id")
+        topk.join(exact, Seq("vec_id"))
+          .agg(count(lit(1)).as("n_hits"))
+          .select(lit(k.toLong).as("nprobe"), col("n_hits"),
+            (col("n_hits") * 10).as("recall_pct"))
+      }.reduce(_.unionAll(_)).orderBy("nprobe")
+      out
+    },
+    Some {
+      val probes = Seq(1, 2, 4, 8).map { k =>
+        s"""h$k AS (
+          SELECT $k AS nprobe, CAST(count(*) AS BIGINT) AS n_hits FROM (
+            SELECT a.vec_id, ${sqlCos("a.v", "qv")} AS sim
+            FROM assign a
+            JOIN (SELECT cid FROM d1 WHERE vec_id = 0
+                  QUALIFY row_number() OVER (ORDER BY d2, cid) <= $k) b
+              ON a.cid = b.cid
+            CROSS JOIN q WHERE a.vec_id <> 0
+            ORDER BY sim DESC, vec_id LIMIT 10) t
+          JOIN exact x ON x.vec_id = t.vec_id)"""
+      }.mkString(",\n      ")
+      val union = Seq(1, 2, 4, 8)
+        .map(k => s"SELECT nprobe, n_hits, n_hits * 10 AS recall_pct FROM h$k")
+        .mkString(" UNION ALL ")
+      s"""WITH $sqlIvfCtes,
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      exact AS (SELECT vec_id FROM (
+          SELECT vec_id, ${sqlCos("v", "qv")} AS sim
+          FROM e CROSS JOIN q WHERE vec_id <> 0
+          ORDER BY sim DESC, vec_id LIMIT 10)),
+      $probes
+      SELECT CAST(nprobe AS BIGINT) AS nprobe, n_hits, recall_pct
+      FROM ($union) ORDER BY nprobe"""
+    }
+  )
+
   val all: Seq[Q] = Seq(e1CosineTopK, e2AnnIvf, e3BucketNearDup, e4AnnKmeans,
     e5AnnHyperplane, e6SemanticDedup, e7AnnBatch, e8PqAdc, e9AnnRecall,
-    e10MmrRerank, e11EmbeddingQa, e12SqRecall, e13IvfPq, e14FilteredAnn)
+    e10MmrRerank, e11EmbeddingQa, e12SqRecall, e13IvfPq, e14FilteredAnn,
+    e15NprobeSweep)
 }
