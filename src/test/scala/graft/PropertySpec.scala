@@ -65,4 +65,79 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("CUSUM prefix-sum identity: the w11 window form equals the clamped " +
+    "recursion S_i = max(0, S_{i-1} + e_i) on random integer series") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val eGen = Gen.choose(-1000L, 1000L)
+    (1L to 5L).foreach { seed =>
+      val es = Gen.listOfN(200, eGen)
+        .apply(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+      assert(es.nonEmpty)
+      // reference: the literal clamped recursion
+      val ref = es.scanLeft(0L)((s, e) => math.max(0L, s + e)).tail
+      // engine: w11's formulation — running sum minus clamped running min
+      val wRun = Window.orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val got = es.zipWithIndex.map { case (e, i) => (i, e) }.toDF("i", "e")
+        .withColumn("p", sum(col("e")).over(wRun))
+        .withColumn("cusum", col("p") - least(lit(0L), min(col("p")).over(wRun)))
+        .orderBy("i").select("cusum").as[Long].collect().toSeq
+      assert(got == ref, s"seed $seed: identity violated")
+    }
+  }
+
+  test("g4 packed argmax picks (max count, min label) — equals the naive " +
+    "tie-broken argmax on random neighbor label multisets") {
+    val labGen = Gen.choose(0L, 50L)
+    (1L to 5L).foreach { seed =>
+      val labs = Gen.listOfN(300, labGen)
+        .apply(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+      assert(labs.nonEmpty)
+      val counts = labs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val naive = counts.toSeq.sortBy { case (lab, c) => (-c, lab) }.head._1
+      val pack = 4294967296L
+      val packedWinner = {
+        val sc = counts.map { case (lab, c) => c * pack + (pack - 1 - lab) }.max
+        pack - 1 - sc % pack
+      }
+      assert(packedWinner == naive, s"seed $seed: packed $packedWinner != $naive")
+    }
+  }
+
+  test("a22 Count-Min estimates are one-sided: est >= true for every key " +
+    "on random token streams") {
+    import org.apache.spark.sql.functions._
+    val tokGen = Gen.oneOf((1 to 40).map(i => s"tok$i"))
+    (1L to 3L).foreach { seed =>
+      val toks = Gen.listOfN(2000, tokGen)
+        .apply(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+      assert(toks.nonEmpty)
+      graft.functions.FastVec.register(spark)
+      val df = toks.toDF("tok")
+        .persist()
+      val cells = df.select(explode(array((0 to 3).map(i =>
+        struct(lit(i).as("i"),
+          pmod(graft.functions.Text.seededHash64(lit(i), col("tok")), lit(64L))
+            .as("h"))): _*)).as("c"))
+        .select(col("c")("i").as("i"), col("c")("h").as("h"))
+        .groupBy("i", "h").agg(count(lit(1)).as("c"))
+      val probes = df.groupBy("tok").agg(count(lit(1)).as("freq"))
+        .select(col("tok"), col("freq"),
+          explode(array((0 to 3).map(i =>
+            struct(lit(i).as("i"),
+              pmod(graft.functions.Text.seededHash64(lit(i), col("tok")), lit(64L))
+                .as("h"))): _*)).as("c"))
+        .select(col("tok"), col("freq"), col("c")("i").as("i"), col("c")("h").as("h"))
+      val est = probes.join(cells, Seq("i", "h"))
+        .groupBy("tok", "freq").agg(min(col("c")).as("est"))
+        .select("tok", "freq", "est").collect()
+      df.unpersist()
+      est.foreach { r =>
+        assert(r.getLong(2) >= r.getLong(1),
+          s"seed $seed: CMS under-estimated ${r.getString(0)}")
+      }
+    }
+  }
 }
