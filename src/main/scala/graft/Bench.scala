@@ -177,6 +177,7 @@ object Bench {
       val best =
         if (ok1) {
           graft.queries.DedupQueries.clearMemo()
+          graft.queries.GraphQueries.clearMemo()
           spark.catalog.clearCache()
           val (ok2, t2) = once(name)
           if (ok2) math.min(t1, t2) else t1

@@ -128,9 +128,7 @@ object ConnectedComponents {
     // the cached blocks and the recompute path (an RDD cache miss still
     // falls back through the captured physical plan); the every-N-rounds
     // reliable checkpoint below still truncates the RDD lineage itself.
-    def truncate(df: DataFrame): DataFrame =
-      df.sparkSession.createDataFrame(df.rdd, df.schema)
-    val edgesT = truncate(edges)
+    val edgesT = Lineage.truncate(edges)
 
     // No eager count here: init derives from the ALREADY-materialized edges
     // cache, so the concurrent-first-scan recompute risk that forces
@@ -181,7 +179,7 @@ object ConnectedComponents {
       superseded = Some(next)
       // checkpoint() already returns a truncated plan; only persisted
       // rounds need the LogicalRDD wrap.
-      val nextT = if (round % checkpointEvery == 0) next else truncate(next)
+      val nextT = if (round % checkpointEvery == 0) next else Lineage.truncate(next)
       labels = nextT.select("id", "lbl")
       frontier = nextT.filter(col("chg")).select("id", "lbl")
     }

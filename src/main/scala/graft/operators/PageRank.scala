@@ -58,9 +58,7 @@ object PageRank {
     // not-yet-cached relation each recompute the upstream derivation
     // (the d2/d10 concurrent-first-scan trap).
     e.count()
-    def truncate(df: DataFrame): DataFrame =
-      sess.createDataFrame(df.rdd, df.schema)
-    val eT = truncate(e)
+    val eT = Lineage.truncate(e)
 
     val outdeg = eT.groupBy("a").agg(count(lit(1)).as("d"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -94,7 +92,7 @@ object PageRank {
       next.count()
       prev.foreach(_.unpersist())
       prev = Some(next)
-      ranks = truncate(next)
+      ranks = Lineage.truncate(next)
     }
     ranks
   }

