@@ -755,11 +755,24 @@ object DedupQueries {
     * shingles is not recalled; documented, same honesty contract as d4's
     * neighborhood bound). The verify then scores ALL shared shingles.
     *
-    * Exactness: idf is quantized to 2⁻²⁰ units on bit-identical doubles
+    * Exactness: idf is quantized to 2⁻¹⁰ units on bit-identical doubles
     * (x10's trick); dot and both norms are exact BIGINT sums of squared
     * quantized weights; the cos ≥ 0.8 verdict is cross-multiplied into
     * `25·dot² ≥ 16·‖a‖²·‖b‖²` and evaluated in DECIMAL(38,0)/HUGEINT —
-    * no float ever decides membership. The displayed cosine is one
+    * no float ever decides membership.
+    *
+    * Overflow headroom (the w11 discipline): idf ≤ ln(N/1) caps at ~32
+    * even for N = 10¹³ docs, so a quantized weight is < 2¹⁵ and wsq < 2³⁰.
+    * For documents of S shingles, dot and norms are ≤ S·2³⁰ and the
+    * verdict's largest term 25·dot² ≤ 25·S²·2⁶⁰ — under the
+    * DECIMAL(38,0)/HUGEINT ceiling (10³⁸) for S up to ~10⁹ shingles PER
+    * DOCUMENT, far past any real document. (At the previous 2⁻²⁰
+    * quantization the bound crossed the ceiling near S ≈ 30k, where
+    * non-ANSI Spark nulls-and-drops the pair while DuckDB errors — a
+    * silent cross-engine divergence; 2⁻¹⁰ still carries ≤ 0.005 % relative
+    * idf error, invisible at a 0.8-vs-boundary verdict, and the cosine
+    * RATIO is quantization-scale-invariant to first order.)
+    * The displayed cosine is one
     * sqrt+division on identical exact operands, rounded to 6dp.
     *
     * Scale: df census and norms are map-side-combinable aggregations;
@@ -779,7 +792,7 @@ object DedupQueries {
         .select(col("shingle"), col("df"),
           {
             val qidf = round((log(col("n_docs").cast("double")) -
-              log(col("df").cast("double"))) * 1048576).cast("long")
+              log(col("df").cast("double"))) * 1024).cast("long")
             (qidf * qidf).as("wsq")
           })
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -811,9 +824,9 @@ object DedupQueries {
       nd AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
       wsq AS (SELECT shingle, CAST(count(*) AS BIGINT) AS df,
                 CAST(round((ln(CAST(n_docs AS DOUBLE)) - ln(CAST(count(*) AS DOUBLE)))
-                  * 1048576) AS BIGINT)
+                  * 1024) AS BIGINT)
                 * CAST(round((ln(CAST(n_docs AS DOUBLE)) - ln(CAST(count(*) AS DOUBLE)))
-                  * 1048576) AS BIGINT) AS wsq
+                  * 1024) AS BIGINT) AS wsq
               FROM sh CROSS JOIN nd GROUP BY shingle, n_docs),
       norms AS (SELECT s.doc_id, CAST(sum(w.wsq) AS BIGINT) AS nsq
                 FROM sh s JOIN wsq w ON w.shingle = s.shingle GROUP BY s.doc_id),

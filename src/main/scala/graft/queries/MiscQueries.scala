@@ -591,10 +591,15 @@ object MiscQueries {
     * are integers.
     *
     * Scale: one map-side-combinable groupBy on the stream key carrying
-    * (max-ts, count, conditional count) partials; the global watermark is
-    * a scalar over the ALREADY-AGGREGATED per-stream rows (bounded by
-    * stream cardinality, not corpus size) via an unpartitioned window over
-    * that tiny set — the fact table is scanned exactly once.
+    * (max-ts, count) partials; the global watermark is a scalar over the
+    * ALREADY-AGGREGATED per-stream rows (bounded by stream cardinality,
+    * not corpus size) via an unpartitioned window over that tiny set. The
+    * fact table is scanned twice — the 7-day liveness cut needs the
+    * watermark, which doesn't exist until the first aggregate finishes —
+    * but the second scan filters against the BROADCAST per-stream
+    * watermark table, so it carries no extra shuffle of fact rows (a
+    * single-scan formulation would have to shuffle every event's
+    * timestamp to a global reducer before knowing the cutoff).
     */
   val v11Freshness: Q = Q(
     "v11_freshness",

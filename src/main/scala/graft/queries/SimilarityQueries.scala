@@ -1042,7 +1042,8 @@ object SimilarityQueries {
     * measures the production index, not a variant.
     *
     * Scale: the model build is e4's (broadcast codebook, one keyed
-    * argmin window); the assignment is persisted once and each probe adds
+    * argmin window); the assignment AND the query vector's 32-row
+    * centroid-distance table are each persisted once, so each probe adds
     * only a broadcast bucket filter + TakeOrdered(10) + a 10×10 overlap
     * join — sweep cost is ~4 probe scans of the assignment, not 4 model
     * builds. All recall arithmetic is integer.
@@ -1064,7 +1065,13 @@ object SimilarityQueries {
         .select("vec_id")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       exact.count()
+      // The query vector's distance to every centroid: 32 rows, but its
+      // lineage is the FULL codebook training (comp→cent over all
+      // vectors) — without this persist each of the 4 probes re-ran the
+      // whole model build (round-5 advice: e15 at ~2.4 s vs e4's 0.8 s).
       val qd = d1.filter(col("vec_id") === 0).select(col("cid"), col("d2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      qd.count() // eager: all four probe branches scan it concurrently
       val wq = Window.partitionBy().orderBy(col("d2"), col("cid"))
       val out = Seq(1, 2, 4, 8).map { k =>
         val qb = qd.withColumn("rn", row_number().over(wq))
