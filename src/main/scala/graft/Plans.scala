@@ -99,7 +99,7 @@ object Plans {
     "q09_sql_correlated" ->
       "TPC-H Q17 shape: both per-part correlated scalar subqueries decorrelate into ONE keyed aggregate joined back — no ScalarSubquery (per-row re-execution) survives in the physical plan.",
     "g4_label_prop" ->
-      "Synchronous label propagation: every round is one keyed adjacency⋈labels join feeding a two-level aggregation (first level map-side combinable); the final community census reads the last round's labels from CACHE — the rounds are never re-derived from the raw scan.",
+      "Synchronous label propagation: every round is one keyed adjacency⋈labels join feeding a two-level aggregation (first level map-side combinable); each round is persisted and lineage-truncated, so the final census reads a single ExistingRDD leaf — never a re-derivation from the raw scan — and rounds exit early at the label fixed point.",
     "q13_sql_min_cost" ->
       "TPC-H Q2 shape: the correlated per-part scalar min decorrelates into an aggregate + equi-join; supplier/nation dims broadcast; the p_size range pushes to the parquet scan.",
     "e14_filtered_ann" ->
@@ -109,7 +109,9 @@ object Plans {
     "d16_tfidf_dedup" ->
       "IDF-weighted near-dup: candidates from a rare-feature (2≤df≤25) inverted-index equi-join, verify join keyed on the shingle, norms/dot map-side-combinable integer sums; the cos≥0.8 verdict cross-multiplies in DECIMAL(38,0) — no cartesian anywhere.",
     "a22_count_min" ->
-      "Count-Min sketch: the counting pass aggregates into 4×64=256 cells regardless of corpus size (partials are 256 longs/executor); the heavy-hitter probe is a 256-row broadcast join against the bounded top-20.")
+      "Count-Min sketch: the counting pass aggregates into 4×64=256 cells regardless of corpus size (partials are 256 longs/executor); the heavy-hitter probe is a 256-row broadcast join against the bounded top-20.",
+    "e16_hybrid_rrf" ->
+      "Hybrid RRF retrieval: both arms cut to top-20 via distributed TakeOrderedAndProject before their 20-row rank windows; the fusion is a full-outer join of two bounded lists — nothing after the scans grows with the corpus.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -1118,8 +1118,90 @@ object SimilarityQueries {
     }
   )
 
+  /** E16: hybrid retrieval — reciprocal-rank fusion (Cormack et al.,
+    * SIGIR 2009) of the lexical and dense rankers over the shared
+    * doc↔embedding key: BM25 (the SHIPPED x13 query, reused verbatim)
+    * supplies the lexical top-20, brute-force cosine (e1's shape, widened
+    * from 10 to 20) the dense top-20, and each document scores
+    * Σ 1/(60 + rankᵢ) over the lists it appears in — the standard
+    * production retrieval stack (sparse + dense + RRF) as one query.
+    *
+    * Exactness: list ORDER is already cross-engine-exact (x13's BM25
+    * doubles are bit-identical by construction; e1's cosine ordering is
+    * the hash-matched e1 contract), and ranks are integers, so each RRF
+    * term is quantized as `round(2²⁰/(60+r))` on the SAME integer operand
+    * in both engines and summed exactly — no float ever decides the fused
+    * order. The displayed `rrf` is one exact-integer/constant division.
+    *
+    * Scale: both top-20s are TakeOrderedAndProject over their full scans
+    * (distributed, no global sort); the two rank windows run over ≤20
+    * rows by construction (the bounded-window contract, e10's C-pool
+    * argument); the fusion join is a full-outer of two ≤20-row lists —
+    * nothing downstream of the scans grows with the corpus.
+    */
+  val e16HybridRrf: Q = Q(
+    "e16_hybrid_rrf",
+    (s, dir) => {
+      FastVec.register(s)
+      val q20d = (1L << 20).toDouble
+      // Lexical arm: the registry's own x13 output (quantized-BM25 sums;
+      // dividing by 2^20 is exact in binary FP, so ordering by the double
+      // equals ordering by the integer sum). Doc 0 is the query document
+      // on the dense arm, so it is excluded from both lists.
+      val lexTop = TextAnalysis.x13Bm25.fn(s, dir)
+        .filter(col("doc_id") =!= 0)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+      val wl = Window.partitionBy().orderBy(col("bm25").desc, col("doc_id"))
+      val lexRank = lexTop
+        .withColumn("r_lex", row_number().over(wl).cast("long"))
+        .select(col("doc_id"), col("r_lex"))
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), Vectors.toDoubleVec(col("embedding")).as("v"))
+      val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      val vecTop = emb.crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), FastVec.cosine(col("v"), col("qv")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id")).limit(20)
+      val wv = Window.partitionBy().orderBy(col("sim").desc, col("vec_id"))
+      val vecRank = vecTop
+        .withColumn("r_vec", row_number().over(wv).cast("long"))
+        .select(col("vec_id"), col("r_vec"))
+      def rrfQ(r: org.apache.spark.sql.Column) =
+        coalesce(round(lit(q20d) / (lit(60) + r)).cast("long"), lit(0L))
+      lexRank
+        .join(vecRank, lexRank("doc_id") === vecRank("vec_id"), "full_outer")
+        .select(
+          coalesce(col("doc_id"), col("vec_id")).as("doc_id"),
+          col("r_lex"), col("r_vec"),
+          (rrfQ(col("r_lex")) + rrfQ(col("r_vec"))).as("rrf_q"))
+        .withColumn("rrf", col("rrf_q").cast("double") / lit(q20d))
+        .orderBy(col("rrf_q").desc, col("doc_id"))
+        .limit(10)
+    },
+    Some(s"""WITH lex AS (${TextAnalysis.x13Bm25.oracle.get}),
+      lexTop AS (SELECT doc_id,
+          CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT) AS r_lex
+        FROM (SELECT * FROM lex WHERE doc_id <> 0
+              ORDER BY bm25 DESC, doc_id LIMIT 20)),
+      e AS ($sqlE),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+      vecTop AS (SELECT vec_id,
+          CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS r_vec
+        FROM (SELECT vec_id, ${sqlCos("v", "qv")} AS sim
+              FROM e CROSS JOIN q WHERE vec_id <> 0
+              ORDER BY sim DESC, vec_id LIMIT 20)),
+      fused AS (SELECT coalesce(l.doc_id, v.vec_id) AS doc_id,
+          l.r_lex, v.r_vec,
+          coalesce(CAST(round(1048576.0 / (60 + l.r_lex)) AS BIGINT), 0)
+            + coalesce(CAST(round(1048576.0 / (60 + v.r_vec)) AS BIGINT), 0) AS rrf_q
+        FROM lexTop l FULL OUTER JOIN vecTop v ON v.vec_id = l.doc_id)
+      SELECT doc_id, r_lex, r_vec, rrf_q,
+             CAST(rrf_q AS DOUBLE) / 1048576.0 AS rrf
+      FROM fused ORDER BY rrf_q DESC, doc_id LIMIT 10""")
+  )
+
   val all: Seq[Q] = Seq(e1CosineTopK, e2AnnIvf, e3BucketNearDup, e4AnnKmeans,
     e5AnnHyperplane, e6SemanticDedup, e7AnnBatch, e8PqAdc, e9AnnRecall,
     e10MmrRerank, e11EmbeddingQa, e12SqRecall, e13IvfPq, e14FilteredAnn,
-    e15NprobeSweep)
+    e15NprobeSweep, e16HybridRrf)
 }

@@ -668,4 +668,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("l_orderkey") && !plan.contains("l_partkey"),
       "unreferenced lineitem columns in scan:\n" + plan.take(3000))
   }
+
+  test("e16: both retrieval arms cut to top-20 via distributed TakeOrdered " +
+    "before the bounded rank windows — no cartesian, no global sort of a scan") {
+    val plan = executedPlan("e16_hybrid_rrf")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // lexical top-20 and dense top-20 each: TakeOrderedAndProject over the
+    // full scan, so only 20 rows ever reach a rank window / the fusion join
+    assert("TakeOrderedAndProject".r.findAllIn(plan).length >= 2,
+      "both arms must cut via TakeOrdered:\n" + plan.take(3000))
+  }
 }
