@@ -565,19 +565,29 @@ object SimilarityQueries {
   /** E9: ANN recall@10 evaluation — the harness every production ANN
     * deployment runs before trusting an index: for each approximate
     * variant (e2's fixed-codebook IVF, e4's learned k-means IVF, e5's
-    * hyperplane LSH), the fraction of the exact brute-force top-10 (e1)
-    * the variant actually returned. Composed from the SAME Q definitions
-    * the registry serves — the evaluation measures the shipped pipelines,
-    * not a parallel reimplementation — and the oracle composes the same
-    * four oracle statements as subqueries. Each recall is one 10-row
-    * equi-join + count; the dominant cost is the variants themselves.
+    * hyperplane LSH, e13's composed IVF-PQ), the fraction of the exact
+    * brute-force top-10 (e1) the variant actually returned. e14 (filtered
+    * search) gets the audit its semantics admit: e14 is exact WITHIN its
+    * label predicate, so its row measures COVERAGE — of the exact top-10
+    * members passing the filter, how many e14 returned (1.0 unless the
+    * filter, the per-label window, or the pushdown regresses; the
+    * denominator is the filter-surviving truth size, floored at 1).
+    * Composed from the SAME Q definitions the registry serves — the
+    * evaluation measures the shipped pipelines, not a parallel
+    * reimplementation — and the oracle composes the same oracle
+    * statements as subqueries. Each recall is one ≤15-row equi-join +
+    * count; the dominant cost is the variants themselves.
     */
-  val e9AnnRecall: Q = Q(
+  // lazy: the oracle text composes e13/e14's oracles, whose vals are
+  // initialized later in this object — eager init would read them as null.
+  lazy val e9AnnRecall: Q = Q(
     "e9_ann_recall",
     (s, dir) => {
-      // 10-row result scanned by all three recall joins: persist + eager
+      // 10-row result scanned by all five recall joins: persist + eager
       // count so the brute-force pass runs once, not once per variant.
-      val exact = e1CosineTopK.fn(s, dir).select(col("vec_id"))
+      // Keep the label column — e14's coverage row filters the truth set
+      // by e14's own label predicate.
+      val exact = e1CosineTopK.fn(s, dir).select(col("vec_id"), col("label"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // Divide by the ACTUAL exact-set size, not a hardcoded 10: on a
       // corpus with fewer than 10 non-query vectors a variant returning
@@ -585,18 +595,32 @@ object SimilarityQueries {
       val k = exact.count()
       def recallRow(name: String, q: Q) =
         q.fn(s, dir).select(col("vec_id"))
-          .join(exact, Seq("vec_id"))
+          .join(exact.select("vec_id"), Seq("vec_id"))
           .agg(count(lit(1)).as("n_overlap"))
           .select(lit(name).as("variant"), col("n_overlap"),
             (col("n_overlap").cast("double") / k).as("recall_at_10"))
+      // e14 coverage: truth = exact top-10 members passing e14's label
+      // predicate (label ≥ 2); denominator floored at 1 so an empty
+      // filtered truth yields 0.0, not a cross-engine 0/0.
+      val fexact = exact.filter(col("label") >= 2).select("vec_id")
+      val kf = math.max(fexact.count(), 1L)
+      val e14Row = e14FilteredAnn.fn(s, dir).select(col("vec_id"))
+        .join(fexact, Seq("vec_id"))
+        .agg(count(lit(1)).as("n_overlap"))
+        .select(lit("e14_filtered").as("variant"), col("n_overlap"),
+          (col("n_overlap").cast("double") / kf).as("recall_at_10"))
       recallRow("e2_ivf", e2AnnIvf)
         .unionByName(recallRow("e4_kmeans", e4AnnKmeans))
         .unionByName(recallRow("e5_hyperplane", e5AnnHyperplane))
+        .unionByName(recallRow("e13_ivf_pq", e13IvfPq))
+        .unionByName(e14Row)
         .orderBy("variant")
     },
     Some {
       def sub(q: Q) = s"(SELECT vec_id FROM (${q.oracle.get}))"
-      s"""WITH exact AS ${sub(e1CosineTopK)}
+      def subL(q: Q) = s"(SELECT vec_id, label FROM (${q.oracle.get}))"
+      s"""WITH exact AS ${subL(e1CosineTopK)},
+      fexact AS (SELECT vec_id FROM exact WHERE label >= 2)
       SELECT variant, n_overlap,
         CAST(n_overlap AS DOUBLE) / (SELECT count(*) FROM exact) AS recall_at_10
       FROM (
@@ -607,7 +631,14 @@ object SimilarityQueries {
         FROM ${sub(e4AnnKmeans)} a JOIN exact ON a.vec_id = exact.vec_id
         UNION ALL
         SELECT 'e5_hyperplane' AS variant, count(*) AS n_overlap
-        FROM ${sub(e5AnnHyperplane)} a JOIN exact ON a.vec_id = exact.vec_id)
+        FROM ${sub(e5AnnHyperplane)} a JOIN exact ON a.vec_id = exact.vec_id
+        UNION ALL
+        SELECT 'e13_ivf_pq' AS variant, count(*) AS n_overlap
+        FROM ${sub(e13IvfPq)} a JOIN exact ON a.vec_id = exact.vec_id)
+      UNION ALL
+      SELECT 'e14_filtered', count(*),
+        CAST(count(*) AS DOUBLE) / greatest((SELECT count(*) FROM fexact), 1)
+      FROM ${sub(e14FilteredAnn)} a JOIN fexact ON a.vec_id = fexact.vec_id
       ORDER BY variant"""
     }
   )
