@@ -177,4 +177,155 @@ object CorpusIngest {
         ()
       }
       .start()
+
+  /** Start the SPAN-LEVEL admission stream — the streaming twin of d10's
+    * duplicate-span census (the MassiveText-style signal doc-level gates
+    * miss: a document that is 60 % boilerplate shares no whole-document
+    * fingerprint and may dodge every MinHash band, yet its w-token windows
+    * collide one by one). Each epoch fingerprints every w-token window of
+    * its candidate documents, unions the duplicated windows per document
+    * into exact covered-token intervals (the d10 gaps-and-islands pass),
+    * and rejects documents whose CROSS-EPOCH covered fraction exceeds
+    * `maxDupFrac`. Admitted documents contribute their window fingerprints
+    * to the span census; rejected payloads contribute nothing and are
+    * never rescanned.
+    *
+    * Two duplication signals are computed in the same window pass:
+    *   - `dup_*` counts a window duplicated if its fingerprint is in the
+    *     stored census OR occurs more than once within the batch — exactly
+    *     d10's corpus-wide `c > 1` rule when the whole corpus arrives as
+    *     one epoch (the parity the spec asserts against [[
+    *     graft.queries.DedupQueries.d10DupSpans]]);
+    *   - `cross_*` counts census hits only, and is what admission gates
+    *     on: same-epoch copies are admitted together, the deliberate
+    *     batch-granularity trade [[startIngestNearDup]] documents (gating
+    *     on within-batch counts would reject BOTH copies of a novel
+    *     document and lose the content outright).
+    *
+    * Per-doc span stats (both signals, plus the admission verdict) land in
+    * `statsDir` so the ingest loop's discard rate is observable per epoch.
+    * Census rows are (fp) only — 16 bytes per distinct admitted window, no
+    * positions, no payload — and all three sinks share the `batch_id <`
+    * dynamic-partition-overwrite idempotence protocol, so an at-least-once
+    * replay rewrites its own epoch instead of double-counting spans.
+    *
+    * Scale: the window table is n_tokens rows/doc of (doc_id, pos, 16-byte
+    * fp); the census probe is a left-semi equi-join on fp (shuffle on the
+    * fingerprint, never on payload); the within-batch census has map-side
+    * combine; the coverage union windows only the DUPLICATED rows. No
+    * stage is quadratic, and epoch cost is O(batch windows + census
+    * probe) — admitted text is never re-tokenized.
+    */
+  def startIngestSpans(
+      spark: SparkSession,
+      inputDir: String,
+      corpusDir: String,
+      censusDir: String,
+      statsDir: String,
+      checkpointDir: String,
+      w: Int = 15,
+      maxDupFrac: Double = 0.5,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    readDocs(spark, inputDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (raw: DataFrame, batchId: Long) =>
+        val batch = raw.persist()
+        val docsT = batch.select(col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+        // One tokenize+window pass, scanned by the within-batch census,
+        // the census probe and the per-doc stats (d10's persist pattern).
+        val wins = batch
+          .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= w)
+          .select(col("doc_id"),
+            explode(sequence(lit(0), size(col("t")) - w)).as("p"), col("t"))
+          .select(col("doc_id"), col("p"),
+            md5(concat_ws(" ", slice(col("t"), col("p") + 1, lit(w)))).as("fp"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        wins.count()
+        val fs = new org.apache.hadoop.fs.Path(censusDir).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        val censusHits =
+          if (fs.exists(new org.apache.hadoop.fs.Path(censusDir))) {
+            val census = spark.read.parquet(censusDir)
+              .filter(col("batch_id") < batchId)
+              .select("fp")
+            wins.join(census, Seq("fp"), "left_semi")
+              .select(col("doc_id"), col("p"), lit(true).as("in_census"))
+          } else spark.emptyDataFrame
+            .select(lit(0L).as("doc_id"), lit(0).as("p"),
+              lit(true).as("in_census"))
+        val batchCensus = wins.groupBy("fp").agg(count(lit(1)).as("c"))
+        val flagged = wins
+          .join(batchCensus, Seq("fp"))
+          .join(censusHits, Seq("doc_id", "p"), "left")
+          .select(col("doc_id"), col("p"),
+            (col("c") > 1 || col("in_census")).as("dup_any"),
+            coalesce(col("in_census"), lit(false)).as("dup_cross"))
+
+        val prior = Window.partitionBy("doc_id").orderBy("p")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        def coverage(dup: DataFrame, nDup: String, cov: String): DataFrame =
+          dup
+            .withColumn("prev_end",
+              coalesce(max(col("p") + (w - 1)).over(prior), lit(-1)))
+            .withColumn("contrib", greatest(lit(0),
+              col("p") + (w - 1) - greatest(col("p") - 1, col("prev_end"))))
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as(nDup),
+              sum(col("contrib").cast("long")).as(cov))
+
+        val covAny = coverage(
+          flagged.filter(col("dup_any")).select("doc_id", "p"),
+          "n_dup_windows", "covered")
+        val covCross = coverage(
+          flagged.filter(col("dup_cross")).select("doc_id", "p"),
+          "n_cross_windows", "cross_covered")
+        val wstats = wins.groupBy("doc_id").agg(count(lit(1)).as("n_windows"))
+        val stats = docsT
+          .join(wstats, Seq("doc_id"), "left")
+          .join(covAny, Seq("doc_id"), "left")
+          .join(covCross, Seq("doc_id"), "left")
+          .select(col("doc_id"), col("n_tokens"),
+            coalesce(col("n_windows"), lit(0L)).as("n_windows"),
+            coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
+            coalesce(col("covered"), lit(0L)).as("covered_tokens"),
+            (coalesce(col("covered"), lit(0L)).cast("double") / col("n_tokens"))
+              .as("dup_token_frac"),
+            (coalesce(col("cross_covered"), lit(0L)).cast("double") /
+              col("n_tokens")).as("cross_token_frac"))
+          .withColumn("admitted", col("cross_token_frac") <= maxDupFrac)
+          .persist()
+        stats.count()
+
+        val admittedDocs = batch
+          .join(stats.filter(col("admitted")).select("doc_id"), Seq("doc_id"))
+        admittedDocs
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(corpusDir)
+        wins
+          .join(stats.filter(col("admitted")).select("doc_id"), Seq("doc_id"),
+            "left_semi")
+          .select("fp").distinct()
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(censusDir)
+        stats
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(statsDir)
+        stats.unpersist(); wins.unpersist(); batch.unpersist()
+        ()
+      }
+      .start()
 }

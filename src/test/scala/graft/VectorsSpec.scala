@@ -29,14 +29,24 @@ class VectorsSpec extends SparkSpec {
 
   test("e9 recall harness: one row per ANN variant, overlap bounded by k, " +
     "recall is exactly overlap/k") {
+    val sf = "/root/testdata/sf0.001"
     val rows = graft.queries.SimilarityQueries.e9AnnRecall
-      .fn(spark, "/root/testdata/sf0.001")
+      .fn(spark, sf)
       .as[(String, Long, Double)].collect()
-    assert(rows.map(_._1).toSeq == Seq("e2_ivf", "e4_kmeans", "e5_hyperplane"))
+    assert(rows.map(_._1).toSeq ==
+      Seq("e13_ivf_pq", "e14_filtered", "e2_ivf", "e4_kmeans", "e5_hyperplane"))
+    // e14's coverage row divides by the filter-surviving truth size, not 10
+    val kf = math.max(graft.queries.SimilarityQueries.e1CosineTopK.fn(spark, sf)
+      .filter($"label" >= 2).count(), 1L)
     rows.foreach { case (v, overlap, recall) =>
       assert(overlap >= 0 && overlap <= 10, s"$v overlap $overlap out of range")
-      assert(recall == overlap / 10.0, s"$v recall $recall != $overlap/10")
+      val denom = if (v == "e14_filtered") kf else 10L
+      assert(recall == overlap.toDouble / denom,
+        s"$v recall $recall != $overlap/$denom")
     }
+    // filtered search is exact within its predicate: full coverage expected
+    assert(rows.find(_._1 == "e14_filtered").get._3 == 1.0,
+      "e14 lost a filter-passing member of the exact top-10")
   }
 
   test("e10: 10 distinct picks ranked 1..10, the first pick is the pure " +

@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Round-over-round bench regression gate.
+
+Compares per-query seconds between two bench artifacts and exits non-zero
+when any query regresses beyond the threshold at equal config. Accepts both
+artifact shapes:
+  - builder artifacts (BENCH_ALL_r*.json / BENCH_LOCAL_r*.json): the bench
+    JSON line itself, with a full `queries` map;
+  - driver wrappers (BENCH_r*.json): `{n, rc, cpus, sf, tail, parsed}` where
+    `parsed` is the bench JSON (its `queries` map holds the slowest-15 only).
+
+Usage: python3 tools/benchdiff.py OLD.json NEW.json [threshold=1.5]
+
+Comparisons are only meaningful at equal host parallelism — round-5's
+BENCH_ALL was recorded at non-default CPUs and poisoned the diff; the tool
+warns (does not gate) when the wrappers carry differing `cpus`, and always
+skips queries absent from either side (new queries can't regress; the
+slowest-15 driver window shifts round to round).
+"""
+import sys, json
+
+def load(path):
+    raw = json.load(open(path))
+    cpus = raw.get("cpus")
+    if "parsed" in raw and isinstance(raw["parsed"], dict):
+        raw = raw["parsed"]
+    return raw.get("queries", {}) or {}, raw.get("value"), cpus
+
+def main():
+    if len(sys.argv) < 3:
+        print(__doc__)
+        return 2
+    old_q, old_total, old_cpus = load(sys.argv[1])
+    new_q, new_total, new_cpus = load(sys.argv[2])
+    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
+    # Sub-0.3s timings are dominated by scheduler noise at local[N]; a 1.5x
+    # blip there is not a plan regression.
+    floor = 0.3
+
+    if old_cpus is not None and new_cpus is not None and old_cpus != new_cpus:
+        print(f"WARN: cpus differ (old={old_cpus} new={new_cpus}); "
+              "diff is advisory only")
+        thr = float("inf")
+
+    shared = sorted(set(old_q) & set(new_q))
+    regressed = []
+    for name in shared:
+        a, b = float(old_q[name]), float(new_q[name])
+        if a <= 0:
+            continue
+        ratio = b / a
+        if ratio >= thr and b >= floor:
+            regressed.append((name, a, b, ratio))
+    regressed.sort(key=lambda r: -r[3])
+
+    improved = sorted(((n, float(old_q[n]), float(new_q[n]))
+                       for n in shared
+                       if float(old_q[n]) > 0
+                       and float(new_q[n]) / float(old_q[n]) <= 1 / thr
+                       and float(old_q[n]) >= floor),
+                      key=lambda r: r[2] / r[1])
+
+    print(f"shared={len(shared)} old_only={len(set(old_q)-set(new_q))} "
+          f"new_only={len(set(new_q)-set(old_q))} "
+          f"total {old_total} -> {new_total} sec")
+    for name, a, b, r in regressed:
+        print(f"REGRESSED {name}: {a:.3f} -> {b:.3f} ({r:.2f}x)")
+    for name, a, b in improved[:10]:
+        print(f"improved  {name}: {a:.3f} -> {b:.3f} ({b/a:.2f}x)")
+    if regressed:
+        print(f"FAIL: {len(regressed)} quer{'y' if len(regressed)==1 else 'ies'} "
+              f"regressed >= {thr}x")
+        return 1
+    print("OK: no per-query regression at threshold")
+    return 0
+
+if __name__ == "__main__":
+    sys.exit(main())
