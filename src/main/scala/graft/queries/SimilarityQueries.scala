@@ -568,10 +568,16 @@ object SimilarityQueries {
     * hyperplane LSH, e13's composed IVF-PQ), the fraction of the exact
     * brute-force top-10 (e1) the variant actually returned. e14 (filtered
     * search) gets the audit its semantics admit: e14 is exact WITHIN its
-    * label predicate, so its row measures COVERAGE — of the exact top-10
-    * members passing the filter, how many e14 returned (1.0 unless the
-    * filter, the per-label window, or the pushdown regresses; the
-    * denominator is the filter-surviving truth size, floored at 1).
+    * label predicate AND per-label depth, so its row measures COVERAGE —
+    * of the exact top-10 members that pass the filter and sit within
+    * e14's top-5-per-label cut, how many e14 returned. The depth cut is
+    * computed on the truth side with the same (sim DESC, vec_id) order
+    * e14 ranks by; any vector outranking a top-10 member within its label
+    * has a higher (sim, vec_id) key and is therefore itself in the global
+    * top-10, ties included — so the truth-side rank equals the member's
+    * rank in e14's full per-label window, and coverage is 1.0 unless the
+    * filter, the window, or the pushdown regresses (the denominator is
+    * floored at 1).
     * Composed from the SAME Q definitions the registry serves — the
     * evaluation measures the shipped pipelines, not a parallel
     * reimplementation — and the oracle composes the same oracle
@@ -585,9 +591,10 @@ object SimilarityQueries {
     (s, dir) => {
       // 10-row result scanned by all five recall joins: persist + eager
       // count so the brute-force pass runs once, not once per variant.
-      // Keep the label column — e14's coverage row filters the truth set
-      // by e14's own label predicate.
-      val exact = e1CosineTopK.fn(s, dir).select(col("vec_id"), col("label"))
+      // Keep label and sim — e14's coverage row filters the truth set by
+      // e14's own label predicate and per-label depth cut.
+      val exact = e1CosineTopK.fn(s, dir)
+        .select(col("vec_id"), col("label"), col("sim"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // Divide by the ACTUAL exact-set size, not a hardcoded 10: on a
       // corpus with fewer than 10 non-query vectors a variant returning
@@ -600,9 +607,15 @@ object SimilarityQueries {
           .select(lit(name).as("variant"), col("n_overlap"),
             (col("n_overlap").cast("double") / k).as("recall_at_10"))
       // e14 coverage: truth = exact top-10 members passing e14's label
-      // predicate (label ≥ 2); denominator floored at 1 so an empty
-      // filtered truth yields 0.0, not a cross-engine 0/0.
-      val fexact = exact.filter(col("label") >= 2).select("vec_id")
+      // predicate (label ≥ 2) AND within its top-5-per-label depth (see
+      // scaladoc for why the truth-side rank equals e14's); denominator
+      // floored at 1 so an empty filtered truth yields 0.0, not 0/0.
+      val wl = org.apache.spark.sql.expressions.Window
+        .partitionBy("label").orderBy(col("sim").desc, col("vec_id"))
+      val fexact = exact.filter(col("label") >= 2)
+        .withColumn("lrk", row_number().over(wl))
+        .filter(col("lrk") <= 5)
+        .select("vec_id")
       val kf = math.max(fexact.count(), 1L)
       val e14Row = e14FilteredAnn.fn(s, dir).select(col("vec_id"))
         .join(fexact, Seq("vec_id"))
@@ -618,9 +631,12 @@ object SimilarityQueries {
     },
     Some {
       def sub(q: Q) = s"(SELECT vec_id FROM (${q.oracle.get}))"
-      def subL(q: Q) = s"(SELECT vec_id, label FROM (${q.oracle.get}))"
+      def subL(q: Q) = s"(SELECT vec_id, label, sim FROM (${q.oracle.get}))"
       s"""WITH exact AS ${subL(e1CosineTopK)},
-      fexact AS (SELECT vec_id FROM exact WHERE label >= 2)
+      fexact AS (SELECT vec_id FROM (
+        SELECT vec_id, row_number() OVER (PARTITION BY label
+          ORDER BY sim DESC, vec_id) AS lrk
+        FROM exact WHERE label >= 2) WHERE lrk <= 5)
       SELECT variant, n_overlap,
         CAST(n_overlap AS DOUBLE) / (SELECT count(*) FROM exact) AS recall_at_10
       FROM (

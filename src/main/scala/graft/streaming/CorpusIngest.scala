@@ -43,6 +43,19 @@ object CorpusIngest {
       .option("maxFilesPerTrigger", 16)
       .json(dir)
 
+  /** True iff a census directory holds at least one committed `batch_id=`
+    * partition. A bare `fs.exists` is the wrong probe: an epoch that
+    * admits ZERO rows still creates the directory (with only _SUCCESS),
+    * and `spark.read.parquet` on a partitionless directory throws schema
+    * inference errors — wedging every subsequent epoch of the stream.
+    */
+  private def hasCensus(spark: SparkSession, dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(dir)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.exists(p) &&
+      fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id="))
+  }
+
   /** Start the admission stream. `corpusDir` accumulates admitted
     * documents, `censusDir` the fingerprint census; both are `batch_id=`
     * partitioned (see object doc for why). I/O per epoch is O(batch +
@@ -67,10 +80,8 @@ object CorpusIngest {
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") === 1)
           .drop("rn")
-        val fs = new org.apache.hadoop.fs.Path(censusDir).getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
         val admitted =
-          if (fs.exists(new org.apache.hadoop.fs.Path(censusDir))) {
+          if (hasCensus(spark, censusDir)) {
             // Probe only FULLY COMMITTED epochs: a replay of this epoch
             // must not see its own partial census delta.
             val census = spark.read.parquet(censusDir)
@@ -142,10 +153,8 @@ object CorpusIngest {
         val bands = graft.operators.MinHashLSH.bandKeys(
           graft.operators.MinHashLSH.signatures(sh, "doc_id", 8), "doc_id", 8, 4)
           .join(batch.select("doc_id", "fp"), Seq("doc_id"))
-        val fs = new org.apache.hadoop.fs.Path(censusDir).getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
         val admitted =
-          if (fs.exists(new org.apache.hadoop.fs.Path(censusDir))) {
+          if (hasCensus(spark, censusDir)) {
             val census = spark.read.parquet(censusDir)
               .filter(col("batch_id") < batchId)
             // exact gate: stored fingerprint match
@@ -246,10 +255,8 @@ object CorpusIngest {
             md5(concat_ws(" ", slice(col("t"), col("p") + 1, lit(w)))).as("fp"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         wins.count()
-        val fs = new org.apache.hadoop.fs.Path(censusDir).getFileSystem(
-          spark.sparkContext.hadoopConfiguration)
         val censusHits =
-          if (fs.exists(new org.apache.hadoop.fs.Path(censusDir))) {
+          if (hasCensus(spark, censusDir)) {
             val census = spark.read.parquet(censusDir)
               .filter(col("batch_id") < batchId)
               .select("fp")
@@ -259,12 +266,17 @@ object CorpusIngest {
             .select(lit(0L).as("doc_id"), lit(0).as("p"),
               lit(true).as("in_census"))
         val batchCensus = wins.groupBy("fp").agg(count(lit(1)).as("c"))
+        // Persisted: covAny and covCross both scan it — without the
+        // persist the stored-census probe (which grows with the corpus)
+        // and the within-batch census would each run twice per epoch.
         val flagged = wins
           .join(batchCensus, Seq("fp"))
           .join(censusHits, Seq("doc_id", "p"), "left")
           .select(col("doc_id"), col("p"),
             (col("c") > 1 || col("in_census")).as("dup_any"),
             coalesce(col("in_census"), lit(false)).as("dup_cross"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        flagged.count()
 
         val prior = Window.partitionBy("doc_id").orderBy("p")
           .rowsBetween(Window.unboundedPreceding, -1)
@@ -293,11 +305,18 @@ object CorpusIngest {
             coalesce(col("n_windows"), lit(0L)).as("n_windows"),
             coalesce(col("n_dup_windows"), lit(0L)).as("n_dup_windows"),
             coalesce(col("covered"), lit(0L)).as("covered_tokens"),
+            coalesce(col("n_cross_windows"), lit(0L)).as("n_cross_windows"),
+            coalesce(col("cross_covered"), lit(0L)).as("cross_covered_tokens"),
             (coalesce(col("covered"), lit(0L)).cast("double") / col("n_tokens"))
               .as("dup_token_frac"),
             (coalesce(col("cross_covered"), lit(0L)).cast("double") /
               col("n_tokens")).as("cross_token_frac"))
-          .withColumn("admitted", col("cross_token_frac") <= maxDupFrac)
+          // Null-safe: a null/absent text yields null n_tokens and a null
+          // fraction — such a document has no duplicated content to gate
+          // on, so it is ADMITTED (verdict true, never null), mirroring
+          // batch d10 which emits the row rather than dropping it.
+          .withColumn("admitted",
+            coalesce(col("cross_token_frac") <= maxDupFrac, lit(true)))
           .persist()
         stats.count()
 
@@ -324,7 +343,8 @@ object CorpusIngest {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("batch_id")
           .parquet(statsDir)
-        stats.unpersist(); wins.unpersist(); batch.unpersist()
+        stats.unpersist(); flagged.unpersist(); wins.unpersist()
+        batch.unpersist()
         ()
       }
       .start()

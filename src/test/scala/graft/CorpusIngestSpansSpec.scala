@@ -116,4 +116,32 @@ class CorpusIngestSpansSpec extends SparkSpec {
     val ids2 = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
     assert(ids2 == ids, s"replay changed the corpus: $ids2")
   }
+
+  test("an all-short first epoch writes no census partitions and must not " +
+    "wedge the following epochs (review regression: bare fs.exists probe)") {
+    val root = Files.createTempDirectory("spans-empty").toString
+    val in = s"$root/in"; val corpus = s"$root/corpus"
+    val census = s"$root/census"; val stats = s"$root/stats"
+    val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(in))
+
+    // epoch 0: every doc shorter than w=15 tokens — zero windows, all
+    // admitted, censusDir gets created but holds NO batch_id partitions
+    Files.writeString(Paths.get(s"$in/m0.json"),
+      s"""{"doc_id":1,"text":"just a few tokens here","source":"s"}
+         |""".stripMargin)
+    CorpusIngest.startIngestSpans(spark, in, corpus, census, stats, ckpt)
+      .awaitTermination(120000)
+    assert(spark.read.parquet(corpus).count() == 1)
+
+    // epoch 1 must probe the partitionless census without crashing
+    val tLong = (1 to 20).map(i => s"w$i").mkString(" ")
+    Files.writeString(Paths.get(s"$in/m1.json"),
+      s"""{"doc_id":2,"text":"$tLong","source":"s"}
+         |""".stripMargin)
+    CorpusIngest.startIngestSpans(spark, in, corpus, census, stats, ckpt)
+      .awaitTermination(120000)
+    val ids = spark.read.parquet(corpus).select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L), s"epoch after empty census admitted $ids")
+  }
 }

@@ -35,9 +35,15 @@ class VectorsSpec extends SparkSpec {
       .as[(String, Long, Double)].collect()
     assert(rows.map(_._1).toSeq ==
       Seq("e13_ivf_pq", "e14_filtered", "e2_ivf", "e4_kmeans", "e5_hyperplane"))
-    // e14's coverage row divides by the filter-surviving truth size, not 10
+    // e14's coverage row divides by the filter-surviving truth size (exact
+    // top-10 members with label >= 2 AND within-label rank <= 5 — e14's
+    // own per-label depth cut), not 10
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy("label").orderBy($"sim".desc, $"vec_id")
     val kf = math.max(graft.queries.SimilarityQueries.e1CosineTopK.fn(spark, sf)
-      .filter($"label" >= 2).count(), 1L)
+      .filter($"label" >= 2)
+      .withColumn("lrk", row_number().over(wl))
+      .filter($"lrk" <= 5).count(), 1L)
     rows.foreach { case (v, overlap, recall) =>
       assert(overlap >= 0 && overlap <= 10, s"$v overlap $overlap out of range")
       val denom = if (v == "e14_filtered") kf else 10L

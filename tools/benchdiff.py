@@ -29,7 +29,10 @@ import sys, json, statistics
 
 def load(path):
     raw = json.load(open(path))
-    cpus = raw.get("cpus")
+    # Builder artifacts carry no cpus field; the project convention is that
+    # committed artifacts are recorded at CPUS=4, so default missing to 4
+    # rather than silently skipping the mismatch warning.
+    cpus = raw.get("cpus", 4)
     if "parsed" in raw and isinstance(raw["parsed"], dict):
         raw = raw["parsed"]
     return raw.get("queries", {}) or {}, raw.get("value"), cpus
@@ -45,11 +48,19 @@ def main():
     # blip there is not a plan regression.
     floor = 0.3
 
-    if old_cpus is not None and new_cpus is not None and old_cpus != new_cpus:
+    if old_cpus != new_cpus:
         print(f"WARN: cpus differ (old={old_cpus} new={new_cpus}); "
               "diff is advisory only")
         thr = float("inf")
 
+    # A query that ran before but records -1 now (Bench's crash/timeout
+    # marker) is the worst regression there is — it must gate, not be
+    # silently excluded from the ratio pool.
+    died = sorted(n for n in set(old_q) & set(new_q)
+                  if float(old_q[n]) >= 0 and float(new_q[n]) < 0)
+    for name in died:
+        print(f"FAILED {name}: {float(old_q[name]):.3f} s -> "
+              "crash/timeout (-1)")
     shared = sorted(n for n in set(old_q) & set(new_q)
                     if float(old_q[n]) > 0 and float(new_q[n]) >= 0)
     ratios = {n: float(new_q[n]) / float(old_q[n]) for n in shared}
@@ -76,6 +87,10 @@ def main():
     for name, a, b in improved[:10]:
         print(f"improved  {name}: {a:.3f} -> {b:.3f} "
               f"({b/a:.2f}x raw, {b/a/med:.2f}x vs median)")
+    if died:
+        print(f"FAIL: {len(died)} quer{'y' if len(died)==1 else 'ies'} "
+              "went from passing to crash/timeout")
+        return 1
     if regressed:
         print(f"FAIL: {len(regressed)} quer{'y' if len(regressed)==1 else 'ies'} "
               f"regressed >= {thr}x vs the median ratio")
