@@ -348,4 +348,140 @@ object CorpusIngest {
         ()
       }
       .start()
+
+  /** Incoming candidate-vector shape (mirrors the `embeddings` table's
+    * ingest-relevant columns).
+    */
+  val vecSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Start the EMBEDDING-SPACE admission stream — the semantic-dedup
+    * (SemDeDup-style) twin of [[startIngestNearDup]]: candidates arriving
+    * as vectors are sign-sketched against a FIXED set of 16 hyperplanes
+    * (e5's random-hyperplane LSH, drawn once by deterministic md5 order
+    * from the first non-empty epoch and stored, so every epoch sketches in
+    * the same basis), band-probed against the stored sketch census, and
+    * rejected when any stored sketch lies within `maxHamming` bits — the
+    * sketch-level cosine gate production ingest runs when exact similarity
+    * would require rescanning admitted payloads.
+    *
+    * The census stores 4 band rows of (k, val, sketch) per admitted
+    * vector — 16 bits of payload-free state each; candidate generation is
+    * the (k, val) band equi-join (the e5 bound: only band-colliding pairs
+    * are ever compared) and verification is an exact popcount on the two
+    * 16-bit sketches, so no stage is quadratic and admitted embeddings are
+    * never re-read. Same-epoch near-dups are admitted together (the
+    * [[startIngestNearDup]] batch-granularity trade) and all sinks —
+    * planes included — follow the `batch_id <` dynamic-overwrite replay
+    * protocol: a replayed first epoch re-draws the SAME planes (the draw
+    * is a deterministic function of the batch) and rewrites its partition.
+    */
+  def startIngestVectors(
+      spark: SparkSession,
+      inputDir: String,
+      corpusDir: String,
+      censusDir: String,
+      planesDir: String,
+      checkpointDir: String,
+      maxHamming: Int = 2,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    spark.readStream
+      .schema(vecSchema)
+      .option("maxFilesPerTrigger", 16)
+      .json(inputDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (raw: DataFrame, batchId: Long) =>
+        val batch = raw
+          .withColumn("v", graft.functions.Vectors.toDoubleVec(col("embedding")))
+          .persist()
+        // An empty epoch (replayed/no files) must not reach the plane
+        // draw: writing zero drawn rows creates no partition and the
+        // read-back below would fail on a planeless directory.
+        if (batch.count() > 0) {
+        val storedPlanes =
+          if (hasCensus(spark, planesDir))
+            spark.read.parquet(planesDir)
+              .filter(col("batch_id") < batchId)
+              .select("j", "h")
+          else spark.emptyDataFrame
+            .select(lit(0).as("j"),
+              lit(null).cast("array<double>").as("h"))
+        val planes =
+          if (!storedPlanes.isEmpty) storedPlanes
+          else {
+            // First non-empty epoch: deterministic md5-order draw (e5's
+            // seed trick) from the batch itself, persisted for all later
+            // epochs; an at-least-once replay re-derives and rewrites the
+            // identical rows.
+            val wDraw = Window.orderBy(md5(col("vec_id").cast("string")),
+              col("vec_id"))
+            val drawn = batch
+              .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+              .limit(16)
+              .select((row_number().over(wDraw) - 1).as("j"), col("v").as("h"))
+            drawn
+              .withColumn("batch_id", lit(batchId))
+              .write.mode("overwrite")
+              .option("partitionOverwriteMode", "dynamic")
+              .partitionBy("batch_id")
+              .parquet(planesDir)
+            spark.read.parquet(planesDir)
+              .filter(col("batch_id") <= batchId).select("j", "h")
+          }
+        val sketches = batch
+          .crossJoin(broadcast(planes))
+          // functions-based dot (zip_with), not the registered codegen
+          // expression: foreachBatch plans run on a cloned session where
+          // a just-registered function may not resolve, and the hot side
+          // of this product is only 16 broadcast plane rows.
+          .select(col("vec_id"),
+            when(graft.functions.Vectors.dot(col("v"), col("h")) >= 0,
+              expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L))
+              .as("bit"))
+          .groupBy("vec_id")
+          .agg(sum(col("bit")).as("sketch"))
+          .persist()
+        sketches.count()
+        val bands = sketches
+          .select(col("vec_id"), col("sketch"),
+            explode(sequence(lit(0), lit(3))).as("k"))
+          .select(col("vec_id"), col("k"),
+            expr("shiftright(sketch, k * 4) & 15").as("val"), col("sketch"))
+        val rejected =
+          if (hasCensus(spark, censusDir)) {
+            val census = spark.read.parquet(censusDir)
+              .filter(col("batch_id") < batchId)
+              .select(col("k"), col("val"), col("sketch").as("stored_sketch"))
+            bands
+              .join(census, Seq("k", "val"))
+              .filter(expr(s"bit_count(sketch ^ stored_sketch) <= $maxHamming"))
+              .select("vec_id").distinct()
+          } else batch.select("vec_id").limit(0)
+        val admitted = batch.join(rejected, Seq("vec_id"), "left_anti")
+        admitted
+          .select(col("vec_id"), col("embedding"), col("label"))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(corpusDir)
+        bands
+          .join(admitted.select("vec_id"), Seq("vec_id"), "left_semi")
+          .select(col("k"), col("val"), col("sketch"),
+            lit(batchId).as("batch_id"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(censusDir)
+        sketches.unpersist()
+        }
+        batch.unpersist()
+        ()
+      }
+      .start()
 }

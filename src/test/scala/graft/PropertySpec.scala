@@ -140,4 +140,38 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("gaps-and-islands coverage identity (d10 / startIngestSpans): the " +
+    "running-max window formula equals the brute-force interval union on " +
+    "random duplicated-position sets") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val w = 15
+    val posSetGen = Gen.choose(1, 25).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(0, 60)).map(_.distinct.sorted))
+    (1L to 5L).foreach { seed =>
+      val docs = Gen.listOfN(8, posSetGen)
+        .apply(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+      assert(docs.nonEmpty)
+      val rows = docs.zipWithIndex.flatMap { case (ps, d) =>
+        ps.map(p => (d.toLong, p))
+      }
+      val prior = Window.partitionBy("doc_id").orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val got = rows.toDF("doc_id", "p")
+        .withColumn("prev_end",
+          coalesce(max(col("p") + (w - 1)).over(prior), lit(-1)))
+        .withColumn("contrib", greatest(lit(0),
+          col("p") + (w - 1) - greatest(col("p") - 1, col("prev_end"))))
+        .groupBy("doc_id")
+        .agg(sum(col("contrib").cast("long")).as("covered"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      docs.zipWithIndex.foreach { case (ps, d) =>
+        val want = ps.flatMap(p => p to (p + w - 1)).toSet.size.toLong
+        assert(got(d.toLong) == want,
+          s"seed $seed doc $d: window formula ${got(d.toLong)} != union $want " +
+            s"for positions $ps")
+      }
+    }
+  }
 }
