@@ -62,7 +62,7 @@ object Bench {
     "q13_sql_min_cost", "x20_zipf_slope", "x21_ngram_novelty",
     "e14_filtered_ann", "w11_cusum", "w12_seasonality", "x22_lang_confusion",
     "d15_band_tuning", "a22_count_min", "d16_tfidf_dedup", "e15_nprobe_sweep",
-    "e16_hybrid_rrf")
+    "e16_hybrid_rrf", "x23_bpe_train")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

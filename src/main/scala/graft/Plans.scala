@@ -111,7 +111,9 @@ object Plans {
     "a22_count_min" ->
       "Count-Min sketch: the counting pass aggregates into 4×64=256 cells regardless of corpus size (partials are 256 longs/executor); the heavy-hitter probe is a 256-row broadcast join against the bounded top-20.",
     "e16_hybrid_rrf" ->
-      "Hybrid RRF retrieval: both arms cut to top-20 via distributed TakeOrderedAndProject before their 20-row rank windows; the fusion is a full-outer join of two bounded lists — nothing after the scans grows with the corpus.")
+      "Hybrid RRF retrieval: both arms cut to top-20 via distributed TakeOrderedAndProject before their 20-row rank windows; the fusion is a full-outer join of two bounded lists — nothing after the scans grows with the corpus.",
+    "x23_bpe_train" ->
+      "BPE training: the corpus appears in exactly ONE map-side-combined word-census aggregate; all 4 merge rounds run on the vocab-bounded census, each round's argmax pair is a 1-row broadcast into a narrow codegen replace projection.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

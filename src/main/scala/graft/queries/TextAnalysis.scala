@@ -701,7 +701,102 @@ object TextAnalysis {
     }
   )
 
+  /** X23: BPE tokenizer TRAINING — x15 computed ONE round of merge-pair
+    * counts; this runs the actual training loop (Sennrich et al. 2016)
+    * for K = 4 merges, entirely on the vocab-bounded word census. Each
+    * round: (1) count adjacent symbol pairs weighted by word frequency,
+    * (2) pick the argmax pair with (freq DESC, c1, c2) tie-break, (3)
+    * apply the merge to every census entry. The symbol sequence is a
+    * chr(31)-framed string (`␟d␟a␟t␟a␟` — chr(31) appears nowhere in the
+    * corpus) and the merge is one literal `replace` of `␟c1␟c2␟` with
+    * `␟c1c2␟`: both engines share the same left-to-right non-overlapping
+    * scan, so the rule is BIT-IDENTICAL cross-engine. (On a RUN of the
+    * same pair this consumes the shared frame char — `a a a a` merges to
+    * `aa a a` in one round, where subword-nmt's zero-width-lookaround
+    * re.sub gives `aa aa`; RE2/DuckDB has no lookbehind, so the framed
+    * literal-replace variant is the portable, deterministic choice, and
+    * runs re-merge on later rounds anyway.)
+    *
+    * Scale: the corpus is touched ONCE (the word census — the only
+    * corpus-sized aggregate, map-side combinable); all K rounds run on
+    * the census (O(vocab × word-length) rows), the per-round argmax is a
+    * 1-row broadcast, and the merge is a narrow codegen projection. The
+    * oracle unrolls the identical K rounds as CTEs (the g1/PageRank
+    * pattern) with pure integer counts — no floats anywhere.
+    */
+  val x23BpeTrain: Q = {
+    val K = 4
+    Q(
+      "x23_bpe_train",
+      (s, dir) => {
+        val charSeq = "concat(chr(31), array_join(transform(" +
+          "sequence(1, length(word)), i -> substr(word, i, 1)), chr(31)), chr(31))"
+        var census = t(s, dir, "documents")
+          .select(explode(Text.tokens(col("text"))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("c"))
+          .select(col("c"), expr(charSeq).as("seq"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        census.count()
+        var rules = Vector.empty[org.apache.spark.sql.DataFrame]
+        for (r <- 1 to K) {
+          val pairs = census
+            .select(col("c"),
+              expr("filter(split(seq, chr(31)), x -> x <> '')").as("syms"))
+            // sequence(1, n-1) steps BACKWARD for n < 2 (the x15 trap)
+            .filter(size(col("syms")) >= 2)
+            .select(col("c"), explode(expr(
+              "transform(sequence(1, size(syms) - 1), " +
+                "i -> struct(syms[i - 1] AS c1, syms[i] AS c2))")).as("p"))
+            .groupBy(col("p.c1").as("c1"), col("p.c2").as("c2"))
+            .agg(sum(col("c")).as("freq"))
+          val best = pairs
+            .orderBy(col("freq").desc, col("c1"), col("c2")).limit(1)
+            .persist()
+          best.count() // 1 row: scanned by the rule output AND the merge
+          rules = rules :+ best
+            .select(lit(r).as("round"), col("c1"), col("c2"), col("freq"))
+          val merged = census.crossJoin(broadcast(best))
+            .select(col("c"), expr(
+              "replace(seq, concat(chr(31), c1, chr(31), c2, chr(31)), " +
+                "concat(chr(31), c1, c2, chr(31)))").as("seq"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          merged.count()
+          census.unpersist()
+          census = merged
+        }
+        census.unpersist()
+        rules.reduce(_ unionByName _).orderBy("round")
+      },
+      Some {
+        val rounds = (1 to K).map { r =>
+          s""",
+      p$r AS (SELECT c1, c2, CAST(sum(c) AS BIGINT) AS freq FROM (
+         SELECT syms[i] AS c1, syms[i + 1] AS c2, c FROM (
+           SELECT c, unnest(range(1, len(syms))) AS i, syms FROM (
+             SELECT c, list_filter(string_split(seq, chr(31)), x -> x <> '') AS syms
+             FROM s${r - 1}) WHERE len(syms) >= 2))
+       GROUP BY c1, c2),
+      b$r AS (SELECT c1, c2, freq FROM p$r ORDER BY freq DESC, c1, c2 LIMIT 1),
+      s$r AS (SELECT c, replace(seq, chr(31) || b.c1 || chr(31) || b.c2 || chr(31),
+                        chr(31) || b.c1 || b.c2 || chr(31)) AS seq
+              FROM s${r - 1} CROSS JOIN b$r b)"""
+        }.mkString
+        val union = (1 to K)
+          .map(r => s"SELECT $r AS round, c1, c2, freq FROM b$r")
+          .mkString(" UNION ALL ")
+        s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      wc AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+      s0 AS (SELECT c, chr(31) || array_to_string(list_transform(
+               range(1, length(word) + 1),
+               i -> substr(word, CAST(i AS INTEGER), 1)), chr(31)) || chr(31) AS seq
+             FROM wc)$rounds
+      SELECT round, c1, c2, freq FROM ($union) ORDER BY round"""
+      }
+    )
+  }
+
   val all: Seq[Q] = Seq(x1TokenStats, x2LangId, x3Quality, x4Fingerprint, x5TokenFreq,
     x13Bm25, x15BpePairs, x16PiiScrub, x17VocabGrowth, x18Readability,
-    x19UnigramEntropy, x20ZipfSlope, x21NgramNovelty, x22LangConfusion)
+    x19UnigramEntropy, x20ZipfSlope, x21NgramNovelty, x22LangConfusion,
+    x23BpeTrain)
 }
