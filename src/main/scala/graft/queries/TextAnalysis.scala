@@ -729,6 +729,7 @@ object TextAnalysis {
     Q(
       "x23_bpe_train",
       (s, dir) => {
+        import s.implicits._
         val charSeq = "concat(chr(31), array_join(transform(" +
           "sequence(1, length(word)), i -> substr(word, i, 1)), chr(31)), chr(31))"
         var census = t(s, dir, "documents")
@@ -737,7 +738,11 @@ object TextAnalysis {
           .select(col("c"), expr(charSeq).as("seq"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         census.count()
-        var rules = Vector.empty[org.apache.spark.sql.DataFrame]
+        // Each round's argmax is ONE row — collected to the driver
+        // (bounded by construction, the e10 pattern) so every cached
+        // frame can be released eagerly and the K-rule result is a local
+        // table, not a K-way union whose lineage spans all rounds.
+        var rules = Vector.empty[(Int, String, String, Long)]
         for (r <- 1 to K) {
           val pairs = census
             .select(col("c"),
@@ -751,21 +756,22 @@ object TextAnalysis {
             .agg(sum(col("c")).as("freq"))
           val best = pairs
             .orderBy(col("freq").desc, col("c1"), col("c2")).limit(1)
-            .persist()
-          best.count() // 1 row: scanned by the rule output AND the merge
-          rules = rules :+ best
-            .select(lit(r).as("round"), col("c1"), col("c2"), col("freq"))
-          val merged = census.crossJoin(broadcast(best))
-            .select(col("c"), expr(
-              "replace(seq, concat(chr(31), c1, chr(31), c2, chr(31)), " +
-                "concat(chr(31), c1, c2, chr(31)))").as("seq"))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-          merged.count()
-          census.unpersist()
-          census = merged
+            .head()
+          rules = rules :+
+            ((r, best.getString(0), best.getString(1), best.getLong(2)))
+          if (r < K) { // the final round's merge has no reader — skip it
+            val merged = census.crossJoin(broadcast(
+              Seq((best.getString(0), best.getString(1))).toDF("c1", "c2")))
+              .select(col("c"), expr(
+                "replace(seq, concat(chr(31), c1, chr(31), c2, chr(31)), " +
+                  "concat(chr(31), c1, c2, chr(31)))").as("seq"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            merged.count()
+            census.unpersist()
+            census = merged
+          } else census.unpersist()
         }
-        census.unpersist()
-        rules.reduce(_ unionByName _).orderBy("round")
+        rules.toDF("round", "c1", "c2", "freq").orderBy("round")
       },
       Some {
         val rounds = (1 to K).map { r =>

@@ -359,10 +359,12 @@ object CorpusIngest {
 
   /** Start the EMBEDDING-SPACE admission stream — the semantic-dedup
     * (SemDeDup-style) twin of [[startIngestNearDup]]: candidates arriving
-    * as vectors are sign-sketched against a FIXED set of 16 hyperplanes
-    * (e5's random-hyperplane LSH, drawn once by deterministic md5 order
-    * from the first non-empty epoch and stored, so every epoch sketches in
-    * the same basis), band-probed against the stored sketch census, and
+    * as vectors are sign-sketched against a FIXED set of 16 ±1
+    * hyperplanes (Rademacher planes generated by md5-bit parity from the
+    * plane/component indices alone — a deterministic function of the
+    * embedding DIMENSION, so the basis never depends on which vectors
+    * happen to arrive first and a 2-vector first epoch cannot fix a
+    * degenerate basis), band-probed against the stored sketch census, and
     * rejected when any stored sketch lies within `maxHamming` bits — the
     * sketch-level cosine gate production ingest runs when exact similarity
     * would require rescanning admitted payloads.
@@ -372,11 +374,20 @@ object CorpusIngest {
     * the (k, val) band equi-join (the e5 bound: only band-colliding pairs
     * are ever compared) and verification is an exact popcount on the two
     * 16-bit sketches, so no stage is quadratic and admitted embeddings are
-    * never re-read. Same-epoch near-dups are admitted together (the
-    * [[startIngestNearDup]] batch-granularity trade) and all sinks —
-    * planes included — follow the `batch_id <` dynamic-overwrite replay
-    * protocol: a replayed first epoch re-draws the SAME planes (the draw
-    * is a deterministic function of the batch) and rewrites its partition.
+    * never re-read. Within a batch, duplicate vec_ids are collapsed to one
+    * deterministic row BEFORE sketching (the startIngest row_number
+    * pattern — summing plane bits over duplicate rows would carry into
+    * higher bits and corrupt the sketch); across batches, same-epoch
+    * near-dups are admitted together (the [[startIngestNearDup]]
+    * batch-granularity trade). All sinks — planes included — follow the
+    * `batch_id <` dynamic-overwrite replay protocol: a replayed first
+    * epoch re-derives the SAME planes (they depend only on the dimension)
+    * and rewrites its partition.
+    *
+    * `maxHamming` must be ≤ 3: with 4 bands of 4 bits, the pigeonhole
+    * guarantee that two sketches within Hamming distance h share at least
+    * one exact band holds only for h ≤ 3 — at h ≥ 4 the band prefilter
+    * could miss a pair the popcount verdict would reject.
     */
   def startIngestVectors(
       spark: SparkSession,
@@ -386,7 +397,10 @@ object CorpusIngest {
       planesDir: String,
       checkpointDir: String,
       maxHamming: Int = 2,
-      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"maxHamming must be in [0, 3] (4x4 banding guarantees a shared " +
+        s"band only up to Hamming 3), got $maxHamming")
     spark.readStream
       .schema(vecSchema)
       .option("maxFilesPerTrigger", 16)
@@ -396,11 +410,19 @@ object CorpusIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (raw: DataFrame, batchId: Long) =>
+        // Deterministic within-batch dedup on vec_id: duplicate rows
+        // would SUM their plane bits (bit 0 twice = bit 1), corrupting
+        // the stored sketch for every future probe.
+        val wDedup = Window.partitionBy("vec_id")
+          .orderBy(col("embedding"), col("label"))
         val batch = raw
+          .withColumn("rn", row_number().over(wDedup))
+          .filter(col("rn") === 1)
+          .drop("rn")
           .withColumn("v", graft.functions.Vectors.toDoubleVec(col("embedding")))
           .persist()
         // An empty epoch (replayed/no files) must not reach the plane
-        // draw: writing zero drawn rows creates no partition and the
+        // derivation: writing zero rows creates no partition and the
         // read-back below would fail on a planeless directory.
         if (batch.count() > 0) {
         val storedPlanes =
@@ -414,16 +436,18 @@ object CorpusIngest {
         val planes =
           if (!storedPlanes.isEmpty) storedPlanes
           else {
-            // First non-empty epoch: deterministic md5-order draw (e5's
-            // seed trick) from the batch itself, persisted for all later
-            // epochs; an at-least-once replay re-derives and rewrites the
-            // identical rows.
-            val wDraw = Window.orderBy(md5(col("vec_id").cast("string")),
-              col("vec_id"))
-            val drawn = batch
-              .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-              .limit(16)
-              .select((row_number().over(wDraw) - 1).as("j"), col("v").as("h"))
+            // First non-empty epoch: 16 Rademacher (±1) planes from md5
+            // bit parity of (plane j, component i) — a pure function of
+            // the embedding dimension, so a tiny first epoch cannot fix a
+            // degenerate basis and an at-least-once replay re-derives and
+            // rewrites the identical rows.
+            val dim = batch.agg(max(size(col("v")))).head().getInt(0)
+            val drawn = spark.range(16)
+              .select(col("id").cast("int").as("j"))
+              .select(col("j"), expr(
+                s"""transform(sequence(1, $dim), i ->
+                   CASE WHEN conv(substr(md5(concat(j, '|', i)), 1, 1), 16, 10) % 2 = 0
+                        THEN 1.0D ELSE -1.0D END)""").as("h"))
             drawn
               .withColumn("batch_id", lit(batchId))
               .write.mode("overwrite")
@@ -484,4 +508,5 @@ object CorpusIngest {
         ()
       }
       .start()
+  }
 }

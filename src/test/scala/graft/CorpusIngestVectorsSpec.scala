@@ -62,4 +62,38 @@ class CorpusIngestVectorsSpec extends SparkSpec {
     assert(r2 == r1, s"replay changed the corpus: $r2")
     seed.unpersist()
   }
+
+  test("duplicate vec_ids within one epoch collapse to one row and do not " +
+    "corrupt the stored sketch (review regression: summed plane bits)") {
+    val root = Files.createTempDirectory("vecingestdup").toString
+    val in = s"$root/in"; val corpus = s"$root/corpus"
+    val census = s"$root/census"; val planes = s"$root/planes"
+    val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(in))
+    val sf = "/root/testdata/sf0.001"
+
+    // epoch 0: vector 1 arrives TWICE (two manifests in one 16-file
+    // trigger) plus vector 2 — the duplicate must collapse pre-sketch
+    val base = Tables.table(spark, sf, "embeddings")
+      .filter(col("vec_id").isin(1L, 2L))
+      .select("vec_id", "embedding", "label")
+    base.coalesce(1).write.mode("overwrite").json(in)
+    base.filter(col("vec_id") === 1).coalesce(1).write.mode("append").json(in)
+    CorpusIngest.startIngestVectors(spark, in, corpus, census, planes, ckpt)
+      .awaitTermination(180000)
+    val rows = spark.read.parquet(corpus).groupBy("vec_id").count()
+      .as[(Long, Long)].collect().toMap
+    assert(rows == Map(1L -> 1L, 2L -> 1L), s"epoch 0 rows $rows")
+    assert(spark.read.parquet(census).count() == 2 * 4)
+
+    // epoch 1: an exact copy of vector 1 must be rejected — only possible
+    // if the stored sketch was the true one, not a doubled bit-sum
+    base.filter(col("vec_id") === 1)
+      .select(lit(50L).as("vec_id"), col("embedding"), col("label"))
+      .coalesce(1).write.mode("append").json(in)
+    CorpusIngest.startIngestVectors(spark, in, corpus, census, planes, ckpt)
+      .awaitTermination(180000)
+    val ids = spark.read.parquet(corpus).select("vec_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L), s"epoch 1 admitted $ids")
+  }
 }

@@ -141,9 +141,12 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  // Positions are DISTINCT per doc by construction in both producers (the
+  // dup census emits each (doc, p) at most once), so the generator's
+  // .distinct mirrors the production invariant rather than weakening it.
   test("gaps-and-islands coverage identity (d10 / startIngestSpans): the " +
     "running-max window formula equals the brute-force interval union on " +
-    "random duplicated-position sets") {
+    "random distinct-position sets") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
     val w = 15
