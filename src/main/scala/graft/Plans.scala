@@ -113,7 +113,23 @@ object Plans {
     "e16_hybrid_rrf" ->
       "Hybrid RRF retrieval: both arms cut to top-20 via distributed TakeOrderedAndProject before their 20-row rank windows; the fusion is a full-outer join of two bounded lists — nothing after the scans grows with the corpus.",
     "x23_bpe_train" ->
-      "BPE training: the corpus appears in exactly ONE map-side-combined word-census aggregate; all 4 merge rounds run on the vocab-bounded census, each round's argmax pair is a 1-row broadcast into a narrow codegen replace projection.")
+      "BPE training: the corpus appears in exactly ONE map-side-combined word-census aggregate; all 4 merge rounds run on the vocab-bounded census, each round's argmax pair is a 1-row broadcast into a narrow codegen replace projection.",
+    "g5_bfs_hops" ->
+      "Frontier BFS: each round is one semi-join of the adjacency against the new-nodes-only frontier plus one anti-join against visited — O(E) total edge touches across all rounds; state persists/truncates per round so the final hop census reads a single ExistingRDD leaf, and the loop exits on the first empty frontier.",
+    "a23_transitions" ->
+      "Markov transitions: ONE lead window hash-partitioned on user_id, then a map-side-combined census on the ≤|types|² matrix cells; the row-total window orders only those bounded rows — the event stream shuffles once.",
+    "p15_zorder_layout" ->
+      "Z-order layout manifest: the bit-interleaved z-value is inline codegen arithmetic in the scan projection (scan pruned to the two dims); the per-(layout, file) min/max manifest is a two-level HashAggregate on ≤512 cells — the OPTIMIZE ZORDER cost model without a sort.",
+    "j11_bloom_semi_join" ->
+      "Bloom-filtered semi-join: the 8 KB bitmap rides into the probe scan's codegen Filter (shiftright/element_at on a literal array), killing non-matching fact rows before the join shuffle; the trailing exact equi-join re-checks false positives, so selectivity is a pure optimization.",
+    "x24_boilerplate" ->
+      "Boilerplate scoring: one cached shingle table feeds both the DF census and the join-back (no document rescan); the 10·df>n threshold joins a 1-row broadcast count; output aggregates map-side per doc_id.",
+    "h3_scd2_dim_join" ->
+      "SCD2 dimension join: the per-fact interval lookup is the as-of union + running-last window on ONE user-keyed shuffle — never a range join's partial cross product; linear in facts + versions.",
+    "g6_link_predict" ->
+      "Link prediction: wedges from one self equi-join of the adjacency on the center node (u<v halves the pairs), map-side-combined CN census, anti-join drops existing edges, TakeOrdered cuts to 25.",
+    "x25_kneser_ney" ->
+      "Kneser-Ney scoring: continuation censuses (distinct successors/predecessors) aggregate the cached bigram-TYPE table, not the occurrence stream; the only corpus-sized shuffle is the (w1,w2) join-back; the 1-row type total broadcasts.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

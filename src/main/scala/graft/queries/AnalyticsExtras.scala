@@ -538,6 +538,46 @@ object AnalyticsExtras {
       ORDER BY user_id""")
   )
 
+  /** H3: SCD2 dimension join — attach to every purchase fact the dimension
+    * VERSION that was valid at the fact's own timestamp (the canonical
+    * consumption of h1's history, and the query every warehouse kimball
+    * layer runs: "which customer state did this order see"). h2 snapshots
+    * one instant; h3 resolves a per-row instant for every fact.
+    *
+    * Scale: NOT a range join — the interval predicate would plan a
+    * partial-cross product. `AsOf.joinAsOf` unions facts with version
+    * starts and takes a running `last` over ONE user-keyed window: one
+    * shuffle on the key, linear in facts + versions at any scale (the j9
+    * contract). Interval semantics coincide with as-of because versions
+    * partition time: the latest `valid_from <= ts` IS the containing
+    * interval, and a version whose microsecond interval is empty loses
+    * the equal-ts tiebreak to its successor on both engines (the oracle
+    * compares at integer microseconds for exactly that reason).
+    */
+  val h3Scd2DimJoin: Q = Q(
+    "h3_scd2_dim_join",
+    (s, dir) => {
+      val hist = h1History(s, dir)
+        .select(col("user_id"), col("valid_from"), col("version"), col("state"))
+      val fact = t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      graft.operators.AsOf
+        .joinAsOf(fact, hist, "user_id", "ts", "valid_from", Seq("version", "state"))
+        .select(col("event_id"), col("user_id"),
+          col("asof_version").as("version"), col("asof_state").as("state"))
+        .orderBy("event_id")
+    },
+    Some(s"""SELECT f.event_id, f.user_id, h.version, h.state
+      FROM events f
+      JOIN ($sqlH1History) h
+        ON h.user_id = f.user_id
+       AND epoch_us(h.valid_from) <= epoch_us(f.ts)
+       AND (h.valid_to IS NULL OR epoch_us(f.ts) < epoch_us(h.valid_to))
+      WHERE f.event_type = 'purchase'
+      ORDER BY f.event_id""")
+  )
+
   /** W8: longest activity streak per user — gaps-and-islands over active
     * DAYS (the engagement metric every analytics stack ships): distinct
     * active days, `day − row_number` collapses each consecutive run to a
@@ -918,11 +958,56 @@ object AnalyticsExtras {
       FROM g ORDER BY dow""")
   )
 
+  /** A23: first-order Markov transition matrix over each user's event
+    * sequence — the behavioral-model primitive next to a16's funnel and
+    * a18's sessions: P(next event type | current event type), estimated
+    * from every consecutive pair in per-user event order. Training-data
+    * pipelines run this to build session simulators and to spot
+    * degenerate scrape loops (a self-transition probability near 1 for
+    * one type is a bot signature).
+    *
+    * Determinism: sequences order by the unique `event_id` (the corpus
+    * assigns ids in arrival order), so no timestamp tie can reorder a
+    * pair across engines; counts are integers and the probability is an
+    * integer-permille floor division.
+    *
+    * Scale: one `lead` window per user (hash-partitioned on user_id — no
+    * global window), a map-side-combinable count on the ≤|types|² matrix
+    * cells, and a row-total window over those bounded rows. Only (type,
+    * type, count) triples shuffle after the scan.
+    */
+  val a23Transitions: Q = Q(
+    "a23_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("next_type", lead(col("event_type"), 1).over(w))
+        .filter(col("next_type").isNotNull)
+        .groupBy(col("event_type").as("prev_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("row_total",
+          sum(col("n")).over(Window.partitionBy("prev_type")))
+        .select(col("prev_type"), col("next_type"), col("n"),
+          expr("(1000 * n) div row_total").as("p_pm"))
+        .orderBy("prev_type", "next_type")
+    },
+    Some("""WITH seq AS (
+        SELECT event_type AS prev_type,
+               lead(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS next_type
+        FROM events),
+      m AS (SELECT prev_type, next_type, count(*) AS n FROM seq
+            WHERE next_type IS NOT NULL GROUP BY prev_type, next_type)
+      SELECT prev_type, next_type, CAST(n AS BIGINT) AS n,
+             (1000 * CAST(n AS BIGINT)) // CAST(sum(n) OVER (PARTITION BY prev_type) AS BIGINT) AS p_pm
+      FROM m ORDER BY prev_type, next_type""")
+  )
+
   val all: Seq[Q] = Seq(
     w5RankAnalytics, w6FirstLast, w7RangeFrame, a12StatsMoments,
     a13Conditional, a14MedianDistinct, a15GroupingSets, a16Funnel,
     a17Retention, a18Sessionize, p9Pivot, p10Unpivot, p11HashSample,
     q05RevenueByNation, q06ForecastRevenue, h1Scd2History, h2PointInTime,
     w8Streak, a20Anomaly, w9Ewma, w10Drawdown, a21Histogram, w11Cusum,
-    w12Seasonality)
+    w12Seasonality, a23Transitions, h3Scd2DimJoin)
 }

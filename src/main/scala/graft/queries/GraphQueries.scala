@@ -401,5 +401,129 @@ object GraphQueries {
     Some(lpOracle(LpRounds))
   )
 
-  val all: Seq[Q] = Seq(g1PageRank, g2TriangleCount, g3KCore, g4LabelProp)
+  private val BfsRounds = 6
+
+  /** G5: single-source BFS hop distance from the graph's hub (highest
+    * co-purchase degree, smallest-id tie-break) over g2's part graph —
+    * the reachability primitive next to d5's connected components:
+    * "how many co-purchase hops from the catalog's most-connected part
+    * is every other part?" feeds the same neighborhood-quality signals
+    * (a part many hops from every hub sits in a thin, disconnected
+    * corner of the catalog).
+    *
+    * Scale: classic frontier expansion — each round is ONE semi-join of
+    * the adjacency against the (strictly new) frontier plus one
+    * anti-join against the visited set, both keyed equi-joins shuffling
+    * only (id, hop) pairs; the frontier is new nodes only, so total work
+    * across all rounds is O(E) edge touches, not O(E·rounds). Rounds
+    * persist/truncate/unpersist exactly like `labelPropagate`, and the
+    * loop exits the moment a frontier comes back empty (the oracle's
+    * bounded recursion computes the same result — a node's min hop is
+    * its BFS distance, and distances beyond the bound appear in
+    * neither engine).
+    */
+  val g5BfsHops: Q = Q(
+    "g5_bfs_hops",
+    (s, dir) => {
+      val (edges, deg) = coEdgesDeg(s, dir)
+      val adj = edges.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      adj.count() // eager: scanned by every round's expansion join
+      val seed = deg.orderBy(desc("d"), col("id")).limit(1)
+        .select(col("id"), lit(0L).as("hop"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      seed.count()
+      var persisted: Seq[DataFrame] = Seq(seed)
+      var visited = Lineage.truncate(seed)
+      var frontier = visited
+      var round = 0
+      var fSize = 1L
+      while (round < BfsRounds && fSize > 0) {
+        if (Thread.currentThread().isInterrupted)
+          throw new InterruptedException("bfs cancelled")
+        round += 1
+        val next = adj
+          .join(frontier.select(col("id").as("a")), Seq("a"), "left_semi")
+          .select(col("b").as("id")).distinct()
+          .join(visited.select("id"), Seq("id"), "left_anti")
+          .select(col("id"), lit(round.toLong).as("hop"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        fSize = next.count()
+        val nv = visited.unionAll(next).persist(StorageLevel.MEMORY_AND_DISK)
+        nv.count()
+        persisted.foreach(_.unpersist())
+        persisted = Seq(next, nv)
+        frontier = Lineage.truncate(next)
+        visited = Lineage.truncate(nv)
+      }
+      val out = visited
+        .select(col("id").as("part_id"), col("hop"))
+        .orderBy("hop", "part_id")
+      adj.unpersist()
+      out
+    },
+    Some(s"""WITH RECURSIVE
+      co AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      edges AS (SELECT x.pk AS u, y.pk AS v FROM co x JOIN co y
+                ON x.ok = y.ok AND x.pk < y.pk GROUP BY 1, 2 HAVING count(*) >= 2),
+      adj AS (SELECT u AS a, v AS b FROM edges
+              UNION ALL SELECT v AS a, u AS b FROM edges),
+      deg AS (SELECT a AS id, count(*) AS d FROM adj GROUP BY a),
+      seed AS (SELECT id FROM deg ORDER BY d DESC, id LIMIT 1),
+      bfs(id, hop) AS (
+        SELECT id, 0 FROM seed
+        UNION
+        SELECT e.b, bfs.hop + 1 FROM bfs JOIN adj e ON e.a = bfs.id
+        WHERE bfs.hop < $BfsRounds)
+      SELECT id AS part_id, CAST(min(hop) AS BIGINT) AS hop
+      FROM bfs GROUP BY id ORDER BY hop, part_id""")
+  )
+
+  /** G6: link prediction by common-neighbor counting — rank the top-25
+    * NON-adjacent part pairs by how many co-purchase neighbors they share
+    * (Liben-Nowell & Kleinberg 2003's strongest unsupervised baseline).
+    * Recommender pipelines run this on the same graph g1–g5 analyze:
+    * a high-CN non-edge is the "customers who bought X also bought Y"
+    * candidate before any model training.
+    *
+    * Scale: wedges come from ONE self equi-join of the adjacency on the
+    * center node (u < v cuts each unordered pair to one row), the CN
+    * census is map-side combinable, existing edges leave via an anti-join
+    * on the canonical (u, v), and the top-25 is TakeOrdered with a total
+    * (cn desc, u, v) tie-break. Exact CN counting is inherently
+    * Σ C(deg, 2) wedge rows — bounded here by construction (order fanout
+    * ≤ 7 lines and the w ≥ 2 threshold kill hub degrees); on an open-
+    * degree graph the same plan takes a per-center neighbor cap or the
+    * minhash-CN approximation, both documented trade-offs, and AQE's
+    * skew split handles residual hot centers.
+    */
+  val g6LinkPredict: Q = Q(
+    "g6_link_predict",
+    (s, dir) => {
+      val (edges, _) = coEdgesDeg(s, dir)
+      val adj = edges.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
+      val wedges = adj.select(col("a"), col("b").as("u"))
+        .join(adj.select(col("a"), col("b").as("v")), Seq("a"))
+        .filter(col("u") < col("v"))
+      wedges.groupBy("u", "v").agg(count(lit(1)).as("cn"))
+        .join(edges, Seq("u", "v"), "left_anti")
+        .orderBy(desc("cn"), col("u"), col("v"))
+        .limit(25)
+    },
+    Some(s"""WITH $sqlCoEdges,
+      adj AS (SELECT u AS a, v AS b FROM edges
+              UNION ALL SELECT v AS a, u AS b FROM edges),
+      cn AS (SELECT x.b AS u, y.b AS v, CAST(count(*) AS BIGINT) AS cn
+             FROM adj x JOIN adj y ON x.a = y.a AND x.b < y.b
+             GROUP BY x.b, y.b)
+      SELECT c.u, c.v, c.cn FROM cn c
+      LEFT JOIN edges e ON e.u = c.u AND e.v = c.v
+      WHERE e.u IS NULL
+      ORDER BY c.cn DESC, c.u, c.v LIMIT 25""")
+  )
+
+  val all: Seq[Q] =
+    Seq(g1PageRank, g2TriangleCount, g3KCore, g4LabelProp, g5BfsHops, g6LinkPredict)
 }

@@ -365,7 +365,55 @@ object Joins {
       ORDER BY entity_id""")
   )
 
+  /** J11: bloom-filtered semi-join reduction — the explicit form of the
+    * runtime-filter technique that makes selective fact⋈dim joins viable
+    * at 100 TB (Spark's InjectRuntimeFilter, Delta's dynamic file
+    * pruning): the build side's keys are folded into an m=2¹⁶-bit, k=3
+    * bloom bitmap that ships to the probe scan as an 8 KB literal, so
+    * non-matching fact rows die INSIDE the codegen'd scan projection —
+    * before the join shuffle ever sees them. The trailing exact equi-join
+    * keeps the result exact (bloom false positives are re-checked), which
+    * is why a plain relational oracle can verify it.
+    *
+    * Bounded by construction: the driver collects DISTINCT bit positions,
+    * ≤ m = 65,536 rows regardless of build cardinality (the e10 bounded-
+    * collect contract). As the build side approaches m keys the FP rate
+    * degrades gracefully toward pass-through — never wrong, just less
+    * selective — and the bitmap stays 8 KB.
+    */
+  val j11BloomSemi: Q = Q(
+    "j11_bloom_semi_join",
+    (s, dir) => {
+      val m = 65536
+      val build = t(s, dir, "part").filter(col("p_size") === 1).select("p_partkey")
+      val posCols = (0 until 3).map(i =>
+        pmod(xxhash64(lit(i), col("p_partkey")), lit(m.toLong)))
+      val positions = build
+        .select(explode(array(posCols: _*)).as("pos")).distinct()
+        .collect().map(_.getLong(0)) // bounded: ≤ m distinct bit positions
+      val bitmap = new Array[Long](m / 64)
+      positions.foreach(p => bitmap(p.toInt / 64) |= (1L << (p.toInt % 64)))
+      def hitSql(i: Int) = {
+        val pos = s"pmod(xxhash64($i, l_partkey), $m)"
+        s"(shiftright(element_at(bm, CAST($pos div 64 AS INT) + 1), CAST($pos % 64 AS INT)) & 1) = 1"
+      }
+      val probe = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
+        .withColumn("bm", typedLit(bitmap.toSeq))
+        .filter(expr((0 until 3).map(hitSql).mkString(" AND ")))
+        .drop("bm")
+      probe.join(build, col("l_partkey") === col("p_partkey"))
+        .groupBy("p_partkey")
+        .agg(qsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))
+        .orderBy("p_partkey")
+    },
+    Some(s"""SELECT p_partkey,
+        ${Q.sqlQsum("l_extendedprice * (1 - l_discount)", 4)} AS revenue
+      FROM lineitem JOIN part ON p_partkey = l_partkey AND p_size = 1
+      GROUP BY p_partkey ORDER BY p_partkey""")
+  )
+
   val all: Seq[Q] = Seq(
     j1Semi, j2Anti, j3Inner, j4FullOuter, j5Left, j6Right, j7ThetaRange,
-    j8Cross, j9AsOf, j10SaltedSkew, r1EntityMatch, r2GoldenRecord)
+    j8Cross, j9AsOf, j10SaltedSkew, r1EntityMatch, r2GoldenRecord, j11BloomSemi)
 }

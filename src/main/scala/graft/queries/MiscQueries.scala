@@ -643,8 +643,77 @@ object MiscQueries {
       ORDER BY w.event_type""")
   )
 
+  /** P15: Z-order data layout manifest — the multi-dimensional file-
+    * skipping technique (bit-interleaved sort keys, as in Delta's
+    * OPTIMIZE ZORDER) evaluated against the naive single-key layout on
+    * the same table. Rows are tiled by the interleaving of two bucketed
+    * dimensions (256 z-buckets = aligned 16×16 tiles of the dim plane);
+    * the manifest reports each target file's min/max on BOTH dims — the
+    * row-group stats a scan would prune on — plus whether a fixed 2-D
+    * box probe (px∈[32,47] ∧ sy∈[64,79]) must read that file. Under
+    * z-order the box touches the few tiles it overlaps; under the
+    * single-key sort every probe on the second dim reads every matching
+    * first-dim file in full.
+    *
+    * Scale: the z-value is pure codegen bit arithmetic in the scan
+    * projection; the manifest is ONE map-side-combinable aggregate on
+    * ≤512 (layout, bucket) cells. In production the same `z div W`
+    * expression drives `repartitionByRange(z)` at write time, so this
+    * query IS the layout's cost model: min/max spans shrink on both
+    * dims, and the probe-hit column is the file-skip decision.
+    */
+  val p15ZorderLayout: Q = Q(
+    "p15_zorder_layout",
+    (s, dir) => {
+      val zExpr = (0 until 8).map { i =>
+        shiftleft(col("px").bitwiseAND(lit(1L << i)), i) +
+          shiftleft(col("sy").bitwiseAND(lit(1L << i)), i + 1)
+      }.reduce(_ + _)
+      val base = t(s, dir, "lineitem")
+        .select((col("l_partkey") % 256).as("px"), (col("l_suppkey") % 256).as("sy"))
+        .withColumn("z", zExpr)
+      def manifest(tagged: org.apache.spark.sql.DataFrame) = tagged
+        .groupBy("layout", "bucket_id")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("px")).as("min_px"), max(col("px")).as("max_px"),
+          min(col("sy")).as("min_sy"), max(col("sy")).as("max_sy"))
+      val z = manifest(base.select(lit("zorder").as("layout"),
+        expr("z div 256").as("bucket_id"), col("px"), col("sy")))
+      val naive = manifest(base.select(lit("rowkey").as("layout"),
+        col("px").as("bucket_id"), col("px"), col("sy")))
+      z.unionByName(naive)
+        .withColumn("probe_hit",
+          when(col("max_px") >= 32 && col("min_px") <= 47 &&
+            col("max_sy") >= 64 && col("min_sy") <= 79, 1L).otherwise(0L))
+        .orderBy("layout", "bucket_id")
+    },
+    Some {
+      val sqlZ = (0 until 8).map { i =>
+        s"(((l_partkey % 256) & ${1L << i}) << $i) + (((l_suppkey % 256) & ${1L << i}) << ${i + 1})"
+      }.mkString(" + ")
+      s"""WITH base AS (
+          SELECT l_partkey % 256 AS px, l_suppkey % 256 AS sy, ($sqlZ) AS z
+          FROM lineitem),
+        m AS (
+          SELECT 'zorder' AS layout, z // 256 AS bucket_id,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 min(px) AS min_px, max(px) AS max_px,
+                 min(sy) AS min_sy, max(sy) AS max_sy
+          FROM base GROUP BY 1, 2
+          UNION ALL
+          SELECT 'rowkey', px, CAST(count(*) AS BIGINT),
+                 min(px), max(px), min(sy), max(sy)
+          FROM base GROUP BY 1, 2)
+        SELECT layout, bucket_id, n_rows, min_px, max_px, min_sy, max_sy,
+               CAST(CASE WHEN max_px >= 32 AND min_px <= 47
+                          AND max_sy >= 64 AND min_sy <= 79
+                         THEN 1 ELSE 0 END AS BIGINT) AS probe_hit
+        FROM m ORDER BY layout, bucket_id"""
+    }
+  )
+
   val all: Seq[Q] = Seq(
     a2Counts, a11Percentiles, f8Timezone, u2InsertAbsent, v2SchemaDiff, v4ColumnProfile,
     v5SourceOverlap, o4FileListing, m1BinaryMeta, v6ShardSkew, v7DataCard,
-    v8PipelineYield, v9Expectations, v10PsiDrift, v11Freshness)
+    v8PipelineYield, v9Expectations, v10PsiDrift, v11Freshness, p15ZorderLayout)
 }

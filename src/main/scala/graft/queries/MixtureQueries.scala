@@ -613,8 +613,93 @@ object MixtureQueries {
       FROM documents GROUP BY source ORDER BY source""")
   )
 
+  /** X25: Kneser–Ney bigram scoring — the LM-proxy rung above x11's MLE
+    * interpolation, and the smoothing real corpus filters (CCNet-style
+    * KenLM gates) actually use: absolute discounting with CONTINUATION
+    * counts, P(w₂|w₁) = max(c₁₂−d,0)/c₁ + d·N₁₊(w₁·)/c₁ · N₁₊(·w₂)/N₁₊(··)
+    * at d = 3/4. The continuation statistic N₁₊(·w₂) ("how many distinct
+    * contexts precede w₂") is what separates KN from x11: a word frequent
+    * only inside one collocation ("Francisco") stops inheriting its raw
+    * unigram mass.
+    *
+    * Exactness: d = 3/4 makes every term a ratio of exact BIGINT censuses
+    * — max(4·c₁₂−3, 0) over 4·c₁ — and the double arithmetic is written
+    * with IDENTICAL operation order in both engines before the one
+    * quantized log2 (the x10 2⁻²⁰ trick), so partial-sum order cannot
+    * perturb the per-doc mean.
+    *
+    * Scale: x11's plan plus two more vocab-bounded censuses (distinct
+    * successors / predecessors — map-side-combinable distinct aggs on the
+    * bigram-type table, NOT the occurrence stream); the only corpus-sized
+    * shuffle remains the (w₁, w₂) join-back. No forced broadcast on any
+    * vocab-sized table.
+    */
+  val x25KneserNey: Q = Q(
+    "x25_kneser_ney",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+      val w = Window.partitionBy("doc_id").orderBy("pos")
+      val bigrams = toks
+        .select(col("doc_id"), col("tok").as("w1"),
+          lead(col("tok"), 1).over(w).as("w2"))
+        .filter(col("w2").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bigrams.count() // eager: type census + join-back both scan it
+      val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      bi.count() // eager: successor/predecessor censuses + totals + join-back
+      val uni = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
+      val fwd = bi.groupBy("w1").agg(count(lit(1)).as("f1"))   // N₁₊(w₁·)
+      val back = bi.groupBy("w2").agg(count(lit(1)).as("b2"))  // N₁₊(·w₂)
+      val nbt = bi.agg(count(lit(1)).as("n_types"))            // N₁₊(··)
+      bigrams
+        .join(bi, Seq("w1", "w2"))
+        .join(uni.select(col("tok").as("w1"), col("c1")), Seq("w1"))
+        .join(fwd, Seq("w1"))
+        .join(back, Seq("w2"))
+        .crossJoin(broadcast(nbt))
+        .select(col("doc_id"),
+          round(-log2(
+            greatest(lit(4) * col("c2") - 3, lit(0)).cast("double")
+              / (lit(4) * col("c1")).cast("double")
+              + (lit(3.0) * col("f1").cast("double"))
+                / (lit(4) * col("c1")).cast("double")
+                * (col("b2").cast("double") / col("n_types").cast("double")))
+            * lit(q20.toDouble)).cast("long").as("qbits"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          (sum(col("qbits")).cast("double") / (lit(q20.toDouble) * count(lit(1))))
+            .as("mean_bits"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      bg AS (SELECT doc_id, unnest(list_transform(range(len(t) - 1), i -> {'w1': t[i+1], 'w2': t[i+2]})) AS b
+             FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+      bigrams AS (SELECT doc_id, b.w1 AS w1, b.w2 AS w2 FROM bg),
+      uni AS (SELECT tok, count(*) AS c1 FROM toks GROUP BY tok),
+      bi AS (SELECT w1, w2, count(*) AS c2 FROM bigrams GROUP BY w1, w2),
+      fwd AS (SELECT w1, count(*) AS f1 FROM bi GROUP BY w1),
+      back AS (SELECT w2, count(*) AS b2 FROM bi GROUP BY w2),
+      nbt AS (SELECT count(*) AS n_types FROM bi),
+      q AS (SELECT g.doc_id,
+          CAST(round(-log2(
+            CAST(greatest(4 * c2 - 3, 0) AS DOUBLE) / CAST(4 * up.c1 AS DOUBLE)
+            + (3.0 * CAST(f1 AS DOUBLE)) / CAST(4 * up.c1 AS DOUBLE)
+              * (CAST(b2 AS DOUBLE) / CAST(n_types AS DOUBLE))) * 1048576.0) AS BIGINT) AS qbits
+        FROM bigrams g
+        JOIN bi ON g.w1 = bi.w1 AND g.w2 = bi.w2
+        JOIN uni up ON g.w1 = up.tok
+        JOIN fwd ON g.w1 = fwd.w1
+        JOIN back ON g.w2 = back.w2
+        CROSS JOIN nbt)
+      SELECT doc_id, count(*) AS n_bigrams,
+        CAST(sum(qbits) AS DOUBLE) / (1048576.0 * count(*)) AS mean_bits
+      FROM q GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(
     c3MixtureBuild, p13WeightedSample, x11BigramSurprisal, d8IncrementalNearDup,
     x12RetentionPolicy, c8DsirAdmission, c9TemperatureMixture, c11EpochAllocation,
-    p14SplitAssign, c12DedupDiscount)
+    p14SplitAssign, c12DedupDiscount, x25KneserNey)
 }

@@ -801,8 +801,74 @@ object TextAnalysis {
     )
   }
 
+  /** X24: boilerplate detection by shingle document-frequency — the
+    * CCNet/RefinedWeb cleaning primitive x21's novelty census doesn't
+    * cover: a shingle carried by MORE than 10% of all documents is
+    * boilerplate (nav chrome, license banners, scraper artifacts), and
+    * each document is scored by the permille of its distinct shingles
+    * that are boilerplate, with the CCNet-style keep decision
+    * (boiler_pm ≤ 500) emitted alongside. Novelty asks "was I first?";
+    * this asks "does everyone say it?" — a doc can be 100% non-novel yet
+    * 0% boilerplate (one twin) or vice versa.
+    *
+    * Exactness: the threshold is the integer comparison 10·df > n_docs
+    * (exactly df > n/10 over integers), counts are integers, the score
+    * an integer-permille floor division.
+    *
+    * Scale: the fused codegen shingler emits distinct shingles in the
+    * scan; the DF census is one map-side-combinable count; the join back
+    * is one keyed equi-join on the shingle with NO forced broadcast (the
+    * census is shingle-space-sized, so Catalyst must stay free to pick a
+    * shuffled join past the threshold — the x-family census contract);
+    * the 1-row corpus count is a broadcast cross join.
+    */
+  val x24Boilerplate: Q = Q(
+    "x24_boilerplate",
+    (s, dir) => {
+      graft.functions.FastVec.register(s) // graft_shingles (idempotent)
+      val docs = t(s, dir, "documents")
+      val sh = docs
+        .select(col("doc_id"),
+          explode(graft.functions.FastText.shingles(col("text"), 3)).as("shingle"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sh.count() // eager: census + join-back both scan it
+      val df = sh.groupBy("shingle").agg(count(lit(1)).as("df"))
+      val nn = docs.agg(count(lit(1)).as("n_docs"))
+      val out = sh.join(df, Seq("shingle"))
+        .crossJoin(broadcast(nn))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("df") * 10 > col("n_docs"), 1L).otherwise(0L))
+            .as("n_boiler"))
+        .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+          expr("(1000 * n_boiler) div n_grams").as("boiler_pm"))
+        .withColumn("keep",
+          when(col("boiler_pm") <= 500, 1L).otherwise(0L))
+        .orderBy("doc_id")
+      out
+    },
+    Some("""WITH sh AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+          range(len(t) - 2), i -> t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]))) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        WHERE len(t) >= 3),
+      df AS (SELECT shingle, count(*) AS df FROM sh GROUP BY shingle),
+      nn AS (SELECT count(*) AS n FROM documents),
+      agg AS (
+        SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+          CAST(sum(CASE WHEN 10 * f.df > (SELECT n FROM nn) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_boiler
+        FROM sh s JOIN df f ON f.shingle = s.shingle
+        GROUP BY s.doc_id)
+      SELECT doc_id, n_grams, n_boiler,
+        (1000 * n_boiler) // n_grams AS boiler_pm,
+        CAST(CASE WHEN (1000 * n_boiler) // n_grams <= 500 THEN 1 ELSE 0 END
+          AS BIGINT) AS keep
+      FROM agg ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(x1TokenStats, x2LangId, x3Quality, x4Fingerprint, x5TokenFreq,
     x13Bm25, x15BpePairs, x16PiiScrub, x17VocabGrowth, x18Readability,
     x19UnigramEntropy, x20ZipfSlope, x21NgramNovelty, x22LangConfusion,
-    x23BpeTrain)
+    x23BpeTrain, x24Boilerplate)
 }

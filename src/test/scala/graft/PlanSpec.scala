@@ -678,4 +678,97 @@ class PlanSpec extends SparkSpec {
     assert("TakeOrderedAndProject".r.findAllIn(plan).length >= 2,
       "both arms must cut via TakeOrdered:\n" + plan.take(3000))
   }
+
+  test("g5: the hop census reads the last frontier round's lineage-truncated " +
+    "ExistingRDD — BFS state is never re-derived from the raw scan") {
+    val plan = executedPlan("g5_bfs_hops")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("Scan ExistingRDD"),
+      "visited set must be a truncated ExistingRDD scan:\n" + plan.take(3000))
+    assert(!plan.contains("Scan parquet"),
+      "census must not re-derive the BFS from parquet:\n" + plan.take(3000))
+  }
+
+  test("a23: events scan prunes to the three referenced columns and the " +
+    "per-user lead window keys one hash exchange — no global window on the scan") {
+    val plan = executedPlan("a23_transitions")
+    assert(!plan.contains("value#") && !plan.contains("props#"),
+      "unreferenced events columns in scan:\n" + plan.take(3000))
+    assert(plan.contains("hashpartitioning(user_id"),
+      "lead window must partition by user_id:\n" + plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("p15: the z-value is codegen bit arithmetic in the scan projection, " +
+    "the scan prunes to the two dims, and the manifest is a two-level agg") {
+    val plan = executedPlan("p15_zorder_layout")
+    assert(plan.contains("shiftleft"),
+      "z interleave must be inline bit arithmetic:\n" + plan.take(3000))
+    assert(!plan.contains("l_orderkey") && !plan.contains("l_extendedprice"),
+      "unreferenced lineitem columns in scan:\n" + plan.take(3000))
+    assert(plan.contains("partial_count") || plan.contains("partial_min") ||
+      "HashAggregate".r.findAllIn(plan).length >= 2,
+      "manifest agg must have a map-side partial level:\n" + plan.take(3000))
+    assert(!plan.contains("Window"), "no window needed for the manifest:\n" + plan.take(3000))
+  }
+
+  test("j11: the bloom bitmap test is a codegen'd probe-side filter ahead of " +
+    "the exact join, and the build filter pushes to the part scan") {
+    val plan = executedPlan("j11_bloom_semi_join")
+    assert(plan.contains("shiftright") && plan.contains("element_at"),
+      "bitmap membership must be inline probe-side filtering:\n" + plan.take(3000))
+    assert(plan.contains("EqualTo(p_size,1)"),
+      "build predicate must push to the part scan:\n" + plan.take(3000))
+    // the bitmap filter lives in the probe scan's stage: it must appear
+    // BEFORE the first join in tree order, so filtered rows never shuffle
+    val joinIdx = Seq("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+      .map(plan.indexOf).filter(_ >= 0)
+    assert(joinIdx.nonEmpty && plan.indexOf("shiftright") > joinIdx.min,
+      "probe filter must sit under (after, in tree text) the exact join:\n" + plan.take(3000))
+  }
+
+  test("h3: the SCD2 dimension join is the as-of union+window shape — one " +
+    "user-keyed window, no range-join cross product") {
+    val plan = executedPlan("h3_scd2_dim_join")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      "interval predicate must not plan a cross product:\n" + plan.take(3000))
+    assert(plan.contains("hashpartitioning(_k") || plan.contains("hashpartitioning(user_id"),
+      "as-of window must partition by the key:\n" + plan.take(3000))
+    assert(plan.contains("Window"), plan.take(3000))
+  }
+
+  test("g6: wedges come from an equi-join on the center node, existing edges " +
+    "leave via an anti-join, and the top-25 is TakeOrdered — no global sort") {
+    val plan = executedPlan("g6_link_predict")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-25 must be TakeOrdered:\n" + plan.take(3000))
+    assert(plan.contains("LeftAnti"),
+      "existing edges must leave via an anti join:\n" + plan.take(3000))
+  }
+
+  test("x25: the bigram occurrence and TYPE tables are each cached once — " +
+    "continuation censuses aggregate types, never the occurrence stream twice") {
+    val plan = executedPlan("x25_kneser_ney")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("InMemoryTableScan") ||
+      plan.contains("TableCacheQueryStage"),
+      "bigram tables must be cached:\n" + plan.take(3000))
+    assert(plan.indexOf("Scan parquet") < 0 ||
+      plan.indexOf("Scan parquet") > plan.indexOf("InMemoryTableScan"),
+      "join-back must not rescan documents:\n" + plan.take(3000))
+  }
+
+  test("x24: the shingle table is cached once; DF census and join-back " +
+    "consume the cache and the corpus count broadcasts") {
+    val plan = executedPlan("x24_boilerplate")
+    assert(!plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(3000))
+    assert(plan.contains("InMemoryTableScan") ||
+      plan.contains("TableCacheQueryStage"),
+      "shingle table must be cached:\n" + plan.take(3000))
+    assert(plan.indexOf("Scan parquet") < 0 ||
+      plan.indexOf("Scan parquet") > plan.indexOf("InMemoryTableScan"),
+      "census/join-back must not rescan documents:\n" + plan.take(3000))
+  }
 }

@@ -17,6 +17,12 @@ class RegistrySpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("bench headline names ⊆ registry (a typo would zero a bench column)") {
+    val names = SparkEntry.queries.keySet
+    val stray = Bench.headline.filterNot(names)
+    assert(stray.isEmpty, s"headline names not in registry: $stray")
+  }
+
   SparkEntry.registry.foreach { q =>
     test(s"${q.name} executes at sf0.001") {
       val df = q.fn(spark, sf)
