@@ -24,13 +24,17 @@ import org.apache.spark.storage.StorageLevel
   *     reused by every iteration — each round is ONE keyed shuffle
   *     (`groupBy(dst)` with map-side partial sums) plus co-keyed joins on
   *     the source id;
-  *   - each round's rank table is materialized and wrapped in a fresh
-  *     `LogicalRDD` (the ConnectedComponents lineage-truncation pattern,
-  *     `ConnectedComponents.scala:120-135`) so Catalyst analysis stays O(1)
-  *     per round instead of replaying the whole edge-derivation plan K
-  *     times;
-  *   - superseded rank tables are unpersisted as soon as their successor is
-  *     materialized, so at most one round's blocks are pinned.
+  *   - every THIRD round (and the last) is materialized and wrapped in a
+  *     fresh `LogicalRDD` (the ConnectedComponents lineage-truncation
+  *     pattern, `ConnectedComponents.scala:120-135`); rounds in between
+  *     chain lazily, so plan depth stays ≤ 3 rounds, Catalyst analysis is
+  *     O(1) per round, and the fixed-round loop pays a job-submission
+  *     barrier only at the materialize points (rounds are fixed — nothing
+  *     reads a per-round count, so per-round barriers bought nothing);
+  *   - superseded materialized rank tables are unpersisted as soon as
+  *     their successor is materialized, so at most one checkpoint's
+  *     blocks are pinned, and failure recompute is bounded at
+  *     `materializeEvery` rounds.
   *
   * Contract: `edges` is a directed edge list with integral columns `a`
   * (source) and `b` (target), already symmetrized by the caller if the
@@ -74,7 +78,19 @@ object PageRank {
 
     var ranks = nodes.withColumn("r", lit(base))
     var prev: Option[DataFrame] = None
-    for (_ <- 1 to iterations) {
+    // Rounds are FIXED (no convergence test reads a per-round count), so a
+    // synchronous materialize per round buys nothing semantically — it
+    // only bounds the failure-recompute window and pays one job-submission
+    // barrier per round. Materialize every third round (and the last):
+    // intermediate rounds chain lazily through `Lineage.truncate` (each
+    // round's plan still reads the previous round's RDD, so Catalyst
+    // analysis stays O(1) per round), then execute as ONE job whose
+    // stages pipeline without driver round-trips. Each round's output has
+    // exactly one consumer (the next round's contribution join), so the
+    // unmaterialized rounds are never double-computed. On a cluster the
+    // materialize points are where you'd also checkpoint.
+    val materializeEvery = 3
+    for (i <- 1 to iterations) {
       // Cooperative cancellation under Bench's per-query watchdog (the
       // ConnectedComponents pattern).
       if (Thread.currentThread().isInterrupted)
@@ -88,11 +104,19 @@ object PageRank {
       val next = nodes.join(contrib, Seq("id"), "left")
         .select(col("id"),
           (lit(teleport) + expr("(85 * coalesce(s, 0)) div 100")).as("r"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      next.count()
-      prev.foreach(_.unpersist())
-      prev = Some(next)
-      ranks = Lineage.truncate(next)
+      if (i % materializeEvery == 0 || i == iterations) {
+        val p = next.persist(StorageLevel.MEMORY_AND_DISK)
+        p.count()
+        prev.foreach(_.unpersist())
+        prev = Some(p)
+        ranks = Lineage.truncate(p)
+      } else {
+        // No truncate between materialize points: plan depth is bounded
+        // (≤ materializeEvery rounds past the last LogicalRDD), and a
+        // truncate here would insert a Row ser/de boundary into the
+        // executed chain for no analysis benefit.
+        ranks = next
+      }
     }
     ranks
   }

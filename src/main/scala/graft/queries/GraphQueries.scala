@@ -422,6 +422,48 @@ object GraphQueries {
     * its BFS distance, and distances beyond the bound appear in
     * neither engine).
     */
+  /** The g5 frontier loop on an arbitrary directed adjacency (a, b) and a
+    * 1-row seed (id) — also driven by PropertySpec on random graphs
+    * (every hop-h node must have a hop-(h−1) in-neighbor, and hops must
+    * equal a driver BFS's distances).
+    */
+  private[graft] def bfsHops(
+      adj: DataFrame,
+      seedIds: DataFrame,
+      rounds: Int): DataFrame = {
+    val seed = seedIds.select(col("id"), lit(0L).as("hop"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var visitedCount = seed.count()
+    var persisted = seed
+    var visited = Lineage.truncate(seed)
+    var frontier = visited
+    var round = 0
+    var fSize = visitedCount
+    // One materialize action per round: the round's ONLY persisted state is
+    // visited ∪ frontier, its count doubles as the frontier-size detector
+    // (the sets are disjoint by the anti-join), and the next frontier is a
+    // narrow hop==round filter OVER that cache — never a recompute.
+    while (round < rounds && fSize > 0) {
+      if (Thread.currentThread().isInterrupted)
+        throw new InterruptedException("bfs cancelled")
+      round += 1
+      val next = adj
+        .join(frontier.select(col("id").as("a")), Seq("a"), "left_semi")
+        .select(col("b").as("id")).distinct()
+        .join(visited.select("id"), Seq("id"), "left_anti")
+        .select(col("id"), lit(round.toLong).as("hop"))
+      val nv = visited.unionAll(next).persist(StorageLevel.MEMORY_AND_DISK)
+      val c = nv.count()
+      fSize = c - visitedCount
+      visitedCount = c
+      persisted.unpersist()
+      persisted = nv
+      visited = Lineage.truncate(nv)
+      frontier = visited.filter(col("hop") === round)
+    }
+    visited
+  }
+
   val g5BfsHops: Q = Q(
     "g5_bfs_hops",
     (s, dir) => {
@@ -430,34 +472,8 @@ object GraphQueries {
         .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
         .persist(StorageLevel.MEMORY_AND_DISK)
       adj.count() // eager: scanned by every round's expansion join
-      val seed = deg.orderBy(desc("d"), col("id")).limit(1)
-        .select(col("id"), lit(0L).as("hop"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      seed.count()
-      var persisted: Seq[DataFrame] = Seq(seed)
-      var visited = Lineage.truncate(seed)
-      var frontier = visited
-      var round = 0
-      var fSize = 1L
-      while (round < BfsRounds && fSize > 0) {
-        if (Thread.currentThread().isInterrupted)
-          throw new InterruptedException("bfs cancelled")
-        round += 1
-        val next = adj
-          .join(frontier.select(col("id").as("a")), Seq("a"), "left_semi")
-          .select(col("b").as("id")).distinct()
-          .join(visited.select("id"), Seq("id"), "left_anti")
-          .select(col("id"), lit(round.toLong).as("hop"))
-          .persist(StorageLevel.MEMORY_AND_DISK)
-        fSize = next.count()
-        val nv = visited.unionAll(next).persist(StorageLevel.MEMORY_AND_DISK)
-        nv.count()
-        persisted.foreach(_.unpersist())
-        persisted = Seq(next, nv)
-        frontier = Lineage.truncate(next)
-        visited = Lineage.truncate(nv)
-      }
-      val out = visited
+      val seed = deg.orderBy(desc("d"), col("id")).limit(1).select("id")
+      val out = bfsHops(adj, seed, BfsRounds)
         .select(col("id").as("part_id"), col("hop"))
         .orderBy("hop", "part_id")
       adj.unpersist()

@@ -386,22 +386,11 @@ object Joins {
     (s, dir) => {
       val m = 65536
       val build = t(s, dir, "part").filter(col("p_size") === 1).select("p_partkey")
-      val posCols = (0 until 3).map(i =>
-        pmod(xxhash64(lit(i), col("p_partkey")), lit(m.toLong)))
-      val positions = build
-        .select(explode(array(posCols: _*)).as("pos")).distinct()
-        .collect().map(_.getLong(0)) // bounded: ≤ m distinct bit positions
-      val bitmap = new Array[Long](m / 64)
-      positions.foreach(p => bitmap(p.toInt / 64) |= (1L << (p.toInt % 64)))
-      def hitSql(i: Int) = {
-        val pos = s"pmod(xxhash64($i, l_partkey), $m)"
-        s"(shiftright(element_at(bm, CAST($pos div 64 AS INT) + 1), CAST($pos % 64 AS INT)) & 1) = 1"
-      }
-      val probe = t(s, dir, "lineitem")
-        .select(col("l_partkey"), col("l_extendedprice"), col("l_discount"))
-        .withColumn("bm", typedLit(bitmap.toSeq))
-        .filter(expr((0 until 3).map(hitSql).mkString(" AND ")))
-        .drop("bm")
+      val bitmap = graft.operators.Bloom.build(build, "p_partkey", m, 3)
+      val probe = graft.operators.Bloom.mightContain(
+        t(s, dir, "lineitem")
+          .select(col("l_partkey"), col("l_extendedprice"), col("l_discount")),
+        "l_partkey", bitmap, m, 3)
       probe.join(build, col("l_partkey") === col("p_partkey"))
         .groupBy("p_partkey")
         .agg(qsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4).as("revenue"))

@@ -662,16 +662,25 @@ object MiscQueries {
     * query IS the layout's cost model: min/max spans shrink on both
     * dims, and the probe-hit column is the file-skip decision.
     */
+  /** 16-bit Morton interleave of two 8-bit dims: px bit i → z bit 2i,
+    * sy bit i → z bit 2i+1. Pure codegen bit arithmetic; the identity
+    * `zInterleave8(px, sy) div 256 == zInterleave8(px div 16, sy div 16)`
+    * (PropertySpec) is what makes each 256-z-value bucket an ALIGNED
+    * 16×16 tile of the dim plane — the file-skipping guarantee.
+    */
+  private[graft] def zInterleave8(px: org.apache.spark.sql.Column,
+      sy: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 8).map { i =>
+      shiftleft(px.bitwiseAND(lit(1L << i)), i) +
+        shiftleft(sy.bitwiseAND(lit(1L << i)), i + 1)
+    }.reduce(_ + _)
+
   val p15ZorderLayout: Q = Q(
     "p15_zorder_layout",
     (s, dir) => {
-      val zExpr = (0 until 8).map { i =>
-        shiftleft(col("px").bitwiseAND(lit(1L << i)), i) +
-          shiftleft(col("sy").bitwiseAND(lit(1L << i)), i + 1)
-      }.reduce(_ + _)
       val base = t(s, dir, "lineitem")
         .select((col("l_partkey") % 256).as("px"), (col("l_suppkey") % 256).as("sy"))
-        .withColumn("z", zExpr)
+        .withColumn("z", zInterleave8(col("px"), col("sy")))
       def manifest(tagged: org.apache.spark.sql.DataFrame) = tagged
         .groupBy("layout", "bucket_id")
         .agg(count(lit(1)).as("n_rows"),

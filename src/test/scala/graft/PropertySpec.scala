@@ -177,4 +177,75 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("bloom membership is one-sided: NO build key ever fails the bitmap " +
+    "test (false negatives impossible), and a disjoint probe set is mostly " +
+    "rejected at low fill") {
+    import graft.operators.Bloom
+    val m = 4096
+    (1L to 3L).foreach { seed =>
+      val keys = Gen.listOfN(40, Gen.choose(0L, 1000000L))
+        .apply(Gen.Parameters.default, Seed(seed)).getOrElse(Nil).distinct
+      val build = keys.toDF("k")
+      val bm = Bloom.build(build, "k", m, 3)
+      // every build key must pass — the property the trailing exact join
+      // relies on for j11's completeness
+      val hits = Bloom.mightContain(build, "k", bm, m, 3).count()
+      assert(hits == keys.size, s"seed $seed: false negative (${keys.size - hits})")
+      // disjoint probes: with 40 keys in 4096 bits (k=3), FP rate ~ (120/4096)^3
+      // — a sanity band, not an exact bound
+      val probes = (2000000L until 2000400L).toDF("k")
+      val fp = Bloom.mightContain(probes, "k", bm, m, 3).count()
+      assert(fp < 40, s"seed $seed: implausible FP count $fp of 400")
+    }
+  }
+
+  test("z-order tile identity: zInterleave8(px,sy) div 256 equals " +
+    "zInterleave8(px div 16, sy div 16) — every 256-z bucket is an " +
+    "aligned 16x16 tile, the file-skipping guarantee") {
+    import graft.queries.MiscQueries
+    import org.apache.spark.sql.functions._
+    val pts = (1L to 3L).flatMap { seed =>
+      Gen.listOfN(200, Gen.zip(Gen.choose(0L, 255L), Gen.choose(0L, 255L)))
+        .apply(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+    }
+    val bad = pts.toDF("px", "sy")
+      .withColumn("z", MiscQueries.zInterleave8(col("px"), col("sy")))
+      .withColumn("tile", MiscQueries.zInterleave8(
+        expr("px div 16"), expr("sy div 16")))
+      .filter(expr("z div 256") =!= col("tile"))
+      .count()
+    assert(bad == 0, s"$bad points break the tile identity")
+  }
+
+  test("BFS hops equal driver BFS distances on random graphs, and every " +
+    "hop-h node has a hop-(h-1) in-neighbor") {
+    import graft.queries.GraphQueries
+    (1L to 3L).foreach { seed =>
+      val edges = Gen.listOfN(60, Gen.zip(Gen.choose(0L, 19L), Gen.choose(0L, 19L)))
+        .apply(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+        .filter { case (a, b) => a != b }.distinct
+      val adjPairs = edges ++ edges.map(_.swap) // undirected
+      val adj = adjPairs.toDF("a", "b")
+      val rounds = 6
+      val got = GraphQueries.bfsHops(adj, Seq(Tuple1(0L)).toDF("id"), rounds)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // driver BFS truth
+      val nbrs = adjPairs.groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+      var dist = Map(0L -> 0L)
+      var frontier = Set(0L)
+      var h = 0L
+      while (frontier.nonEmpty && h < rounds) {
+        h += 1
+        val next = frontier.flatMap(n => nbrs.getOrElse(n, Set.empty)) -- dist.keySet
+        dist ++= next.map(_ -> h)
+        frontier = next
+      }
+      assert(got == dist, s"seed $seed: engine $got != driver $dist")
+      got.filter(_._2 > 0).foreach { case (n, hh) =>
+        assert(nbrs.getOrElse(n, Set.empty).exists(p => got.get(p).contains(hh - 1)),
+          s"seed $seed: node $n at hop $hh has no hop-${hh - 1} neighbor")
+      }
+    }
+  }
 }
