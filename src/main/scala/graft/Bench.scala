@@ -65,7 +65,9 @@ object Bench {
     "e16_hybrid_rrf", "x23_bpe_train",
     "g5_bfs_hops", "g6_link_predict", "a23_transitions", "h3_scd2_dim_join",
     "p15_zorder_layout", "j11_bloom_semi_join", "x24_boilerplate",
-    "x25_kneser_ney")
+    "x25_kneser_ney",
+    "h4_gap_fill", "h5_split_adjust", "a24_concurrency", "w13_bollinger",
+    "j12_interval_join", "x26_hash_classifier")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -129,7 +129,15 @@ object Plans {
     "g6_link_predict" ->
       "Link prediction: wedges from one self equi-join of the adjacency on the center node (u<v halves the pairs), map-side-combined CN census, anti-join drops existing edges, TakeOrdered cuts to 25.",
     "x25_kneser_ney" ->
-      "Kneser-Ney scoring: continuation censuses (distinct successors/predecessors) aggregate the cached bigram-TYPE table, not the occurrence stream; the only corpus-sized shuffle is the (w1,w2) join-back; the 1-row type total broadcasts.")
+      "Kneser-Ney scoring: continuation censuses (distinct successors/predecessors) aggregate the cached bigram-TYPE table, not the occurrence stream; the only corpus-sized shuffle is the (w1,w2) join-back; the 1-row type total broadcasts.",
+    "j12_interval_join" ->
+      "Interval-overlap join without an equi key: both sides key to fixed 20-min chunks (interval spans ≤2, point exactly 1), so containment rides a chunk EQUI-join + residual filter — no BroadcastNestedLoop, no cartesian; zero-match points return via a count-preserving left join.",
+    "h4_gap_fill" ->
+      "Calendar gap-fill: daily-close window, span aggregate and forward-fill window ALL hash-partition by user_id (one logical key shuffle, exchange reused); the calendar explode is sequence(first,last) per key — no global calendar join, no global sort before presentation.",
+    "a24_concurrency" ->
+      "Sweep-line concurrency: the global running sum is a TWO-LEVEL prefix sum — per-hour-bucket windows partition by bkt, the O(hours) bucket census takes the only single-partition window (bounded, 720 rows/month) and broadcasts back; the delta stream itself never serializes through one partition.",
+    "x26_hash_classifier" ->
+      "Hashing-trick classifier: token explode feeds ONE map-side-combinable HashAggregate on doc_id; bucket and weight hashes are fused graft_md5_60 codegen — zero joins at inference (a learned model would swap in as a 4096-row broadcast).")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import scala.collection.immutable.ListMap
-import graft.queries.{Aggregates, AnalyticsExtras, DedupQueries, GraphQueries, Joins, MiscQueries, MixtureQueries, PipelineExtras, Relational, SimilarityQueries, TextAnalysis, TrainPipeline, WindowQueries}
+import graft.queries.{Aggregates, AnalyticsExtras, DedupQueries, GraphQueries, Joins, MiscQueries, MixtureQueries, PipelineExtras, Relational, SimilarityQueries, TextAnalysis, TimeSeries, TrainPipeline, WindowQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7.
   *
@@ -20,7 +20,7 @@ object SparkEntry {
     Relational.all ++ Joins.all ++ Aggregates.all ++ WindowQueries.all ++
       TextAnalysis.all ++ DedupQueries.all ++ SimilarityQueries.all ++
       MiscQueries.all ++ AnalyticsExtras.all ++ PipelineExtras.all ++
-      TrainPipeline.all ++ MixtureQueries.all ++ GraphQueries.all
+      TrainPipeline.all ++ MixtureQueries.all ++ GraphQueries.all ++ TimeSeries.all
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     ListMap(registry.map(q => q.name -> q.fn): _*)

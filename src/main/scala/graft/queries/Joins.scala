@@ -402,7 +402,57 @@ object Joins {
       GROUP BY p_partkey ORDER BY p_partkey""")
   )
 
+  /** J12: interval-overlap join WITHOUT an equi key — for every purchase
+    * instant, how many 20-minute view-intervals (any user's) were open at
+    * that instant. j7 covers the equi-key-plus-inequality theta shape and
+    * j9 the as-of shape; this is the remaining range-join case, where the
+    * ONLY predicate is containment and a naive plan is a cross product
+    * (BroadcastNestedLoop at small scale, quadratic death at 100 TB).
+    *
+    * Scale path — temporal binning: both sides key to fixed 20-minute
+    * chunks (chunk = interval length, so an interval spans ≤ 2 chunks and
+    * a point exactly 1 — no dedup step needed), turning the range join
+    * into a chunk EQUI-join + residual containment filter. Cost is
+    * O(|points| + 2·|intervals|) shuffled rows on a time-uniform key;
+    * residual hot chunks are AQE skew-split like any equi-join. At 100 TB
+    * the chunk width tunes to the interval-length p99 (wider intervals →
+    * replicate intervals, never points). Output stays one row per point
+    * (zero-match points kept by the count-preserving left join back).
+    */
+  val j12IntervalJoin: Q = Q(
+    "j12_interval_join",
+    (s, dir) => {
+      val cUs = 1200000000L // 20-minute chunk == interval length
+      val ev = t(s, dir, "events")
+      val iv = ev.filter(col("event_type") === "view")
+        .select(unix_micros(col("ts")).as("s0"))
+        .withColumn("e0", col("s0") + lit(cUs)) // half-open [s0, e0)
+      val chunks = iv.select(
+        explode(sequence(expr(s"s0 div $cUs"), expr(s"(e0 - 1) div $cUs"))).as("chunk"),
+        col("s0"), col("e0"))
+      val pts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), unix_micros(col("ts")).as("pt"))
+        .withColumn("chunk", expr(s"pt div $cUs"))
+      val hits = pts.join(chunks, Seq("chunk"))
+        .filter(col("s0") <= col("pt") && col("pt") < col("e0"))
+        .groupBy("event_id").agg(count(lit(1)).as("n_active"))
+      pts.select("event_id", "pt")
+        .join(hits, Seq("event_id"), "left")
+        .select(col("event_id"), col("pt"),
+          coalesce(col("n_active"), lit(0L)).as("n_active"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT p.event_id, p.pt, count(v.s0) AS n_active
+      FROM (SELECT event_id, epoch_us(ts) AS pt FROM events
+            WHERE event_type = 'purchase') p
+      LEFT JOIN (SELECT epoch_us(ts) AS s0 FROM events
+                 WHERE event_type = 'view') v
+        ON v.s0 <= p.pt AND p.pt < v.s0 + 1200000000
+      GROUP BY p.event_id, p.pt ORDER BY event_id""")
+  )
+
   val all: Seq[Q] = Seq(
     j1Semi, j2Anti, j3Inner, j4FullOuter, j5Left, j6Right, j7ThetaRange,
-    j8Cross, j9AsOf, j10SaltedSkew, r1EntityMatch, r2GoldenRecord, j11BloomSemi)
+    j8Cross, j9AsOf, j10SaltedSkew, r1EntityMatch, r2GoldenRecord, j11BloomSemi,
+    j12IntervalJoin)
 }

@@ -867,8 +867,61 @@ object TextAnalysis {
       FROM agg ORDER BY doc_id""")
   )
 
+  /** X26: hashing-trick linear classifier inference — the fastText-style
+    * quality filter GPT-3/LLaMA-class corpora are screened with, run as a
+    * pure dataflow: each token hashes into a 2¹² feature bucket (the
+    * hashing trick — the feature space is BOUNDED regardless of vocabulary,
+    * which is what makes model shipping trivial at 100 TB), each bucket
+    * carries a weight, a document's logit is the bag-of-words weight sum,
+    * and the keep decision is a threshold on the mean weight. Weights here
+    * are derived deterministically from the bucket id (integer in
+    * [-1000, 1000]) — an explicit stand-in for a learned coefficient
+    * vector, chosen so the DuckDB oracle can recompute the identical model
+    * (a trained model would arrive as a 4096-row broadcast table; the
+    * plan shape is the same either way).
+    *
+    * Exactness: everything is BIGINT — bucket = md5-prefix mod 4096,
+    * weight = md5-prefix mod 2001 − 1000, keep = cross-multiplied
+    * mean-threshold (`Σw > 25·n`). No float appears anywhere.
+    *
+    * Scale: token explode → ONE map-side-combinable hash aggregate on
+    * doc_id; the weight lookup is computed inline (zero joins — with a
+    * learned model it becomes a broadcast hash join against 4096 rows).
+    * Hashing runs on the fused thread-local [[Text.seededHash64]]
+    * expression, inside WholeStageCodegen.
+    */
+  val x26HashClassifier: Q = Q(
+    "x26_hash_classifier",
+    (s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      val bkt = pmod(Text.seededHash64(lit("clf"), col("tok")), lit(4096L))
+      val wt = pmod(Text.seededHash64(lit("w"), bkt.cast("string")), lit(2001L)) - 1000L
+      tok
+        .select(col("doc_id"), wt.as("wt"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum(col("wt")).as("sum_w"))
+        .select(col("doc_id"), col("n_tok"), col("sum_w"),
+          when(col("sum_w") > lit(25L) * col("n_tok"), lit(1)).otherwise(lit(0))
+            .as("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      b AS (SELECT doc_id,
+              CAST('0x' || substr(md5('clf|' || tok), 1, 15) AS BIGINT) % 4096 AS bkt
+            FROM toks),
+      w AS (SELECT doc_id,
+              (CAST('0x' || substr(md5('w|' || CAST(bkt AS VARCHAR)), 1, 15) AS BIGINT)
+                % 2001) - 1000 AS wt
+            FROM b)
+      SELECT doc_id, count(*) AS n_tok, CAST(sum(wt) AS BIGINT) AS sum_w,
+             CASE WHEN sum(wt) > 25 * count(*) THEN 1 ELSE 0 END AS keep
+      FROM w GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(x1TokenStats, x2LangId, x3Quality, x4Fingerprint, x5TokenFreq,
     x13Bm25, x15BpePairs, x16PiiScrub, x17VocabGrowth, x18Readability,
     x19UnigramEntropy, x20ZipfSlope, x21NgramNovelty, x22LangConfusion,
-    x23BpeTrain, x24Boilerplate)
+    x23BpeTrain, x24Boilerplate, x26HashClassifier)
 }

@@ -1,0 +1,265 @@
+package graft.queries
+
+import graft.{Q, Tables}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series maintenance surface the reference's price store needs around
+  * its daily bars (`download_historical_price.py` keeps one row per trading
+  * day per symbol; `compare_parquet.py` inspects them): calendar gap-filling
+  * with forward-fill, corporate-action back-adjustment, sweep-line
+  * concurrency, and volatility bands. Everything keys on the event stream's
+  * (user_id, ts) the way the bar store keys on (symbol, day).
+  *
+  * Determinism notes (SURVEY §7.3.1): days and instants are integer
+  * epoch-days / epoch-microseconds (the w12 rule — engine-native date parts
+  * differ); carried doubles are either untouched (h4 forwards the stored
+  * value bit-for-bit) or multiplied/divided by powers of two only (h5 —
+  * exponent arithmetic is exact in IEEE); w13 quantizes the input once and
+  * stays in BIGINT cross-multiplied comparisons from there.
+  */
+object TimeSeries {
+
+  private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
+
+  private val epochDay = lit("1970-01-01").cast("date")
+
+  /** H4: calendar gap-fill + forward-fill — rebuild a dense per-key daily
+    * series from sparse observations: last-observation-per-day becomes the
+    * day's close, missing calendar days inside the key's own [first, last]
+    * span are materialized and carry the previous close forward
+    * (`is_filled = 1`). This is the resample step every bar consumer runs
+    * before indicators (the reference stores sparse trading days;
+    * technical analysis wants a dense axis).
+    *
+    * Scale: ONE shuffle on the key serves all three stages — the per-day
+    * close window, the span aggregate, and the fill window all partition
+    * by `user_id` (Catalyst reuses the exchange). The calendar explode is
+    * `sequence(first, last)` per KEY — output is bounded by key-count ×
+    * span-days, never by a global calendar join; no global sort until the
+    * final presentation ORDER BY. Forward fill is `last(ignoreNulls)`
+    * over a rows-frame — linear per key, resumable per partition at any
+    * scale.
+    */
+  val h4GapFill: Q = Q(
+    "h4_gap_fill",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+          datediff(to_date(col("ts")), epochDay).cast("long").as("day"))
+      val wDay = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val daily = ev
+        .withColumn("rn", row_number().over(wDay))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("day"), col("value").as("obs"))
+      val cal = daily
+        .groupBy("user_id")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
+      val wFill = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cal
+        .join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"),
+          last(col("obs"), ignoreNulls = true).over(wFill).as("close"),
+          when(col("obs").isNull, lit(1)).otherwise(lit(0)).as("is_filled"))
+        .orderBy("user_id", "day")
+    },
+    Some("""WITH obs AS (
+        SELECT user_id, day, value AS obs FROM (
+          SELECT user_id, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day, value,
+                 row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1),
+      cal AS (
+        SELECT user_id, unnest(generate_series(d0, d1)) AS day
+        FROM (SELECT user_id, min(day) AS d0, max(day) AS d1 FROM obs GROUP BY user_id))
+      SELECT c.user_id, c.day,
+             last_value(o.obs IGNORE NULLS) OVER (
+               PARTITION BY c.user_id ORDER BY c.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close,
+             CASE WHEN o.obs IS NULL THEN 1 ELSE 0 END AS is_filled
+      FROM cal c LEFT JOIN obs o ON c.user_id = o.user_id AND c.day = o.day
+      ORDER BY c.user_id, c.day""")
+  )
+
+  /** H5: corporate-action back-adjustment — the reference's raw daily bars
+    * are split-unaware; analysis needs every pre-split price divided by the
+    * product of all LATER split ratios (a 2:1 split halves history). Split
+    * events here are a deterministic sparse subset of `signup` events with
+    * ratio 2^k (k ∈ {1,2} — 2:1 / 4:1), standing in for an actions feed.
+    *
+    * Exactness: the running product is a running SUM of exponents (ratios
+    * are powers of two), and dividing an IEEE double by 2^e only shifts
+    * its exponent — `adj_value` is bit-identical on both engines, with no
+    * log/exp in sight. Per-key exponent totals stay ≤ ~32 at any corpus
+    * scale that keeps splits rarer than 1/day (shiftleft(1L, e) is exact
+    * to e = 62; the sf0.1 max is 6).
+    *
+    * Scale: the as-of union trick (h3's contract) — facts and splits union
+    * into ONE user-keyed descending window, so the "product of later
+    * splits" is a running sum, never a range join and never a per-fact
+    * re-scan of the actions table.
+    */
+  val h5SplitAdjust: Q = Q(
+    "h5_split_adjust",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val splits = ev
+        .filter(col("event_type") === "signup" && expr("event_id % 7") === 0)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (expr("(event_id div 7) % 2") + 1).cast("long").as("k"),
+          lit(null).cast("double").as("value"))
+      val facts = ev
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          lit(0L).as("k"), col("value"))
+      val wLater = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      facts.unionByName(splits)
+        .withColumn("adj_exp", sum(col("k")).over(wLater))
+        .filter(col("k") === 0)
+        .select(col("event_id"), col("value"), col("adj_exp"),
+          (col("value") / expr("shiftleft(cast(1 as bigint), cast(adj_exp as int))"))
+            .as("adj_value"))
+        .orderBy("event_id")
+    },
+    Some("""WITH splits AS (
+        SELECT user_id, ts, event_id, CAST((event_id // 7) % 2 + 1 AS BIGINT) AS k,
+               CAST(NULL AS DOUBLE) AS value
+        FROM events WHERE event_type = 'signup' AND event_id % 7 = 0),
+      facts AS (
+        SELECT user_id, ts, event_id, 0::BIGINT AS k, value
+        FROM events WHERE event_type = 'purchase'),
+      u AS (SELECT * FROM facts UNION ALL SELECT * FROM splits),
+      r AS (SELECT *, CAST(sum(k) OVER (
+               PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS adj_exp
+            FROM u)
+      SELECT event_id, value, adj_exp,
+             value / (1::BIGINT << CAST(adj_exp AS INTEGER)) AS adj_value
+      FROM r WHERE k = 0 ORDER BY event_id""")
+  )
+
+  /** A24: sweep-line concurrency — peak simultaneous open intervals per
+    * day, the load-curve statistic behind capacity planning ("how many
+    * sessions were live at once"). Each `view` opens a 20-minute half-open
+    * interval; the classic sweep turns intervals into ±1 deltas and a
+    * running sum. Reported value is the max over the day's delta instants
+    * (concurrency is piecewise-constant between deltas, so that is the
+    * day's true peak whenever the day has any activity — both engines
+    * compute the identical definition).
+    *
+    * Scale: a GLOBAL running sum is the textbook sequential trap — this
+    * plans it as a distributed two-level prefix sum instead: each delta
+    * keys to an hour bucket; within-bucket running sums partition by
+    * bucket (parallel), bucket totals form an O(hours) census whose
+    * running offset is a bounded window (720 rows/month — documented
+    * bounded, the v6/c10 census rule), broadcast back. Order within a
+    * bucket is (t, delta) with closes before opens at the same instant,
+    * the half-open convention; equal deltas commute so every engine's
+    * running sum passes through the same value multiset.
+    */
+  val a24Concurrency: Q = Q(
+    "a24_concurrency",
+    (s, dir) => {
+      val hourUs = 3600000000L
+      val dayUs = 86400000000L
+      val v = t(s, dir, "events")
+        .filter(col("event_type") === "view")
+        .select(unix_micros(col("ts")).as("t"))
+      val deltas = v.select(col("t"), lit(1L).as("d"))
+        .unionByName(v.select((col("t") + lit(1200000000L)).as("t"), lit(-1L).as("d")))
+        .withColumn("bkt", expr(s"t div $hourUs"))
+      val wIn = Window.partitionBy("bkt").orderBy(col("t"), col("d"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wOff = Window.orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = deltas
+        .groupBy("bkt").agg(sum(col("d")).as("bsum"))
+        .select(col("bkt"), coalesce(sum(col("bsum")).over(wOff), lit(0L)).as("off"))
+      deltas
+        .withColumn("run", sum(col("d")).over(wIn))
+        .join(broadcast(offsets), Seq("bkt"))
+        .select(expr(s"t div $dayUs").as("day"), (col("off") + col("run")).as("active"))
+        .groupBy("day")
+        .agg(max(col("active")).as("max_active"), count(lit(1)).as("n_deltas"))
+        .orderBy("day")
+    },
+    Some("""WITH v AS (SELECT epoch_us(ts) AS t FROM events WHERE event_type = 'view'),
+      deltas AS (
+        SELECT t, 1::BIGINT AS d FROM v
+        UNION ALL SELECT t + 1200000000, -1::BIGINT FROM v),
+      r AS (SELECT t, sum(d) OVER (ORDER BY t, d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS active
+            FROM deltas)
+      SELECT t // 86400000000 AS day, CAST(max(active) AS BIGINT) AS max_active,
+             count(*) AS n_deltas
+      FROM r GROUP BY 1 ORDER BY day""")
+  )
+
+  /** W13: Bollinger-band breaches — per key, flag observations falling
+    * outside mean ± 2σ of their trailing 10-observation window, then
+    * report breach counts per key (the volatility-band alert every
+    * technical stack derives from w2's moving average).
+    *
+    * Exactness: the input is quantized ONCE (2^-10 units — `value` ≤ 491
+    * so quantized magnitudes stay < 2^19) and the band test is the
+    * cross-multiplied integer identity
+    * `(n·v − Σx)² > 4·(n·Σx² − (Σx)²)`  ⟺  (v − μ)² > (2σ)²,
+    * so no float division or sqrt ever runs; worst-case terms reach
+    * ~2^46, far under BIGINT (headroom documented the w11 way: safe to
+    * inputs < 2^21 quanta ≈ 2000.0).
+    *
+    * Scale: one user-keyed shuffle; both trailing sums share one window
+    * frame; the breach flags are narrow codegen; the final rollup is a
+    * map-side-combinable count per key.
+    */
+  val w13Bollinger: Q = Q(
+    "w13_bollinger",
+    (s, dir) => {
+      val wTrail = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(-9, Window.currentRow)
+      val wRn = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 1024).cast("long").as("vq"))
+        .withColumn("rn", row_number().over(wRn))
+        .withColumn("sx", sum(col("vq")).over(wTrail))
+        .withColumn("sxx", sum(col("vq") * col("vq")).over(wTrail))
+        .filter(col("rn") >= 10)
+        .select(col("user_id"),
+          (lit(10) * col("vq") - col("sx")).as("dev"),
+          (lit(10) * col("sxx") - col("sx") * col("sx")).as("b"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pts"),
+          sum(when(col("dev") > 0 && col("dev") * col("dev") > lit(4) * col("b"), 1L)
+            .otherwise(0L)).as("n_up"),
+          sum(when(col("dev") < 0 && col("dev") * col("dev") > lit(4) * col("b"), 1L)
+            .otherwise(0L)).as("n_down"))
+        .orderBy("user_id")
+    },
+    Some("""WITH q AS (
+        SELECT user_id, ts, event_id, CAST(round(value * 1024) AS BIGINT) AS vq
+        FROM events),
+      w AS (SELECT user_id,
+              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+              CAST(sum(vq) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT) AS sx,
+              CAST(sum(vq * vq) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS BIGINT) AS sxx,
+              vq
+            FROM q),
+      d AS (SELECT user_id, 10 * vq - sx AS dev, 10 * sxx - sx * sx AS b
+            FROM w WHERE rn >= 10)
+      SELECT user_id, count(*) AS n_pts,
+             CAST(sum(CASE WHEN dev > 0 AND dev * dev > 4 * b THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+             CAST(sum(CASE WHEN dev < 0 AND dev * dev > 4 * b THEN 1 ELSE 0 END) AS BIGINT) AS n_down
+      FROM d GROUP BY user_id ORDER BY user_id""")
+  )
+
+  val all: Seq[Q] = Seq(h4GapFill, h5SplitAdjust, a24Concurrency, w13Bollinger)
+}

@@ -771,4 +771,43 @@ class PlanSpec extends SparkSpec {
       plan.indexOf("Scan parquet") > plan.indexOf("InMemoryTableScan"),
       "census/join-back must not rescan documents:\n" + plan.take(3000))
   }
+
+  test("j12: the no-equi-key interval join plans as a chunk EQUI-join — " +
+    "never a cartesian/nested-loop product") {
+    val plan = executedPlan("j12_interval_join")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "containment must ride the chunk equi-join:\n" + plan.take(3000))
+  }
+
+  test("h4: daily rollup, span aggregate and fill window all hash-partition " +
+    "by user_id — no global-sort stage before the presentation ORDER BY") {
+    val plan = executedPlan("h4_gap_fill")
+    assert(plan.contains("hashpartitioning(user_id"),
+      "per-key stages must partition by user_id:\n" + plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("a24: the sweep-line is a two-level prefix sum — per-bucket windows " +
+    "hash-partition by bkt and the O(hours) offset census broadcasts back") {
+    val plan = executedPlan("a24_concurrency")
+    assert(plan.contains("hashpartitioning(bkt"),
+      "within-bucket running sums must partition by bkt:\n" + plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"),
+      "the bucket-offset census must broadcast:\n" + plan.take(3000))
+    // exactly one single-partition window is allowed: the bounded
+    // bucket-census offset (≤ hours rows), never the delta stream itself
+    val singleParts = "SinglePartition".r.findAllIn(plan).length
+    assert(singleParts <= 2, // exchange + window stage render
+      s"delta stream must never serialize through one partition:\n${plan.take(3000)}")
+  }
+
+  test("x26: classifier inference is one map-side-combinable hash aggregate " +
+    "on doc_id — zero joins, hashing stays in codegen") {
+    val plan = executedPlan("x26_hash_classifier")
+    assert(!plan.contains("Join"), "inference must not join:\n" + plan.take(3000))
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+    assert(plan.contains("graft_md5_60"),
+      "hashing must run on the fused expression:\n" + plan.take(3000))
+  }
 }

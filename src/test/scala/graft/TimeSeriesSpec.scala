@@ -1,0 +1,111 @@
+package graft
+
+import graft.queries.TimeSeries
+import org.apache.spark.sql.functions._
+
+/** Behavioral properties of the time-series family, each proved against a
+  * brute-force reference on sf0.001 (the DuckDB differential gate covers
+  * sf0.01; these pin the operator SEMANTICS independently of any SQL
+  * re-expression).
+  */
+class TimeSeriesSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("j12: bucketed interval join equals the brute-force range join") {
+    val fast = SparkEntry.queries("j12_interval_join")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    val ev = Tables.table(spark, sf, "events")
+    val views = ev.filter(col("event_type") === "view")
+      .select(unix_micros(col("ts")).as("s0")).collect().map(_.getLong(0))
+    val slow = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), unix_micros(col("ts")).as("pt")).collect()
+      .map(r => r.getLong(0) ->
+        views.count(s0 => s0 <= r.getLong(1) && r.getLong(1) < s0 + 1200000000L).toLong)
+      .toMap
+    assert(fast == slow)
+    assert(fast.values.exists(_ > 0), "test corpus must produce at least one overlap")
+  }
+
+  test("a24: two-level distributed prefix sum equals the global sweep line") {
+    val fast = SparkEntry.queries("a24_concurrency")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val views = Tables.table(spark, sf, "events")
+      .filter(col("event_type") === "view")
+      .select(unix_micros(col("ts")).as("t")).collect().map(_.getLong(0))
+    val deltas = (views.map(t => (t, 1L)) ++ views.map(t => (t + 1200000000L, -1L)))
+      .sortBy(identity) // (t, d) with -1 before +1 at equal t
+    var run = 0L
+    val slow = deltas.map { case (t, d) => run += d; (t / 86400000000L, run) }
+      .groupBy(_._1).toSeq
+      .map { case (day, rs) => (day, rs.map(_._2).max, rs.size.toLong) }
+      .sortBy(_._1)
+    assert(fast.toSeq == slow)
+    assert(fast.map(_._2).max > 1, "sweep must observe real concurrency")
+  }
+
+  test("h5: back-adjustment is an exact power-of-two shift — " +
+    "adj_value * 2^adj_exp reconstructs value bit-for-bit") {
+    val rows = SparkEntry.queries("h5_split_adjust")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(_.getLong(2) > 0), "corpus must contain at least one split")
+    rows.foreach { r =>
+      val (v, e, adj) = (r.getDouble(1), r.getLong(2), r.getDouble(3))
+      assert(java.lang.Double.doubleToLongBits(adj * (1L << e).toDouble) ==
+        java.lang.Double.doubleToLongBits(v),
+        s"value=$v exp=$e adj=$adj")
+    }
+  }
+
+  test("h4: fill holds the last observation — every row's close equals the " +
+    "latest same-or-earlier observed day's close, spans are dense per user") {
+    val out = SparkEntry.queries("h4_gap_fill")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    val obs = out.filter(_._4 == 0).groupBy(_._1)
+      .view.mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    assert(out.exists(_._4 == 1), "corpus must contain at least one gap day")
+    out.groupBy(_._1).foreach { case (u, rows) =>
+      val days = rows.map(_._2).sorted
+      assert(days.length == (days.last - days.head + 1).toInt, s"user $u span not dense")
+      rows.foreach { case (_, d, close, filled) =>
+        val src = obs(u).keys.filter(_ <= d).max
+        assert(close == obs(u)(src), s"user $u day $d carries wrong close")
+        assert((filled == 1) == !obs(u).contains(d))
+      }
+    }
+  }
+
+  test("w13: windowed integer band test agrees with an independent exact " +
+    "rational (BigInt) Bollinger evaluation of the quantized series") {
+    val out = SparkEntry.queries("w13_bollinger")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    val ev = Tables.table(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)),
+        BigInt(math.round(r.getDouble(3) * 1024))))
+    val slow = ev.groupBy(_._1).toSeq.map { case (u, rows) =>
+      val vs = rows.sortBy(_._2).map(_._3)
+      val flags = vs.indices.drop(9).map { i =>
+        val w = vs.slice(i - 9, i + 1)
+        val (sx, sxx) = (w.sum, w.map(x => x * x).sum)
+        // (v − μ)² > (2σ)² over exact rationals ⟺ (n·v − Σ)² > 4(nΣx² − Σ²)
+        val dev = 10 * vs(i) - sx
+        val b = 10 * sxx - sx * sx
+        (if (dev > 0 && dev * dev > 4 * b) 1L else 0L,
+          if (dev < 0 && dev * dev > 4 * b) 1L else 0L)
+      }
+      (u, flags.size.toLong, flags.map(_._1).sum, flags.map(_._2).sum)
+    }.sortBy(_._1).toList
+    assert(out == slow)
+    // the corpus value distribution is right-skewed, so lower-band breaches
+    // are legitimately rare (0 at sf0.001) — only the upper side is asserted
+    assert(out.map(_._3).sum > 0, "corpus must trip the upper band")
+  }
+
+  test("registry: the six new queries are registered with oracles") {
+    for (q <- TimeSeries.all)
+      assert(SparkEntry.oracleSql.contains(q.name), q.name)
+  }
+}
