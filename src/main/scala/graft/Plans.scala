@@ -137,7 +137,9 @@ object Plans {
     "a24_concurrency" ->
       "Sweep-line concurrency: the global running sum is a TWO-LEVEL prefix sum — per-hour-bucket windows partition by bkt, the O(hours) bucket census takes the only single-partition window (bounded, 720 rows/month) and broadcasts back; the delta stream itself never serializes through one partition.",
     "x26_hash_classifier" ->
-      "Hashing-trick classifier: token explode feeds ONE map-side-combinable HashAggregate on doc_id; bucket and weight hashes are fused graft_md5_60 codegen — zero joins at inference (a learned model would swap in as a 4096-row broadcast).")
+      "Hashing-trick classifier: token explode feeds ONE map-side-combinable HashAggregate on doc_id; bucket and weight hashes are fused graft_md5_60 codegen — zero joins at inference (a learned model would swap in as a 4096-row broadcast).",
+    "c13_ccnet_buckets" ->
+      "CCNet perplexity terciles: per-language thresholds come from a cum-sum window over the (lang, quantized-score) census — bounded by langs × ~20·2^10 buckets, PARTITIONED by lang, never a per-language document sort; the vocab census is persisted once and the 1-row total broadcasts.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -613,8 +613,89 @@ object TrainPipeline {
       FROM h ORDER BY phase, shard, pos""")
   )
 
+  /** C13: CCNet perplexity buckets — the head/middle/tail split of CCNet
+    * (Wenzek et al. 2020) that every web-corpus recipe since has reused:
+    * per LANGUAGE, documents are terciled by their LM quality score (x10's
+    * unigram-surprisal proxy, reused verbatim) and the tail third is
+    * dropped. The tercile thresholds are per-language — an absolute
+    * global cut would mostly encode language identity, not quality.
+    *
+    * Scale: c10's census-quantile trick, per language — the per-doc mean
+    * surprisal is floored to 2^-10-bit units, so the (lang, score) census
+    * is bounded by languages × ~20·2^10 buckets regardless of corpus
+    * size; the tercile window runs over that census (partitioned by
+    * lang), never over documents, and no global or per-language document
+    * sort exists anywhere. Output is the per-(lang, bucket) release
+    * datasheet: doc/token mass and the score range, with the CCNet
+    * keep = head+middle flag.
+    *
+    * Exactness: per-token bits are x10's 2^-20 quantized longs; the
+    * per-doc mean and the 2^-10 refloor are positive-integer floor
+    * divisions; tercile assignment is the same exact census arithmetic
+    * both engines reproduce.
+    */
+  val c13CcnetBuckets: Q = Q(
+    "c13_ccnet_buckets",
+    (s, dir) => {
+      val q20d = (1L << 20).toDouble
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(Text.tokens(col("text"))).as("tok"))
+      val census = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      census.count() // vocab-bounded; the probability join and total share it
+      val total = census.agg(sum(col("c")).as("n_total"))
+      val per = toks
+        .join(census, Seq("tok"))
+        .crossJoin(broadcast(total))
+        .select(col("doc_id"), col("lang"),
+          round((log2(col("n_total")) - log2(col("c"))) * q20d).cast("long").as("qbits"))
+        .groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("qbits")).as("sb"))
+        .select(col("lang"), col("n_tokens"), expr("(sb div n_tokens) div 1024").as("sq"))
+      val cen2 = per.groupBy("lang", "sq")
+        .agg(count(lit(1)).as("c2"), sum(col("n_tokens")).as("toksum"))
+      val wCum = Window.partitionBy("lang").orderBy("sq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wTot = Window.partitionBy("lang")
+      cen2
+        .withColumn("cum", sum(col("c2")).over(wCum))
+        .withColumn("ltot", sum(col("c2")).over(wTot))
+        .withColumn("bucket", least(lit(2L), expr("((cum - c2) * 3) div ltot")))
+        .groupBy("lang", "bucket")
+        .agg(sum(col("c2")).as("n_docs"), sum(col("toksum")).as("n_toks"),
+          min(col("sq")).as("sq_min"), max(col("sq")).as("sq_max"))
+        .withColumn("keep", when(col("bucket") <= 1, lit(1)).otherwise(lit(0)))
+        .orderBy("lang", "bucket")
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+      census AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      total AS (SELECT sum(c) AS n_total FROM census),
+      per AS (SELECT doc_id, lang, count(*) AS n_tokens,
+              CAST(sum(CAST(round((log2(n_total) - log2(c)) * 1048576) AS BIGINT))
+                AS BIGINT) AS sb
+              FROM toks JOIN census USING (tok) CROSS JOIN total
+              GROUP BY doc_id, lang),
+      sqd AS (SELECT lang, n_tokens, (sb // n_tokens) // 1024 AS sq FROM per),
+      cen2 AS (SELECT lang, sq, count(*) AS c2, CAST(sum(n_tokens) AS BIGINT) AS toksum
+               FROM sqd GROUP BY lang, sq),
+      b AS (SELECT lang, sq, c2, toksum,
+              CAST(sum(c2) OVER (PARTITION BY lang ORDER BY sq
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum,
+              CAST(sum(c2) OVER (PARTITION BY lang) AS BIGINT) AS ltot
+            FROM cen2),
+      bb AS (SELECT lang, least(2, ((cum - c2) * 3) // ltot) AS bucket, c2, toksum, sq
+             FROM b)
+      SELECT lang, bucket, CAST(sum(c2) AS BIGINT) AS n_docs,
+             CAST(sum(toksum) AS BIGINT) AS n_toks,
+             CAST(min(sq) AS BIGINT) AS sq_min, CAST(max(sq) AS BIGINT) AS sq_max,
+             CASE WHEN bucket <= 1 THEN 1 ELSE 0 END AS keep
+      FROM bb GROUP BY lang, bucket ORDER BY lang, bucket""")
+  )
+
   val all: Seq[Q] = Seq(
     c1Contamination, c2CorpusBuild, x8Repetition, p12StratifiedSample,
     x9SeqPacking, x10UnigramSurprisal, d6SegmentDedup, c4SplitLeakage,
-    c5ShardManifest, c6FuzzyDecontam, c7EpochShuffle, c10Curriculum)
+    c5ShardManifest, c6FuzzyDecontam, c7EpochShuffle, c10Curriculum,
+    c13CcnetBuckets)
 }

@@ -802,6 +802,18 @@ class PlanSpec extends SparkSpec {
       s"delta stream must never serialize through one partition:\n${plan.take(3000)}")
   }
 
+  test("c13: tercile thresholds come from a lang-partitioned window over the " +
+    "bounded score census — no per-language document sort, census cached once") {
+    val plan = executedPlan("c13_ccnet_buckets")
+    assert(plan.contains("hashpartitioning(lang"),
+      "census window must partition by lang:\n" + plan.take(3000))
+    assert(plan.contains("InMemoryTableScan") ||
+      plan.contains("TableCacheQueryStage"),
+      "vocab census must be cached:\n" + plan.take(3000))
+    assert(!plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(3000)) // the 1-row total rides a broadcast nested loop by design
+  }
+
   test("x26: classifier inference is one map-side-combinable hash aggregate " +
     "on doc_id — zero joins, hashing stays in codegen") {
     val plan = executedPlan("x26_hash_classifier")
