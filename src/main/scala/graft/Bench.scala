@@ -67,7 +67,8 @@ object Bench {
     "p15_zorder_layout", "j11_bloom_semi_join", "x24_boilerplate",
     "x25_kneser_ney",
     "h4_gap_fill", "h5_split_adjust", "a24_concurrency", "w13_bollinger",
-    "j12_interval_join", "x26_hash_classifier", "c13_ccnet_buckets")
+    "j12_interval_join", "x26_hash_classifier", "c13_ccnet_buckets",
+    "g7_personalized_pagerank", "x27_gopher_gates", "j13_asof_forward")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -139,7 +139,13 @@ object Plans {
     "x26_hash_classifier" ->
       "Hashing-trick classifier: token explode feeds ONE map-side-combinable HashAggregate on doc_id; bucket and weight hashes are fused graft_md5_60 codegen — zero joins at inference (a learned model would swap in as a 4096-row broadcast).",
     "c13_ccnet_buckets" ->
-      "CCNet perplexity terciles: per-language thresholds come from a cum-sum window over the (lang, quantized-score) census — bounded by langs × ~20·2^10 buckets, PARTITIONED by lang, never a per-language document sort; the vocab census is persisted once and the 1-row total broadcasts.")
+      "CCNet perplexity terciles: per-language thresholds come from a cum-sum window over the (lang, quantized-score) census — bounded by langs × ~20·2^10 buckets, PARTITIONED by lang, never a per-language document sort; the vocab census is persisted once and the 1-row total broadcasts.",
+    "g7_personalized_pagerank" ->
+      "Personalized PageRank: 4 fixed rounds chain LAZILY into one job (no per-round barrier); each round is a keyed shuffle with map-side partial contribution sums over the memoized edge/degree tables; top-50 is TakeOrdered.",
+    "j13_asof_forward" ->
+      "Forward as-of with tolerance: time negation reuses the j9 union+window machinery verbatim — one user-keyed shuffle, a running last() window, tolerance as a post-join null-out; never a range join.",
+    "x27_gopher_gates" ->
+      "Gopher gate battery: a pure narrow codegen map (size/filter/length HOFs, cross-multiplied integer bounds) — zero joins, zero hash exchanges before the presentation sort.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -540,6 +540,82 @@ object GraphQueries {
       ORDER BY c.cn DESC, c.u, c.v LIMIT 25""")
   )
 
+  private val PprMass = 1000000000000L
+  private val PprIters = 4
+
+  /** G7: personalized PageRank — random walk with restart anchored at the
+    * hub part (g5's seed): "importance FROM this node's point of view",
+    * the metric recommender and trust pipelines use where global PageRank
+    * (g1) answers a different question ("important overall"). Teleport
+    * mass returns to the SEED each round instead of spreading uniformly,
+    * so rank decays with distance from the hub and the top-50 is the
+    * hub's weighted neighborhood.
+    *
+    * Exactness: g1's integer-mass arithmetic with a seed-concentrated
+    * teleport — `(15·M) div 100` at the seed, 0 elsewhere; the oracle
+    * unrolls the same 4 rounds. The seed id is a driver value from a
+    * 1-row bounded collect (the e10 contract — `limit(1)` by
+    * construction).
+    *
+    * Scale: rounds are fixed and each round's output feeds exactly one
+    * consumer, so all 4 rounds chain LAZILY into one job (no per-round
+    * barrier — the g1 materialize-cadence lesson taken to its fixed-K
+    * conclusion; plan depth is bounded at 4). Edges and degrees come
+    * from the shared session memo; each round is one keyed shuffle with
+    * map-side partial sums.
+    */
+  val g7PersonalizedPr: Q = Q(
+    "g7_personalized_pagerank",
+    (s, dir) => {
+      val (edges, deg) = coEdgesDeg(s, dir)
+      val adj = edges.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(edges.select(col("v").as("a"), col("u").as("b")))
+      val seed = deg.orderBy(desc("d"), col("id")).limit(1)
+        .select("id").collect()(0).getLong(0) // 1-row bounded collect
+      val teleport = (15L * PprMass) / 100L
+      val nodes = deg.select("id")
+      var ranks = nodes.withColumn("r",
+        when(col("id") === lit(seed), lit(PprMass)).otherwise(lit(0L)))
+      for (_ <- 1 to PprIters) {
+        val contrib = ranks.withColumnRenamed("id", "a")
+          .join(deg.select(col("id").as("a"), col("d")), Seq("a"))
+          .join(adj, Seq("a"))
+          .select(col("b").as("id"), expr("r div d").as("q"))
+          .groupBy("id").agg(sum(col("q")).as("s"))
+        ranks = nodes.join(contrib, Seq("id"), "left")
+          .select(col("id"),
+            (when(col("id") === lit(seed), lit(teleport)).otherwise(lit(0L))
+              + expr("(85 * coalesce(s, 0)) div 100")).as("r"))
+      }
+      ranks.filter(col("r") > 0)
+        .orderBy(desc("r"), col("id"))
+        .limit(50)
+        .select(col("id").as("part_id"), col("r").as("ppr"))
+    },
+    Some {
+      val iters = (1 to PprIters).map { i =>
+        s""",
+      c$i AS (SELECT e.b AS id, CAST(sum(p.r // d.d) AS BIGINT) AS s
+              FROM r${i - 1} p JOIN deg d ON d.id = p.id JOIN adj e ON e.a = p.id
+              WHERE p.r > 0 GROUP BY e.b),
+      r$i AS (SELECT n.id,
+                CASE WHEN n.id = (SELECT id FROM seed) THEN ${(15L * PprMass) / 100L}
+                     ELSE 0 END + (85 * coalesce(c.s, 0)) // 100 AS r
+              FROM deg n LEFT JOIN c$i c ON c.id = n.id)"""
+      }.mkString
+      s"""WITH $sqlCoEdges,
+      adj AS (SELECT u AS a, v AS b FROM edges
+              UNION ALL SELECT v AS a, u AS b FROM edges),
+      deg AS (SELECT a AS id, count(*) AS d FROM adj GROUP BY a),
+      seed AS (SELECT id FROM deg ORDER BY d DESC, id LIMIT 1),
+      r0 AS (SELECT id, CASE WHEN id = (SELECT id FROM seed) THEN $PprMass
+                             ELSE 0 END AS r FROM deg)$iters
+      SELECT id AS part_id, CAST(r AS BIGINT) AS ppr FROM r$PprIters
+      WHERE r > 0 ORDER BY ppr DESC, part_id LIMIT 50"""
+    }
+  )
+
   val all: Seq[Q] =
-    Seq(g1PageRank, g2TriangleCount, g3KCore, g4LabelProp, g5BfsHops, g6LinkPredict)
+    Seq(g1PageRank, g2TriangleCount, g3KCore, g4LabelProp, g5BfsHops, g6LinkPredict,
+      g7PersonalizedPr)
 }

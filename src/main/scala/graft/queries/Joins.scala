@@ -451,8 +451,55 @@ object Joins {
       GROUP BY p.event_id, p.pt ORDER BY event_id""")
   )
 
+  /** J13: FORWARD as-of join with a tolerance — for each purchase, the
+    * NEXT click by the same user within 10 minutes (pandas
+    * `merge_asof(direction='forward', tolerance=...)`): the attribution
+    * lookup j9's backward join can't express. Rather than a second
+    * operator, time is NEGATED and fed through the SAME `AsOf.joinAsOf`
+    * machinery — backward-on-(−t) IS forward-on-t, equal timestamps
+    * still match (inclusive), and the deterministic greatest-payload
+    * tiebreak carries over unchanged. The tolerance is a post-join
+    * null-out, which preserves the left row count.
+    *
+    * Scale: inherits j9's contract verbatim — one shuffle on the user
+    * key, a running window, linear in both sides; no range join.
+    */
+  val j13AsOfForward: Q = Q(
+    "j13_asof_forward",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val tolUs = 600000000L // 10 minutes
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("pt"))
+        .withColumn("nt", -col("pt"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("value"), (-unix_micros(col("ts"))).as("nt"))
+      AsOf.joinAsOf(facts, clicks, key = "user_id",
+          leftTs = "nt", rightTs = "nt", rightVals = Seq("value"))
+        .select(col("event_id"), col("pt"),
+          when((-col("asof_ts")) - col("pt") <= tolUs, -col("asof_ts"))
+            .as("next_ts"),
+          when((-col("asof_ts")) - col("pt") <= tolUs, col("asof_value"))
+            .as("next_value"))
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS pt FROM events
+              WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, epoch_us(ts) AS ct, value FROM events
+            WHERE event_type = 'click'),
+      m AS (SELECT p.event_id, c.ct, c.value,
+              row_number() OVER (PARTITION BY p.event_id
+                                 ORDER BY c.ct, c.value DESC) AS rn
+            FROM p JOIN c ON c.user_id = p.user_id
+              AND c.ct >= p.pt AND c.ct <= p.pt + 600000000)
+      SELECT p.event_id, p.pt, m.ct AS next_ts, m.value AS next_value
+      FROM p LEFT JOIN (SELECT event_id, ct, value FROM m WHERE rn = 1) m
+        USING (event_id)
+      ORDER BY event_id""")
+  )
+
   val all: Seq[Q] = Seq(
     j1Semi, j2Anti, j3Inner, j4FullOuter, j5Left, j6Right, j7ThetaRange,
     j8Cross, j9AsOf, j10SaltedSkew, r1EntityMatch, r2GoldenRecord, j11BloomSemi,
-    j12IntervalJoin)
+    j12IntervalJoin, j13AsOfForward)
 }

@@ -920,8 +920,72 @@ object TextAnalysis {
       FROM w GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** X27: Gopher quality gates — the rule battery of Gopher (Rae et al.
+    * 2021, Table A1) that MassiveText/RefinedWeb-descended pipelines apply
+    * before any model-based filter, consolidated into one narrow pass with
+    * a per-rule verdict (x3 scores, x8 measures repetition; this is the
+    * hard REJECT battery): word count within [50, 100k], mean word length
+    * within [3, 10], ≥ 80 % alphabetic words, ≥ 2 stopwords. Per-rule
+    * flags are kept (not just the conjunction) because pipeline datasheets
+    * report WHICH gate failed.
+    *
+    * Exactness: every gate is a cross-multiplied integer comparison —
+    * mean word length bounds become `3n ≤ chars ≤ 10n`, the alpha
+    * fraction `5·n_alpha ≥ 4·n` — so no division or float appears.
+    *
+    * Scale: a pure narrow codegen map over the scan (size/filter/length
+    * HOFs — zero shuffles before the presentation sort), the same
+    * per-row shape as x3/x16.
+    */
+  val x27GopherGates: Q = Q(
+    "x27_gopher_gates",
+    (s, dir) => {
+      val toks = Text.tokens(col("text"))
+      val n = size(toks).cast("long")
+      // single-space text: chars-sans-separators = length − (n − 1)
+      val chars = length(col("text")).cast("long") - n + 1
+      val nAlpha = size(filter(toks, tk => tk.rlike("[a-z]"))).cast("long")
+      val nStop = size(filter(toks, tk => tk.isin("the", "a", "of", "to"))).cast("long")
+      val flag = (c: org.apache.spark.sql.Column) => when(c, lit(1)).otherwise(lit(0))
+      t(s, dir, "documents")
+        .select(col("doc_id"), n.as("n_words"), chars.as("n_chars"),
+          nAlpha.as("n_alpha"), nStop.as("n_stop"))
+        .select(col("doc_id"), col("n_words"),
+          flag(col("n_words") >= 50 && col("n_words") <= 100000).as("ok_wc"),
+          flag(col("n_chars") >= col("n_words") * 3 &&
+            col("n_chars") <= col("n_words") * 10).as("ok_mwl"),
+          flag(lit(5) * col("n_alpha") >= lit(4) * col("n_words")).as("ok_alpha"),
+          flag(col("n_stop") >= 2).as("ok_stop"))
+        .withColumn("pass",
+          col("ok_wc") * col("ok_mwl") * col("ok_alpha") * col("ok_stop"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH m AS (
+        SELECT doc_id,
+          CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+          CAST(length(text) AS BIGINT)
+            - CAST(len(string_split(text, ' ')) AS BIGINT) + 1 AS n_chars,
+          CAST(len(list_filter(string_split(text, ' '),
+            tk -> regexp_matches(tk, '[a-z]'))) AS BIGINT) AS n_alpha,
+          CAST(len(list_filter(string_split(text, ' '),
+            tk -> tk IN ('the', 'a', 'of', 'to'))) AS BIGINT) AS n_stop
+        FROM documents)
+      SELECT doc_id, n_words,
+        CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END AS ok_wc,
+        CASE WHEN n_chars >= 3 * n_words AND n_chars <= 10 * n_words
+             THEN 1 ELSE 0 END AS ok_mwl,
+        CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END AS ok_alpha,
+        CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS ok_stop,
+        (CASE WHEN n_words >= 50 AND n_words <= 100000 THEN 1 ELSE 0 END)
+          * (CASE WHEN n_chars >= 3 * n_words AND n_chars <= 10 * n_words
+                  THEN 1 ELSE 0 END)
+          * (CASE WHEN 5 * n_alpha >= 4 * n_words THEN 1 ELSE 0 END)
+          * (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END) AS pass
+      FROM m ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(x1TokenStats, x2LangId, x3Quality, x4Fingerprint, x5TokenFreq,
     x13Bm25, x15BpePairs, x16PiiScrub, x17VocabGrowth, x18Readability,
     x19UnigramEntropy, x20ZipfSlope, x21NgramNovelty, x22LangConfusion,
-    x23BpeTrain, x24Boilerplate, x26HashClassifier)
+    x23BpeTrain, x24Boilerplate, x26HashClassifier, x27GopherGates)
 }

@@ -41,4 +41,33 @@ class AsOfSpec extends SparkSpec {
     val out = AsOf.joinAsOf(trades, quotes, "key", "tts", "qts", Seq("quote"))
     assert(out.count() == trades.count())
   }
+
+  test("j13 forward+tolerance equals the brute-force next-click join") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val fast = SparkEntry.queries("j13_asof_forward")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some((r.getLong(2), r.getDouble(3)))))
+      .toMap
+    val ev = Tables.table(spark, sf, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("ct"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val slow = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("pt"))
+      .collect().map { r =>
+        val (id, u, pt) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        val cands = clicks.filter(c =>
+          c._1 == u && c._2 >= pt && c._2 <= pt + 600000000L)
+        // earliest following click; greatest value at equal ts (the
+        // AsOf deterministic tiebreak)
+        id -> (if (cands.isEmpty) None
+               else Some(cands.minBy(c => (c._2, -c._3)) match {
+                 case (_, ct, v) => (ct, v)
+               }))
+      }.toMap
+    assert(fast == slow)
+    assert(fast.values.exists(_.nonEmpty) && fast.values.exists(_.isEmpty),
+      "corpus must exercise both the matched and the tolerance-expired case")
+  }
 }

@@ -51,4 +51,22 @@ class GraphSpec extends SparkSpec {
     // bipartite paths but the fixed R=4 snapshot is deterministic.
     assert(out.values.sum == 3L) // every node labelled exactly once
   }
+
+  test("g7 PPR is consistent with g5's BFS: positive rank only within 4 hops " +
+    "of the shared hub seed, and the seed outranks every other node") {
+    val sf = "/root/testdata/sf0.001"
+    val ppr = SparkEntry.queries("g7_personalized_pagerank")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hops = SparkEntry.queries("g5_bfs_hops")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ppr.nonEmpty)
+    val seed = hops.collectFirst { case (id, 0L) => id }.get
+    assert(ppr.contains(seed) && ppr(seed) == ppr.values.max,
+      "restart mass must keep the seed on top")
+    // mass spreads one hop per round: rank reaches at most hop 4
+    ppr.keys.foreach { id =>
+      assert(hops.get(id).exists(_ <= 4L),
+        s"part $id ranked but ${hops.get(id)} hops from the seed")
+    }
+  }
 }

@@ -814,6 +814,34 @@ class PlanSpec extends SparkSpec {
       plan.take(3000)) // the 1-row total rides a broadcast nested loop by design
   }
 
+  test("x27: the gate battery is a pure narrow codegen map — zero joins, " +
+    "no hash exchange before the presentation sort") {
+    val plan = executedPlan("x27_gopher_gates")
+    assert(!plan.contains("Join"), "gates must not join:\n" + plan.take(3000))
+    assert(!plan.contains("hashpartitioning"),
+      "no shuffle may precede the presentation sort:\n" + plan.take(3000))
+  }
+
+  test("j13: forward as-of rides the j9 machinery — one user-keyed window, " +
+    "never a range join") {
+    val plan = executedPlan("j13_asof_forward")
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(3000))
+    assert(plan.contains("Window"), plan.take(3000))
+    assert(plan.contains("hashpartitioning(_k") || plan.contains("hashpartitioning(user_id"),
+      "the as-of window must partition by the key:\n" + plan.take(3000))
+  }
+
+  test("g7: each PPR round is a keyed shuffle with map-side partial sums — " +
+    "no cartesian, rounds chain into one job") {
+    val plan = executedPlan("g7_personalized_pagerank")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("partial_sum"),
+      "contribution sums must partial-aggregate map-side:\n" + plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"),
+      "top-50 must be TakeOrdered, not a global sort:\n" + plan.take(3000))
+  }
+
   test("x26: classifier inference is one map-side-combinable hash aggregate " +
     "on doc_id — zero joins, hashing stays in codegen") {
     val plan = executedPlan("x26_hash_classifier")
