@@ -145,7 +145,9 @@ object Plans {
     "j13_asof_forward" ->
       "Forward as-of with tolerance: time negation reuses the j9 union+window machinery verbatim — one user-keyed shuffle, a running last() window, tolerance as a post-join null-out; never a range join.",
     "x27_gopher_gates" ->
-      "Gopher gate battery: a pure narrow codegen map (size/filter/length HOFs, cross-multiplied integer bounds) — zero joins, zero hash exchanges before the presentation sort.")
+      "Gopher gate battery: a pure narrow codegen map (size/filter/length HOFs, cross-multiplied integer bounds) — zero joins, zero hash exchanges before the presentation sort.",
+    "j14_asof_native" ->
+      "NATIVE as-of join (custom LogicalPlan + SparkStrategy + BinaryExecNode): the AsOfJoin node declares ClusteredDistribution(key) + per-child (key, ts) sort orders, so EnsureRequirements plans ONE exchange and ONE sort per side (each carrying only its own columns) and the exec merges the sorted streams in O(|L|+|R|) with O(1) held state — no union widening, no window state machine.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -498,8 +498,44 @@ object Joins {
       ORDER BY event_id""")
   )
 
+  /** J14: the NATIVE as-of join — j9's exact query through the custom
+    * Catalyst operator (`graft.plans.AsOfJoinPlan`: logical node →
+    * injected SparkStrategy → physical merge exec that DECLARES
+    * ClusteredDistribution + per-child (key, ts) sort orders). Same
+    * oracle as j9 (DuckDB's native ASOF JOIN), so the driver gate proves
+    * the custom operator end-to-end; NativeAsOfSpec additionally proves
+    * row-for-row equality with the composed union+window path and pins
+    * the one-exchange-per-side physical shape.
+    */
+  val j14AsOfNative: Q = Q(
+    "j14_asof_native",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy("user_id", "ts")
+        .agg(max(col("value")).as("value"))
+      graft.plans.NativeAsOf
+        .joinAsOf(purchases, clicks, "user_id", "ts", "ts", Seq("value"))
+        .select(
+          col("event_id"), col("user_id"), col("ts"),
+          col("asof_ts").as("last_click_ts"),
+          col("asof_value").as("last_click_value"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT l.event_id, l.user_id, l.ts,
+        r.ts AS last_click_ts, r.value AS last_click_value
+      FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') l
+      ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value
+                      FROM events WHERE event_type = 'click'
+                      GROUP BY user_id, ts) r
+        ON l.user_id = r.user_id AND l.ts >= r.ts
+      ORDER BY l.event_id""")
+  )
+
   val all: Seq[Q] = Seq(
     j1Semi, j2Anti, j3Inner, j4FullOuter, j5Left, j6Right, j7ThetaRange,
     j8Cross, j9AsOf, j10SaltedSkew, r1EntityMatch, r2GoldenRecord, j11BloomSemi,
-    j12IntervalJoin, j13AsOfForward)
+    j12IntervalJoin, j13AsOfForward, j14AsOfNative)
 }

@@ -1,0 +1,105 @@
+package graft
+
+import graft.operators.AsOf
+import graft.plans.NativeAsOf
+import org.apache.spark.sql.functions._
+
+/** The native planner-integrated as-of join (`graft.plans.AsOfJoinPlan`)
+  * must be OBSERVABLY the same operator as the composed union+window path
+  * (`operators/AsOf`) — every test here proves equality or pins the
+  * physical shape the custom node declares.
+  */
+class NativeAsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def quotes = Seq(
+    ("A", ts("2024-01-01 10:00:00"), 1.0),
+    ("A", ts("2024-01-01 11:00:00"), 2.0),
+    ("B", ts("2024-01-01 10:30:00"), 9.0)
+  ).toDF("key", "qts", "quote")
+
+  private def trades = Seq(
+    ("A", ts("2024-01-01 10:30:00"), "t1"),
+    ("A", ts("2024-01-01 11:00:00"), "t2"), // equal ts → quote visible
+    ("A", ts("2024-01-01 09:00:00"), "t3"), // before any → null
+    ("B", ts("2024-01-01 12:00:00"), "t4")
+  ).toDF("key", "tts", "tid")
+
+  test("native as-of equals the composed union+window operator on the fixture") {
+    val native = NativeAsOf
+      .joinAsOf(trades, quotes, "key", "tts", "qts", Seq("quote"))
+      .select($"tid", $"asof_ts", $"asof_quote")
+      .collect().map(r => (r.getString(0), r.get(1), r.get(2))).toSet
+    val composed = AsOf
+      .joinAsOf(trades, quotes, "key", "tts", "qts", Seq("quote"))
+      .select($"tid", $"asof_ts", $"asof_quote")
+      .collect().map(r => (r.getString(0), r.get(1), r.get(2))).toSet
+    assert(native == composed)
+    assert(native.exists { case (tid, t, _) => tid == "t3" && t == null },
+      "no-prior-row case must null-pad")
+  }
+
+  test("equal-(key, ts) right ties resolve to the greatest payload — the " +
+    "composed operator's documented tiebreak") {
+    val dupQuotes = Seq(
+      ("A", ts("2024-01-01 10:00:00"), 5.0),
+      ("A", ts("2024-01-01 10:00:00"), 7.0),
+      ("A", ts("2024-01-01 10:00:00"), 6.0)
+    ).toDF("key", "qts", "quote")
+    val one = Seq(("A", ts("2024-01-01 10:30:00"), "t")).toDF("key", "tts", "tid")
+    val out = NativeAsOf.joinAsOf(one, dupQuotes, "key", "tts", "qts", Seq("quote"))
+      .select($"asof_quote").collect()
+    assert(out.map(_.getDouble(0)).toSeq == Seq(7.0))
+  }
+
+  test("native equals composed on the corpus self-join shape (j9: purchases " +
+    "x same-table clicks), row for row") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = Tables.table(spark, sf, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy("user_id", "ts").agg(max(col("value")).as("value"))
+    def collectMap(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"), col("asof_ts"), col("asof_value"))
+      .collect().map(r => r.getLong(0) -> (r.get(1), r.get(2))).toMap
+    val native = collectMap(
+      NativeAsOf.joinAsOf(purchases, clicks, "user_id", "ts", "ts", Seq("value")))
+    val composed = collectMap(
+      AsOf.joinAsOf(purchases, clicks, "user_id", "ts", "ts", Seq("value")))
+    assert(native.size == composed.size && native == composed)
+    assert(native.values.exists(_._1 != null) && native.values.exists(_._1 == null),
+      "corpus must exercise both matched and unmatched rows")
+  }
+
+  test("physical shape: AsOfJoinExec with one exchange and one sort per side " +
+    "— never a union-width shuffle, window, or nested loop") {
+    val sf = "/root/testdata/sf0.001"
+    val ev = Tables.table(spark, sf, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "value")
+    val df = NativeAsOf.joinAsOf(purchases, clicks, "user_id", "ts", "ts", Seq("value"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val cut = plan.indexOf("== Initial Plan ==")
+    val finalPlan = if (cut >= 0) plan.substring(0, cut) else plan
+    // SparkPlan.nodeName strips the "Exec" suffix in rendered trees
+    assert(finalPlan.contains("AsOfJoin "), finalPlan.take(3000))
+    assert(!finalPlan.contains("Window"),
+      "the native path must not fall back to the window formulation:\n" +
+        finalPlan.take(3000))
+    assert(!finalPlan.contains("BroadcastNestedLoopJoin") &&
+      !finalPlan.contains("CartesianProduct"), finalPlan.take(3000))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).length
+    assert(exchanges == 2, s"one exchange per side, got $exchanges:\n${finalPlan.take(3000)}")
+  }
+
+  test("left multiplicity is preserved and output ordering passes through") {
+    val out = NativeAsOf.joinAsOf(trades, quotes, "key", "tts", "qts", Seq("quote"))
+    assert(out.count() == trades.count())
+  }
+}
