@@ -141,11 +141,27 @@ case class AsOfJoinExec(
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rOut.size)
 
       new Iterator[InternalRow] {
-        private var rHead: InternalRow = advanceRight()
-        private var held: InternalRow = null // copied; key re-checked per left row
+        // Key/ts values are cached alongside the rows they came from: the
+        // head cache is refreshed on every advance (shuffle iterators
+        // reuse row objects, but only a next() call mutates them), and the
+        // held cache points into the held row's own COPIED buffer — so the
+        // steady-state cost per left row is two interpreted evals plus
+        // primitive compares, with the output projection codegen'd.
+        private var rHead: InternalRow = _
+        private var rHeadKey: Any = _
+        private var rHeadTs: Any = _
+        advanceRight()
+        private var held: InternalRow = null
+        private var heldKey: Any = null
+        private var heldTs: Any = null
 
-        private def advanceRight(): InternalRow =
-          if (rIter.hasNext) rIter.next() else null
+        private def advanceRight(): Unit = {
+          if (rIter.hasNext) {
+            rHead = rIter.next()
+            rHeadKey = rKeyB.eval(rHead)
+            rHeadTs = rTsB.eval(rHead)
+          } else rHead = null
+        }
 
         override def hasNext: Boolean = lIter.hasNext
 
@@ -156,29 +172,28 @@ case class AsOfJoinExec(
           if (lk != null && lt != null) {
             var continue = rHead != null
             while (continue) {
-              val rk = rKeyB.eval(rHead)
-              val rt = rTsB.eval(rHead)
               // rows with null key/ts sort first and can never match — skip
               val behind =
-                if (rk == null || rt == null) true
+                if (rHeadKey == null || rHeadTs == null) true
                 else {
-                  val c = keyOrd.compare(rk, lk)
-                  c < 0 || (c == 0 && tsOrd.compare(rt, lt) <= 0)
+                  val c = keyOrd.compare(rHeadKey, lk)
+                  c < 0 || (c == 0 && tsOrd.compare(rHeadTs, lt) <= 0)
                 }
               if (behind) {
-                if (rk != null && rt != null && keyOrd.compare(rk, lk) == 0)
+                if (rHeadKey != null && rHeadTs != null &&
+                    keyOrd.compare(rHeadKey, lk) == 0) {
                   held = rHead.copy()
-                rHead = advanceRight()
+                  heldKey = rKeyB.eval(held)
+                  heldTs = rTsB.eval(held)
+                }
+                advanceRight()
                 continue = rHead != null
               } else continue = false
             }
           }
-          val matched = lk != null && lt != null && held != null && {
-            val hk = rKeyB.eval(held)
-            val ht = rTsB.eval(held)
-            hk != null && keyOrd.compare(hk, lk) == 0 &&
-              ht != null && tsOrd.compare(ht, lt) <= 0
-          }
+          val matched = lk != null && lt != null && held != null &&
+            heldKey != null && keyOrd.compare(heldKey, lk) == 0 &&
+            heldTs != null && tsOrd.compare(heldTs, lt) <= 0
           proj(joined(l, if (matched) held else nullRight))
         }
       }
