@@ -424,6 +424,48 @@ object Relational {
       ORDER BY nationkey""")
   )
 
+  /** U6: multiset difference — EXCEPT ALL keeps duplicate multiplicity
+    * (each BUILDING customer row cancels ONE supplier row of the same
+    * nation), the bag semantics u3's set-EXCEPT collapses. The engine's
+    * `exceptAll` plans as a count-diff aggregate + generate, never a
+    * row-pairing join.
+    */
+  val u6ExceptAll: Q = Q(
+    "u6_except_all",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_nationkey").as("nationkey"))
+      val sp = t(s, dir, "supplier")
+        .filter(col("s_acctbal") > 5000.0)
+        .select(col("s_nationkey").as("nationkey"))
+      c.exceptAll(sp).orderBy("nationkey")
+    },
+    Some("""SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT ALL SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000.0
+      ORDER BY nationkey""")
+  )
+
+  /** U7: multiset intersection — INTERSECT ALL keeps min(multiplicity)
+    * per value across the two sides, u5's set-INTERSECT with bag
+    * semantics.
+    */
+  val u7IntersectAll: Q = Q(
+    "u7_intersect_all",
+    (s, dir) => {
+      val c = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_nationkey").as("nationkey"))
+      val sp = t(s, dir, "supplier")
+        .filter(col("s_acctbal") > 5000.0)
+        .select(col("s_nationkey").as("nationkey"))
+      c.intersectAll(sp).orderBy("nationkey")
+    },
+    Some("""SELECT c_nationkey AS nationkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT ALL SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 5000.0
+      ORDER BY nationkey""")
+  )
+
   /** Q07/Q08: the SQL FRONT DOOR — every other registry query declares its
     * plan through the DataFrame API; these two run ONE ANSI SQL text
     * through `spark.sql` (over temp views of the corpus) and hand the
@@ -653,5 +695,6 @@ object Relational {
     f1Respell, f2Case, f3Split, f4StringAgg, f5Concat, f6TimeTrunc, f9TsArith,
     f11CastNull, f13Json,
     o1SortChrono, o2SortLex, o3TopK,
-    u1UnionDistinct, u3Except, u4UnionAll, u5Intersect)
+    u1UnionDistinct, u3Except, u4UnionAll, u5Intersect, u6ExceptAll,
+    u7IntersectAll)
 }

@@ -261,5 +261,70 @@ object TimeSeries {
       FROM d GROUP BY user_id ORDER BY user_id""")
   )
 
-  val all: Seq[Q] = Seq(h4GapFill, h5SplitAdjust, a24Concurrency, w13Bollinger)
+  /** W14: RSI overbought/oversold census — the Relative Strength Index
+    * (simple-average variant) over the trailing 14 deltas: RSI =
+    * gains/(gains+losses), reported per key as counts of
+    * overbought (> 70 %) and oversold (< 30 %) observations — the other
+    * standard technical-indicator shape next to w13's bands (Wilder's
+    * recursive smoothing is w9's EWMA fold; the SMA variant here keeps
+    * the window algebra exact).
+    *
+    * Exactness: deltas are differences of the ONE 2^-10 input
+    * quantization; gains/losses are `greatest(±diff, 0)` longs; RSI is a
+    * single integer floor division of non-negative operands, guarded
+    * against the all-flat zero denominator explicitly (DuckDB's `//`
+    * errors on zero where Spark's `div` yields null — the guard keeps
+    * the expression out of both).
+    *
+    * Scale: one user-keyed shuffle serves the lag window, the ranking
+    * and both trailing sums; the final rollup is a map-side-combinable
+    * count per key.
+    */
+  val w14Rsi: Q = Q(
+    "w14_rsi",
+    (s, dir) => {
+      val wSeq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val w14 = wSeq.rowsBetween(-13, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 1024).cast("long").as("vq"))
+        .withColumn("diff", col("vq") - lag(col("vq"), 1).over(wSeq))
+        .filter(col("diff").isNotNull)
+        .withColumn("rn", row_number().over(wSeq))
+        .withColumn("gs", sum(greatest(col("diff"), lit(0L))).over(w14))
+        .withColumn("ls", sum(greatest(-col("diff"), lit(0L))).over(w14))
+        .filter(col("rn") >= 14)
+        .select(col("user_id"),
+          when(col("gs") + col("ls") > 0, expr("(1000 * gs) div (gs + ls)"))
+            .as("rsi_pm"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_obs"),
+          sum(when(col("rsi_pm") > 700, 1L).otherwise(0L)).as("n_overbought"),
+          sum(when(col("rsi_pm") < 300, 1L).otherwise(0L)).as("n_oversold"))
+        .orderBy("user_id")
+    },
+    Some("""WITH q AS (
+        SELECT user_id, ts, event_id, CAST(round(value * 1024) AS BIGINT) AS vq
+        FROM events),
+      d AS (SELECT user_id, ts, event_id,
+              vq - lag(vq) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS diff
+            FROM q),
+      r AS (SELECT user_id,
+              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+              CAST(sum(greatest(diff, 0)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT) AS gs,
+              CAST(sum(greatest(-diff, 0)) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT) AS ls
+            FROM d WHERE diff IS NOT NULL),
+      rsi AS (SELECT user_id,
+                CASE WHEN gs + ls > 0 THEN (1000 * gs) // (gs + ls) END AS rsi_pm
+              FROM r WHERE rn >= 14)
+      SELECT user_id, count(*) AS n_obs,
+        CAST(sum(CASE WHEN rsi_pm > 700 THEN 1 ELSE 0 END) AS BIGINT) AS n_overbought,
+        CAST(sum(CASE WHEN rsi_pm < 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversold
+      FROM rsi GROUP BY user_id ORDER BY user_id""")
+  )
+
+  val all: Seq[Q] = Seq(h4GapFill, h5SplitAdjust, a24Concurrency, w13Bollinger,
+    w14Rsi)
 }

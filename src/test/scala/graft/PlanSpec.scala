@@ -772,6 +772,15 @@ class PlanSpec extends SparkSpec {
       "census/join-back must not rescan documents:\n" + plan.take(3000))
   }
 
+  test("w3: the rank filter infers a WindowGroupLimit — per-key top-n is " +
+    "pruned MAP-SIDE (Partial) before the shuffle, not post-window") {
+    val plan = executedPlan("w3_topn_per_group")
+    assert(plan.contains("WindowGroupLimit"),
+      "rank<=n must push into a group limit:\n" + plan.take(3000))
+    assert(plan.contains("Partial"),
+      "the group limit must run map-side before the exchange:\n" + plan.take(3000))
+  }
+
   test("j12: the no-equi-key interval join plans as a chunk EQUI-join — " +
     "never a cartesian/nested-loop product") {
     val plan = executedPlan("j12_interval_join")

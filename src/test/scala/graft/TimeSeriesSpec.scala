@@ -104,7 +104,37 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.map(_._3).sum > 0, "corpus must trip the upper band")
   }
 
-  test("registry: the six new queries are registered with oracles") {
+  test("w14: the RSI census agrees with an independent exact replay of the " +
+    "trailing-14 gain/loss windows") {
+    val out = SparkEntry.queries("w14_rsi")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toList
+    val ev = Tables.table(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("t"), col("event_id"),
+        col("value"))
+      .collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)),
+        math.round(r.getDouble(3) * 1024)))
+    val slow = ev.groupBy(_._1).toSeq.map { case (u, rows) =>
+      val vs = rows.sortBy(_._2).map(_._3)
+      val diffs = vs.sliding(2).map(p => p(1) - p(0)).toVector
+      val rsis = diffs.indices.drop(13).map { i =>
+        val w = diffs.slice(i - 13, i + 1)
+        val gs = w.map(d => math.max(d, 0L)).sum
+        val ls = w.map(d => math.max(-d, 0L)).sum
+        if (gs + ls > 0) Some(1000 * gs / (gs + ls)) else None
+      }
+      (u, rsis.size.toLong,
+        rsis.count(_.exists(_ > 700)).toLong,
+        rsis.count(_.exists(_ < 300)).toLong)
+    }.sortBy(_._1).toList
+    assert(out == slow)
+    // sf0.001 has ~85 windows/user — direction counts are corpus luck, so
+    // only require that SOME band observation exists
+    assert(out.map(r => r._3 + r._4).sum > 0,
+      "corpus must produce at least one overbought/oversold observation")
+  }
+
+  test("registry: every TimeSeries query is registered with an oracle") {
     for (q <- TimeSeries.all)
       assert(SparkEntry.oracleSql.contains(q.name), q.name)
   }
