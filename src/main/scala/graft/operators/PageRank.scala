@@ -64,8 +64,15 @@ object PageRank {
     e.count()
     val eT = Lineage.truncate(e)
 
+    // Out-degree is JOINED ONTO the edge list once, up front: each round's
+    // contribution then needs a single (ranks ⋈ edged) join instead of
+    // (ranks ⋈ outdeg ⋈ edges) — one hash join per round saved, and the
+    // per-edge degree is read straight off the cached row.
     val outdeg = eT.groupBy("a").agg(count(lit(1)).as("d"))
+    val edged = eT.join(outdeg, Seq("a"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    edged.count()
+    val edgedT = Lineage.truncate(edged)
     val nodes = eT.select(col("a").as("id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val n = nodes.count()
@@ -96,8 +103,7 @@ object PageRank {
       if (Thread.currentThread().isInterrupted)
         throw new InterruptedException("PageRank cancelled")
       val contrib = ranks.withColumnRenamed("id", "a")
-        .join(outdeg, Seq("a"))
-        .join(eT, Seq("a"))
+        .join(edgedT, Seq("a"))
         .select(col("b").as("id"), expr("r div d").as("q"))
         .groupBy("id")
         .agg(sum(col("q")).as("s"))
