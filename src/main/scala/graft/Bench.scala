@@ -69,7 +69,8 @@ object Bench {
     "h4_gap_fill", "h5_split_adjust", "a24_concurrency", "w13_bollinger",
     "j12_interval_join", "x26_hash_classifier", "c13_ccnet_buckets",
     "g7_personalized_pagerank", "x27_gopher_gates", "j13_asof_forward",
-    "j14_asof_native", "u6_except_all", "u7_intersect_all", "w14_rsi")
+    "j14_asof_native", "u6_except_all", "u7_intersect_all", "w14_rsi",
+    "m5_audio_segments")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

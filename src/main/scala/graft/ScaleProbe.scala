@@ -72,7 +72,52 @@ object ScaleProbe {
     spanProbe(spark, sfDir)
     curriculumProbe(spark, sfDir)
     graphProbe(spark, sfDir)
+    intervalProbe(spark, sfDir)
     spark.stop()
+  }
+
+  /** j12's chunked range join under inflation: copies are shifted by
+    * disjoint 31-day offsets, so the TRUE overlap output grows exactly
+    * linearly with the factor — and so must the chunk equi-join's wall
+    * time, because each interval lands in ≤ 2 chunks and each point in
+    * exactly 1 regardless of corpus size. The naive formulation compares
+    * every point against every interval: |P|·|I| grows QUADRATICALLY in
+    * the factor even though the copies never overlap in time — factor 8
+    * would run 64× the factor-1 work. The probe times the exact j12
+    * construction on integer microseconds.
+    */
+  def intervalProbe(spark: SparkSession, sfDir: String): Unit = {
+    val cUs = 1200000000L
+    val dayShift = 31L * 86400000000L
+    val ev = Tables.table(spark, sfDir, "events")
+      .select(col("event_type"), unix_micros(col("ts")).as("t"), col("event_id"))
+      .persist()
+    ev.count()
+    Seq(1, 2, 4, 8).foreach { f =>
+      val inflated = (0 until f).map { k =>
+        ev.select(col("event_type"), (col("t") + lit(k * dayShift)).as("t"),
+          (col("event_id") * f + k).as("event_id"))
+      }.reduce(_.unionByName(_))
+      val times = (1 to 2).map { _ =>
+        val t0 = System.nanoTime()
+        val iv = inflated.filter(col("event_type") === "view")
+          .select(col("t").as("s0"))
+          .withColumn("e0", col("s0") + lit(cUs))
+        val chunks = iv.select(
+          explode(sequence(expr(s"s0 div $cUs"), expr(s"(e0 - 1) div $cUs"))).as("chunk"),
+          col("s0"), col("e0"))
+        val pts = inflated.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("t").as("pt"))
+          .withColumn("chunk", expr(s"pt div $cUs"))
+        val hits = pts.join(chunks, Seq("chunk"))
+          .filter(col("s0") <= col("pt") && col("pt") < col("e0"))
+          .count()
+        (System.nanoTime() - t0) / 1e9 -> hits
+      }
+      val (best, hits) = times.minBy(_._1)
+      println(f"[scale-interval] factor=$f%2d hits=$hits%9d time=$best%7.2f s")
+    }
+    ev.unpersist()
   }
 
   /** Iterative-graph linearity: inflate the part co-purchase graph with

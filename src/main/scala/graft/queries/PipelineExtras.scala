@@ -413,9 +413,75 @@ object PipelineExtras {
       ORDER BY a, b""")
   )
 
+  /** M5: VAD-style segmentation — the voice-activity-detection pass every
+    * speech-corpus pipeline runs before transcription: per media object,
+    * frame ENERGIES gate active frames, and consecutive active frames
+    * merge into segments (gaps-and-islands: `frame_id − rank` is constant
+    * within a run). Frame energy here is the deterministic stand-in the
+    * m-family contract established (hash of the frame slice — a real
+    * build reads RMS from the decoded samples; the segmentation dataflow
+    * downstream of decode is the real, tested thing).
+    *
+    * Scale: frames explode narrowly off the payload scan (m2's shape);
+    * the islands window and the rollup both partition by doc — one keyed
+    * shuffle; only frame METADATA ever shuffles, never payload bytes
+    * (the m4 rule).
+    */
+  val m5AudioSegments: Q = Q(
+    "m5_audio_segments",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("frame_id")
+      t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .withColumn("n_frames", expr("(length(text) + 63) div 64"))
+        .select(col("doc_id"), col("text"),
+          posexplode(sequence(lit(0), col("n_frames") - 1)))
+        .withColumnRenamed("pos", "frame_id")
+        .withColumn("energy",
+          pmod(graft.functions.Text.seededHash64(lit("vad"),
+            expr("substr(text, frame_id * 64 + 1, 64)")), lit(1000L)))
+        .filter(col("energy") >= 500)
+        .withColumn("grp", col("frame_id") - row_number().over(w))
+        .groupBy(col("doc_id"), col("grp"))
+        .agg(min(col("frame_id")).cast("long").as("seg_start"),
+          count(lit(1)).as("seg_len"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_segments"),
+          sum(col("seg_len")).as("n_active"),
+          max(col("seg_len")).as("longest"),
+          min(col("seg_start")).as("first_start"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH frames AS (
+        SELECT doc_id,
+               unnest(range((length(text) + 63) // 64)) AS frame_id,
+               text
+        FROM documents WHERE length(text) > 0),
+      act AS (SELECT doc_id, frame_id
+              FROM (SELECT doc_id, frame_id,
+                      CAST('0x' || substr(md5('vad|' ||
+                        substr(text, CAST(frame_id * 64 + 1 AS INTEGER), 64)), 1, 15)
+                        AS BIGINT) % 1000 AS energy
+                    FROM frames)
+              WHERE energy >= 500),
+      segs AS (SELECT doc_id,
+                 frame_id - row_number() OVER (PARTITION BY doc_id ORDER BY frame_id) AS grp,
+                 frame_id
+               FROM act),
+      agg AS (SELECT doc_id, grp, CAST(min(frame_id) AS BIGINT) AS seg_start,
+                count(*) AS seg_len
+              FROM segs GROUP BY doc_id, grp)
+      SELECT doc_id, count(*) AS n_segments,
+        CAST(sum(seg_len) AS BIGINT) AS n_active,
+        CAST(max(seg_len) AS BIGINT) AS longest,
+        CAST(min(seg_start) AS BIGINT) AS first_start
+      FROM agg GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(
     f14ArrayOps, f15MapOps, f16ExplodeSequence, f17StringFuncs,
     f18RegexpExtractAll, f19BucketCategorize, x6PiiScrub, x7BpeTokens,
     x14TokenFertility, m2FrameSample, m3ResizeMeta, d5DupClusters,
-    m4MediaDedup)
+    m4MediaDedup, m5AudioSegments)
 }
