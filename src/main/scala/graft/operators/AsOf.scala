@@ -30,9 +30,17 @@ object AsOf {
       rightTs: String,
       rightVals: Seq[String]): DataFrame = {
     val leftCols = left.columns.toSeq
+    // A right row with null ts can never be "at or before" anything (SQL
+    // comparison semantics — DuckDB's ASOF predicate never matches it), but
+    // in the union+window formulation it would sort FIRST (nulls first) and
+    // its PAYLOAD would leak into `last(..., ignoreNulls)` while `asof_ts`
+    // stayed null — an incoherent row the native merge (NativeAsOf) can't
+    // produce. Drop such rows up front; left rows with null ts sort first
+    // in their key group and correctly null-pad.
+    val rightNonNullTs = right.filter(col(rightTs).isNotNull)
     // Tag sides; right rows sort before left rows at equal ts so an exact-ts
     // match is visible to the left row ("at or before" semantics).
-    val r = right.select(
+    val r = rightNonNullTs.select(
       Seq(col(key).as("_k"), col(rightTs).as("_ts"), lit(0).as("_side")) ++
         rightVals.map(v => col(v).as(s"_rv_$v")): _*)
     val l = left.select(

@@ -102,4 +102,40 @@ class NativeAsOfSpec extends SparkSpec {
     val out = NativeAsOf.joinAsOf(trades, quotes, "key", "tts", "qts", Seq("quote"))
     assert(out.count() == trades.count())
   }
+
+  test("randomized adversarial equality with the composed operator — dense " +
+    "key collisions, duplicate (key, ts) rows, nulls, varied partitioning") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // few keys + tiny ts domain → heavy boundary traffic (key changes,
+    // exact-ts ties, duplicate right rows) — exactly where a streamed
+    // merge's held-row logic can go stale
+    val rowGen = for {
+      k <- Gen.choose(1L, 4L)
+      t <- Gen.choose(0L, 20L)
+      v <- Gen.choose(0L, 9L)
+      nullTs <- Gen.prob(0.1)
+    } yield (k, if (nullTs) null else java.lang.Long.valueOf(t), v.toDouble)
+    def sample(seed: Long, n: Int) = Gen.listOfN(n, rowGen)
+      .apply(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+
+    (1L to 8L).foreach { seed =>
+      val lRows = sample(seed, 60)
+      val rRows = sample(seed + 100, 60)
+      val l = lRows.zipWithIndex
+        .map { case ((k, t, _), i) => (i.toLong, k, t) }
+        .toDF("lid", "key", "lts")
+      val r = rRows.map { case (k, t, v) => (k, t, v) }.toDF("key", "rts", "v")
+        .repartition((seed % 3 + 1).toInt) // vary pre-join layout
+      def run(f: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+          String, String, String, Seq[String]) => org.apache.spark.sql.DataFrame) =
+        f(l, r, "key", "lts", "rts", Seq("v"))
+          .select($"lid", $"asof_ts", $"asof_v")
+          .collect().map(row => (row.getLong(0), row.get(1), row.get(2))).toSet
+      val native = run(NativeAsOf.joinAsOf)
+      val composed = run(AsOf.joinAsOf)
+      assert(native == composed, s"seed=$seed\n" +
+        s"native-only=${native -- composed}\ncomposed-only=${composed -- native}")
+    }
+  }
 }
