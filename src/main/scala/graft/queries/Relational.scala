@@ -514,6 +514,30 @@ object Relational {
     Some(sqlQ08)
   )
 
+  private val sqlQ14 =
+    """SELECT user_id, event_id, value, CAST(rn AS BIGINT) AS rn FROM (
+         SELECT user_id, event_id, value,
+                row_number() OVER (PARTITION BY user_id
+                                   ORDER BY value DESC, event_id) AS rn
+         FROM events WHERE event_type = 'purchase') t
+       WHERE rn <= 3 ORDER BY user_id, rn"""
+
+  /** Q14: windowed SQL front door — ONE ANSI text with a ranking window +
+    * rank predicate through both engines (the q07/q08 contract extended to
+    * window syntax). On Spark the rn <= 3 filter must infer a
+    * WindowGroupLimit (the w3 plan property) from the SQL text exactly as
+    * from the DataFrame form — the front door and the API compile to the
+    * same physical plan.
+    */
+  val q14SqlWindow: Q = Q(
+    "q14_sql_window",
+    (s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("events")
+      s.sql(sqlQ14)
+    },
+    Some(sqlQ14)
+  )
+
   /** Q09: TPC-H Q17-shaped correlated scalar subquery — "orders below 20%
     * of the part's average quantity" — the decorrelation stress test:
     * both engines must rewrite the two per-part correlated aggregates into
@@ -691,6 +715,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     q01PricingSummary, q07SqlAboveAvg, q08SqlNotExists, q09SqlCorrelated,
     q10SqlExistsChain, q11SqlNestedIn, q12SqlTopSupplier, q13SqlMinCost,
+    q14SqlWindow,
     p1Drop, p2Rename, p3Project, p4Filter, p5Isin, p6Validity, p8MaskedUpdate,
     f1Respell, f2Case, f3Split, f4StringAgg, f5Concat, f6TimeTrunc, f9TsArith,
     f11CastNull, f13Json,

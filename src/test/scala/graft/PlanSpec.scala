@@ -781,6 +781,12 @@ class PlanSpec extends SparkSpec {
       "the group limit must run map-side before the exchange:\n" + plan.take(3000))
   }
 
+  test("q14: the SQL front door's rank filter infers the same " +
+    "WindowGroupLimit as the DataFrame form (w3)") {
+    val plan = executedPlan("q14_sql_window")
+    assert(plan.contains("WindowGroupLimit"), plan.take(3000))
+  }
+
   test("j12: the no-equi-key interval join plans as a chunk EQUI-join — " +
     "never a cartesian/nested-loop product") {
     val plan = executedPlan("j12_interval_join")
