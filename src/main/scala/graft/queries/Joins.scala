@@ -419,6 +419,28 @@ object Joins {
     * replicate intervals, never points). Output stays one row per point
     * (zero-match points kept by the count-preserving left join back).
     */
+  /** j12's binning core over arbitrary frames: `points(id, pt)` ×
+    * `intervals(s0, e0)` (half-open µs) → one row per point with its
+    * overlap count. Also unit-tested directly on chunk-boundary cases
+    * (pt == s0, pt == e0, intervals spanning a chunk edge).
+    */
+  private[graft] def pointInIntervalCounts(
+      points: org.apache.spark.sql.DataFrame,
+      intervals: org.apache.spark.sql.DataFrame,
+      chunkUs: Long): org.apache.spark.sql.DataFrame = {
+    val chunks = intervals.select(
+      explode(sequence(expr(s"s0 div $chunkUs"), expr(s"(e0 - 1) div $chunkUs")))
+        .as("chunk"),
+      col("s0"), col("e0"))
+    val pts = points.withColumn("chunk", expr(s"pt div $chunkUs"))
+    val hits = pts.join(chunks, Seq("chunk"))
+      .filter(col("s0") <= col("pt") && col("pt") < col("e0"))
+      .groupBy("id").agg(count(lit(1)).as("n_active"))
+    points.select("id", "pt")
+      .join(hits, Seq("id"), "left")
+      .select(col("id"), col("pt"), coalesce(col("n_active"), lit(0L)).as("n_active"))
+  }
+
   val j12IntervalJoin: Q = Q(
     "j12_interval_join",
     (s, dir) => {
@@ -427,19 +449,10 @@ object Joins {
       val iv = ev.filter(col("event_type") === "view")
         .select(unix_micros(col("ts")).as("s0"))
         .withColumn("e0", col("s0") + lit(cUs)) // half-open [s0, e0)
-      val chunks = iv.select(
-        explode(sequence(expr(s"s0 div $cUs"), expr(s"(e0 - 1) div $cUs"))).as("chunk"),
-        col("s0"), col("e0"))
       val pts = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), unix_micros(col("ts")).as("pt"))
-        .withColumn("chunk", expr(s"pt div $cUs"))
-      val hits = pts.join(chunks, Seq("chunk"))
-        .filter(col("s0") <= col("pt") && col("pt") < col("e0"))
-        .groupBy("event_id").agg(count(lit(1)).as("n_active"))
-      pts.select("event_id", "pt")
-        .join(hits, Seq("event_id"), "left")
-        .select(col("event_id"), col("pt"),
-          coalesce(col("n_active"), lit(0L)).as("n_active"))
+        .select(col("event_id").as("id"), unix_micros(col("ts")).as("pt"))
+      pointInIntervalCounts(pts, iv, cUs)
+        .select(col("id").as("event_id"), col("pt"), col("n_active"))
         .orderBy("event_id")
     },
     Some("""SELECT p.event_id, p.pt, count(v.s0) AS n_active

@@ -134,6 +134,30 @@ class TimeSeriesSpec extends SparkSpec {
       "corpus must produce at least one overbought/oversold observation")
   }
 
+  test("j12 binning core: chunk-boundary semantics — inclusive start, " +
+    "exclusive end, cross-chunk intervals counted exactly once") {
+    import spark.implicits._
+    val C = 100L
+    val intervals = Seq(
+      (0L, 100L),    // exactly one chunk [0, 100)
+      (50L, 150L),   // spans chunks 0 and 1
+      (99L, 101L),   // straddles the boundary with width 2
+      (200L, 300L)   // far chunk
+    ).toDF("s0", "e0")
+    val points = Seq(
+      (1L, 0L),    // == s0 of [0,100): inclusive → 1
+      (2L, 99L),   // in [0,100), [50,150), [99,101) → 3
+      (3L, 100L),  // e0 of [0,100) exclusive; in [50,150), [99,101) → 2
+      (4L, 150L),  // e0 of [50,150) exclusive → 0
+      (5L, 250L),  // inside the far interval → 1
+      (6L, 1000L)  // matches nothing → 0
+    ).toDF("id", "pt")
+    val out = graft.queries.Joins
+      .pointInIntervalCounts(points, intervals, C)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 3L, 3L -> 2L, 4L -> 0L, 5L -> 1L, 6L -> 0L))
+  }
+
   test("registry: every TimeSeries query is registered with an oracle") {
     for (q <- TimeSeries.all)
       assert(SparkEntry.oracleSql.contains(q.name), q.name)
