@@ -1247,8 +1247,52 @@ object SimilarityQueries {
       FROM fused ORDER BY rrf_q DESC, doc_id LIMIT 10""")
   )
 
+  /** E18: per-label mean-pooled prototypes — element-wise mean of every
+    * label's embeddings, the class-centroid/prototype build behind
+    * nearest-class-mean classification, prototype-based retrieval, and
+    * chunk→document embedding pooling. e4 learns UNSUPERVISED centroids
+    * inside its IVF pipeline; this is the supervised/pooling twin as a
+    * first-class query.
+    *
+    * Exactness: the x10 quantization rule applied element-wise — each
+    * float is cast to double and quantized once (`round(v·2^20)` longs),
+    * the per-(label, dim) sum is an exact integer, and the mean is ONE
+    * IEEE division of identical operands on both engines.
+    *
+    * Scale: posexplode streams (label, dim, q) straight into a map-side-
+    * combinable aggregate on (label, dim) — state is labels × dims
+    * regardless of vector count; no vector ever crosses the shuffle
+    * whole.
+    */
+  val e18MeanPool: Q = Q(
+    "e18_mean_pool",
+    (s, dir) => {
+      val q20 = (1L << 20).toDouble
+      t(s, dir, "embeddings")
+        .select(col("label"), posexplode(col("embedding")))
+        .select(col("label"), col("pos").cast("long").as("dim"),
+          round(col("col").cast("double") * q20).cast("long").as("q"))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sq"))
+        .select(col("label"), col("dim"), col("n_vecs"),
+          (col("sq").cast("double") / (lit(q20) * col("n_vecs"))).as("mean_val"))
+        .orderBy("label", "dim")
+    },
+    Some("""WITH e AS (
+        SELECT label,
+               unnest(embedding) AS v,
+               unnest(range(len(embedding))) AS dim
+        FROM embeddings),
+      q AS (SELECT label, CAST(dim AS BIGINT) AS dim,
+              CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT) AS q
+            FROM e)
+      SELECT label, dim, count(*) AS n_vecs,
+             CAST(sum(q) AS DOUBLE) / (1048576.0 * count(*)) AS mean_val
+      FROM q GROUP BY label, dim ORDER BY label, dim""")
+  )
+
   val all: Seq[Q] = Seq(e1CosineTopK, e2AnnIvf, e3BucketNearDup, e4AnnKmeans,
     e5AnnHyperplane, e6SemanticDedup, e7AnnBatch, e8PqAdc, e9AnnRecall,
     e10MmrRerank, e11EmbeddingQa, e12SqRecall, e13IvfPq, e14FilteredAnn,
-    e15NprobeSweep, e16HybridRrf)
+    e15NprobeSweep, e16HybridRrf, e18MeanPool)
 }

@@ -984,8 +984,61 @@ object TextAnalysis {
       FROM m ORDER BY doc_id""")
   )
 
+  /** X28: sliding-window chunking — the RAG/retrieval ingest step: each
+    * document splits into overlapping token windows (size 32, stride 24 —
+    * 8 tokens of overlap so no boundary-straddling sentence is lost), one
+    * row per chunk with its token span, text and content fingerprint.
+    * x9 packs whole documents into training sequences; this is the
+    * complementary shape that FRAGMENTS documents for embedding+indexing
+    * (every chunk here is what e1/e7 would embed and retrieve).
+    *
+    * Chunk count per doc is ⌈max(n−overlap, 1) / stride⌉ — the last
+    * window is allowed to be short rather than dropping trailing tokens
+    * (the tail is data too); a doc shorter than one window is one chunk.
+    *
+    * Scale: a narrow generate off the scan — `sequence` over the chunk
+    * count, `slice` over the token array, md5 fingerprint, zero shuffles
+    * before the presentation sort; at 100 TB chunking streams through
+    * the corpus scan exactly like x16's scrub.
+    */
+  val x28Chunking: Q = Q(
+    "x28_chunking",
+    (s, dir) => {
+      val size = 32
+      val stride = 24
+      val toks = Text.tokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"), toks.as("t"))
+        .withColumn("n", org.apache.spark.sql.functions.size(col("t")).cast("long"))
+        .withColumn("n_chunks",
+          expr(s"(greatest(n - ${size - stride}, 1) + $stride - 1) div $stride"))
+        .select(col("doc_id"), col("t"), col("n"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          (col("chunk_id") * stride).as("tok_start"),
+          least(col("chunk_id") * stride + size, col("n")).as("tok_end"),
+          concat_ws(" ", slice(col("t"), (col("chunk_id") * stride + 1).cast("int"),
+            lit(size))).as("chunk_text"))
+        .withColumn("chunk_md5", md5(col("chunk_text")))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS t,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+        FROM documents),
+      c AS (SELECT doc_id, t, n,
+              unnest(range((greatest(n - 8, 1) + 23) // 24)) AS chunk_id
+            FROM d)
+      SELECT doc_id, chunk_id,
+             chunk_id * 24 AS tok_start,
+             least(chunk_id * 24 + 32, n) AS tok_end,
+             array_to_string(t[CAST(chunk_id * 24 + 1 AS INTEGER):CAST(chunk_id * 24 + 32 AS INTEGER)], ' ') AS chunk_text,
+             md5(array_to_string(t[CAST(chunk_id * 24 + 1 AS INTEGER):CAST(chunk_id * 24 + 32 AS INTEGER)], ' ')) AS chunk_md5
+      FROM c ORDER BY doc_id, chunk_id""")
+  )
+
   val all: Seq[Q] = Seq(x1TokenStats, x2LangId, x3Quality, x4Fingerprint, x5TokenFreq,
     x13Bm25, x15BpePairs, x16PiiScrub, x17VocabGrowth, x18Readability,
     x19UnigramEntropy, x20ZipfSlope, x21NgramNovelty, x22LangConfusion,
-    x23BpeTrain, x24Boilerplate, x26HashClassifier, x27GopherGates)
+    x23BpeTrain, x24Boilerplate, x26HashClassifier, x27GopherGates, x28Chunking)
 }
