@@ -70,7 +70,8 @@ object Bench {
     "j12_interval_join", "x26_hash_classifier", "c13_ccnet_buckets",
     "g7_personalized_pagerank", "x27_gopher_gates", "j13_asof_forward",
     "j14_asof_native", "u6_except_all", "u7_intersect_all", "w14_rsi",
-    "m5_audio_segments", "q14_sql_window", "x28_chunking", "e18_mean_pool")
+    "m5_audio_segments", "q14_sql_window", "x28_chunking", "e18_mean_pool",
+    "o5_keyset_page", "a25_time_to_convert")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

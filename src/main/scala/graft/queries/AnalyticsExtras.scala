@@ -1003,11 +1003,59 @@ object AnalyticsExtras {
       FROM m ORDER BY prev_type, next_type""")
   )
 
+  /** A25: funnel latency — time from first `view` to first `purchase` per
+    * user, rolled up by acquisition-week cohort: a16 counts who converts,
+    * this measures HOW LONG conversion takes (the latency half of every
+    * funnel dashboard). Users whose first purchase precedes their first
+    * view carry no causal latency and drop out.
+    *
+    * Exactness: µs-integer first-event times from one map-side-combinable
+    * conditional-min aggregate; deltas, the epoch-week cohort and the
+    * floor average are all integer arithmetic (w12's engine-neutral
+    * calendar rule).
+    *
+    * Scale: ONE user-keyed aggregate over the event stream (no window, no
+    * join), then an O(weeks) rollup.
+    */
+  val a25TimeToConvert: Q = Q(
+    "a25_time_to_convert",
+    (s, dir) => {
+      t(s, dir, "events")
+        .filter(col("event_type").isin("view", "purchase"))
+        .groupBy("user_id")
+        .agg(
+          min(when(col("event_type") === "view", unix_micros(col("ts")))).as("v0"),
+          min(when(col("event_type") === "purchase", unix_micros(col("ts")))).as("p0"))
+        .filter(col("v0").isNotNull && col("p0").isNotNull && col("p0") > col("v0"))
+        .select(expr("(p0 - v0) div 1000000").as("delta_s"),
+          expr("(v0 div 86400000000) div 7").as("cohort_week"))
+        .groupBy("cohort_week")
+        .agg(count(lit(1)).as("n_users"),
+          expr("sum(delta_s) div count(1)").cast("long").as("avg_s"),
+          min(col("delta_s")).as("min_s"), max(col("delta_s")).as("max_s"))
+        .orderBy("cohort_week")
+    },
+    Some("""WITH f AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v0,
+               min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p0
+        FROM events WHERE event_type IN ('view', 'purchase')
+        GROUP BY user_id),
+      d AS (SELECT (p0 - v0) // 1000000 AS delta_s,
+                   (v0 // 86400000000) // 7 AS cohort_week
+            FROM f WHERE v0 IS NOT NULL AND p0 IS NOT NULL AND p0 > v0)
+      SELECT cohort_week, count(*) AS n_users,
+             CAST(CAST(sum(delta_s) AS BIGINT) // count(*) AS BIGINT) AS avg_s,
+             CAST(min(delta_s) AS BIGINT) AS min_s,
+             CAST(max(delta_s) AS BIGINT) AS max_s
+      FROM d GROUP BY cohort_week ORDER BY cohort_week""")
+  )
+
   val all: Seq[Q] = Seq(
     w5RankAnalytics, w6FirstLast, w7RangeFrame, a12StatsMoments,
     a13Conditional, a14MedianDistinct, a15GroupingSets, a16Funnel,
     a17Retention, a18Sessionize, p9Pivot, p10Unpivot, p11HashSample,
     q05RevenueByNation, q06ForecastRevenue, h1Scd2History, h2PointInTime,
     w8Streak, a20Anomaly, w9Ewma, w10Drawdown, a21Histogram, w11Cusum,
-    w12Seasonality, a23Transitions, h3Scd2DimJoin)
+    w12Seasonality, a23Transitions, h3Scd2DimJoin, a25TimeToConvert)
 }

@@ -466,6 +466,32 @@ object Relational {
       ORDER BY nationkey""")
   )
 
+  /** O5: keyset pagination — resume the chronological feed AFTER a
+    * (ts, event_id) cursor, LIMIT one page: the pagination shape that
+    * stays O(page) at any depth because the cursor predicate reaches the
+    * parquet scan (PushedFilters on ts — PlanSpec-asserted), where
+    * OFFSET-based paging scans and discards `depth` rows per request
+    * (o3's TakeOrdered still ranks the whole scan — right for top-k,
+    * wrong for deep feeds).
+    */
+  val o5KeysetPage: Q = Q(
+    "o5_keyset_page",
+    (s, dir) => {
+      val cTs = lit("2024-01-16 00:00:00").cast("timestamp")
+      val cId = 4242L
+      t(s, dir, "events")
+        .filter(col("ts") > cTs ||
+          (col("ts") === cTs && col("event_id") > cId))
+        .select("event_id", "ts", "user_id", "event_type")
+        .orderBy("ts", "event_id")
+        .limit(50)
+    },
+    Some("""SELECT event_id, ts, user_id, event_type FROM events
+      WHERE ts > TIMESTAMP '2024-01-16 00:00:00'
+         OR (ts = TIMESTAMP '2024-01-16 00:00:00' AND event_id > 4242)
+      ORDER BY ts, event_id LIMIT 50""")
+  )
+
   /** Q07/Q08: the SQL FRONT DOOR — every other registry query declares its
     * plan through the DataFrame API; these two run ONE ANSI SQL text
     * through `spark.sql` (over temp views of the corpus) and hand the
@@ -719,7 +745,7 @@ object Relational {
     p1Drop, p2Rename, p3Project, p4Filter, p5Isin, p6Validity, p8MaskedUpdate,
     f1Respell, f2Case, f3Split, f4StringAgg, f5Concat, f6TimeTrunc, f9TsArith,
     f11CastNull, f13Json,
-    o1SortChrono, o2SortLex, o3TopK,
+    o1SortChrono, o2SortLex, o3TopK, o5KeysetPage,
     u1UnionDistinct, u3Except, u4UnionAll, u5Intersect, u6ExceptAll,
     u7IntersectAll)
 }

@@ -781,6 +781,15 @@ class PlanSpec extends SparkSpec {
       "the group limit must run map-side before the exchange:\n" + plan.take(3000))
   }
 
+  test("o5: the keyset cursor predicate reaches the parquet scan and the " +
+    "page is a TakeOrdered — O(page) at any feed depth") {
+    val plan = executedPlan("o5_keyset_page")
+    assert(plan.contains("PushedFilters: [Or(GreaterThan(ts") ||
+      plan.contains("PushedFilters: [IsNotNull(ts), Or(GreaterThan(ts"),
+      "cursor must push to the scan:\n" + plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+  }
+
   test("q14: the SQL front door's rank filter infers the same " +
     "WindowGroupLimit as the DataFrame form (w3)") {
     val plan = executedPlan("q14_sql_window")
