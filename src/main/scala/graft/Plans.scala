@@ -147,7 +147,15 @@ object Plans {
     "x27_gopher_gates" ->
       "Gopher gate battery: a pure narrow codegen map (size/filter/length HOFs, cross-multiplied integer bounds) — zero joins, zero hash exchanges before the presentation sort.",
     "j14_asof_native" ->
-      "NATIVE as-of join (custom LogicalPlan + SparkStrategy + BinaryExecNode): the AsOfJoin node declares ClusteredDistribution(key) + per-child (key, ts) sort orders, so EnsureRequirements plans ONE exchange and ONE sort per side (each carrying only its own columns) and the exec merges the sorted streams in O(|L|+|R|) with O(1) held state — no union widening, no window state machine.")
+      "NATIVE as-of join (custom LogicalPlan + SparkStrategy + BinaryExecNode): the AsOfJoin node declares ClusteredDistribution(key) + per-child (key, ts) sort orders, so EnsureRequirements plans ONE exchange and ONE sort per side (each carrying only its own columns) and the exec merges the sorted streams in O(|L|+|R|) with O(1) held state — no union widening, no window state machine.",
+    "x28_chunking" ->
+      "RAG chunking: a pure narrow generate — sequence over the per-doc chunk count, slice over the token array, fingerprint — zero shuffles before the presentation sort; chunk geometry (stride/overlap/short tail) proven exact in ChunkingSpec.",
+    "e18_mean_pool" ->
+      "Prototype pooling: posexplode streams (label, dim, quantized value) into ONE map-side-combinable HashAggregate bounded at labels × dims — no vector crosses the shuffle whole, the mean is one IEEE division of exact integer operands.",
+    "o5_keyset_page" ->
+      "Keyset pagination: the (ts, id) cursor predicate appears in the parquet scan's PushedFilters and the page is TakeOrderedAndProject — a deep page costs the same scan as page one, where OFFSET pagination reads and discards depth rows.",
+    "m5_audio_segments" ->
+      "VAD segmentation: narrow frame explode off the payload scan, energies gate rows BEFORE the islands window, and both the window and the rollup partition by doc_id — one keyed shuffle, frame metadata only (media bytes never move).")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
