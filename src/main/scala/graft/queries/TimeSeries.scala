@@ -325,6 +325,188 @@ object TimeSeries {
       FROM rsi GROUP BY user_id ORDER BY user_id""")
   )
 
+  /** H6: per-day VWAP — volume-weighted average price per (key, day), the
+    * headline metric every bar consumer derives before anything else
+    * (`update_live_price.py` keeps close+volume per bar; VWAP is their
+    * canonical combination). The corpus carries no size column, so volume
+    * is a deterministic event_id stand-in (the h5 splits convention) —
+    * the weighted-aggregate dataflow is the real operator.
+    *
+    * Exactness: price is quantized ONCE at 2^-10; Σ(pq·vol) and Σvol are
+    * exact BIGINTs; `vwap` is ONE IEEE division of identical operands on
+    * both engines followed by an exact /1024 exponent shift.
+    *
+    * Scale: a single map-side-combinable hash aggregate keyed
+    * (user_id, day) — no window, no join; the same one-shuffle shape as
+    * a2 at any corpus size.
+    */
+  val h6Vwap: Q = Q(
+    "h6_vwap",
+    (s, dir) =>
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          datediff(to_date(col("ts")), epochDay).cast("long").as("day"),
+          round(col("value") * 1024).cast("long").as("pq"),
+          (col("event_id") % 97 + 1).cast("long").as("vol"))
+        .groupBy("user_id", "day")
+        .agg(count(lit(1)).as("n_trades"),
+          sum(col("vol")).as("vol_total"),
+          (sum(col("pq") * col("vol")).cast("double") / sum(col("vol")) / 1024)
+            .as("vwap"))
+        .orderBy("user_id", "day"),
+    Some("""SELECT user_id, CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        count(*) AS n_trades,
+        CAST(sum(vol) AS BIGINT) AS vol_total,
+        CAST(sum(pq * vol) AS DOUBLE) / sum(vol) / 1024 AS vwap
+      FROM (SELECT user_id, ts, CAST(round(value * 1024) AS BIGINT) AS pq,
+              CAST(event_id % 97 + 1 AS BIGINT) AS vol
+            FROM events WHERE event_type = 'purchase')
+      GROUP BY 1, 2 ORDER BY user_id, day""")
+  )
+
+  /** H7: weekly OHLCV resample — downsample the event stream to one bar
+    * per (key, week): open = first value in (ts, event_id) order, close =
+    * last, high/low = max/min, plus count and exact turnover. The
+    * downsample direction the reference's daily store implies (h4 is the
+    * upsample direction; a5 is the identity).
+    *
+    * Determinism: open/close are ordered-first/last — expressed as two
+    * row_number ranks (ascending + descending, explicit event_id
+    * tiebreak) folded through conditional max, the engine-neutral
+    * spelling of FIRST/LAST IGNORE NULLS ordered aggregates. high/low/
+    * turnover are order-independent (max/min of doubles; DECIMAL-routed
+    * sum).
+    *
+    * Scale: both rank windows and the final aggregate share the ONE
+    * (user_id, wk)-keyed exchange (Catalyst reuses it; the two windows
+    * differ only in sort order). Weeks-per-key is calendar-bounded, so
+    * partitions stay balanced at any corpus size.
+    */
+  val h7WeeklyBars: Q = Q(
+    "h7_weekly_bars",
+    (s, dir) => {
+      val wA = Window.partitionBy("user_id", "wk")
+        .orderBy(col("ts"), col("event_id"))
+      val wD = Window.partitionBy("user_id", "wk")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          datediff(to_date(col("ts")), epochDay).cast("long").as("day"))
+        .withColumn("wk", expr("day div 7"))
+        .withColumn("rna", row_number().over(wA))
+        .withColumn("rnd", row_number().over(wD))
+        .groupBy("user_id", "wk")
+        .agg(
+          max(when(col("rna") === 1, col("value"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max(when(col("rnd") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n_obs"),
+          Q.dsum(col("value")).as("turnover"))
+        .orderBy("user_id", "wk")
+    },
+    Some("""WITH e AS (
+        SELECT user_id, ts, event_id, value,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) // 7 AS wk
+        FROM events),
+      r AS (SELECT *,
+              row_number() OVER (PARTITION BY user_id, wk ORDER BY ts, event_id) AS rna,
+              row_number() OVER (PARTITION BY user_id, wk ORDER BY ts DESC, event_id DESC) AS rnd
+            FROM e)
+      SELECT user_id, wk,
+        max(CASE WHEN rna = 1 THEN value END) AS open,
+        max(value) AS high,
+        min(value) AS low,
+        max(CASE WHEN rnd = 1 THEN value END) AS close,
+        count(*) AS n_obs,
+        CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) AS turnover
+      FROM r GROUP BY user_id, wk ORDER BY user_id, wk""")
+  )
+
+  /** H8: market beta — per key, the OLS slope of its daily-close returns
+    * against the cross-sectional market index (the equal-weight mean of
+    * all keys' quantized closes that day), the factor-exposure statistic
+    * every portfolio layer computes from the bar store.
+    *
+    * Exactness: closes are quantized ONCE at 2^-10; the market index is
+    * an integer floor-division mean of non-negative operands (identical
+    * `div`/`//` semantics); returns are integer diffs; the slope's
+    * numerator/denominator are the cross-multiplied BIGINT identities
+    * n·Σxy − Σx·Σy / n·Σxx − (Σx)², and `beta` is ONE IEEE division of
+    * those exact operands. Headroom (the w11 rule): terms reach
+    * n²·r̄·max|r| ≈ 2^50 at 30 days × 2^20 quanta; safe to ~2,900 days
+    * per key at this quantization (coarsen the quantum for longer
+    * histories).
+    *
+    * Scale: daily closes are one (user, day) rank window; the market
+    * census is O(calendar days) — bounded by time, not corpus — and
+    * broadcast back (the a24 offset-census rule); returns + all five
+    * sums ride ONE user-keyed exchange. Keys observed on a single day
+    * have no return row and drop out of the output on both engines.
+    */
+  val h8Beta: Q = Q(
+    "h8_beta",
+    (s, dir) => {
+      val wDay = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val daily = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          datediff(to_date(col("ts")), epochDay).cast("long").as("day"),
+          round(col("value") * 1024).cast("long").as("vq"))
+        .withColumn("rn", row_number().over(wDay))
+        .filter(col("rn") === 1)
+        .select("user_id", "day", "vq")
+      val market = daily.groupBy("day")
+        .agg(expr("sum(vq) div count(1)").as("mq"))
+      val wSeq = Window.partitionBy("user_id").orderBy("day")
+      val sums = daily
+        .join(broadcast(market), Seq("day"))
+        .withColumn("ru", col("vq") - lag(col("vq"), 1).over(wSeq))
+        .withColumn("rm", col("mq") - lag(col("mq"), 1).over(wSeq))
+        .filter(col("ru").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(col("rm")).as("sx"), sum(col("ru")).as("sy"),
+          sum(col("rm") * col("ru")).as("sxy"),
+          sum(col("rm") * col("rm")).as("sxx"))
+      sums
+        .select(col("user_id"), col("n").as("n_rets"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("cov_num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("var_den"))
+        .withColumn("beta",
+          when(col("var_den") > 0,
+            col("cov_num").cast("double") / col("var_den")))
+        .orderBy("user_id")
+    },
+    Some("""WITH daily AS (
+        SELECT user_id, day, vq FROM (
+          SELECT user_id,
+                 CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+                 CAST(round(value * 1024) AS BIGINT) AS vq,
+                 row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1),
+      market AS (SELECT day, CAST(sum(vq) AS BIGINT) // count(*) AS mq
+                 FROM daily GROUP BY day),
+      rets AS (SELECT user_id,
+                 vq - lag(vq) OVER w AS ru,
+                 mq - lag(mq) OVER w AS rm
+               FROM daily JOIN market USING (day)
+               WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      sums AS (SELECT user_id, count(*) AS n,
+                 CAST(sum(rm) AS BIGINT) AS sx, CAST(sum(ru) AS BIGINT) AS sy,
+                 CAST(sum(rm * ru) AS BIGINT) AS sxy,
+                 CAST(sum(rm * rm) AS BIGINT) AS sxx
+               FROM rets WHERE ru IS NOT NULL GROUP BY user_id)
+      SELECT user_id, n AS n_rets,
+        n * sxy - sx * sy AS cov_num,
+        n * sxx - sx * sx AS var_den,
+        CASE WHEN n * sxx - sx * sx > 0
+             THEN CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) END AS beta
+      FROM sums ORDER BY user_id""")
+  )
+
   val all: Seq[Q] = Seq(h4GapFill, h5SplitAdjust, a24Concurrency, w13Bollinger,
-    w14Rsi)
+    w14Rsi, h6Vwap, h7WeeklyBars, h8Beta)
 }

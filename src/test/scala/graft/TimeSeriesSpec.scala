@@ -158,6 +158,96 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out == Map(1L -> 1L, 2L -> 3L, 3L -> 2L, 4L -> 0L, 5L -> 1L, 6L -> 0L))
   }
 
+  test("h6: VWAP replays bit-for-bit from an exact integer fold of the " +
+    "quantized prices and stand-in volumes") {
+    val out = SparkEntry.queries("h6_vwap")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getDouble(4)))).toMap
+    val ev = Tables.table(spark, sf, "events")
+      .filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), Math.floorDiv(r.getLong(1), 86400000000L),
+        r.getLong(2), r.getDouble(3)))
+    assert(ev.nonEmpty)
+    val slow = ev.groupBy(t => (t._1, t._2)).map { case (k, rows) =>
+      val pv = rows.map(r => math.round(r._4 * 1024) * (r._3 % 97 + 1)).sum
+      val vol = rows.map(_._3 % 97 + 1).sum
+      k -> (rows.size.toLong, vol, pv.toDouble / vol / 1024)
+    }
+    assert(out.keySet == slow.keySet)
+    slow.foreach { case (k, (n, vol, vwap)) =>
+      val (on, ovol, ovwap) = out(k)
+      assert(on == n && ovol == vol, s"$k counts")
+      assert(java.lang.Double.doubleToLongBits(ovwap) ==
+        java.lang.Double.doubleToLongBits(vwap), s"$k vwap")
+    }
+  }
+
+  test("h7: weekly bars equal a brute-force per-(user, week) OHLC fold " +
+    "over the (ts, event_id)-sorted events") {
+    val out = SparkEntry.queries("h7_weekly_bars")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getLong(6)))).toMap
+    val ev = Tables.table(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), Math.floorDiv(r.getLong(1), 86400000000L) / 7,
+        (r.getLong(1), r.getLong(2)), r.getDouble(3)))
+    val slow = ev.groupBy(t => (t._1, t._2)).map { case (k, rows) =>
+      val sorted = rows.sortBy(_._3).map(_._4)
+      k -> (sorted.head, sorted.max, sorted.min, sorted.last, sorted.size.toLong)
+    }
+    assert(out.keySet == slow.keySet)
+    assert(out.keySet.groupBy(_._1).values.exists(_.size > 1),
+      "corpus must span more than one week for some user")
+    slow.foreach { case (k, bar) => assert(out(k) == bar, s"$k") }
+  }
+
+  test("h8: beta replays from an exact integer fold — daily closes, " +
+    "floor-mean market index, cross-multiplied slope") {
+    val out = SparkEntry.queries("h8_beta")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    val ev = Tables.table(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), Math.floorDiv(r.getLong(1), 86400000000L),
+        (r.getLong(1), r.getLong(2)), math.round(r.getDouble(3) * 1024)))
+    val daily = ev.groupBy(t => (t._1, t._2))
+      .map { case ((u, d), rows) => (u, d, rows.maxBy(_._3)._4) }.toSeq
+    val market = daily.groupBy(_._2)
+      .map { case (d, rows) => d -> rows.map(_._3).sum / rows.size }
+    val slow = daily.groupBy(_._1).flatMap { case (u, rows) =>
+      val seq = rows.sortBy(_._2).map(r => (r._3, market(r._2)))
+      val rets = seq.zip(seq.drop(1)).map { case ((v0, m0), (v1, m1)) =>
+        (v1 - v0, m1 - m0)
+      }
+      if (rets.isEmpty) None
+      else {
+        val n = rets.size.toLong
+        val sx = rets.map(_._2).sum; val sy = rets.map(_._1).sum
+        val sxy = rets.map(r => r._1 * r._2).sum
+        val sxx = rets.map(r => r._2 * r._2).sum
+        val num = n * sxy - sx * sy; val den = n * sxx - sx * sx
+        Some(u -> (n, num, den,
+          if (den > 0) Some(num.toDouble / den) else None))
+      }
+    }
+    assert(out.keySet == slow.keySet)
+    assert(slow.nonEmpty)
+    slow.foreach { case (u, (n, num, den, beta)) =>
+      val (on, onum, oden, obeta) = out(u)
+      assert(on == n && onum == num && oden == den, s"user $u sums")
+      assert(obeta.map(java.lang.Double.doubleToLongBits) ==
+        beta.map(java.lang.Double.doubleToLongBits), s"user $u beta")
+    }
+  }
+
   test("registry: every TimeSeries query is registered with an oracle") {
     for (q <- TimeSeries.all)
       assert(SparkEntry.oracleSql.contains(q.name), q.name)
