@@ -1051,11 +1051,58 @@ object AnalyticsExtras {
       FROM d GROUP BY cohort_week ORDER BY cohort_week""")
   )
 
+  /** A26: per-key mode — the most frequent event type per user with its
+    * share of the user's activity, the categorical summary statistic
+    * (a14 is the numeric median; this is its categorical sibling, and
+    * the label a nearest-centroid classifier or session profiler reads
+    * per entity).
+    *
+    * Determinism: the argmax over the census rank-orders by
+    * (count DESC, type ASC) — an explicit total order, so equal-count
+    * ties resolve identically on both engines. The share is an
+    * integer-permille floor division (a23's rule).
+    *
+    * Scale: ONE map-side-combinable census bounded at keys × |types|;
+    * both the rank and the per-key total ride the census's own
+    * user_id-keyed exchange — the raw stream shuffles only census cells
+    * after the scan.
+    */
+  val a26Mode: Q = Q(
+    "a26_mode",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("cnt").desc, col("event_type"))
+      t(s, dir, "events")
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("total",
+          sum(col("cnt")).over(Window.partitionBy("user_id")))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("modal_type"),
+          col("cnt").as("n_modal"),
+          expr("(1000 * cnt) div total").as("share_pm"))
+        .orderBy("user_id")
+    },
+    Some("""WITH census AS (
+        SELECT user_id, event_type, count(*) AS cnt FROM events
+        GROUP BY user_id, event_type),
+      r AS (SELECT *,
+              row_number() OVER (PARTITION BY user_id
+                                 ORDER BY cnt DESC, event_type) AS rn,
+              CAST(sum(cnt) OVER (PARTITION BY user_id) AS BIGINT) AS total
+            FROM census)
+      SELECT user_id, event_type AS modal_type, cnt AS n_modal,
+             (1000 * cnt) // total AS share_pm
+      FROM r WHERE rn = 1 ORDER BY user_id""")
+  )
+
   val all: Seq[Q] = Seq(
     w5RankAnalytics, w6FirstLast, w7RangeFrame, a12StatsMoments,
     a13Conditional, a14MedianDistinct, a15GroupingSets, a16Funnel,
     a17Retention, a18Sessionize, p9Pivot, p10Unpivot, p11HashSample,
     q05RevenueByNation, q06ForecastRevenue, h1Scd2History, h2PointInTime,
     w8Streak, a20Anomaly, w9Ewma, w10Drawdown, a21Histogram, w11Cusum,
-    w12Seasonality, a23Transitions, h3Scd2DimJoin, a25TimeToConvert)
+    w12Seasonality, a23Transitions, h3Scd2DimJoin, a25TimeToConvert,
+    a26Mode)
 }

@@ -721,8 +721,57 @@ object MiscQueries {
     }
   )
 
+  /** V12: Benford first-digit audit — the classic fabricated-data detector
+    * for monetary columns: the distribution of leading digits of `value`
+    * against Benford's law log10(1 + 1/d), reported as per-digit deviation
+    * in permille (v10 tests distribution drift between halves; this tests
+    * against a CLOSED-FORM expected distribution — the forensic shape).
+    *
+    * Determinism: the leading digit comes from the decimal STRING of the
+    * exact integer cents (`round(value·100)` — the corpus carries 2dp
+    * money), so no float log/pow touches the digit extraction; shares are
+    * integer-permille floor divisions; the expected permille is
+    * round(1000·log10(1+1/d)) on the identical 9 small doubles in both
+    * engines.
+    *
+    * Scale: one narrow codegen projection into a 9-cell census; the
+    * total rides a window over those 9 rows. Same one-scan shape as a21.
+    */
+  val v12Benford: Q = Q(
+    "v12_benford",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy()
+      t(s, dir, "events")
+        .select(round(col("value") * 100).cast("long").as("cents"))
+        .filter(col("cents") > 0)
+        .select(substring(col("cents").cast("string"), 1, 1).cast("int").as("digit"))
+        .groupBy("digit")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("total", sum(col("n")).over(w))
+        .select(col("digit"), col("n"),
+          expr("(1000 * n) div total").as("share_pm"),
+          round(log(10.0, lit(1.0) + lit(1.0) / col("digit")) * 1000)
+            .cast("long").as("benford_pm"))
+        .withColumn("dev_pm", col("share_pm") - col("benford_pm"))
+        .orderBy("digit")
+    },
+    Some("""WITH cents AS (
+        SELECT CAST(round(value * 100) AS BIGINT) AS cents FROM events
+        WHERE CAST(round(value * 100) AS BIGINT) > 0),
+      census AS (
+        SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS INTEGER) AS digit,
+               count(*) AS n
+        FROM cents GROUP BY 1),
+      t AS (SELECT *, CAST(sum(n) OVER () AS BIGINT) AS total FROM census)
+      SELECT digit, n, (1000 * n) // total AS share_pm,
+             CAST(round(log10(1.0 + 1.0 / digit) * 1000) AS BIGINT) AS benford_pm,
+             (1000 * n) // total - CAST(round(log10(1.0 + 1.0 / digit) * 1000) AS BIGINT) AS dev_pm
+      FROM t ORDER BY digit""")
+  )
+
   val all: Seq[Q] = Seq(
     a2Counts, a11Percentiles, f8Timezone, u2InsertAbsent, v2SchemaDiff, v4ColumnProfile,
     v5SourceOverlap, o4FileListing, m1BinaryMeta, v6ShardSkew, v7DataCard,
-    v8PipelineYield, v9Expectations, v10PsiDrift, v11Freshness, p15ZorderLayout)
+    v8PipelineYield, v9Expectations, v10PsiDrift, v11Freshness, p15ZorderLayout,
+    v12Benford)
 }

@@ -1037,8 +1037,67 @@ object TextAnalysis {
       FROM c ORDER BY doc_id, chunk_id""")
   )
 
+  /** X29: per-source KL divergence from the corpus unigram distribution —
+    * the domain-shift statistic mixture tuning reads before reweighting
+    * (Xie et al. 2023 derive DSIR from exactly this likelihood ratio;
+    * c8 imports per document, this reports per SOURCE):
+    * KL(P_src ‖ P_corpus) = Σ_w (c/N)·log2(cM / (N·C)) bits. A source
+    * whose KL drifts upward between crawls changed its content mix.
+    *
+    * Exactness: all four censuses are exact BIGINTs derived from ONE
+    * (source, tok) aggregate; each term's log2 runs on identical doubles
+    * in the identical operation order on both engines, is quantized at
+    * 2^-20 (the x10 rule), and the Σ c·qb fold is an order-independent
+    * long sum — `kl_bits` is one IEEE division of identical operands
+    * followed by an exact /2^20 shift. Headroom: |qb| < 2^25 at any
+    * realistic vocab, so the fold is safe to ~2^37 tokens per source.
+    *
+    * Scale: the (source, tok) census is vocab×sources-bounded and
+    * persisted once (three consumers); the corpus census joins it on
+    * `tok` with NO forced broadcast (the x10 degradation rule); the
+    * per-source totals are O(sources) and broadcast. Nothing rescans
+    * the corpus after the first tokenize pass.
+    */
+  val x29KlDivergence: Q = Q(
+    "x29_kl_divergence",
+    (s, dir) => {
+      val q20d = (1L << 20).toDouble
+      val sc = t(s, dir, "documents")
+        .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sc.count()
+      val cc = sc.groupBy("tok").agg(sum(col("c")).as("cc"))
+      val st = sc.groupBy("source").agg(sum(col("c")).as("n"))
+      val g = st.agg(sum(col("n")).as("m"))
+      sc.join(cc, Seq("tok"))
+        .join(broadcast(st), Seq("source"))
+        .crossJoin(broadcast(g))
+        .select(col("source"), col("n"), col("c"),
+          round((log2(col("c")) + log2(col("m")) - log2(col("n")) - log2(col("cc")))
+            * q20d).cast("long").as("qb"))
+        .groupBy("source", "n")
+        .agg(count(lit(1)).as("n_types"), sum(col("c") * col("qb")).as("sq"))
+        .select(col("source"), col("n").as("n_tokens"), col("n_types"),
+          (col("sq").cast("double") / col("n") / lit(q20d)).as("kl_bits"))
+        .orderBy("source")
+    },
+    Some("""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents),
+      sc AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok),
+      cc AS (SELECT tok, CAST(sum(c) AS BIGINT) AS cc FROM sc GROUP BY tok),
+      st AS (SELECT source, CAST(sum(c) AS BIGINT) AS n FROM sc GROUP BY source),
+      g AS (SELECT CAST(sum(n) AS BIGINT) AS m FROM st),
+      q AS (SELECT source, n, c,
+              CAST(round((log2(c) + log2(m) - log2(n) - log2(cc)) * 1048576) AS BIGINT) AS qb
+            FROM sc JOIN cc USING (tok) JOIN st USING (source) CROSS JOIN g)
+      SELECT source, n AS n_tokens, count(*) AS n_types,
+             CAST(sum(c * qb) AS DOUBLE) / n / 1048576.0 AS kl_bits
+      FROM q GROUP BY source, n ORDER BY source""")
+  )
+
   val all: Seq[Q] = Seq(x1TokenStats, x2LangId, x3Quality, x4Fingerprint, x5TokenFreq,
     x13Bm25, x15BpePairs, x16PiiScrub, x17VocabGrowth, x18Readability,
     x19UnigramEntropy, x20ZipfSlope, x21NgramNovelty, x22LangConfusion,
-    x23BpeTrain, x24Boilerplate, x26HashClassifier, x27GopherGates, x28Chunking)
+    x23BpeTrain, x24Boilerplate, x26HashClassifier, x27GopherGates, x28Chunking,
+    x29KlDivergence)
 }

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Behavioral properties of the audit/census trio added in round 6 —
+  * x29 (per-source KL), a26 (categorical mode), v12 (Benford first-digit)
+  * — each proved against an independent in-memory replay on sf0.001.
+  */
+class AuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("x29: KL divergence replays from an exact census fold and is " +
+    "non-negative up to quantization") {
+    val out = SparkEntry.queries("x29_kl_divergence")(spark, sf).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    val toks = Tables.table(spark, sf, "documents")
+      .select(col("source"), col("text")).collect()
+      .flatMap(r => r.getString(1).split(" ", -1).map(r.getString(0) -> _))
+    val sc = toks.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cc = sc.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val st = sc.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val m = st.values.sum
+    def log2(x: Double) = math.log(x) / math.log(2.0)
+    val slow = st.map { case (src, n) =>
+      val terms = sc.toSeq.collect { case ((s0, tok), c) if s0 == src =>
+        val qb = math.round(
+          (log2(c.toDouble) + log2(m.toDouble) - log2(n.toDouble) -
+            log2(cc(tok).toDouble)) * (1L << 20))
+        (c, qb)
+      }
+      src -> (n, terms.size.toLong,
+        terms.map(t => t._1 * t._2).sum.toDouble / n / (1L << 20).toDouble)
+    }
+    assert(out.keySet == slow.keySet)
+    slow.foreach { case (src, (n, types, kl)) =>
+      val (on, otypes, okl) = out(src)
+      assert(on == n && otypes == types, s"$src censuses")
+      // the replay mirrors the engine's op order; allow only round-off in
+      // the final fold ordering (both are exact long sums → identical)
+      assert(math.abs(okl - kl) < 1e-12, s"$src kl $okl vs $kl")
+      // Gibbs: true KL ≥ 0; quantized version can dip at most 2^-20 bits
+      assert(okl > -1e-6, s"$src kl must be non-negative up to quantization")
+    }
+    assert(out.values.exists(_._3 > 1e-4),
+      "some source must measurably diverge from the corpus mix")
+  }
+
+  test("a26: modal type replays from a brute-force census with the " +
+    "(count DESC, type ASC) tie-break") {
+    val out = SparkEntry.queries("a26_mode")(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val ev = Tables.table(spark, sf, "events")
+      .select(col("user_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val slow = ev.groupBy(_._1).map { case (u, rows) =>
+      val census = rows.groupBy(_._2).view.mapValues(_.length.toLong).toSeq
+      val (ty, cnt) = census.minBy { case (t, c) => (-c, t) }
+      u -> (ty, cnt, 1000 * cnt / rows.length)
+    }
+    assert(out == slow)
+  }
+
+  test("v12: Benford census replays exactly; shares sum to ~1000") {
+    val out = SparkEntry.queries("v12_benford")(spark, sf).collect()
+      .map(r => (r.getInt(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+    val cents = Tables.table(spark, sf, "events")
+      .select(col("value")).collect().map(r => math.round(r.getDouble(0) * 100))
+      .filter(_ > 0)
+    val census = cents.groupBy(_.toString.head.asDigit).view
+      .mapValues(_.length.toLong).toMap
+    val total = census.values.sum
+    assert(out.map(_._1).toSet == census.keySet)
+    out.foreach { case (d, (n, share, benford, dev)) =>
+      assert(n == census(d), s"digit $d count")
+      assert(share == 1000 * n / total, s"digit $d share")
+      assert(benford == math.round(math.log10(1.0 + 1.0 / d) * 1000))
+      assert(dev == share - benford)
+    }
+    val shareSum = out.map(_._2._2).sum
+    assert(shareSum >= 1000 - 9 && shareSum <= 1000, s"floor shares sum $shareSum")
+  }
+}
