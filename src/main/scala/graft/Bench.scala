@@ -71,7 +71,9 @@ object Bench {
     "g7_personalized_pagerank", "x27_gopher_gates", "j13_asof_forward",
     "j14_asof_native", "u6_except_all", "u7_intersect_all", "w14_rsi",
     "m5_audio_segments", "q14_sql_window", "x28_chunking", "e18_mean_pool",
-    "o5_keyset_page", "a25_time_to_convert")
+    "o5_keyset_page", "a25_time_to_convert",
+    "h6_vwap", "h7_weekly_bars", "h8_beta", "x29_kl_divergence",
+    "a26_mode", "v12_benford", "q15_sql_recursive")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

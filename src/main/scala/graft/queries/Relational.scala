@@ -564,6 +564,47 @@ object Relational {
     Some(sqlQ14)
   )
 
+  private val sqlQ15 =
+    """WITH RECURSIVE h(id, depth, path_cost_cents) AS (
+         SELECT CAST(p_partkey AS BIGINT), 0,
+                CAST(round(p_retailprice * 100) AS BIGINT)
+         FROM part WHERE p_partkey = 1
+         UNION ALL
+         SELECT CAST(p.p_partkey AS BIGINT), h.depth + 1,
+                h.path_cost_cents + CAST(round(p.p_retailprice * 100) AS BIGINT)
+         FROM part p JOIN h ON CAST(floor(p.p_partkey / 2) AS BIGINT) = h.id)
+       SELECT id AS part_id, depth, path_cost_cents
+       FROM h ORDER BY part_id"""
+
+  /** Q15: recursive-CTE hierarchy flatten — ONE ANSI `WITH RECURSIVE` text
+    * through both engines (the q07/q14 front-door contract extended to
+    * recursion, exercising Spark 4's `UnionLoop` operator). The hierarchy
+    * is the implicit binary tree parent(k) = ⌊k/2⌋ over part ids rooted at
+    * 1 — the BOM-explosion / org-chart flatten: per node, its depth and
+    * the exact root-path cost in integer cents.
+    *
+    * Determinism: each node is reached exactly ONCE (tree — so
+    * UNION ALL needs no dedup; Spark rejects UNION-distinct recursion),
+    * its path cost accumulates in one fixed order, and all arithmetic is
+    * BIGINT cents. Node 0 is its own parent and the seed excludes it, so
+    * no cycle is ever entered.
+    *
+    * Scale: each recursion level is one frontier-to-table hash equi-join
+    * on the parent key (the g5 BFS shape — level count is log2(max id),
+    * and Spark's recursion-level guard caps runaway graphs); total rows
+    * across levels = |parts|, never re-visited. The native iterative
+    * operators (g1/g5/PageRank) remain the tuned scale path with
+    * memoized edges; q15 proves the SQL front door reaches parity.
+    */
+  val q15SqlRecursive: Q = Q(
+    "q15_sql_recursive",
+    (s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part")
+      s.sql(sqlQ15)
+    },
+    Some(sqlQ15)
+  )
+
   /** Q09: TPC-H Q17-shaped correlated scalar subquery — "orders below 20%
     * of the part's average quantity" — the decorrelation stress test:
     * both engines must rewrite the two per-part correlated aggregates into
@@ -741,7 +782,7 @@ object Relational {
   val all: Seq[Q] = Seq(
     q01PricingSummary, q07SqlAboveAvg, q08SqlNotExists, q09SqlCorrelated,
     q10SqlExistsChain, q11SqlNestedIn, q12SqlTopSupplier, q13SqlMinCost,
-    q14SqlWindow,
+    q14SqlWindow, q15SqlRecursive,
     p1Drop, p2Rename, p3Project, p4Filter, p5Isin, p6Validity, p8MaskedUpdate,
     f1Respell, f2Case, f3Split, f4StringAgg, f5Concat, f6TimeTrunc, f9TsArith,
     f11CastNull, f13Json,

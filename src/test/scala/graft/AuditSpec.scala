@@ -82,4 +82,19 @@ class AuditSpec extends SparkSpec {
     val shareSum = out.map(_._2._2).sum
     assert(shareSum >= 1000 - 9 && shareSum <= 1000, s"floor shares sum $shareSum")
   }
+
+  test("q15: recursive hierarchy flatten — depth is floor(log2(id)) and " +
+    "path cost replays the exact ancestor-chain cents sum") {
+    val out = SparkEntry.queries("q15_sql_recursive")(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(2)))).toMap
+    val retail = Tables.table(spark, sf, "part")
+      .select(col("p_partkey"), col("p_retailprice")).collect()
+      .map(r => r.getLong(0) -> math.round(r.getDouble(1) * 100)).toMap
+    assert(out.keySet == retail.keySet - 0L, "every part except orphan 0")
+    out.foreach { case (id, (depth, cost)) =>
+      assert(depth == (63 - java.lang.Long.numberOfLeadingZeros(id)), s"id $id depth")
+      val chain = Iterator.iterate(id)(_ / 2).takeWhile(_ >= 1).toSeq
+      assert(cost == chain.map(retail).sum, s"id $id path cost")
+    }
+  }
 }
