@@ -1291,8 +1291,60 @@ object SimilarityQueries {
       FROM q GROUP BY label, dim ORDER BY label, dim""")
   )
 
+  /** E17: hard-negative mining — for each anchor in a deterministic
+    * 8-vector sample, the top-5 most-similar vectors carrying a DIFFERENT
+    * label: the contrastive-training data-prep step (triplet/InfoNCE
+    * batches want near-miss negatives, not random ones — Robinson et al.
+    * 2021). e14 filters candidates to a label RANGE; this filters per
+    * anchor to the label COMPLEMENT, the mining shape.
+    *
+    * Scale: e7's batched-broadcast contract — the 8-row anchor set
+    * broadcasts, candidates stream through ONE scan scoring all anchors,
+    * and the per-anchor top-5 is a rank window the optimizer turns into a
+    * map-side WindowGroupLimit (w3's plan property). At corpus scale the
+    * anchor set is the per-training-batch sample and the candidate scan
+    * composes with e2/e5's bucket pruning; the anchor's own row is
+    * excluded by the label predicate itself.
+    */
+  val e17HardNegatives: Q = Q(
+    "e17_hard_negatives",
+    (s, dir) => {
+      FastVec.register(s)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          Vectors.toDoubleVec(col("embedding")).as("v"))
+      val anchors = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("anchor_id"), col("label").as("anchor_label"),
+          col("v").as("av"))
+      val w = Window.partitionBy("anchor_id").orderBy(desc("sim"), col("vec_id"))
+      emb.crossJoin(broadcast(anchors))
+        .filter(col("label") =!= col("anchor_label"))
+        .select(col("anchor_id"), col("vec_id"), col("label"),
+          FastVec.cosine(col("v"), col("av")).as("sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("anchor_id"), col("rk").cast("long").as("rk"),
+          col("vec_id"), col("label"), round(col("sim"), 6).as("sim_r6"))
+        .orderBy("anchor_id", "rk")
+    },
+    Some(s"""WITH e AS ($sqlE),
+      a AS (SELECT vec_id AS anchor_id, label AS anchor_label, v AS av
+            FROM e WHERE vec_id < 8),
+      scored AS (
+        SELECT a.anchor_id, e.vec_id, e.label, ${sqlCos("e.v", "a.av")} AS sim
+        FROM e CROSS JOIN a WHERE e.label <> a.anchor_label),
+      ranked AS (
+        SELECT anchor_id, vec_id, label, sim,
+               row_number() OVER (PARTITION BY anchor_id
+                                  ORDER BY sim DESC, vec_id) AS rk
+        FROM scored)
+      SELECT anchor_id, CAST(rk AS BIGINT) AS rk, vec_id, label,
+             round(sim, 6) AS sim_r6
+      FROM ranked WHERE rk <= 5 ORDER BY anchor_id, rk""")
+  )
+
   val all: Seq[Q] = Seq(e1CosineTopK, e2AnnIvf, e3BucketNearDup, e4AnnKmeans,
     e5AnnHyperplane, e6SemanticDedup, e7AnnBatch, e8PqAdc, e9AnnRecall,
     e10MmrRerank, e11EmbeddingQa, e12SqRecall, e13IvfPq, e14FilteredAnn,
-    e15NprobeSweep, e16HybridRrf, e18MeanPool)
+    e15NprobeSweep, e16HybridRrf, e17HardNegatives, e18MeanPool)
 }

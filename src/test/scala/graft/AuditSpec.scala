@@ -97,4 +97,28 @@ class AuditSpec extends SparkSpec {
       assert(cost == chain.map(retail).sum, s"id $id path cost")
     }
   }
+
+  test("e17: hard negatives replay from a brute-force per-anchor scan — " +
+    "different label only, top-5 by cosine with the vec_id tie-break") {
+    val out = SparkEntry.queries("e17_hard_negatives")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getInt(3))))
+      .toMap
+    val emb = Tables.table(spark, sf, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getInt(2),
+        r.getSeq[Float](1).map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]) = {
+      def dot(x: Array[Double], y: Array[Double]) =
+        x.zip(y).map(t => t._1 * t._2).sum
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    val slow = emb.filter(_._1 < 8).flatMap { case (aid, alabel, av) =>
+      emb.filter(_._2 != alabel)
+        .map { case (vid, lab, v) => (vid, lab, cos(v, av)) }
+        .sortBy { case (vid, _, sim) => (-sim, vid) }
+        .take(5).zipWithIndex
+        .map { case ((vid, lab, _), i) => (aid, i + 1L) -> (vid, lab) }
+    }.toMap
+    assert(out == slow)
+    assert(out.nonEmpty)
+  }
 }
