@@ -874,4 +874,70 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("graft_md5_60"),
       "hashing must run on the fused expression:\n" + plan.take(3000))
   }
+
+  test("h6: VWAP is one map-side-combinable hash aggregate with the " +
+    "event-type filter pushed to the scan — no join, no window") {
+    val plan = executedPlan("h6_vwap")
+    assert(plan.contains("partial_sum"), plan.take(3000))
+    assert(plan.contains("PushedFilters: [") && !plan.contains("PushedFilters: []"),
+      plan.take(2000))
+    assert(!plan.contains("Join") && !plan.contains("Window"), plan.take(3000))
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2, s"agg + presentation sort only, got $exchanges")
+  }
+
+  test("h7: both OHLC rank windows and the bar aggregate share ONE " +
+    "(user, wk) exchange — only the presentation sort adds a second") {
+    val plan = executedPlan("h7_weekly_bars")
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n${plan.take(3000)}")
+    assert("Window \\[row_number".r.findAllIn(plan).length == 2, plan.take(3000))
+    assert(plan.contains("partial_max"), "bar agg must partial-aggregate map-side")
+  }
+
+  test("h8: the O(days) market census broadcasts back (fact side never " +
+    "shuffles for it); the daily-close rank infers a WindowGroupLimit") {
+    val plan = executedPlan("h8_beta")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("WindowGroupLimit"),
+      "rn=1 daily close must infer a group limit:\n" + plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q15: the recursive CTE plans as UnionLoop (Spark's recursion " +
+    "operator) with the per-level frontier join — no cartesian") {
+    val plan = executedPlan("q15_sql_recursive")
+    assert(plan.contains("UnionLoop"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("e17: anchors broadcast (candidates never shuffle for scoring) and " +
+    "the per-anchor top-5 is a map-side WindowGroupLimit; vector math " +
+    "stays in codegen") {
+    val plan = executedPlan("e17_hard_negatives")
+    assert(plan.contains("BroadcastNestedLoopJoin BuildRight"), plan.take(3000))
+    assert("WindowGroupLimit".r.findAllIn(plan).length == 2,
+      "expected Partial+Final group limits:\n" + plan.take(3000))
+    assert(plan.contains("graft_dot"), plan.take(3000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(3000))
+  }
+
+  test("x29: censuses partial-aggregate map-side; the per-source totals " +
+    "broadcast; no cartesian beyond the 1-row grand-total broadcast") {
+    val plan = executedPlan("x29_kl_divergence")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"),
+      "per-source totals must broadcast-join:\n" + plan.take(3000))
+  }
+
+  test("a26/v12: census queries stay one map-side-combinable aggregate " +
+    "with the window riding the census exchange") {
+    for (name <- Seq("a26_mode", "v12_benford")) {
+      val plan = executedPlan(name)
+      assert(plan.contains("partial_count"), s"$name:\n${plan.take(3000)}")
+      assert(!plan.contains("Join"), s"$name must not join:\n${plan.take(3000)}")
+    }
+  }
 }
