@@ -73,7 +73,8 @@ object Bench {
     "m5_audio_segments", "q14_sql_window", "x28_chunking", "e18_mean_pool",
     "o5_keyset_page", "a25_time_to_convert",
     "h6_vwap", "h7_weekly_bars", "h8_beta", "x29_kl_divergence",
-    "a26_mode", "v12_benford", "q15_sql_recursive", "e17_hard_negatives")
+    "a26_mode", "v12_benford", "q15_sql_recursive", "e17_hard_negatives",
+    "g8_modularity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -51,7 +51,7 @@ object GraphQueries {
     * re-measure rebuild from scratch instead of reading this session's
     * cache — called by Bench next to `DedupQueries.clearMemo`).
     */
-  def clearMemo(): Unit = edgeCache.clear()
+  def clearMemo(): Unit = { edgeCache.clear(); labelCache.clear() }
 
   /** Memoized (edges, degrees) of the shared co-purchase graph. */
   private[graft] def coEdgesDeg(s: SparkSession, dir: String): (DataFrame, DataFrame) =
@@ -305,7 +305,10 @@ object GraphQueries {
     * packed argmax: `max(cnt·2³² + (2³²−1 − lab))` picks the most frequent
     * neighbor label with smallest-label tie-break, in one BIGINT max.
     */
-  private def lpOracle(rounds: Int): String = {
+  /** The WITH-clause body shared by g4's and g8's oracles: co-purchase
+    * edges, symmetrized adjacency, and the unrolled label rounds l0..lR.
+    */
+  private def lpCtes(rounds: Int): String = {
     val iters = (1 to rounds).map { i =>
       s""",
       c$i AS (SELECT e.a, l.lab, count(*) AS c
@@ -314,13 +317,16 @@ object GraphQueries {
                      4294967295 - (max(c * $LpPack + (4294967295 - lab)) % $LpPack) AS lab
               FROM c$i GROUP BY a)"""
     }.mkString
-    s"""WITH $sqlCoEdges,
+    s"""$sqlCoEdges,
       adj AS (SELECT u AS a, v AS b FROM edges
               UNION ALL SELECT v AS a, u AS b FROM edges),
-      l0 AS (SELECT DISTINCT a AS id, a AS lab FROM adj)$iters
+      l0 AS (SELECT DISTINCT a AS id, a AS lab FROM adj)$iters"""
+  }
+
+  private def lpOracle(rounds: Int): String =
+    s"""WITH ${lpCtes(rounds)}
       SELECT lab AS community, CAST(count(*) AS BIGINT) AS size
       FROM l$rounds GROUP BY lab ORDER BY size DESC, community"""
-  }
 
   /** G4: community detection by synchronous label propagation (Raghavan
     * et al. 2007) over the part co-purchase graph — the clustering
@@ -347,6 +353,19 @@ object GraphQueries {
     * by `ScaleProbe.graphProbe` at growing edge counts.
     */
   private[graft] def labelPropagate(
+      edges: DataFrame,
+      rounds: Int): DataFrame =
+    labelAssign(edges, rounds)
+      .groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("size"))
+      .orderBy(desc("size"), col("community"))
+
+  /** The g4 loop's node → label assignment (id, lab), shared by g4's
+    * census and g8's modularity scoring. The returned frame is
+    * lineage-truncated over the final persisted round, so consumers never
+    * re-run the propagation.
+    */
+  private[graft] def labelAssign(
       edges: DataFrame,
       rounds: Int): DataFrame = {
     val adj = edges.select(col("u").as("a"), col("v").as("b"))
@@ -388,16 +407,16 @@ object GraphQueries {
       persisted = next
       labels = Lineage.truncate(next.select("id", "lab"))
     }
-    val out = labels.groupBy(col("lab").as("community"))
-      .agg(count(lit(1)).as("size"))
-      .orderBy(desc("size"), col("community"))
     adj.unpersist()
-    out
+    labels
   }
 
   val g4LabelProp: Q = Q(
     "g4_label_prop",
-    (s, dir) => labelPropagate(coEdgesDeg(s, dir)._1, LpRounds),
+    (s, dir) => coLabels(s, dir)
+      .groupBy(col("lab").as("community"))
+      .agg(count(lit(1)).as("size"))
+      .orderBy(desc("size"), col("community")),
     Some(lpOracle(LpRounds))
   )
 
@@ -615,7 +634,78 @@ object GraphQueries {
     }
   )
 
+  /** G8: modularity scoring of g4's communities — Newman's Q decomposed
+    * per community: Q_c = e_c/m − (D_c/2m)², where e_c counts
+    * intra-community edges, D_c sums member degrees and m = |edges|. The
+    * quality gate every community detector runs on its own output (LPA
+    * can collapse to one giant label; a near-zero ΣQ_c is how a pipeline
+    * notices before shipping the clustering downstream).
+    *
+    * Exactness: e_c, D_c, m are exact BIGINT censuses; the contribution
+    * is the cross-multiplied identity (4·m·e_c − D_c²)/(4·m²) — one IEEE
+    * division of identical integer operands per community row. Headroom:
+    * D_c ≤ 2m, so terms stay under 4m² (< 2^63 to m ≈ 2^30 edges).
+    *
+    * Scale: labels come from the memoized assignment (shared with g4 —
+    * the propagation never runs twice per session); e_c is ONE edge scan
+    * joined twice against the label table (both keyed equi-joins);
+    * the degree join reuses the memoized degree table; everything after
+    * is an O(communities) census. m broadcasts as one row.
+    */
+  val g8Modularity: Q = Q(
+    "g8_modularity",
+    (s, dir) => {
+      val (edges, deg) = coEdgesDeg(s, dir)
+      val labels = coLabels(s, dir)
+      val mdf = edges.agg(count(lit(1)).as("m"))
+      val intra = edges
+        .join(labels.select(col("id").as("u"), col("lab").as("cu")), Seq("u"))
+        .join(labels.select(col("id").as("v"), col("lab").as("cv")), Seq("v"))
+        .filter(col("cu") === col("cv"))
+        .groupBy(col("cu").as("community")).agg(count(lit(1)).as("e"))
+      labels.join(deg, Seq("id"))
+        .groupBy(col("lab").as("community"))
+        .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("deg_sum"))
+        .join(intra, Seq("community"), "left")
+        .crossJoin(broadcast(mdf))
+        .select(col("community"), col("n_nodes"), col("deg_sum"),
+          coalesce(col("e"), lit(0L)).as("intra_edges"),
+          ((lit(4) * col("m") * coalesce(col("e"), lit(0L)) -
+            col("deg_sum") * col("deg_sum")).cast("double") /
+            (lit(4) * col("m") * col("m"))).as("q_contrib"))
+        .orderBy("community")
+    },
+    Some(s"""WITH ${lpCtes(LpRounds)},
+      deg AS (SELECT a AS id, count(*) AS d FROM adj GROUP BY a),
+      mm AS (SELECT count(*) AS m FROM edges),
+      lab AS (SELECT id, lab FROM l$LpRounds),
+      intra AS (SELECT lu.lab AS community, count(*) AS e
+                FROM edges ed
+                JOIN lab lu ON lu.id = ed.u
+                JOIN lab lv ON lv.id = ed.v
+                WHERE lu.lab = lv.lab GROUP BY 1),
+      degc AS (SELECT l.lab AS community, count(*) AS n_nodes,
+                      CAST(sum(d.d) AS BIGINT) AS deg_sum
+               FROM lab l JOIN deg d ON d.id = l.id GROUP BY 1)
+      SELECT dc.community, dc.n_nodes, dc.deg_sum,
+             coalesce(i.e, 0) AS intra_edges,
+             CAST(4 * mm.m * coalesce(i.e, 0) - dc.deg_sum * dc.deg_sum AS DOUBLE)
+               / (4 * mm.m * mm.m) AS q_contrib
+      FROM degc dc LEFT JOIN intra i ON i.community = dc.community
+      CROSS JOIN mm ORDER BY dc.community""")
+  )
+
+  /** Memoized g4 label assignment shared by g4/g8 (the edge-memo rule:
+    * one propagation per session, cleared by [[clearMemo]]).
+    */
+  private val labelCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def coLabels(s: SparkSession, dir: String): DataFrame =
+    labelCache.getOrElseUpdate((s, dir),
+      labelAssign(coEdgesDeg(s, dir)._1, LpRounds))
+
   val all: Seq[Q] =
     Seq(g1PageRank, g2TriangleCount, g3KCore, g4LabelProp, g5BfsHops, g6LinkPredict,
-      g7PersonalizedPr)
+      g7PersonalizedPr, g8Modularity)
 }

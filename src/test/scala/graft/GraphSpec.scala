@@ -69,4 +69,33 @@ class GraphSpec extends SparkSpec {
         s"part $id ranked but ${hops.get(id)} hops from the seed")
     }
   }
+
+  test("g8 modularity replays from the engine's own labels and edges, and " +
+    "the Newman identities hold (Σdeg = 2m, Σe_c ≤ m, ΣQ_c ∈ (−1, 1])") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("g8_modularity")(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    val edges = GraphQueries.partCoEdges(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = GraphQueries.labelAssign(
+      GraphQueries.coEdgesDeg(spark, sf)._1, 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val m = edges.length.toLong
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val slow = labels.groupBy(_._2).map { case (c, members) =>
+      val ids = members.keySet
+      val e = edges.count(ed => labels(ed._1) == c && labels(ed._2) == c).toLong
+      val d = ids.toSeq.map(deg).sum
+      c -> (ids.size.toLong, d, e,
+        (4 * m * e - d * d).toDouble / (4 * m * m))
+    }
+    assert(out.keySet == slow.keySet)
+    slow.foreach { case (c, exp) => assert(out(c) == exp, s"community $c") }
+    assert(out.values.map(_._2).sum == 2 * m, "Σ deg_sum = 2m")
+    assert(out.values.map(_._3).sum <= m, "Σ intra ≤ m")
+    val q = out.values.map(_._4).sum
+    assert(q > -1.0 && q <= 1.0, s"total modularity $q out of range")
+  }
 }
