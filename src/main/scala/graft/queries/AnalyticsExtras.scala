@@ -1097,6 +1097,84 @@ object AnalyticsExtras {
       FROM r WHERE rn = 1 ORDER BY user_id""")
   )
 
+  /** P16: leave-one-out target encoding — replace each row's categorical
+    * key with the mean target over the key's OTHER rows, the standard
+    * high-cardinality feature encoding (leave-one-out prevents the row
+    * from leaking its own target into its feature — Micci-Barreca 2001).
+    *
+    * Exactness: targets quantize ONCE to integer cents; each row's LOO
+    * mean is `(S − x)/(n − 1)` on exact BIGINTs — one IEEE division of
+    * identical operands, then an identical /100 rescale. Single-row keys
+    * encode NULL on both engines.
+    *
+    * Scale: the per-key census is O(|categories|) and broadcast back; the
+    * encode itself is a narrow codegen projection — the corpus shuffles
+    * nothing (at open cardinality the broadcast degrades to a shuffled
+    * join on the key, the x10 rule — here the hint is justified because
+    * event types are enum-bounded by construction).
+    */
+  val p16TargetEncode: Q = Q(
+    "p16_target_encode",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val census = ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum(col("cents")).as("s"))
+      ev.join(broadcast(census), Seq("event_type"))
+        .select(col("event_id"), col("event_type"),
+          when(col("n") > 1,
+            (col("s") - col("cents")).cast("double") / (col("n") - 1) / 100)
+            .as("loo_mean"))
+        .orderBy("event_id")
+    },
+    Some("""WITH ev AS (SELECT event_id, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      c AS (SELECT event_type, count(*) AS n, CAST(sum(cents) AS BIGINT) AS s
+            FROM ev GROUP BY event_type)
+      SELECT event_id, ev.event_type,
+             CASE WHEN n > 1
+                  THEN CAST(s - cents AS DOUBLE) / (n - 1) / 100 END AS loo_mean
+      FROM ev JOIN c ON c.event_type = ev.event_type
+      ORDER BY event_id""")
+  )
+
+  /** A27: top event paths — the corpus-wide census of 3-step event
+    * sequences per user (a23 models single transitions; journey mining
+    * wants the most frequent short PATHS — the "view>view>purchase"
+    * signal product analytics reads, and a degenerate dominant path is
+    * the same bot signature a23 flags). Sequences order by the unique
+    * event_id, so no timestamp tie can reorder a path across engines.
+    *
+    * Scale: one user-keyed window serves both leads; paths collapse into
+    * a map-side-combinable census bounded at |types|³ cells; the top-20
+    * is TakeOrdered with a total (n desc, path) tie-break.
+    */
+  val a27PathCensus: Q = Q(
+    "a27_path_census",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("event_type"))
+        .withColumn("t1", lead(col("event_type"), 1).over(w))
+        .withColumn("t2", lead(col("event_type"), 2).over(w))
+        .filter(col("t2").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("t1"), col("t2")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(desc("n"), col("path"))
+        .limit(20)
+    },
+    Some("""WITH seq AS (
+        SELECT event_type AS t0,
+               lead(event_type, 1) OVER w AS t1,
+               lead(event_type, 2) OVER w AS t2
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+      SELECT concat_ws('>', t0, t1, t2) AS path, count(*) AS n
+      FROM seq WHERE t2 IS NOT NULL
+      GROUP BY 1 ORDER BY n DESC, path LIMIT 20""")
+  )
+
   val all: Seq[Q] = Seq(
     w5RankAnalytics, w6FirstLast, w7RangeFrame, a12StatsMoments,
     a13Conditional, a14MedianDistinct, a15GroupingSets, a16Funnel,
@@ -1104,5 +1182,5 @@ object AnalyticsExtras {
     q05RevenueByNation, q06ForecastRevenue, h1Scd2History, h2PointInTime,
     w8Streak, a20Anomaly, w9Ewma, w10Drawdown, a21Histogram, w11Cusum,
     w12Seasonality, a23Transitions, h3Scd2DimJoin, a25TimeToConvert,
-    a26Mode)
+    a26Mode, p16TargetEncode, a27PathCensus)
 }

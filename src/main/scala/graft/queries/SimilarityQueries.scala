@@ -1343,8 +1343,77 @@ object SimilarityQueries {
       FROM ranked WHERE rk <= 5 ORDER BY anchor_id, rk""")
   )
 
+  /** E19: per-label centroid drift between deterministic corpus halves —
+    * the embedding-distribution monitor (e11 audits hygiene; this audits
+    * STABILITY): squared L2 between each label's half-0 and half-1 mean
+    * vectors. A retrained encoder or a shifted upstream corpus moves
+    * centroids; monitoring pipelines alarm on exactly this statistic
+    * before ANN indexes go stale.
+    *
+    * Exactness: per-(label, half, dim) sums are 2^-20-quantized longs
+    * (e18's rule); each mean is one IEEE division of exact operands; the
+    * per-dim squared diff is re-quantized to a long so the cross-dim sum
+    * is order-independent; the final /2^20 is an exact shift.
+    *
+    * Scale: one posexplode into a census bounded at labels × dims × 2 —
+    * map-side combinable, payload-free after the scan; everything
+    * downstream is O(labels × dims).
+    */
+  val e19CentroidDrift: Q = Q(
+    "e19_centroid_drift",
+    (s, dir) => {
+      val q20 = (1L << 20).toDouble
+      val m0 = col("q0").cast("double") / (col("n0") * q20)
+      val m1 = col("q1").cast("double") / (col("n1") * q20)
+      t(s, dir, "embeddings")
+        .select(col("label"), (col("vec_id") % 2).as("half"),
+          posexplode(col("embedding")))
+        .select(col("label"), col("half"), col("pos").cast("long").as("dim"),
+          round(col("col").cast("double") * q20).cast("long").as("q"))
+        .groupBy("label", "dim")
+        .agg(
+          sum(when(col("half") === 0, col("q"))).as("q0"),
+          count(when(col("half") === 0, lit(1))).as("n0"),
+          sum(when(col("half") === 1, col("q"))).as("q1"),
+          count(when(col("half") === 1, lit(1))).as("n1"))
+        .filter(col("n0") > 0 && col("n1") > 0)
+        .select(col("label"), col("n0"), col("n1"),
+          round((m0 - m1) * (m0 - m1) * q20).cast("long").as("dq"))
+        .groupBy("label")
+        .agg(max(col("n0")).as("n_half0"), max(col("n1")).as("n_half1"),
+          (sum(col("dq")).cast("double") / q20).as("drift_sq"))
+        .orderBy("label")
+    },
+    Some("""WITH e AS (
+        SELECT label, vec_id % 2 AS half,
+               unnest(embedding) AS v,
+               unnest(range(len(embedding))) AS dim
+        FROM embeddings),
+      q AS (SELECT label, half, CAST(dim AS BIGINT) AS dim,
+              CAST(round(CAST(v AS DOUBLE) * 1048576) AS BIGINT) AS q
+            FROM e),
+      c AS (SELECT label, dim,
+              CAST(sum(CASE WHEN half = 0 THEN q END) AS BIGINT) AS q0,
+              count(CASE WHEN half = 0 THEN 1 END) AS n0,
+              CAST(sum(CASE WHEN half = 1 THEN q END) AS BIGINT) AS q1,
+              count(CASE WHEN half = 1 THEN 1 END) AS n1
+            FROM q GROUP BY label, dim),
+      d AS (SELECT label, n0, n1,
+              CAST(round((CAST(q0 AS DOUBLE) / (n0 * 1048576.0) -
+                          CAST(q1 AS DOUBLE) / (n1 * 1048576.0)) *
+                         (CAST(q0 AS DOUBLE) / (n0 * 1048576.0) -
+                          CAST(q1 AS DOUBLE) / (n1 * 1048576.0)) * 1048576.0)
+                AS BIGINT) AS dq
+            FROM c WHERE n0 > 0 AND n1 > 0)
+      SELECT label, CAST(max(n0) AS BIGINT) AS n_half0,
+             CAST(max(n1) AS BIGINT) AS n_half1,
+             CAST(sum(dq) AS DOUBLE) / 1048576.0 AS drift_sq
+      FROM d GROUP BY label ORDER BY label""")
+  )
+
   val all: Seq[Q] = Seq(e1CosineTopK, e2AnnIvf, e3BucketNearDup, e4AnnKmeans,
     e5AnnHyperplane, e6SemanticDedup, e7AnnBatch, e8PqAdc, e9AnnRecall,
     e10MmrRerank, e11EmbeddingQa, e12SqRecall, e13IvfPq, e14FilteredAnn,
-    e15NprobeSweep, e16HybridRrf, e17HardNegatives, e18MeanPool)
+    e15NprobeSweep, e16HybridRrf, e17HardNegatives, e18MeanPool,
+    e19CentroidDrift)
 }

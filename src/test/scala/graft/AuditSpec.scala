@@ -121,4 +121,69 @@ class AuditSpec extends SparkSpec {
     assert(out == slow)
     assert(out.nonEmpty)
   }
+
+  test("p16: leave-one-out encoding replays bit-for-bit; single-row keys " +
+    "encode null; no row's own target leaks into its feature") {
+    val out = SparkEntry.queries("p16_target_encode")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+    val ev = Tables.table(spark, sf, "events")
+      .select(col("event_id"), col("event_type"), col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1), math.round(r.getDouble(2) * 100)))
+    val census = ev.groupBy(_._2).view
+      .mapValues(rs => (rs.length.toLong, rs.map(_._3).sum)).toMap
+    ev.foreach { case (id, ty, cents) =>
+      val (n, s) = census(ty)
+      val exp = if (n > 1) Some((s - cents).toDouble / (n - 1) / 100) else None
+      assert(out(id).map(java.lang.Double.doubleToLongBits) ==
+        exp.map(java.lang.Double.doubleToLongBits), s"event $id")
+    }
+  }
+
+  test("a27: path census replays from per-user ordered 3-gram folding") {
+    val out = SparkEntry.queries("a27_path_census")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val ev = Tables.table(spark, sf, "events")
+      .select(col("user_id"), col("event_id"), col("event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val slow = ev.groupBy(_._1).values.flatMap { rows =>
+      val seq = rows.sortBy(_._2).map(_._3)
+      seq.sliding(3).filter(_.length == 3).map(_.mkString(">"))
+    }.toSeq.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (p, n) => (-n, p) }.take(20)
+    assert(out.toSeq == slow)
+    assert(out.nonEmpty && out.head._2 >= out.last._2)
+  }
+
+  test("e19: centroid drift replays from the exact quantized fold and is " +
+    "non-negative") {
+    val out = SparkEntry.queries("e19_centroid_drift")(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val emb = Tables.table(spark, sf, "embeddings").collect()
+      .map(r => (r.getLong(0), r.getInt(2),
+        r.getSeq[Float](1).map(v => math.round(v.toDouble * (1L << 20))).toArray))
+    val q20 = (1L << 20).toDouble
+    val slow = emb.groupBy(_._2).flatMap { case (lab, vecs) =>
+      val (h0, h1) = vecs.partition(_._1 % 2 == 0)
+      if (h0.isEmpty || h1.isEmpty) None
+      else {
+        val dims = h0.head._3.indices
+        val dq = dims.map { d =>
+          val m0 = h0.map(_._3(d)).sum.toDouble / (h0.length * q20)
+          val m1 = h1.map(_._3(d)).sum.toDouble / (h1.length * q20)
+          math.round((m0 - m1) * (m0 - m1) * q20)
+        }.sum
+        Some(lab -> (h0.length.toLong, h1.length.toLong, dq.toDouble / q20))
+      }
+    }
+    assert(out.keySet == slow.keySet)
+    slow.foreach { case (lab, (n0, n1, drift)) =>
+      val (on0, on1, od) = out(lab)
+      assert(on0 == n0 && on1 == n1, s"label $lab halves")
+      assert(java.lang.Double.doubleToLongBits(od) ==
+        java.lang.Double.doubleToLongBits(drift), s"label $lab drift")
+      assert(od >= 0.0)
+    }
+  }
 }
