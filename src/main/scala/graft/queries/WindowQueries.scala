@@ -120,5 +120,78 @@ object WindowQueries {
       FROM f GROUP BY next_fire ORDER BY next_fire""")
   )
 
-  val all: Seq[Q] = Seq(s1Tumbling, s2Sliding, s3Session, s4ScheduleFire)
+  /** S5: late-data census — a deterministic batch REPLAY of watermark
+    * semantics (the accounting every streaming job reports next to its
+    * windows): events carry a synthetic arrival time (event time + an
+    * event_id-derived network jitter ≤ 2 min — the h5 stand-in
+    * convention); replayed in arrival order with a 30 s allowed lateness,
+    * a row is DROPPED iff the watermark when it arrives (max event time
+    * over strictly-earlier arrivals, minus the lateness) has passed its
+    * 10-minute window's end — exactly `withWatermark`'s drop rule. Output:
+    * per window, on-time vs dropped counts.
+    *
+    * Exactness: all µs-integer arithmetic; arrival order totals on
+    * (arr, event_id); the globally-first row has no watermark and is
+    * on-time by the −1 sentinel (event times are non-negative) — spelled
+    * identically in both engines.
+    *
+    * Scale: the prefix max over GLOBAL arrival order is the a24 rule —
+    * distributed as per-hour-bucket running maxes (parallel windows)
+    * plus an O(hours) bucket-offset census broadcast back; nothing
+    * sequential ever holds more than one bucket.
+    */
+  val s5LateData: Q = {
+    val lateUs = 30000000L
+    val winUs = 600000000L
+    val hourUs = 3600000000L
+    Q(
+      "s5_late_data",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val ev = t(s, dir, "events")
+          .select(col("event_id"), unix_micros(col("ts")).as("t"))
+          .withColumn("arr", col("t") + (col("event_id") % 120) * 1000000L)
+          .withColumn("bkt", expr(s"arr div $hourUs"))
+        val wIn = Window.partitionBy("bkt").orderBy(col("arr"), col("event_id"))
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val wOff = Window.orderBy("bkt")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        val offsets = ev.groupBy("bkt").agg(max(col("t")).as("bmax"))
+          .select(col("bkt"),
+            coalesce(max(col("bmax")).over(wOff), lit(-1L)).as("off"))
+        ev
+          .withColumn("inmax", coalesce(max(col("t")).over(wIn), lit(-1L)))
+          .join(broadcast(offsets), Seq("bkt"))
+          .select(col("t"),
+            (greatest(col("inmax"), col("off")) - lateUs).as("wm"))
+          .select(expr(s"(t div $winUs) * $winUs").as("win_start"),
+            when(col("wm") > expr(s"(t div $winUs + 1) * $winUs"), 1L)
+              .otherwise(0L).as("late"))
+          .groupBy("win_start")
+          .agg(count(lit(1)).as("n_total"),
+            sum(col("late")).as("n_dropped"),
+            (count(lit(1)) - sum(col("late"))).as("n_ontime"))
+          .orderBy("win_start")
+      },
+      Some(s"""WITH ev AS (
+          SELECT event_id, epoch_us(ts) AS t,
+                 epoch_us(ts) + (event_id % 120) * 1000000 AS arr
+          FROM events),
+        r AS (SELECT t,
+                coalesce(max(t) OVER (ORDER BY arr, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  - $lateUs AS wm
+              FROM ev),
+        f AS (SELECT (t // $winUs) * $winUs AS win_start,
+                CASE WHEN wm > (t // $winUs + 1) * $winUs THEN 1 ELSE 0 END AS late
+              FROM r)
+        SELECT win_start, count(*) AS n_total,
+               CAST(sum(late) AS BIGINT) AS n_dropped,
+               CAST(count(*) - sum(late) AS BIGINT) AS n_ontime
+        FROM f GROUP BY win_start ORDER BY win_start""")
+    )
+  }
+
+  val all: Seq[Q] = Seq(s1Tumbling, s2Sliding, s3Session, s4ScheduleFire,
+    s5LateData)
 }

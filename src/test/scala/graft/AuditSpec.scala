@@ -186,4 +186,33 @@ class AuditSpec extends SparkSpec {
       assert(od >= 0.0)
     }
   }
+
+  test("s5: the two-level distributed watermark replay equals a sequential " +
+    "arrival-order simulation of the drop rule") {
+    val out = SparkEntry.queries("s5_late_data")(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val ev = Tables.table(spark, sf, "events")
+      .select(col("event_id"), unix_micros(col("ts")).as("t")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .map { case (id, t) => (t, t + (id % 120) * 1000000L, id) }
+      .sortBy { case (_, arr, id) => (arr, id) }
+    val winUs = 600000000L
+    var runMax = -1L
+    val sim = ev.map { case (t, _, _) =>
+      val wm = runMax - 30000000L
+      val late = wm > (t / winUs + 1) * winUs
+      runMax = math.max(runMax, t)
+      ((t / winUs) * winUs, late)
+    }
+    val slow = sim.groupBy(_._1).map { case (w, rs) =>
+      val d = rs.count(_._2).toLong
+      w -> (rs.size.toLong, d, rs.size - d)
+    }
+    assert(out == slow)
+    // sf0.001 is too sparse for the 2-min jitter to beat a 10-min window +
+    // 30 s lateness; real drops are exercised at sf0.1 (473 dropped rows,
+    // oracle-checked by the driver gate). Here require coverage, not drops.
+    assert(out.values.map(_._1).sum > 0)
+  }
 }
