@@ -547,8 +547,71 @@ object Joins {
       ORDER BY l.event_id""")
   )
 
+  /** R3: blocking-recall audit — the d11/e9 self-evaluation pattern
+    * applied to entity resolution: of the TRUE matches (r1's similarity
+    * predicate with NO blocking), what fraction does r1's
+    * (3-token-block, length-bucket) candidate generator retain? Blocking
+    * recall is the number every linkage paper reports before trusting a
+    * blocked pipeline at scale — r1's blocks can miss same-prefix docs
+    * whose full lengths straddle a bucket boundary, and this measures
+    * exactly that.
+    *
+    * Ground truth is probe-sampled (doc_id % 50 — a bounded deterministic
+    * eval sample, the annProbe rule): each probe compares against the
+    * WHOLE corpus under the unblocked predicate, so truth cost is
+    * |probes|·n, never n² — expensive by specification like d11, bounded
+    * by the sample. Both-probe pairs count once per direction in
+    * numerator AND denominator, so the ratio is unbiased and identical
+    * cross-engine. All counts BIGINT; recall is an integer-permille
+    * floor division.
+    *
+    * Scale: probes broadcast; candidates stream through one scan; the
+    * result is a 1-row global aggregate with map-side partials.
+    */
+  val r3BlockingRecall: Q = Q(
+    "r3_blocking_recall",
+    (s, dir) => {
+      val n = t(s, dir, "documents").select(
+        col("doc_id"),
+        substring(col("text"), 1, 60).as("pfx"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 3)).as("blk"),
+        expr("length(text) div 50").as("lb"))
+      val probes = n.filter(col("doc_id") % 50 === 0)
+        .select(col("doc_id").as("id_p"), col("pfx").as("pfx_p"),
+          col("blk").as("blk_p"), col("lb").as("lb_p"))
+      n.crossJoin(broadcast(probes))
+        .filter(col("doc_id") =!= col("id_p"))
+        .select(
+          (levenshtein(col("pfx"), col("pfx_p")) <= 10).as("is_true"),
+          (col("blk") === col("blk_p") && col("lb") === col("lb_p")).as("is_blocked"))
+        .agg(
+          sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true"),
+          sum(when(col("is_true") && col("is_blocked"), 1L).otherwise(0L))
+            .as("n_retained"))
+        .select(col("n_true"), col("n_retained"),
+          when(col("n_true") > 0,
+            expr("(1000 * n_retained) div n_true")).as("recall_pm"))
+    },
+    Some("""WITH n AS (SELECT doc_id, substr(text, 1, 60) AS pfx,
+               array_to_string((string_split(text, ' '))[1:3], ' ') AS blk,
+               len(text) // 50 AS lb
+             FROM documents),
+      p AS (SELECT doc_id AS id_p, pfx AS pfx_p, blk AS blk_p, lb AS lb_p
+            FROM n WHERE doc_id % 50 = 0),
+      f AS (SELECT levenshtein(n.pfx, p.pfx_p) <= 10 AS is_true,
+                   (n.blk = p.blk_p AND n.lb = p.lb_p) AS is_blocked
+            FROM n CROSS JOIN p WHERE n.doc_id <> p.id_p),
+      c AS (SELECT CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+                   CAST(sum(CASE WHEN is_true AND is_blocked THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_retained
+            FROM f)
+      SELECT n_true, n_retained,
+             CASE WHEN n_true > 0 THEN (1000 * n_retained) // n_true END AS recall_pm
+      FROM c""")
+  )
+
   val all: Seq[Q] = Seq(
     j1Semi, j2Anti, j3Inner, j4FullOuter, j5Left, j6Right, j7ThetaRange,
     j8Cross, j9AsOf, j10SaltedSkew, r1EntityMatch, r2GoldenRecord, j11BloomSemi,
-    j12IntervalJoin, j13AsOfForward, j14AsOfNative)
+    j12IntervalJoin, j13AsOfForward, j14AsOfNative, r3BlockingRecall)
 }

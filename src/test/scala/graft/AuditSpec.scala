@@ -215,4 +215,37 @@ class AuditSpec extends SparkSpec {
     // oracle-checked by the driver gate). Here require coverage, not drops.
     assert(out.values.map(_._1).sum > 0)
   }
+
+  test("r3: blocking recall replays from a brute-force probe × corpus " +
+    "sweep with r1's predicate and block definition") {
+    val row = SparkEntry.queries("r3_blocking_recall")(spark, sf).collect().head
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .map { r =>
+        val text = r.getString(1)
+        (r.getLong(0), text.take(60),
+          text.split(" ", -1).take(3).mkString(" "), text.length / 50)
+      }
+    def lev(a: String, b: String): Int = {
+      val d = Array.tabulate(a.length + 1)(i => i)
+      for (j <- 1 to b.length) {
+        var prev = d(0); d(0) = j
+        for (i <- 1 to a.length) {
+          val t = d(i)
+          d(i) = math.min(math.min(d(i) + 1, d(i - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = t
+        }
+      }
+      d(a.length)
+    }
+    val probes = docs.filter(_._1 % 50 == 0)
+    val pairs = for (p <- probes; d <- docs if d._1 != p._1) yield
+      (lev(d._2, p._2) <= 10, d._3 == p._3 && d._4 == p._4)
+    val nTrue = pairs.count(_._1).toLong
+    val nRet = pairs.count(t => t._1 && t._2).toLong
+    assert(row.getLong(0) == nTrue && row.getLong(1) == nRet)
+    if (nTrue > 0) assert(row.getLong(2) == 1000 * nRet / nTrue)
+    else assert(row.isNullAt(2))
+  }
 }
