@@ -155,7 +155,31 @@ object Plans {
     "o5_keyset_page" ->
       "Keyset pagination: the (ts, id) cursor predicate appears in the parquet scan's PushedFilters and the page is TakeOrderedAndProject — a deep page costs the same scan as page one, where OFFSET pagination reads and discards depth rows.",
     "m5_audio_segments" ->
-      "VAD segmentation: narrow frame explode off the payload scan, energies gate rows BEFORE the islands window, and both the window and the rollup partition by doc_id — one keyed shuffle, frame metadata only (media bytes never move).")
+      "VAD segmentation: narrow frame explode off the payload scan, energies gate rows BEFORE the islands window, and both the window and the rollup partition by doc_id — one keyed shuffle, frame metadata only (media bytes never move).",
+    "h6_vwap" ->
+      "VWAP: the event-type filter reaches the parquet scan and the whole query is ONE map-side-combinable hash aggregate on (user, day) — no window, no join; exact BIGINT folds with a single IEEE division at the end.",
+    "h7_weekly_bars" ->
+      "Weekly OHLCV resample: both ordered-first/last rank windows AND the bar aggregate ride ONE (user, wk) exchange (Catalyst reuses it; the windows differ only in sort direction) — the presentation sort is the only other shuffle.",
+    "h8_beta" ->
+      "Market beta: the daily close is a rank window the optimizer narrows with WindowGroupLimit; the O(calendar-days) market census is a BroadcastHashJoin build; returns and all five slope sums ride one user-keyed exchange.",
+    "q15_sql_recursive" ->
+      "Recursive CTE through the SQL front door: plans as UnionLoop with a per-level frontier-to-table hash equi-join on the parent key — level count log2(max id), each node visited once, no cartesian.",
+    "e17_hard_negatives" ->
+      "Hard-negative mining: the 8-row anchor set is a BroadcastNestedLoopJoin build (candidates stream once, scoring all anchors); per-anchor top-5 is a Partial+Final WindowGroupLimit pair; graft_dot stays in codegen.",
+    "x29_kl_divergence" ->
+      "Per-source KL: ONE persisted (source, tok) census feeds all four BIGINT censuses; the corpus census joins on tok with no forced broadcast (degrades keyed at web scale); per-source totals broadcast; quantized-log2 terms partial-sum map-side.",
+    "g8_modularity" ->
+      "Modularity: labels come from the memoized g4 assignment (one propagation per session); intra-community counting is the edge table joined twice on its endpoints (keyed equi-joins); everything after is an O(communities) census with the 1-row m broadcast.",
+    "s5_late_data" ->
+      "Watermark replay: the global arrival-order prefix max is a TWO-LEVEL decomposition — per-hour-bucket running maxes partition by bkt, the O(hours) offset census broadcasts back (a24's rule); the drop flag is closed-form integer arithmetic.",
+    "r3_blocking_recall" ->
+      "Blocking recall: probes broadcast (BuildRight nested-loop); the unblocked truth sweep is |probes|·n, never n²; codegen levenshtein; ONE map-side-combined global aggregate returns the single audit row.",
+    "p16_target_encode" ->
+      "LOO target encoding: the O(categories) census broadcasts back onto a narrow codegen projection — the corpus is aggregated once and never shuffled for the encode.",
+    "a27_path_census" ->
+      "Path census: both leads share one user-keyed window exchange; paths collapse into a map-side-combinable census bounded at |types|³; top-20 is TakeOrderedAndProject.",
+    "e19_centroid_drift" ->
+      "Centroid drift: posexplode streams into ONE map-side-combinable census bounded at labels × dims × 2; per-dim squared diffs re-quantize to longs so the cross-dim sum is order-independent — no vector crosses a shuffle whole.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
