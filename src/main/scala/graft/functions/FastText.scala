@@ -143,6 +143,89 @@ object ShingleArray {
   }
 }
 
+/** Runtime for [[LevWithin]]. Bare object → static forwarders, same as
+  * [[GraftHash]].
+  */
+object GraftLev {
+
+  /** `levenshtein(a, b) <= k`, decided in O(k·min(|a|,|b|)) instead of the
+    * builtin's full O(|a|·|b|) DP: rows outside the ±k diagonal band can
+    * never reach a distance ≤ k, so only the band is computed, and the row
+    * scan aborts the moment the band's minimum exceeds k (most non-matches
+    * die within a few rows). Distances are over code points — identical
+    * semantics to `UTF8String.levenshteinDistance`, which the PropertySpec
+    * equality drives on random inputs.
+    */
+  def levWithin(a: UTF8String, b: UTF8String, k: Int): Boolean = {
+    val x = a.toString.codePoints().toArray
+    val y = b.toString.codePoints().toArray
+    val la = x.length
+    val lb = y.length
+    if (math.abs(la - lb) > k) return false
+    if (la == 0 || lb == 0) return math.max(la, lb) <= k
+    val inf = k + 1
+    // dp(j) holds D[i-1][j] inside the previous row's band, `inf` outside,
+    // and the column init D[0][j] = j (j > k ⇒ inf) before the first row.
+    // Column 0 is never written, so D[i-1][0] = i-1 is supplied directly
+    // when the band touches it (jLo == 1).
+    val dp = Array.tabulate(lb + 1)(j => if (j <= k) j else inf)
+    var i = 1
+    while (i <= la) {
+      val jLo = math.max(1, i - k)
+      val jHi = math.min(lb, i + k)
+      var diag = if (jLo == 1) i - 1 else dp(jLo - 1) // D[i-1][jLo-1]
+      var left = if (jLo == 1) i else inf // D[i][jLo-1]
+      var rowMin = inf
+      var j = jLo
+      while (j <= jHi) {
+        val up = dp(j) // D[i-1][j] (inf when outside the previous band)
+        val cost = if (x(i - 1) == y(j - 1)) 0 else 1
+        var v = diag + cost
+        if (up + 1 < v) v = up + 1
+        if (left + 1 < v) v = left + 1
+        diag = up
+        dp(j) = v
+        left = v
+        if (v < rowMin) rowMin = v
+        j += 1
+      }
+      if (rowMin > k) return false
+      i += 1
+    }
+    dp(lb) <= k
+  }
+}
+
+/** Thresholded Levenshtein predicate — `levenshtein(a, b) <= k` as ONE
+  * banded-DP codegen call (see [[GraftLev.levWithin]]). The similarity
+  * predicate r1/r3 evaluate per candidate pair: the builtin spelling
+  * materializes the full DP matrix even for wildly different strings,
+  * where the band rejects them in O(k) rows. DuckDB oracles keep the
+  * builtin `levenshtein(a, b) <= k` spelling — set-identical by
+  * construction (PropertySpec drives the equality on random inputs).
+  */
+case class LevWithin(left: Expression, right: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] = Seq(StringType, StringType)
+
+  override def dataType: DataType = org.apache.spark.sql.types.BooleanType
+
+  override def prettyName: String = "graft_lev_le"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    GraftLev.levWithin(a.asInstanceOf[UTF8String], b.asInstanceOf[UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.GraftLev.levWithin($a, $b, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LevWithin =
+    copy(left = newLeft, right = newRight)
+}
+
 object FastText {
   /** Column handle (requires [[FastVec.register]] or the extensions conf). */
   def bpeCount(s: Column): Column = call_function("graft_bpe_count", s)
@@ -150,4 +233,9 @@ object FastText {
   /** Distinct word n-gram shingles in one fused pass (see [[ShingleArray]]). */
   def shingles(text: Column, n: Int): Column =
     call_function("graft_shingles", text, org.apache.spark.sql.functions.lit(n))
+
+  /** Banded `levenshtein(a, b) <= k` predicate (see [[LevWithin]]). */
+  def levWithin(a: Column, b: Column, k: Int): Column =
+    call_function("graft_lev_le", a, b,
+      org.apache.spark.sql.functions.lit(k))
 }

@@ -146,7 +146,12 @@ object FastVec {
       new ExpressionInfo(classOf[ShingleArray].getName, "graft_shingles"),
       (children: Seq[Expression]) => ShingleArray(
         children.head,
-        children(1).eval().asInstanceOf[Int])))
+        children(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("graft_lev_le"),
+      new ExpressionInfo(classOf[LevWithin].getName, "graft_lev_le"),
+      (children: Seq[Expression]) => LevWithin(
+        children.head, children(1),
+        children(2).eval().asInstanceOf[Int])))
 
   /** Idempotent runtime registration for sessions built without the
     * extensions conf (tests, Verify, Bench).

@@ -252,6 +252,7 @@ object Joins {
     * variant).
     */
   private[queries] def r1Pairs(s: SparkSession, dir: String) = {
+    graft.functions.FastVec.register(s)
     val n = t(s, dir, "documents").select(
       col("doc_id"),
       substring(col("text"), 1, 60).as("pfx"),
@@ -263,9 +264,13 @@ object Joins {
       col("blk"), col("lb"))
     a.join(b, Seq("blk", "lb"))
       .filter(col("id_a") < col("id_b"))
+      // Banded-DP reject first (O(k) rows for a non-match, graft_lev_le),
+      // full-distance projection only for the survivors — the filter+verify
+      // split; the DuckDB oracle keeps the builtin levenshtein spelling,
+      // set-identical by construction (PropertySpec).
+      .filter(graft.functions.FastText.levWithin(col("pfx_a"), col("pfx_b"), 10))
       .select(col("id_a"), col("id_b"),
         levenshtein(col("pfx_a"), col("pfx_b")).cast("long").as("edit_dist"))
-      .filter(col("edit_dist") <= 10)
   }
 
   /** The same pair table in DuckDB SQL (columns id_a, id_b, edit_dist; no
@@ -571,6 +576,7 @@ object Joins {
   val r3BlockingRecall: Q = Q(
     "r3_blocking_recall",
     (s, dir) => {
+      graft.functions.FastVec.register(s)
       val n = t(s, dir, "documents").select(
         col("doc_id"),
         substring(col("text"), 1, 60).as("pfx"),
@@ -582,7 +588,10 @@ object Joins {
       n.crossJoin(broadcast(probes))
         .filter(col("doc_id") =!= col("id_p"))
         .select(
-          (levenshtein(col("pfx"), col("pfx_p")) <= 10).as("is_true"),
+          // banded-DP threshold predicate (graft_lev_le) — the truth sweep
+          // is the hot path here; the oracle keeps builtin levenshtein
+          graft.functions.FastText.levWithin(col("pfx"), col("pfx_p"), 10)
+            .as("is_true"),
           (col("blk") === col("blk_p") && col("lb") === col("lb_p")).as("is_blocked"))
         .agg(
           sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true"),

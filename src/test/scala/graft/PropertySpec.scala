@@ -248,4 +248,62 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("graft_lev_le equals builtin levenshtein <= k on random string " +
+    "pairs and thresholds (banded DP + early exit is semantics-free)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val charGen = Gen.frequency(
+      (8, Gen.alphaLowerChar), (2, Gen.oneOf(' ', 'x', '0', '9')))
+    val strGen = Gen.choose(0, 70).flatMap(n => Gen.listOfN(n, charGen))
+      .map(_.mkString)
+    val caseGen = for {
+      a <- strGen; b <- strGen; k <- Gen.choose(0, 12)
+    } yield (a, b, k)
+    val cases = (1L to 40L).flatMap { seed =>
+      Gen.listOfN(50, caseGen).apply(Gen.Parameters.default, Seed(seed))
+        .getOrElse(Nil)
+    }
+    assert(cases.size >= 1500)
+    var nearMisses = 0
+    cases.foreach { case (a, b, k) =>
+      val ua = UTF8String.fromString(a)
+      val ub = UTF8String.fromString(b)
+      val exact = ua.levenshteinDistance(ub)
+      assert(graft.functions.GraftLev.levWithin(ua, ub, k) == (exact <= k),
+        s"a='$a' b='$b' k=$k exact=$exact")
+      if (exact == k || exact == k + 1) nearMisses += 1
+    }
+    // mutation-built pairs land ON the threshold boundary by construction:
+    // d random substitutions give distance ≤ d (usually exactly d); test
+    // every k around it
+    val rnd = new scala.util.Random(42)
+    (0 until 200).foreach { _ =>
+      val base = (0 until (10 + rnd.nextInt(50)))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      val d = rnd.nextInt(12)
+      val mutated = base.toCharArray
+      (0 until d).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = ('a' + rnd.nextInt(26)).toChar
+      }
+      val (ua, ub) = (UTF8String.fromString(base),
+        UTF8String.fromString(new String(mutated)))
+      val exact = ua.levenshteinDistance(ub)
+      (math.max(0, exact - 2) to exact + 2).foreach { k =>
+        assert(graft.functions.GraftLev.levWithin(ua, ub, k) == (exact <= k),
+          s"base='$base' mutated=$d k=$k exact=$exact")
+        nearMisses += 1
+      }
+    }
+    assert(nearMisses > 10, s"only $nearMisses boundary cases")
+    // targeted boundary pairs the random generator can miss
+    for ((a, b) <- Seq(("", ""), ("", "abc"), ("abc", ""), ("abc", "abc"),
+      ("kitten", "sitting"), ("flaw", "lawn"), ("a" * 60, "a" * 49))) {
+      val (ua, ub) = (UTF8String.fromString(a), UTF8String.fromString(b))
+      val exact = ua.levenshteinDistance(ub)
+      (0 to 12).foreach { k =>
+        assert(graft.functions.GraftLev.levWithin(ua, ub, k) == (exact <= k),
+          s"a='$a' b='$b' k=$k exact=$exact")
+      }
+    }
+  }
 }
