@@ -1175,6 +1175,66 @@ object AnalyticsExtras {
       GROUP BY 1 ORDER BY n DESC, path LIMIT 20""")
   )
 
+  /** A28: cohort LTV curves — the triangle table behind every lifetime-
+    * value dashboard: per acquisition-week cohort, purchase revenue by
+    * weeks-since-acquisition, cumulated into the running LTV-per-user
+    * curve (a17 counts retained USERS; this follows the MONEY — the pair
+    * every growth team reads together).
+    *
+    * Exactness: revenue in exact integer cents; cohort/age weeks are
+    * epoch-week integers (w12's calendar rule); the cumulative is a
+    * bounded per-cohort window over O(weeks) cells; per-user LTV is an
+    * integer floor division of non-negative operands.
+    *
+    * Scale: one user-keyed aggregate assigns cohorts; the purchase join
+    * back to cohorts is a keyed equi-join; cells census-bound at
+    * weeks²/2; cohort sizes are an O(weeks) broadcast.
+    */
+  val a28CohortLtv: Q = Q(
+    "a28_cohort_ltv",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("(unix_micros(ts) div 86400000000) div 7").as("wk"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val cohorts = ev.groupBy("user_id").agg(min(col("wk")).as("cohort_week"))
+      val sizes = cohorts.groupBy("cohort_week").agg(count(lit(1)).as("n_users"))
+      val wCum = Window.partitionBy("cohort_week").orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      ev.filter(col("event_type") === "purchase")
+        .join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort_week"), (col("wk") - col("cohort_week")).as("age_week"))
+        .agg(sum(col("cents")).as("week_cents"))
+        .join(broadcast(sizes), Seq("cohort_week"))
+        .withColumn("cum_cents", sum(col("week_cents")).over(wCum))
+        .select(col("cohort_week"), col("age_week"), col("n_users"),
+          col("week_cents"), col("cum_cents"),
+          expr("cum_cents div n_users").as("ltv_per_user_cents"))
+        .orderBy("cohort_week", "age_week")
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, event_type,
+               (epoch_us(ts) // 86400000000) // 7 AS wk,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      cohorts AS (SELECT user_id, min(wk) AS cohort_week FROM ev GROUP BY user_id),
+      sizes AS (SELECT cohort_week, count(*) AS n_users FROM cohorts GROUP BY cohort_week),
+      cells AS (
+        SELECT c.cohort_week, e.wk - c.cohort_week AS age_week,
+               CAST(sum(e.cents) AS BIGINT) AS week_cents
+        FROM ev e JOIN cohorts c ON c.user_id = e.user_id
+        WHERE e.event_type = 'purchase'
+        GROUP BY 1, 2),
+      cum AS (SELECT cohort_week, age_week, week_cents,
+                     CAST(sum(week_cents) OVER (PARTITION BY cohort_week ORDER BY age_week
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_cents
+              FROM cells)
+      SELECT m.cohort_week, m.age_week, s.n_users, m.week_cents, m.cum_cents,
+             m.cum_cents // s.n_users AS ltv_per_user_cents
+      FROM cum m JOIN sizes s ON s.cohort_week = m.cohort_week
+      ORDER BY m.cohort_week, m.age_week""")
+  )
+
   val all: Seq[Q] = Seq(
     w5RankAnalytics, w6FirstLast, w7RangeFrame, a12StatsMoments,
     a13Conditional, a14MedianDistinct, a15GroupingSets, a16Funnel,
@@ -1182,5 +1242,5 @@ object AnalyticsExtras {
     q05RevenueByNation, q06ForecastRevenue, h1Scd2History, h2PointInTime,
     w8Streak, a20Anomaly, w9Ewma, w10Drawdown, a21Histogram, w11Cusum,
     w12Seasonality, a23Transitions, h3Scd2DimJoin, a25TimeToConvert,
-    a26Mode, p16TargetEncode, a27PathCensus)
+    a26Mode, p16TargetEncode, a27PathCensus, a28CohortLtv)
 }

@@ -507,6 +507,87 @@ object TimeSeries {
       FROM sums ORDER BY user_id""")
   )
 
+  /** W16: underwater duration — per key, the longest run of consecutive
+    * observed days spent strictly below the running peak close, plus the
+    * total underwater day count: "time under water", the drawdown-DURATION
+    * risk statistic next to w10's drawdown MAGNITUDE (a portfolio can have
+    * shallow but chronic drawdowns that w10 never flags).
+    *
+    * Determinism: closes are the (ts, event_id)-last observation per day
+    * (h8's rule), quantized once; the running peak is an integer prefix
+    * max; spells are gaps-and-islands on OBSERVATION order (w8's
+    * row_number-difference trick on the observed-day sequence — calendar
+    * holes do not break a spell, matching how trading-day series are
+    * read). Keys that never dip carry zeros via the left join.
+    *
+    * Scale: ONE user-keyed exchange serves the daily-close rank window,
+    * the prefix-max window, both island row_numbers and the final
+    * per-user aggregate; nothing global, nothing beyond (key, day) rows
+    * ever shuffles.
+    */
+  val w16Underwater: Q = Q(
+    "w16_underwater",
+    (s, dir) => {
+      val wDay = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val wSeq = Window.partitionBy("user_id").orderBy("day")
+      val daily = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          datediff(to_date(col("ts")), epochDay).cast("long").as("day"),
+          round(col("value") * 1024).cast("long").as("vq"))
+        .withColumn("rn", row_number().over(wDay))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("day"), col("vq"))
+        .withColumn("peak",
+          max(col("vq")).over(wSeq.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("rna", row_number().over(wSeq))
+      val spells = daily.filter(col("vq") < col("peak"))
+        .withColumn("grp", col("rna") - row_number().over(wSeq))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_spells"), max(col("len")).as("max_spell"),
+          sum(col("len")).as("n_underwater"))
+      daily.groupBy("user_id").agg(count(lit(1)).as("n_days"))
+        .join(spells, Seq("user_id"), "left")
+        .select(col("user_id"), col("n_days"),
+          coalesce(col("n_underwater"), lit(0L)).as("n_underwater"),
+          coalesce(col("n_spells"), lit(0L)).as("n_spells"),
+          coalesce(col("max_spell"), lit(0L)).as("max_spell"))
+        .orderBy("user_id")
+    },
+    Some("""WITH daily AS (
+        SELECT user_id, day, vq,
+               CAST(max(vq) OVER (PARTITION BY user_id ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS peak,
+               row_number() OVER (PARTITION BY user_id ORDER BY day) AS rna
+        FROM (
+          SELECT user_id, day, vq FROM (
+            SELECT user_id,
+                   CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+                   CAST(round(value * 1024) AS BIGINT) AS vq,
+                   row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events) WHERE rn = 1)),
+      spells AS (
+        SELECT user_id, count(*) AS len FROM (
+          SELECT user_id,
+                 rna - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+          FROM daily WHERE vq < peak)
+        GROUP BY user_id, grp),
+      agg AS (SELECT user_id, count(*) AS n_spells,
+                     CAST(max(len) AS BIGINT) AS max_spell,
+                     CAST(sum(len) AS BIGINT) AS n_underwater
+              FROM spells GROUP BY user_id),
+      nd AS (SELECT user_id, count(*) AS n_days FROM daily GROUP BY user_id)
+      SELECT nd.user_id, nd.n_days,
+             coalesce(a.n_underwater, 0) AS n_underwater,
+             coalesce(a.n_spells, 0) AS n_spells,
+             coalesce(a.max_spell, 0) AS max_spell
+      FROM nd LEFT JOIN agg a ON a.user_id = nd.user_id
+      ORDER BY nd.user_id""")
+  )
+
   val all: Seq[Q] = Seq(h4GapFill, h5SplitAdjust, a24Concurrency, w13Bollinger,
-    w14Rsi, h6Vwap, h7WeeklyBars, h8Beta)
+    w14Rsi, h6Vwap, h7WeeklyBars, h8Beta, w16Underwater)
 }

@@ -248,4 +248,36 @@ class AuditSpec extends SparkSpec {
     if (nTrue > 0) assert(row.getLong(2) == 1000 * nRet / nTrue)
     else assert(row.isNullAt(2))
   }
+
+  test("a28: the LTV triangle replays from a per-user cohort fold and the " +
+    "cumulative curve is monotone per cohort") {
+    val out = SparkEntry.queries("a28_cohort_ltv")(spark, sf).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+    val ev = Tables.table(spark, sf, "events")
+      .select(col("user_id"), col("event_type"), unix_micros(col("ts")),
+        col("value")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        Math.floorDiv(Math.floorDiv(r.getLong(2), 86400000000L), 7),
+        math.round(r.getDouble(3) * 100)))
+    val cohort = ev.groupBy(_._1).view.mapValues(_.map(_._3).min).toMap
+    val sizes = cohort.values.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val cells = ev.filter(_._2 == "purchase")
+      .groupBy(t => (cohort(t._1), t._3 - cohort(t._1)))
+      .view.mapValues(_.map(_._4).sum).toMap
+    assert(out.map(_._1).toSet == cells.keySet)
+    val byCohort = out.groupBy(_._1._1)
+    byCohort.foreach { case (cw, rows) =>
+      val sorted = rows.sortBy(_._1._2)
+      var cum = 0L
+      sorted.foreach { case ((_, age), (n, wk, cumOut, ltv)) =>
+        assert(n == sizes(cw), s"cohort $cw size")
+        assert(wk == cells((cw, age)), s"cell ($cw, $age)")
+        cum += wk
+        assert(cumOut == cum, s"cumulative at ($cw, $age)")
+        assert(ltv == cum / n, s"ltv at ($cw, $age)")
+      }
+    }
+    assert(out.nonEmpty)
+  }
 }

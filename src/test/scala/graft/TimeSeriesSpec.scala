@@ -248,6 +248,34 @@ class TimeSeriesSpec extends SparkSpec {
     }
   }
 
+  test("w16: underwater spells replay from a sequential peak-tracking fold " +
+    "over the daily closes") {
+    val out = SparkEntry.queries("w16_underwater")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val ev = Tables.table(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), Math.floorDiv(r.getLong(1), 86400000000L),
+        (r.getLong(1), r.getLong(2)), math.round(r.getDouble(3) * 1024)))
+    val slow = ev.groupBy(t => (t._1, t._2))
+      .map { case ((u, d), rows) => (u, d, rows.maxBy(_._3)._4) }
+      .groupBy(_._1).map { case (u, rows) =>
+        val closes = rows.toSeq.sortBy(_._2).map(_._3)
+        var peak = Long.MinValue
+        val below = closes.map { v => peak = math.max(peak, v); v < peak }
+        val runs = below.foldLeft(List.empty[Long]) {
+          case (acc, true) if acc.nonEmpty && acc.head > 0 => (acc.head + 1) :: acc.tail
+          case (acc, true) => 1L :: acc
+          case (acc, false) => 0L :: acc
+        }.filter(_ > 0)
+        u -> (closes.size.toLong, below.count(identity).toLong,
+          runs.size.toLong, if (runs.isEmpty) 0L else runs.max)
+      }
+    assert(out == slow)
+    assert(out.values.exists(_._4 > 1), "some key must have a multi-day spell")
+  }
+
   test("registry: every TimeSeries query is registered with an oracle") {
     for (q <- TimeSeries.all)
       assert(SparkEntry.oracleSql.contains(q.name), q.name)
