@@ -120,8 +120,10 @@ case class L2Sq(left: Expression, right: Expression)
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     FastVec.descriptors.foreach(ext.injectFunction)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteThresholdLevenshtein)
+  }
 }
 
 object FastVec {

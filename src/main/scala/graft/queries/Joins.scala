@@ -252,7 +252,7 @@ object Joins {
     * variant).
     */
   private[queries] def r1Pairs(s: SparkSession, dir: String) = {
-    graft.functions.FastVec.register(s)
+    graft.plans.LevRules.register(s)
     val n = t(s, dir, "documents").select(
       col("doc_id"),
       substring(col("text"), 1, 60).as("pfx"),
@@ -264,11 +264,12 @@ object Joins {
       col("blk"), col("lb"))
     a.join(b, Seq("blk", "lb"))
       .filter(col("id_a") < col("id_b"))
-      // Banded-DP reject first (O(k) rows for a non-match, graft_lev_le),
-      // full-distance projection only for the survivors — the filter+verify
-      // split; the DuckDB oracle keeps the builtin levenshtein spelling,
-      // set-identical by construction (PropertySpec).
-      .filter(graft.functions.FastText.levWithin(col("pfx_a"), col("pfx_b"), 10))
+      // The builtin threshold spelling — the SAME text as the DuckDB
+      // oracle; RewriteThresholdLevenshtein swaps in the banded-DP
+      // graft_lev_le reject (O(k) rows for a non-match) at optimization
+      // time, and the full distance is projected only for survivors
+      // (PlanSpec asserts the rewrite fired).
+      .filter(levenshtein(col("pfx_a"), col("pfx_b")) <= 10)
       .select(col("id_a"), col("id_b"),
         levenshtein(col("pfx_a"), col("pfx_b")).cast("long").as("edit_dist"))
   }
@@ -576,7 +577,7 @@ object Joins {
   val r3BlockingRecall: Q = Q(
     "r3_blocking_recall",
     (s, dir) => {
-      graft.functions.FastVec.register(s)
+      graft.plans.LevRules.register(s)
       val n = t(s, dir, "documents").select(
         col("doc_id"),
         substring(col("text"), 1, 60).as("pfx"),
@@ -588,10 +589,9 @@ object Joins {
       n.crossJoin(broadcast(probes))
         .filter(col("doc_id") =!= col("id_p"))
         .select(
-          // banded-DP threshold predicate (graft_lev_le) — the truth sweep
-          // is the hot path here; the oracle keeps builtin levenshtein
-          graft.functions.FastText.levWithin(col("pfx"), col("pfx_p"), 10)
-            .as("is_true"),
+          // builtin threshold spelling (the oracle's text);
+          // RewriteThresholdLevenshtein plans it as banded graft_lev_le
+          (levenshtein(col("pfx"), col("pfx_p")) <= 10).as("is_true"),
           (col("blk") === col("blk_p") && col("lb") === col("lb_p")).as("is_blocked"))
         .agg(
           sum(when(col("is_true"), 1L).otherwise(0L)).as("n_true"),

@@ -932,6 +932,19 @@ class PlanSpec extends SparkSpec {
       "per-source totals must broadcast-join:\n" + plan.take(3000))
   }
 
+  test("r1/r3: the threshold-levenshtein predicate is REWRITTEN to the " +
+    "banded graft_lev_le by the injected optimizer rule (queries keep " +
+    "the oracle's builtin spelling)") {
+    for (name <- Seq("r1_entity_match", "r3_blocking_recall")) {
+      val plan = executedPlan(name)
+      assert(plan.contains("graft_lev_le"),
+        s"$name: rewrite did not fire:\n${plan.take(3000)}")
+    }
+    // r1 additionally projects the FULL distance for survivors — that one
+    // stays the builtin (it is not a threshold predicate)
+    assert(executedPlan("r1_entity_match").contains("levenshtein"))
+  }
+
   test("a26/v12: census queries stay one map-side-combinable aggregate " +
     "with the window riding the census exchange") {
     for (name <- Seq("a26_mode", "v12_benford")) {
