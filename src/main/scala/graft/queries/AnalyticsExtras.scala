@@ -1235,6 +1235,114 @@ object AnalyticsExtras {
       ORDER BY m.cohort_week, m.age_week""")
   )
 
+  /** A29: RFM segmentation — recency / frequency / monetary tercile
+    * buckets per purchasing user, the standard customer-segmentation
+    * grid (a "111" is a recent, frequent, high-spend customer). Buckets
+    * come from exact census quantiles, NOT a global ntile: an
+    * unpartitioned ntile over users is a single-partition sort of the
+    * whole customer base, where the census-quantile trick (c10's rule)
+    * needs only value-bounded censuses — recency is calendar-bounded,
+    * frequency is count-bounded, monetary is binned to whole dollars.
+    *
+    * Determinism: bucket(v) = 1 + (v > t1) + (v > t2) with
+    * t_i = min value whose running census count reaches i·n/3 — a pure
+    * integer definition with no tie ambiguity (ties share a bucket,
+    * unlike ntile's row-split); metrics are negated where bigger is
+    * better so bucket 1 is always "best".
+    *
+    * Scale: one user-keyed aggregate builds the metrics; each census +
+    * running sum is bounded by the metric's VALUE range; thresholds are
+    * 1-row broadcasts; the encode is a narrow projection.
+    */
+  val a29Rfm: Q = Q(
+    "a29_rfm",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          round(col("value") * 100).cast("long").as("cents"))
+      val maxDay = ev.agg(max(col("day")).as("max_day"))
+      val base = ev.filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(max(col("day")).as("last_day"),
+          count(lit(1)).as("n_purchases"),
+          sum(col("cents")).as("monetary_cents"))
+        .crossJoin(broadcast(maxDay))
+        .select(col("user_id"),
+          (col("max_day") - col("last_day")).as("recency_days"),
+          col("n_purchases"), col("monetary_cents"),
+          (-col("n_purchases")).as("neg_f"),
+          (-expr("monetary_cents div 100")).as("neg_m"))
+      val n1 = base.agg(count(lit(1)).as("n"))
+      def thresholds(metric: String) = {
+        val w = Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, 0)
+        base.groupBy(col(metric).as("v")).agg(count(lit(1)).as("c"))
+          .withColumn("cum", sum(col("c")).over(w))
+          .crossJoin(broadcast(n1))
+          .agg(min(when(col("cum") * 3 >= col("n"), col("v"))).as(s"t1_$metric"),
+            min(when(col("cum") * 3 >= lit(2) * col("n"), col("v"))).as(s"t2_$metric"))
+      }
+      def bucket(metric: String) =
+        lit(1) + (col(metric) > col(s"t1_$metric")).cast("int") +
+          (col(metric) > col(s"t2_$metric")).cast("int")
+      base
+        .crossJoin(broadcast(thresholds("recency_days")))
+        .crossJoin(broadcast(thresholds("neg_f")))
+        .crossJoin(broadcast(thresholds("neg_m")))
+        .select(col("user_id"), col("recency_days"), col("n_purchases"),
+          col("monetary_cents"),
+          bucket("recency_days").as("r"), bucket("neg_f").as("f"),
+          bucket("neg_m").as("m"))
+        .withColumn("segment",
+          concat(col("r").cast("string"), col("f").cast("string"),
+            col("m").cast("string")))
+        .orderBy("user_id")
+    },
+    Some("""WITH ev AS (
+        SELECT user_id, event_type, epoch_us(ts) // 86400000000 AS day,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      md AS (SELECT max(day) AS max_day FROM ev),
+      base AS (
+        SELECT user_id, max_day - max(day) AS recency_days,
+               count(*) AS n_purchases,
+               CAST(sum(cents) AS BIGINT) AS monetary_cents,
+               -count(*) AS neg_f,
+               -(CAST(sum(cents) AS BIGINT) // 100) AS neg_m
+        FROM ev CROSS JOIN md WHERE event_type = 'purchase'
+        GROUP BY user_id, max_day),
+      nn AS (SELECT count(*) AS n FROM base),
+      tr AS (SELECT min(CASE WHEN cum * 3 >= n THEN v END) AS t1,
+                    min(CASE WHEN cum * 3 >= 2 * n THEN v END) AS t2
+             FROM (SELECT v, CAST(sum(c) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                   FROM (SELECT recency_days AS v, count(*) AS c FROM base GROUP BY 1))
+             CROSS JOIN nn),
+      tf AS (SELECT min(CASE WHEN cum * 3 >= n THEN v END) AS t1,
+                    min(CASE WHEN cum * 3 >= 2 * n THEN v END) AS t2
+             FROM (SELECT v, CAST(sum(c) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                   FROM (SELECT neg_f AS v, count(*) AS c FROM base GROUP BY 1))
+             CROSS JOIN nn),
+      tm AS (SELECT min(CASE WHEN cum * 3 >= n THEN v END) AS t1,
+                    min(CASE WHEN cum * 3 >= 2 * n THEN v END) AS t2
+             FROM (SELECT v, CAST(sum(c) OVER (ORDER BY v
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+                   FROM (SELECT neg_m AS v, count(*) AS c FROM base GROUP BY 1))
+             CROSS JOIN nn)
+      SELECT user_id, recency_days, n_purchases, monetary_cents,
+             1 + CAST(recency_days > tr.t1 AS INTEGER) + CAST(recency_days > tr.t2 AS INTEGER) AS r,
+             1 + CAST(neg_f > tf.t1 AS INTEGER) + CAST(neg_f > tf.t2 AS INTEGER) AS f,
+             1 + CAST(neg_m > tm.t1 AS INTEGER) + CAST(neg_m > tm.t2 AS INTEGER) AS m,
+             CAST(1 + CAST(recency_days > tr.t1 AS INTEGER) + CAST(recency_days > tr.t2 AS INTEGER) AS VARCHAR)
+               || CAST(1 + CAST(neg_f > tf.t1 AS INTEGER) + CAST(neg_f > tf.t2 AS INTEGER) AS VARCHAR)
+               || CAST(1 + CAST(neg_m > tm.t1 AS INTEGER) + CAST(neg_m > tm.t2 AS INTEGER) AS VARCHAR)
+               AS segment
+      FROM base CROSS JOIN tr CROSS JOIN tf CROSS JOIN tm
+      ORDER BY user_id""")
+  )
+
   val all: Seq[Q] = Seq(
     w5RankAnalytics, w6FirstLast, w7RangeFrame, a12StatsMoments,
     a13Conditional, a14MedianDistinct, a15GroupingSets, a16Funnel,
@@ -1242,5 +1350,5 @@ object AnalyticsExtras {
     q05RevenueByNation, q06ForecastRevenue, h1Scd2History, h2PointInTime,
     w8Streak, a20Anomaly, w9Ewma, w10Drawdown, a21Histogram, w11Cusum,
     w12Seasonality, a23Transitions, h3Scd2DimJoin, a25TimeToConvert,
-    a26Mode, p16TargetEncode, a27PathCensus, a28CohortLtv)
+    a26Mode, p16TargetEncode, a27PathCensus, a28CohortLtv, a29Rfm)
 }

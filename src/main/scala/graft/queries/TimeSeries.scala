@@ -588,6 +588,73 @@ object TimeSeries {
       ORDER BY nd.user_id""")
   )
 
+  /** H9: overnight gaps — per key, compare each day's OPEN to the previous
+    * observed day's CLOSE and census the material gaps (> 2 % either way):
+    * the bar-boundary discontinuity statistic every daily-bar consumer
+    * watches (splits, news, stale feeds all surface as gaps — and a feed
+    * whose gaps explode is h5's missing-adjustment symptom).
+    *
+    * Exactness: open/close are the (ts, event_id)-ordered first/last
+    * observations per day (h7's rule), quantized once; the 2 % test is the
+    * cross-multiplied integer comparison |open − prev_close|·50 >
+    * prev_close (prev_close ≥ 0), so no division ever runs.
+    *
+    * Scale: one user-keyed exchange serves the daily rank windows, the
+    * lag and the final rollup — (key, day) rows only.
+    */
+  val h9OvernightGap: Q = Q(
+    "h9_overnight_gap",
+    (s, dir) => {
+      val wA = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts"), col("event_id"))
+      val wD = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val wSeq = Window.partitionBy("user_id").orderBy("day")
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          datediff(to_date(col("ts")), epochDay).cast("long").as("day"),
+          round(col("value") * 1024).cast("long").as("vq"))
+        .withColumn("rna", row_number().over(wA))
+        .withColumn("rnd", row_number().over(wD))
+        .groupBy("user_id", "day")
+        .agg(max(when(col("rna") === 1, col("vq"))).as("openq"),
+          max(when(col("rnd") === 1, col("vq"))).as("closeq"))
+        .withColumn("prev_close", lag(col("closeq"), 1).over(wSeq))
+        .filter(col("prev_close").isNotNull)
+        .select(col("user_id"),
+          (col("openq") - col("prev_close")).as("gapq"), col("prev_close"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_overnights"),
+          sum(when(col("gapq") * 50 > col("prev_close"), 1L).otherwise(0L))
+            .as("n_gap_up"),
+          sum(when(-col("gapq") * 50 > col("prev_close"), 1L).otherwise(0L))
+            .as("n_gap_down"))
+        .orderBy("user_id")
+    },
+    Some("""WITH q AS (
+        SELECT user_id, ts, event_id,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+               CAST(round(value * 1024) AS BIGINT) AS vq
+        FROM events),
+      r AS (SELECT *,
+              row_number() OVER (PARTITION BY user_id, day ORDER BY ts, event_id) AS rna,
+              row_number() OVER (PARTITION BY user_id, day ORDER BY ts DESC, event_id DESC) AS rnd
+            FROM q),
+      bars AS (SELECT user_id, day,
+                 max(CASE WHEN rna = 1 THEN vq END) AS openq,
+                 max(CASE WHEN rnd = 1 THEN vq END) AS closeq
+               FROM r GROUP BY user_id, day),
+      g AS (SELECT user_id,
+              openq - lag(closeq) OVER (PARTITION BY user_id ORDER BY day) AS gapq,
+              lag(closeq) OVER (PARTITION BY user_id ORDER BY day) AS prev_close
+            FROM bars)
+      SELECT user_id, count(*) AS n_overnights,
+        CAST(sum(CASE WHEN gapq * 50 > prev_close THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_up,
+        CAST(sum(CASE WHEN -gapq * 50 > prev_close THEN 1 ELSE 0 END) AS BIGINT) AS n_gap_down
+      FROM g WHERE prev_close IS NOT NULL
+      GROUP BY user_id ORDER BY user_id""")
+  )
+
   val all: Seq[Q] = Seq(h4GapFill, h5SplitAdjust, a24Concurrency, w13Bollinger,
-    w14Rsi, h6Vwap, h7WeeklyBars, h8Beta, w16Underwater)
+    w14Rsi, h6Vwap, h7WeeklyBars, h8Beta, w16Underwater, h9OvernightGap)
 }

@@ -280,4 +280,42 @@ class AuditSpec extends SparkSpec {
     }
     assert(out.nonEmpty)
   }
+
+  test("a29: RFM buckets replay from census-quantile thresholds and every " +
+    "bucket is populated with roughly a third of the base") {
+    val out = SparkEntry.queries("a29_rfm")(spark, sf).collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4), r.getInt(5), r.getInt(6), r.getString(7))))
+    def bucketOf(vals: Seq[Long], v: Long): Int = {
+      val sorted = vals.sorted
+      val n = vals.size
+      def th(target: Long): Long = {
+        var cum = 0L
+        var last = sorted.head
+        for (x <- sorted.distinct.sorted) {
+          cum = sorted.count(_ <= x).toLong
+          last = x
+          if (cum * 3 >= target) return x
+        }
+        last
+      }
+      val (t1, t2) = (th(n), th(2L * n))
+      1 + (if (v > t1) 1 else 0) + (if (v > t2) 1 else 0)
+    }
+    val recencies = out.map(_._2._1)
+    val negFs = out.map(t => -t._2._2)
+    val negMs = out.map(t => -(t._2._3 / 100))
+    out.foreach { case (u, (rec, np, mc, r, f, m, seg)) =>
+      assert(r == bucketOf(recencies, rec), s"user $u r")
+      assert(f == bucketOf(negFs, -np), s"user $u f")
+      assert(m == bucketOf(negMs, -(mc / 100)), s"user $u m")
+      assert(seg == s"$r$f$m")
+    }
+    Seq(out.map(_._2._4), out.map(_._2._5), out.map(_._2._6)).foreach { bs =>
+      (1 to 3).foreach { b =>
+        val share = bs.count(_ == b).toDouble / bs.size
+        assert(share > 0.1 && share < 0.6, s"bucket $b share $share")
+      }
+    }
+  }
 }

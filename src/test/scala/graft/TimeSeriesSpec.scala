@@ -276,6 +276,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(out.values.exists(_._4 > 1), "some key must have a multi-day spell")
   }
 
+  test("h9: overnight gap census replays from a per-day open/close fold " +
+    "with the integer 2% cross-multiplication") {
+    val out = SparkEntry.queries("h9_overnight_gap")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val ev = Tables.table(spark, sf, "events")
+      .select(col("user_id"), unix_micros(col("ts")).as("us"),
+        col("event_id"), col("value")).collect()
+      .map(r => (r.getLong(0), Math.floorDiv(r.getLong(1), 86400000000L),
+        (r.getLong(1), r.getLong(2)), math.round(r.getDouble(3) * 1024)))
+    val slow = ev.groupBy(t => (t._1, t._2)).map { case ((u, d), rows) =>
+      (u, d, rows.minBy(_._3)._4, rows.maxBy(_._3)._4) // open, close
+    }.groupBy(_._1).collect { case (u, days) if days.size > 1 =>
+      val seq = days.toSeq.sortBy(_._2)
+      val gaps = seq.zip(seq.drop(1)).map { case ((_, _, _, pc), (_, _, o, _)) =>
+        (o - pc, pc)
+      }
+      u -> (gaps.size.toLong,
+        gaps.count { case (g, pc) => g * 50 > pc }.toLong,
+        gaps.count { case (g, pc) => -g * 50 > pc }.toLong)
+    }
+    assert(out == slow.toMap)
+    assert(out.values.map(_._2).sum > 0 && out.values.map(_._3).sum > 0,
+      "corpus must contain both gap directions")
+  }
+
   test("registry: every TimeSeries query is registered with an oracle") {
     for (q <- TimeSeries.all)
       assert(SparkEntry.oracleSql.contains(q.name), q.name)
