@@ -553,6 +553,75 @@ object Joins {
       ORDER BY l.event_id""")
   )
 
+  /** J15: nearest as-of join — pandas `merge_asof(direction='nearest')`,
+    * completing the as-of family (j9 backward, j13 forward): for each
+    * purchase, the click closest in time in EITHER direction, ties to the
+    * backward side (pandas' rule). Composed as j9's backward pass plus
+    * j13's time-negation forward pass over the SAME collapsed click
+    * table, then a narrow integer-distance arbiter — each pass is the
+    * one-shuffle union+window machinery, so nearest costs exactly two
+    * keyed exchanges and no range join.
+    *
+    * The engine's forward arm admits same-instant clicks (at-or-after);
+    * the backward arm also admits them at distance 0 and the tie rule
+    * prefers backward, so the arbitration is unaffected — the oracle's
+    * strictly-after forward spelling returns the identical winner.
+    */
+  val j15AsOfNearest: Q = Q(
+    "j15_asof_nearest",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("pt"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("ct"), col("value"))
+        .groupBy("user_id", "ct").agg(max(col("value")).as("value"))
+      val back = AsOf.joinAsOf(facts, clicks, "user_id", "pt", "ct", Seq("value"))
+        .withColumnRenamed("asof_ts", "prev_ts")
+        .withColumnRenamed("asof_value", "prev_value")
+      val negClicks = clicks.select(col("user_id"), (-col("ct")).as("nt"),
+        col("value"))
+      val both = AsOf.joinAsOf(back.withColumn("nt", -col("pt")), negClicks,
+          "user_id", "nt", "nt", Seq("value"))
+        .select(col("event_id"), col("pt"), col("prev_ts"), col("prev_value"),
+          (-col("asof_ts")).as("next_ts"), col("asof_value").as("next_value"))
+      val pickPrev = col("next_ts").isNull ||
+        (col("prev_ts").isNotNull &&
+          col("pt") - col("prev_ts") <= col("next_ts") - col("pt"))
+      both.select(col("event_id"), col("pt"),
+          when(pickPrev, col("prev_ts")).otherwise(col("next_ts")).as("nearest_ts"),
+          when(pickPrev, col("prev_value")).otherwise(col("next_value"))
+            .as("nearest_value"),
+          when(col("prev_ts").isNull && col("next_ts").isNull, lit(null).cast("string"))
+            .when(pickPrev, lit("prev")).otherwise(lit("next")).as("direction"))
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS pt FROM events
+              WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, epoch_us(ts) AS ct, max(value) AS value FROM events
+            WHERE event_type = 'click' GROUP BY 1, 2),
+      b AS (SELECT event_id, ct, value FROM (
+              SELECT p.event_id, c.ct, c.value,
+                     row_number() OVER (PARTITION BY p.event_id ORDER BY c.ct DESC) AS rn
+              FROM p JOIN c ON c.user_id = p.user_id AND c.ct <= p.pt)
+            WHERE rn = 1),
+      f AS (SELECT event_id, ct, value FROM (
+              SELECT p.event_id, c.ct, c.value,
+                     row_number() OVER (PARTITION BY p.event_id ORDER BY c.ct) AS rn
+              FROM p JOIN c ON c.user_id = p.user_id AND c.ct > p.pt)
+            WHERE rn = 1)
+      SELECT p.event_id, p.pt,
+        CASE WHEN f.ct IS NULL OR (b.ct IS NOT NULL AND p.pt - b.ct <= f.ct - p.pt)
+             THEN b.ct ELSE f.ct END AS nearest_ts,
+        CASE WHEN f.ct IS NULL OR (b.ct IS NOT NULL AND p.pt - b.ct <= f.ct - p.pt)
+             THEN b.value ELSE f.value END AS nearest_value,
+        CASE WHEN b.ct IS NULL AND f.ct IS NULL THEN NULL
+             WHEN f.ct IS NULL OR (b.ct IS NOT NULL AND p.pt - b.ct <= f.ct - p.pt)
+             THEN 'prev' ELSE 'next' END AS direction
+      FROM p LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
+      ORDER BY event_id""")
+  )
+
   /** R3: blocking-recall audit — the d11/e9 self-evaluation pattern
     * applied to entity resolution: of the TRUE matches (r1's similarity
     * predicate with NO blocking), what fraction does r1's
@@ -622,5 +691,6 @@ object Joins {
   val all: Seq[Q] = Seq(
     j1Semi, j2Anti, j3Inner, j4FullOuter, j5Left, j6Right, j7ThetaRange,
     j8Cross, j9AsOf, j10SaltedSkew, r1EntityMatch, r2GoldenRecord, j11BloomSemi,
-    j12IntervalJoin, j13AsOfForward, j14AsOfNative, r3BlockingRecall)
+    j12IntervalJoin, j13AsOfForward, j14AsOfNative, r3BlockingRecall,
+    j15AsOfNearest)
 }

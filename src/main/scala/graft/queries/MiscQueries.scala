@@ -769,9 +769,48 @@ object MiscQueries {
       FROM t ORDER BY digit""")
   )
 
+  /** V13: sequence-continuity audit — per stream (user), gaps in the
+    * event_id sequence: the dropped-message detector every sequenced feed
+    * runs per partition (Kafka offsets, FIX MsgSeqNum, CDC LSNs). A
+    * stream's ids should be its own arrivals; id jumps measure what the
+    * pipeline never received — v11 asks "is the stream fresh", this asks
+    * "is it COMPLETE".
+    *
+    * Scale: one user-keyed window (lag) feeding a map-side-combinable
+    * per-key rollup — (key, id) pairs only; no global sort (a global-id
+    * variant would take the a24 bucket decomposition).
+    */
+  val v13SeqGaps: Q = Q(
+    "v13_seq_gaps",
+    (s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("event_id")
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_id"))
+        .withColumn("gap", col("event_id") - lag(col("event_id"), 1).over(w) - 1)
+        .filter(col("gap").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_steps"),
+          sum(when(col("gap") > 0, 1L).otherwise(0L)).as("n_gaps"),
+          sum(col("gap")).as("missing_total"),
+          max(col("gap")).as("max_gap"))
+        .orderBy("user_id")
+    },
+    Some("""WITH g AS (
+        SELECT user_id,
+               event_id - lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) - 1 AS gap
+        FROM events)
+      SELECT user_id, count(*) AS n_steps,
+        CAST(sum(CASE WHEN gap > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+        CAST(sum(gap) AS BIGINT) AS missing_total,
+        CAST(max(gap) AS BIGINT) AS max_gap
+      FROM g WHERE gap IS NOT NULL
+      GROUP BY user_id ORDER BY user_id""")
+  )
+
   val all: Seq[Q] = Seq(
     a2Counts, a11Percentiles, f8Timezone, u2InsertAbsent, v2SchemaDiff, v4ColumnProfile,
     v5SourceOverlap, o4FileListing, m1BinaryMeta, v6ShardSkew, v7DataCard,
     v8PipelineYield, v9Expectations, v10PsiDrift, v11Freshness, p15ZorderLayout,
-    v12Benford)
+    v12Benford, v13SeqGaps)
 }

@@ -70,4 +70,41 @@ class AsOfSpec extends SparkSpec {
     assert(fast.values.exists(_.nonEmpty) && fast.values.exists(_.isEmpty),
       "corpus must exercise both the matched and the tolerance-expired case")
   }
+
+  test("j15 nearest equals the brute-force two-direction arbiter with the " +
+    "prev-on-tie rule") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    val fast = SparkEntry.queries("j15_asof_nearest")(spark, sf).collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(2)) None
+         else Some((r.getLong(2), r.getDouble(3), r.getString(4)))))
+      .toMap
+    val ev = Tables.table(spark, sf, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), unix_micros(col("ts")).as("ct"), col("value"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(c => (c._1, c._2)).view
+      .mapValues(_.map(_._3).max).toSeq
+      .map { case ((u, ct), v) => (u, ct, v) }
+    val slow = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("pt"))
+      .collect().map { r =>
+        val (id, u, pt) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        val mine = clicks.filter(_._1 == u)
+        val prev = mine.filter(_._2 <= pt).sortBy(c => -c._2).headOption
+        val next = mine.filter(_._2 > pt).sortBy(c => c._2).headOption
+        id -> ((prev, next) match {
+          case (None, None) => None
+          case (Some((_, ct, v)), None) => Some((ct, v, "prev"))
+          case (None, Some((_, ct, v))) => Some((ct, v, "next"))
+          case (Some((_, bc, bv)), Some((_, fc, fv))) =>
+            if (pt - bc <= fc - pt) Some((bc, bv, "prev"))
+            else Some((fc, fv, "next"))
+        })
+      }.toMap
+    assert(fast == slow)
+    assert(fast.values.flatten.map(_._3).toSet == Set("prev", "next"),
+      "corpus must exercise both directions")
+  }
 }

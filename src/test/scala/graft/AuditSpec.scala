@@ -318,4 +318,20 @@ class AuditSpec extends SparkSpec {
       }
     }
   }
+
+  test("v13: per-stream sequence gaps replay from a sorted-id fold") {
+    val out = SparkEntry.queries("v13_seq_gaps")(spark, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toMap
+    val ev = Tables.table(spark, sf, "events")
+      .select(col("user_id"), col("event_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val slow = ev.groupBy(_._1).collect { case (u, rows) if rows.length > 1 =>
+      val ids = rows.map(_._2).sorted
+      val gaps = ids.zip(ids.drop(1)).map { case (a, b) => b - a - 1 }
+      u -> (gaps.length.toLong, gaps.count(_ > 0).toLong, gaps.sum, gaps.max)
+    }
+    assert(out == slow.toMap)
+    assert(out.values.exists(_._2 > 0), "interleaved ids must produce gaps")
+  }
 }
