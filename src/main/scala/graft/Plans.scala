@@ -179,7 +179,21 @@ object Plans {
     "a27_path_census" ->
       "Path census: both leads share one user-keyed window exchange; paths collapse into a map-side-combinable census bounded at |types|³; top-20 is TakeOrderedAndProject.",
     "e19_centroid_drift" ->
-      "Centroid drift: posexplode streams into ONE map-side-combinable census bounded at labels × dims × 2; per-dim squared diffs re-quantize to longs so the cross-dim sum is order-independent — no vector crosses a shuffle whole.")
+      "Centroid drift: posexplode streams into ONE map-side-combinable census bounded at labels × dims × 2; per-dim squared diffs re-quantize to longs so the cross-dim sum is order-independent — no vector crosses a shuffle whole.",
+    "r1_entity_match" ->
+      "Injected optimizer rule: the threshold predicate keeps the oracle's builtin levenshtein spelling and RewriteThresholdLevenshtein plans it as the banded graft_lev_le reject (O(k) rows per non-match); the full distance is projected only for surviving pairs.",
+    "w16_underwater" ->
+      "Underwater duration: daily-close rank window, prefix max, both island row_numbers and the rollup all ride ONE user-keyed exchange; spells are gaps-and-islands on observation order — never a global window.",
+    "a28_cohort_ltv" ->
+      "Cohort LTV: one user-keyed aggregate assigns cohorts; cells are bounded at weeks²/2; cohort sizes broadcast; the cumulative is a per-cohort window over O(weeks) rows.",
+    "h9_overnight_gap" ->
+      "Overnight gaps: both daily rank windows, the lag and the rollup share the user-keyed exchange; the 2% test is cross-multiplied integer arithmetic in codegen.",
+    "a29_rfm" ->
+      "RFM segmentation: tercile thresholds from value-bounded censuses (c10's rule) broadcast as 1-row builds — never a single-partition ntile over the customer base; the encode is a narrow projection.",
+    "j15_asof_nearest" ->
+      "Nearest as-of: two composed as-of passes (backward + time-negated forward) over one collapsed click table — bounded keyed exchanges, integer-distance arbiter, no range join.",
+    "v13_seq_gaps" ->
+      "Sequence continuity: one user-keyed lag window into a map-side-combinable per-key rollup — (key, id) pairs only.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

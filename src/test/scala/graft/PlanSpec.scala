@@ -953,4 +953,34 @@ class PlanSpec extends SparkSpec {
       assert(!plan.contains("Join"), s"$name must not join:\n${plan.take(3000)}")
     }
   }
+
+  test("w16/h9/v13: per-key sequential metrics ride user-keyed windows " +
+    "into map-side rollups — no global window, no cartesian") {
+    for (name <- Seq("w16_underwater", "h9_overnight_gap", "v13_seq_gaps")) {
+      val plan = executedPlan(name)
+      assert(!plan.contains("CartesianProduct"), s"$name:\n${plan.take(3000)}")
+      assert(plan.contains("partial_"), s"$name rollup must map-side combine")
+      assert(!"Window \\[[^\\n]*windowspecdefinition\\(\\)".r.findFirstIn(plan).isDefined,
+        s"$name must not use an unpartitioned window:\n${plan.take(3000)}")
+    }
+  }
+
+  test("a28/a29: segmentation censuses broadcast back (cohort sizes, " +
+    "quantile thresholds) — the corpus never shuffles for the encode") {
+    for (name <- Seq("a28_cohort_ltv", "a29_rfm")) {
+      val plan = executedPlan(name)
+      assert(plan.contains("BroadcastHashJoin") ||
+        plan.contains("BroadcastNestedLoopJoin"), s"$name:\n${plan.take(3000)}")
+      assert(!plan.contains("CartesianProduct"), s"$name:\n${plan.take(3000)}")
+    }
+  }
+
+  test("j15: nearest as-of composes exactly two as-of passes — bounded " +
+    "exchanges, no range join, no cartesian") {
+    val plan = executedPlan("j15_asof_nearest")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 6, s"nearest must stay a bounded pipeline, got $exchanges")
+  }
 }
