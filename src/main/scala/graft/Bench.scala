@@ -76,7 +76,8 @@ object Bench {
     "a26_mode", "v12_benford", "q15_sql_recursive", "e17_hard_negatives",
     "g8_modularity", "p16_target_encode", "a27_path_census", "e19_centroid_drift",
     "s5_late_data", "r3_blocking_recall", "w16_underwater", "a28_cohort_ltv",
-    "h9_overnight_gap", "a29_rfm", "j15_asof_nearest", "v13_seq_gaps")
+    "h9_overnight_gap", "a29_rfm", "j15_asof_nearest", "v13_seq_gaps",
+    "m6_patch_grid")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -73,7 +73,43 @@ object ScaleProbe {
     curriculumProbe(spark, sfDir)
     graphProbe(spark, sfDir)
     intervalProbe(spark, sfDir)
+    levProbe(spark)
     spark.stop()
+  }
+
+  /** The banded-levenshtein rewrite's asymptotic claim, measured: filter
+    * N mostly-non-matching string pairs with `levenshtein(a, b) <= 10` at
+    * growing string length L. Under [[graft.plans.RewriteThresholdLevenshtein]]
+    * the predicate plans as `graft_lev_le` — a non-match dies after ~k
+    * band rows, so wall time is ~flat in L — where the builtin computes
+    * the full L×L DP matrix and grows quadratically. The builtin leg is
+    * forced by hiding the comparison behind a cast the rule deliberately
+    * does not match. At the corpus's 60-char prefixes the two are within
+    * noise (BENCH_NOTES); this probe shows where the rule pays.
+    */
+  def levProbe(spark: SparkSession): Unit = {
+    graft.plans.LevRules.register(spark)
+    for (len <- Seq(60, 250, 1000, 4000)) {
+      val n = math.max(2000, 400000 / len)
+      val reps = (len + 31) / 32
+      val pairs = spark.range(n).selectExpr(
+        s"repeat(md5(cast(id as string)), $reps) AS a",
+        s"repeat(md5(cast(id + $n as string)), $reps) AS b")
+      pairs.persist(); pairs.count()
+      def time(pred: String): Double = {
+        val runs = (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          pairs.filter(expr(pred)).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        runs.min
+      }
+      val banded = time("levenshtein(a, b) <= 10")
+      val builtin = time("cast(levenshtein(a, b) as bigint) <= 10")
+      pairs.unpersist()
+      println(f"[scale] lev len=$len%5d n=$n%6d banded=$banded%7.3f s " +
+        f"builtin=$builtin%7.3f s speedup=${builtin / banded}%5.1fx")
+    }
   }
 
   /** j12's chunked range join under inflation: copies are shifted by

@@ -479,9 +479,53 @@ object PipelineExtras {
       FROM agg GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** M6: ViT patch-grid extraction — per image, the 16×16 patch tiling a
+    * vision transformer's ingest computes before embedding (x28 is the
+    * text analogue): one row per patch with grid position, pixel origin
+    * and the edge-clamped patch extent. Dimensions come from the same
+    * deterministic decode stand-in as m3 (zero-egress container); the
+    * PATCH dataflow — narrow generate bounded by ⌈w/P⌉·⌈h/P⌉ per image,
+    * media bytes never shuffled — is the real operator.
+    */
+  val m6PatchGrid: Q = Q(
+    "m6_patch_grid",
+    (s, dir) => {
+      import graft.operators.Multimodal
+      val feats = Multimodal.decodeAll(
+        Multimodal.fromDocuments(s, t(s, dir, "documents"))).toDF()
+      feats.filter(col("kind") === "image")
+        .select(col("id"), col("width").cast("long").as("w"),
+          col("height").cast("long").as("h"))
+        .withColumn("nx", expr("(w + 15) div 16"))
+        .select(col("id"), col("w"), col("h"), col("nx"),
+          explode(expr("sequence(0L, (w + 15) div 16 * ((h + 15) div 16) - 1)"))
+            .as("p"))
+        .select(col("id"), col("w"), col("h"),
+          (col("p") % col("nx")).as("px"), expr("p div nx").as("py"))
+        .select(col("id"), col("px"), col("py"),
+          (col("px") * 16).as("x0"), (col("py") * 16).as("y0"),
+          least(lit(16L), col("w") - col("px") * 16).as("pw"),
+          least(lit(16L), col("h") - col("py") * 16).as("ph"))
+        .orderBy("id", "py", "px")
+    },
+    Some("""WITH dims AS (
+        SELECT doc_id AS id,
+          CAST(16 + (CASE WHEN length(text) > 0 THEN ascii(substr(text, 1, 1)) % 128 ELSE 0 END) AS BIGINT) AS w,
+          CAST(16 + (CASE WHEN length(text) > 1 THEN ascii(substr(text, 2, 1)) % 128 ELSE 0 END) AS BIGINT) AS h
+        FROM documents WHERE doc_id % 2 = 0),
+      g AS (SELECT id, w, h, (w + 15) // 16 AS nx,
+                   unnest(range(0, ((w + 15) // 16) * ((h + 15) // 16))) AS p
+            FROM dims)
+      SELECT id, p % nx AS px, p // nx AS py,
+             (p % nx) * 16 AS x0, (p // nx) * 16 AS y0,
+             least(16, w - (p % nx) * 16) AS pw,
+             least(16, h - (p // nx) * 16) AS ph
+      FROM g ORDER BY id, py, px""")
+  )
+
   val all: Seq[Q] = Seq(
     f14ArrayOps, f15MapOps, f16ExplodeSequence, f17StringFuncs,
     f18RegexpExtractAll, f19BucketCategorize, x6PiiScrub, x7BpeTokens,
     x14TokenFertility, m2FrameSample, m3ResizeMeta, d5DupClusters,
-    m4MediaDedup, m5AudioSegments)
+    m4MediaDedup, m5AudioSegments, m6PatchGrid)
 }

@@ -334,4 +334,35 @@ class AuditSpec extends SparkSpec {
     assert(out == slow.toMap)
     assert(out.values.exists(_._2 > 0), "interleaved ids must produce gaps")
   }
+
+  test("m6: the patch grid tiles each image exactly — patch areas sum to " +
+    "w·h, grid positions are dense, edge patches clamp") {
+    val rows = SparkEntry.queries("m6_patch_grid")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    val docs = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), col("text")).collect()
+      .collect { case r if r.getLong(0) % 2 == 0 =>
+        val t = r.getString(1)
+        r.getLong(0) -> (
+          16L + (if (t.nonEmpty) t.charAt(0).toLong % 128 else 0L),
+          16L + (if (t.length > 1) t.charAt(1).toLong % 128 else 0L))
+      }.toMap
+    assert(rows.map(_._1).toSet == docs.keySet)
+    rows.groupBy(_._1).foreach { case (id, ps) =>
+      val (w, h) = docs(id)
+      val (nx, ny) = ((w + 15) / 16, (h + 15) / 16)
+      assert(ps.length == nx * ny, s"image $id patch count")
+      assert(ps.map(p => (p._2, p._3)).toSet ==
+        (for (x <- 0L until nx; y <- 0L until ny) yield (x, y)).toSet,
+        s"image $id grid density")
+      assert(ps.map(p => p._6 * p._7).sum == w * h, s"image $id area")
+      ps.foreach { case (_, px, py, x0, y0, pw, ph) =>
+        assert(x0 == px * 16 && y0 == py * 16)
+        assert(pw == math.min(16, w - x0) && ph == math.min(16, h - y0))
+      }
+    }
+    assert(rows.exists(_._6 < 16), "some edge patch must clamp")
+  }
 }
