@@ -82,19 +82,24 @@ object ScaleProbe {
     * growing string length L. Under [[graft.plans.RewriteThresholdLevenshtein]]
     * the predicate plans as `graft_lev_le` — a non-match dies after ~k
     * band rows, so wall time is ~flat in L — where the builtin computes
-    * the full L×L DP matrix and grows quadratically. The builtin leg is
-    * forced by hiding the comparison behind a cast the rule deliberately
-    * does not match. At the corpus's 60-char prefixes the two are within
-    * noise (BENCH_NOTES); this probe shows where the rule pays.
+    * the full L×L DP matrix and grows quadratically. The builtin leg must
+    * read its bound from a cached ATTRIBUTE (`k` behind the persisted
+    * relation): a cast-wrapped literal is stripped by Catalyst's
+    * UnwrapCastInBinaryComparison before the rule runs, and arithmetic
+    * disguises (`10 + length(a)·0`) constant-fold — both then rewrite,
+    * which is exactly the robustness a user wants and exactly what a
+    * probe must escape. At the corpus's 60-char prefixes the two are
+    * within noise (BENCH_NOTES); this probe shows where the rule pays.
     */
   def levProbe(spark: SparkSession): Unit = {
     graft.plans.LevRules.register(spark)
     for (len <- Seq(60, 250, 1000, 4000)) {
-      val n = math.max(2000, 400000 / len)
+      val n = math.max(500, 120000 / len)
       val reps = (len + 31) / 32
       val pairs = spark.range(n).selectExpr(
         s"repeat(md5(cast(id as string)), $reps) AS a",
-        s"repeat(md5(cast(id + $n as string)), $reps) AS b")
+        s"repeat(md5(cast(id + $n as string)), $reps) AS b",
+        "10 AS k")
       pairs.persist(); pairs.count()
       def time(pred: String): Double = {
         val runs = (1 to 2).map { _ =>
@@ -105,7 +110,7 @@ object ScaleProbe {
         runs.min
       }
       val banded = time("levenshtein(a, b) <= 10")
-      val builtin = time("cast(levenshtein(a, b) as bigint) <= 10")
+      val builtin = time("levenshtein(a, b) <= k")
       pairs.unpersist()
       println(f"[scale] lev len=$len%5d n=$n%6d banded=$banded%7.3f s " +
         f"builtin=$builtin%7.3f s speedup=${builtin / banded}%5.1fx")
