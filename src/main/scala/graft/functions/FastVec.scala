@@ -153,7 +153,12 @@ object FastVec {
       new ExpressionInfo(classOf[LevWithin].getName, "graft_lev_le"),
       (children: Seq[Expression]) => LevWithin(
         children.head, children(1),
-        children(2).eval().asInstanceOf[Int])))
+        children(2).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("graft_bottomk"),
+      new ExpressionInfo(classOf[BottomKAgg].getName, "graft_bottomk"),
+      (children: Seq[Expression]) => BottomKAgg(
+        children.head,
+        children(1).eval().asInstanceOf[Int])))
 
   /** Idempotent runtime registration for sessions built without the
     * extensions conf (tests, Verify, Bench).

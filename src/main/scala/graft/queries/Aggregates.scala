@@ -402,8 +402,69 @@ object Aggregates {
       FROM est ORDER BY true_freq DESC, token""")
   )
 
+  /** A30: KMV bottom-k distinct-count sketch — the custom
+    * [[graft.functions.BottomKAgg]] TypedImperativeAggregate (explicit
+    * ≤k-long buffer, map-side partials, shuffle-serialized merges) driven
+    * as a registry query: per event type, the k = 32 smallest distinct
+    * 60-bit user hashes, the classic (k−1)·M/h_k distinct-count estimate
+    * they imply, and the exact count it approximates. Unlike a10's HLL
+    * (rows-only), bottom-k is a pure function of the input set, so the
+    * ORACLE reproduces the sketch itself: `row_number() OVER
+    * (ORDER BY hv) <= k` over the distinct hashes.
+    *
+    * Determinism: hashes via the md5-prefix expression (= DuckDB's
+    * `CAST('0x'||substr(md5(..),1,15)`); the estimate is one IEEE
+    * division of identical operands ((k−1)·2^60 is an exact double);
+    * groups smaller than k report their exact size (the KMV rule).
+    *
+    * Scale: the buffer is ≤ k longs per group whatever the corpus size —
+    * the mergeable-sketch contract of a19, but exact-bottom-k, which is
+    * what makes this the family's ORACLE-CHECKED representative.
+    */
+  val a30KmvDistinct: Q = Q(
+    "a30_kmv_distinct",
+    (s, dir) => {
+      graft.functions.FastVec.register(s)
+      val k = 32
+      val m = math.pow(2, 60)
+      t(s, dir, "events")
+        .select(col("event_type"),
+          expr("graft_md5_60(cast(user_id as string))").as("hv"))
+        .groupBy("event_type")
+        .agg(graft.functions.Sketch.bottomK(col("hv"), k).as("sketch"),
+          countDistinct(col("hv")).as("n_exact"))
+        .select(col("event_type"), col("n_exact"),
+          size(col("sketch")).cast("long").as("sketch_size"),
+          element_at(col("sketch"), 1).as("h_min"),
+          when(size(col("sketch")) < k, lit(null).cast("long"))
+            .otherwise(element_at(col("sketch"), k)).as("h_k"),
+          when(size(col("sketch")) < k, size(col("sketch")).cast("double"))
+            .otherwise(lit((k - 1).toDouble * m) / element_at(col("sketch"), k))
+            .as("est_distinct"))
+        .orderBy("event_type")
+    },
+    Some("""WITH h AS (
+        SELECT DISTINCT event_type,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+        FROM events),
+      r AS (SELECT event_type, hv,
+                   row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n_exact
+            FROM h),
+      s AS (SELECT event_type, n_exact,
+                   count(*) AS sketch_size,
+                   min(hv) AS h_min,
+                   max(CASE WHEN rn = 32 THEN hv END) AS h_k
+            FROM r WHERE rn <= 32
+            GROUP BY event_type, n_exact)
+      SELECT event_type, n_exact, sketch_size, h_min, h_k,
+             CASE WHEN sketch_size < 32 THEN CAST(sketch_size AS DOUBLE)
+                  ELSE 31.0 * 1152921504606846976.0 / h_k END AS est_distinct
+      FROM s ORDER BY event_type""")
+  )
+
   val all: Seq[Q] = Seq(
     a3MaxBy, a5DailyDedup, a6Upsert, a7GroupStats, a8Rollup, a9Cube,
     a10ApproxDistinct, a19SketchRollup, w1LagLead, w2MovingAvg, w3TopNPerGroup,
-    w4RunningSum, a22CountMin)
+    w4RunningSum, a22CountMin, a30KmvDistinct)
 }
