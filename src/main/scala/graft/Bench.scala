@@ -77,7 +77,7 @@ object Bench {
     "g8_modularity", "p16_target_encode", "a27_path_census", "e19_centroid_drift",
     "s5_late_data", "r3_blocking_recall", "w16_underwater", "a28_cohort_ltv",
     "h9_overnight_gap", "a29_rfm", "j15_asof_nearest", "v13_seq_gaps",
-    "m6_patch_grid", "a30_kmv_distinct")
+    "m6_patch_grid", "a30_kmv_distinct", "a31_kmv_rollup")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

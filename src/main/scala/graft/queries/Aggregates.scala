@@ -463,8 +463,62 @@ object Aggregates {
       FROM s ORDER BY event_type""")
   )
 
+  /** A31: mergeable sketch ROLLUP — a19's pre-aggregate-then-merge shape
+    * (per-day sketches unioned into weekly distinct estimates WITHOUT
+    * rescanning the event stream) on the bottom-k sketch instead of HLL,
+    * which makes the rollup ORACLE-CHECKABLE: bottom-k of a union equals
+    * bottom-k of the member sketches' union (each day retains at least
+    * its own k smallest, so no weekly-top-k value can be lost — the
+    * mergeability proof is structural). The weekly merge touches only
+    * days × k longs; events are scanned exactly once.
+    */
+  val a31KmvRollup: Q = Q(
+    "a31_kmv_rollup",
+    (s, dir) => {
+      graft.functions.FastVec.register(s)
+      val k = 32
+      val m = math.pow(2, 60)
+      t(s, dir, "events")
+        .select(expr("unix_micros(ts) div 86400000000").as("day"),
+          expr("graft_md5_60(cast(user_id as string))").as("hv"))
+        .groupBy("day")
+        .agg(graft.functions.Sketch.bottomK(col("hv"), k).as("sketch"))
+        .select(expr("day div 7").as("wk"), col("day"),
+          explode(col("sketch")).as("hv"))
+        .groupBy("wk")
+        .agg(countDistinct(col("day")).as("n_days"),
+          graft.functions.Sketch.bottomK(col("hv"), k).as("sketch"))
+        .select(col("wk"), col("n_days"),
+          size(col("sketch")).cast("long").as("sketch_size"),
+          element_at(col("sketch"), 1).as("h_min"),
+          when(size(col("sketch")) < k, lit(null).cast("long"))
+            .otherwise(element_at(col("sketch"), k)).as("h_k"),
+          when(size(col("sketch")) < k, size(col("sketch")).cast("double"))
+            .otherwise(lit((k - 1).toDouble * m) / element_at(col("sketch"), k))
+            .as("est_distinct"))
+        .orderBy("wk")
+    },
+    Some("""WITH h AS (
+        SELECT DISTINCT epoch_us(ts) // 86400000000 AS day,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15) AS BIGINT) AS hv
+        FROM events),
+      w AS (SELECT DISTINCT day // 7 AS wk, hv FROM h),
+      nd AS (SELECT day // 7 AS wk, count(DISTINCT day) AS n_days
+             FROM h GROUP BY 1),
+      r AS (SELECT wk, hv,
+                   row_number() OVER (PARTITION BY wk ORDER BY hv) AS rn
+            FROM w),
+      s AS (SELECT wk, count(*) AS sketch_size, min(hv) AS h_min,
+                   max(CASE WHEN rn = 32 THEN hv END) AS h_k
+            FROM r WHERE rn <= 32 GROUP BY wk)
+      SELECT s.wk, nd.n_days, s.sketch_size, s.h_min, s.h_k,
+             CASE WHEN s.sketch_size < 32 THEN CAST(s.sketch_size AS DOUBLE)
+                  ELSE 31.0 * 1152921504606846976.0 / s.h_k END AS est_distinct
+      FROM s JOIN nd ON nd.wk = s.wk ORDER BY s.wk""")
+  )
+
   val all: Seq[Q] = Seq(
     a3MaxBy, a5DailyDedup, a6Upsert, a7GroupStats, a8Rollup, a9Cube,
     a10ApproxDistinct, a19SketchRollup, w1LagLead, w2MovingAvg, w3TopNPerGroup,
-    w4RunningSum, a22CountMin, a30KmvDistinct)
+    w4RunningSum, a22CountMin, a30KmvDistinct, a31KmvRollup)
 }
