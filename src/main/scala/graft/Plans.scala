@@ -193,7 +193,11 @@ object Plans {
     "j15_asof_nearest" ->
       "Nearest as-of: two composed as-of passes (backward + time-negated forward) over one collapsed click table — bounded keyed exchanges, integer-distance arbiter, no range join.",
     "v13_seq_gaps" ->
-      "Sequence continuity: one user-keyed lag window into a map-side-combinable per-key rollup — (key, id) pairs only.")
+      "Sequence continuity: one user-keyed lag window into a map-side-combinable per-key rollup — (key, id) pairs only.",
+    "m6_patch_grid" ->
+      "Patch grid: a pure narrow generate bounded by ceil(w/P)*ceil(h/P) per image off the decode-metadata scan — media bytes never shuffle; the only exchange is the presentation sort.",
+    "a30_kmv_distinct" ->
+      "Bottom-k sketch (TypedImperativeAggregate): ObjectHashAggregate with partial_graft_bottomk before the exchange and merge_graft_bottomk after — the <=k-long buffer combines map-side exactly like a builtin, and the distinct-count arm shares the plan.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -975,6 +975,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("a30/a31: the bottom-k TypedImperativeAggregate plans as " +
+    "ObjectHashAggregate with map-side partials and post-shuffle merges") {
+    for (name <- Seq("a30_kmv_distinct", "a31_kmv_rollup")) {
+      val plan = executedPlan(name)
+      assert(plan.contains("ObjectHashAggregate"), s"$name:\n${plan.take(3000)}")
+      assert(plan.contains("partial_graft_bottomk"),
+        s"$name sketch must partial-aggregate map-side:\n${plan.take(3000)}")
+      assert(plan.contains("merge_graft_bottomk"),
+        s"$name partials must merge after the exchange:\n${plan.take(3000)}")
+    }
+  }
+
   test("j15: nearest as-of composes exactly two as-of passes — bounded " +
     "exchanges, no range join, no cartesian") {
     val plan = executedPlan("j15_asof_nearest")
