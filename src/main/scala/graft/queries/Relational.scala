@@ -779,10 +779,79 @@ object Relational {
     Some(sqlQ13)
   )
 
+  /** Q16: disjunctive multi-clause join predicate (TPC-H Q19 shape) — three
+    * OR'd brand × size × quantity clauses across the part⋈lineitem join.
+    * The planner stress: the common `p_partkey = l_partkey` conjunct must
+    * stay an equi-join key with the disjunction applied as a post-join
+    * filter (a naive reading of the OR forces a nested-loop theta join),
+    * and the brand/size IN-range conjuncts common to all three clauses
+    * must still prune the part scan. Revenue is the exact 4dp-quantized
+    * integer sum surfaced as BIGINT units — no float aggregate anywhere,
+    * so the one ANSI text is bit-deterministic on both engines.
+    */
+  private val sqlQ16 =
+    """SELECT l.l_returnflag, count(*) AS n_lines,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                  AS BIGINT)) AS BIGINT) AS rev_u4
+       FROM lineitem l
+       JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+              AND l.l_quantity >= 1 AND l.l_quantity <= 11)
+          OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+              AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+          OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+              AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+       GROUP BY l.l_returnflag ORDER BY l.l_returnflag"""
+
+  val q16SqlDisjunctive: Q = Q(
+    "q16_sql_disjunctive",
+    (s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sqlQ16)
+    },
+    Some(sqlQ16)
+  )
+
+  /** Q17: large-volume orders (TPC-H Q18 shape) — a HAVING-filtered
+    * aggregate over the fact table joined back to its dimensions. The
+    * shape matters at scale because the grouped HAVING derivation is the
+    * ONLY full lineitem pass (one keyed hash aggregate with map-side
+    * partials); the surviving handful of orderkeys then semi-drive the
+    * orders⋈customer joins, so the dimensions never see unfiltered fact
+    * rows. Quantities are integer-valued doubles cast to BIGINT before
+    * summing (exact, and sidesteps DuckDB's sum(BIGINT)→HUGEINT widening
+    * via the outer CAST); the order total surfaces as exact cents.
+    */
+  private val sqlQ17 =
+    """WITH big AS (
+         SELECT l_orderkey, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+         FROM lineitem GROUP BY l_orderkey
+         HAVING sum(CAST(l_quantity AS BIGINT)) > 300)
+       SELECT c.c_custkey, c.c_name, o.o_orderkey,
+              CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+              b.sum_qty
+       FROM big b
+       JOIN orders o ON o.o_orderkey = b.l_orderkey
+       JOIN customer c ON c.c_custkey = o.o_custkey
+       ORDER BY total_cents DESC, o.o_orderkey
+       LIMIT 100"""
+
+  val q17SqlLargeOrders: Q = Q(
+    "q17_sql_large_orders",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sqlQ17)
+    },
+    Some(sqlQ17)
+  )
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q07SqlAboveAvg, q08SqlNotExists, q09SqlCorrelated,
     q10SqlExistsChain, q11SqlNestedIn, q12SqlTopSupplier, q13SqlMinCost,
-    q14SqlWindow, q15SqlRecursive,
+    q14SqlWindow, q15SqlRecursive, q16SqlDisjunctive, q17SqlLargeOrders,
     p1Drop, p2Rename, p3Project, p4Filter, p5Isin, p6Validity, p8MaskedUpdate,
     f1Respell, f2Case, f3Split, f4StringAgg, f5Concat, f6TimeTrunc, f9TsArith,
     f11CastNull, f13Json,

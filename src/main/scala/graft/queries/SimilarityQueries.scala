@@ -1411,9 +1411,90 @@ object SimilarityQueries {
       FROM d GROUP BY label ORDER BY label""")
   )
 
+  /** G9: k-NN graph construction — the all-vectors generalization of e5's
+    * single-query probe, and the embedding-side bridge into the g-family:
+    * every vector gets its exact cosine top-5 among hyperplane-LSH
+    * candidates (vectors sharing ≥1 of the 4 four-bit sketch bands). The
+    * k-NN graph is the backbone primitive semantic-dedup clustering and
+    * graph-based corpus curation build at scale (SemDeDup-style pipelines
+    * cluster exactly this graph).
+    *
+    * Scale: candidates come from a band equi-join — never all-pairs; band
+    * values are 4-bit so each of the 4×16 buckets holds ~n/16 vectors and
+    * AQE splits any skewed bucket. The pair set dedups BEFORE the cosine
+    * (each pair scores once however many bands it shares), scoring joins
+    * are key-partitioned, and the top-5 is a per-src rank window that
+    * WindowGroupLimit prunes under the rk ≤ 5 predicate. The 16-row
+    * hyperplane draw reuses e5's bounded unpartitioned window.
+    */
+  val g9KnnGraph: Q = Q(
+    "g9_knn_graph",
+    (s, dir) => {
+      FastVec.register(s)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), Vectors.toDoubleVec(col("embedding")).as("v"))
+      // Bounded-by-construction: ranks only the 16 picked hyperplane rows.
+      val drawOrder = Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      val planes = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(16)
+        .select((row_number().over(drawOrder) - 1).as("j"), col("v").as("h"))
+      val sketches = emb
+        .crossJoin(broadcast(planes))
+        .select(col("vec_id"),
+          when(FastVec.dot(col("v"), col("h")) >= 0,
+            expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)).as("bit"))
+        .groupBy("vec_id")
+        .agg(sum(col("bit")).as("sketch"))
+      val bands = sketches
+        .select(col("vec_id"), explode(sequence(lit(0), lit(3))).as("k"),
+          col("sketch"))
+        .select(col("vec_id"), col("k"),
+          expr("shiftright(sketch, k * 4) & 15").as("val"))
+      val pairs = bands.select(col("k"), col("val"), col("vec_id").as("src"))
+        .join(bands.select(col("k"), col("val"), col("vec_id").as("nbr")),
+          Seq("k", "val"))
+        .filter(col("src") =!= col("nbr"))
+        .select("src", "nbr")
+        .distinct()
+      val scored = pairs
+        .join(emb.select(col("vec_id").as("src"), col("v").as("sv")), Seq("src"))
+        .join(emb.select(col("vec_id").as("nbr"), col("v").as("nv")), Seq("nbr"))
+        .select(col("src"), col("nbr"), FastVec.cosine(col("sv"), col("nv")).as("sim"))
+      val bySrc = Window.partitionBy("src").orderBy(col("sim").desc, col("nbr"))
+      scored
+        .withColumn("rk", row_number().over(bySrc))
+        .filter(col("rk") <= 5)
+        .select(col("src"), col("rk").cast("long").as("rk"), col("nbr"), col("sim"))
+        .orderBy("src", "rk")
+    },
+    Some(s"""WITH e AS ($sqlE),
+      planes AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j,
+                   v AS h FROM e
+                 QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+      sk AS (SELECT e.vec_id,
+               sum(CASE WHEN ${sqlDot("e.v", "p.h")} >= 0
+                   THEN CAST(1 AS BIGINT) << CAST(p.j AS INTEGER) ELSE 0 END) AS sketch
+             FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+      bands AS (SELECT vec_id, k, (sketch >> CAST(k * 4 AS INTEGER)) & 15 AS val
+                FROM sk CROSS JOIN range(4) r(k)),
+      pairs AS (SELECT DISTINCT a.vec_id AS src, b.vec_id AS nbr
+                FROM bands a JOIN bands b ON a.k = b.k AND a.val = b.val
+                WHERE a.vec_id <> b.vec_id),
+      scored AS (SELECT p.src, p.nbr, ${sqlCos("ea.v", "eb.v")} AS sim
+                 FROM pairs p
+                 JOIN e ea ON ea.vec_id = p.src
+                 JOIN e eb ON eb.vec_id = p.nbr)
+      SELECT src, CAST(rk AS BIGINT) AS rk, nbr, sim FROM (
+        SELECT src, nbr, sim,
+               row_number() OVER (PARTITION BY src ORDER BY sim DESC, nbr) AS rk
+        FROM scored) t
+      WHERE rk <= 5 ORDER BY src, rk""")
+  )
+
   val all: Seq[Q] = Seq(e1CosineTopK, e2AnnIvf, e3BucketNearDup, e4AnnKmeans,
     e5AnnHyperplane, e6SemanticDedup, e7AnnBatch, e8PqAdc, e9AnnRecall,
     e10MmrRerank, e11EmbeddingQa, e12SqRecall, e13IvfPq, e14FilteredAnn,
     e15NprobeSweep, e16HybridRrf, e17HardNegatives, e18MeanPool,
-    e19CentroidDrift)
+    e19CentroidDrift, g9KnnGraph)
 }

@@ -1099,5 +1099,49 @@ object TextAnalysis {
     x13Bm25, x15BpePairs, x16PiiScrub, x17VocabGrowth, x18Readability,
     x19UnigramEntropy, x20ZipfSlope, x21NgramNovelty, x22LangConfusion,
     x23BpeTrain, x24Boilerplate, x26HashClassifier, x27GopherGates, x28Chunking,
-    x29KlDivergence)
+    x29KlDivergence, x30LexicalDiversity)
+
+  /** X30: per-source lexical diversity — type-token ratio and hapax-legomenon
+    * fraction, the corpus-health pair next to x17's Heaps curve and x19's
+    * per-doc entropy: a source whose TTR collapses is template spam; one
+    * whose hapax fraction spikes is OCR noise or mojibake. Both signals are
+    * standard corpus-quality gates in large-scale pretraining pipelines.
+    *
+    * Exactness: all four counts are exact integers from two keyed hash
+    * aggregates; the two ratios are single IEEE divisions of identical
+    * exact operands on both engines.
+    *
+    * Scale: tokens shuffle ONCE on (source, tok) for the census; the
+    * per-source rollup rides the same partitioning (sub-key aggregate),
+    * and distinct-type / hapax counts fall out of the census rather than a
+    * second corpus pass. Output is one row per source — bounded by the
+    * source vocabulary, never the corpus.
+    */
+  lazy val x30LexicalDiversity: Q = Q(
+    "x30_lexical_diversity",
+    (s, dir) => {
+      val census = t(s, dir, "documents")
+        .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      census.groupBy("source")
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          (col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+          (col("n_hapax").cast("double") / col("n_types")).as("hapax_frac"))
+        .orderBy("source")
+    },
+    Some("""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+              FROM documents),
+      census AS (SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok),
+      agg AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+                count(*) AS n_types,
+                CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+              FROM census GROUP BY source)
+      SELECT source, n_tokens, n_types, n_hapax,
+        CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+        CAST(n_hapax AS DOUBLE) / n_types AS hapax_frac
+      FROM agg ORDER BY source""")
+  )
 }

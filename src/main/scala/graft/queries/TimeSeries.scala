@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{Q, Tables}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -655,6 +655,187 @@ object TimeSeries {
       GROUP BY user_id ORDER BY user_id""")
   )
 
+  /** W15: MACD — the trend indicator pair the reference's bar consumers run
+    * after w9's single EWMA: a fast and a slow exponential average of the
+    * daily revenue series, their difference (the MACD line), and a third
+    * EWMA of THAT difference (the signal line), plus the histogram gap.
+    * Classic (12, 26, 9) row spans with power-of-two smoothing factors
+    * (1/4, 1/8, 1/4).
+    *
+    * Determinism (w9's recipe, applied three times): each EWMA is a fold
+    * over the window's day-sorted value array — both engines run the
+    * IDENTICAL left fold over identical IEEE doubles — and each folded
+    * value is floor-quantized to 6dp before further use, so the macd
+    * subtraction and the signal fold consume exact quantized inputs; no
+    * round-half tie semantics anywhere (w9's observed 1-ulp trap).
+    *
+    * Scale: the daily series is one row per calendar day (an aggregate of
+    * the fact table, bounded by the calendar — ~2.5k rows at any SF), so
+    * the three unpartitioned windows rank a calendar, never the corpus;
+    * the single fact-table pass is the map-side-combinable daily sum.
+    */
+  val w15Macd: Q = Q(
+    "w15_macd",
+    (s, dir) => {
+      val daily = t(s, dir, "lineitem")
+        .groupBy(to_date(col("l_shipdate")).as("d"))
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")).as("rev_u"))
+        .select(col("d"), (col("rev_u").cast("double") / 10000).as("rev"))
+      def emaF6(src: Column, w: org.apache.spark.sql.expressions.WindowSpec,
+                alpha: Double): Column = {
+        val arr = transform(
+          array_sort(collect_list(struct(col("d"), src.as("x"))).over(w)),
+          e => e("x"))
+        floor(aggregate(
+          slice(arr, lit(2), size(arr) - 1),
+          element_at(arr, 1),
+          (acc, x) => acc * lit(1.0 - alpha) + x * lit(alpha)) * 1000000) / 1000000
+      }
+      val wFast = Window.orderBy("d").rowsBetween(-11, 0)
+      val wSlow = Window.orderBy("d").rowsBetween(-25, 0)
+      val wSig = Window.orderBy("d").rowsBetween(-8, 0)
+      daily
+        .withColumn("ema_fast_f6", emaF6(col("rev"), wFast, 0.25))
+        .withColumn("ema_slow_f6", emaF6(col("rev"), wSlow, 0.125))
+        .withColumn("macd_f6", col("ema_fast_f6") - col("ema_slow_f6"))
+        .withColumn("signal_f6", emaF6(col("macd_f6"), wSig, 0.25))
+        .select(col("d"), col("rev"), col("macd_f6"), col("signal_f6"),
+          (col("macd_f6") - col("signal_f6")).as("hist"))
+        .orderBy("d")
+    },
+    Some("""WITH daily AS (
+        SELECT CAST(l_shipdate AS DATE) AS d,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT))
+                 AS DOUBLE) / 10000 AS rev
+        FROM lineitem GROUP BY 1),
+      emas AS (
+        SELECT d, rev,
+          floor(list_reduce(list_transform(
+            list_sort(list(struct_pack(d := d, x := rev))
+              OVER (ORDER BY d ROWS BETWEEN 11 PRECEDING AND CURRENT ROW)),
+            e -> e.x), (a, b) -> a * 0.75 + b * 0.25) * 1000000) / 1000000
+            AS ema_fast_f6,
+          floor(list_reduce(list_transform(
+            list_sort(list(struct_pack(d := d, x := rev))
+              OVER (ORDER BY d ROWS BETWEEN 25 PRECEDING AND CURRENT ROW)),
+            e -> e.x), (a, b) -> a * 0.875 + b * 0.125) * 1000000) / 1000000
+            AS ema_slow_f6
+        FROM daily),
+      macd AS (SELECT d, rev, ema_fast_f6 - ema_slow_f6 AS macd_f6 FROM emas)
+      SELECT d, rev, macd_f6,
+        floor(list_reduce(list_transform(
+          list_sort(list(struct_pack(d := d, x := macd_f6))
+            OVER (ORDER BY d ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)),
+          e -> e.x), (a, b) -> a * 0.75 + b * 0.25) * 1000000) / 1000000
+          AS signal_f6,
+        macd_f6 - floor(list_reduce(list_transform(
+          list_sort(list(struct_pack(d := d, x := macd_f6))
+            OVER (ORDER BY d ROWS BETWEEN 8 PRECEDING AND CURRENT ROW)),
+          e -> e.x), (a, b) -> a * 0.75 + b * 0.25) * 1000000) / 1000000
+          AS hist
+      FROM macd ORDER BY d""")
+  )
+
+  /** H10: rolling correlation vs the market — h8's beta decomposition made
+    * time-varying: per user, the Pearson correlation of the user's daily
+    * return against the equal-weight market return over a rolling 20-return
+    * window (the corpus spans ~30 calendar days, so 20 returns is the
+    * longest window that still yields a rolling series).
+    *
+    * Determinism: closes are h8's (ts, event_id)-last daily observation
+    * quantized ×1024; the market mean is an integer `div`; returns are
+    * integer lags; every window sum (Σx, Σy, Σxy, Σx², Σy²) is BIGINT-exact,
+    * as are the correlation numerator n·Σxy−ΣxΣy and the two variance
+    * terms. Only the final corr divides — num / √(den1·den2) — where both
+    * engines cast the identical BIGINTs to double and run the identical
+    * IEEE multiply/sqrt/divide (den products can exceed 2^53; the cast
+    * rounds identically on both engines, so the output is bit-stable
+    * without being exact — the integer num/den1/den2 columns carry the
+    * exact statistic).
+    *
+    * Scale: ONE user-keyed exchange serves the daily-close rank window,
+    * the return lag and the five rolling sums (same partition key
+    * throughout); the market census is a day-keyed aggregate broadcast
+    * back. Rolling frames are streaming (O(1) state per row).
+    */
+  val h10RollingCorr: Q = Q(
+    "h10_rolling_corr",
+    (s, dir) => {
+      val wDay = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val daily = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          datediff(to_date(col("ts")), epochDay).cast("long").as("day"),
+          round(col("value") * 1024).cast("long").as("vq"))
+        .withColumn("rn", row_number().over(wDay))
+        .filter(col("rn") === 1)
+        .select("user_id", "day", "vq")
+      val market = daily.groupBy("day")
+        .agg(expr("sum(vq) div count(1)").as("mq"))
+      val wSeq = Window.partitionBy("user_id").orderBy("day")
+      val rets = daily
+        .join(broadcast(market), Seq("day"))
+        .withColumn("ru", col("vq") - lag(col("vq"), 1).over(wSeq))
+        .withColumn("rm", col("mq") - lag(col("mq"), 1).over(wSeq))
+        .filter(col("ru").isNotNull)
+      val wRoll = Window.partitionBy("user_id").orderBy("day").rowsBetween(-19, 0)
+      rets
+        .select(col("user_id"), col("day"),
+          count(lit(1)).over(wRoll).as("n"),
+          sum(col("rm")).over(wRoll).as("sx"),
+          sum(col("ru")).over(wRoll).as("sy"),
+          sum(col("rm") * col("ru")).over(wRoll).as("sxy"),
+          sum(col("rm") * col("rm")).over(wRoll).as("sxx"),
+          sum(col("ru") * col("ru")).over(wRoll).as("syy"))
+        .filter(col("n") === 20)
+        .select(col("user_id"), col("day"),
+          (col("n") * col("sxy") - col("sx") * col("sy")).as("num"),
+          (col("n") * col("sxx") - col("sx") * col("sx")).as("den_m"),
+          (col("n") * col("syy") - col("sy") * col("sy")).as("den_u"))
+        .withColumn("corr",
+          when(col("den_m") > 0 && col("den_u") > 0,
+            col("num").cast("double") /
+              sqrt(col("den_m").cast("double") * col("den_u").cast("double"))))
+        .orderBy("user_id", "day")
+    },
+    Some("""WITH daily AS (
+        SELECT user_id, day, vq FROM (
+          SELECT user_id,
+                 CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+                 CAST(round(value * 1024) AS BIGINT) AS vq,
+                 row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1),
+      market AS (SELECT day, CAST(sum(vq) AS BIGINT) // count(*) AS mq
+                 FROM daily GROUP BY day),
+      rets AS (SELECT user_id, day,
+                 vq - lag(vq) OVER w AS ru,
+                 mq - lag(mq) OVER w AS rm
+               FROM daily JOIN market USING (day)
+               WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      rolled AS (SELECT user_id, day,
+                   count(*) OVER wr AS n,
+                   CAST(sum(rm) OVER wr AS BIGINT) AS sx,
+                   CAST(sum(ru) OVER wr AS BIGINT) AS sy,
+                   CAST(sum(rm * ru) OVER wr AS BIGINT) AS sxy,
+                   CAST(sum(rm * rm) OVER wr AS BIGINT) AS sxx,
+                   CAST(sum(ru * ru) OVER wr AS BIGINT) AS syy
+                 FROM rets WHERE ru IS NOT NULL
+                 WINDOW wr AS (PARTITION BY user_id ORDER BY day
+                               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+      SELECT user_id, day,
+        n * sxy - sx * sy AS num,
+        n * sxx - sx * sx AS den_m,
+        n * syy - sy * sy AS den_u,
+        CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+             THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                  / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                         * CAST(n * syy - sy * sy AS DOUBLE)) END AS corr
+      FROM rolled WHERE n = 20 ORDER BY user_id, day""")
+  )
+
   val all: Seq[Q] = Seq(h4GapFill, h5SplitAdjust, a24Concurrency, w13Bollinger,
-    w14Rsi, h6Vwap, h7WeeklyBars, h8Beta, w16Underwater, h9OvernightGap)
+    w14Rsi, h6Vwap, h7WeeklyBars, h8Beta, w16Underwater, h9OvernightGap,
+    w15Macd, h10RollingCorr)
 }

@@ -995,4 +995,55 @@ class PlanSpec extends SparkSpec {
     val exchanges = "Exchange".r.findAllIn(plan).length
     assert(exchanges <= 6, s"nearest must stay a bounded pipeline, got $exchanges")
   }
+
+  test("q16: the OR'd multi-clause predicate keeps p_partkey = l_partkey as " +
+    "a hash-join key — no nested-loop fallback from the disjunction") {
+    val plan = executedPlan("q16_sql_disjunctive")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q17: the HAVING aggregate partial-aggregates map-side before its " +
+    "exchange — the only full fact pass combines before shuffling") {
+    val plan = executedPlan("q17_sql_large_orders")
+    assert(plan.contains("partial_sum"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("g9: knn-graph candidates come from the band equi-join — no " +
+    "all-pairs operator anywhere, and the per-src top-5 rank window " +
+    "group-limits") {
+    val plan = executedPlan("g9_knn_graph")
+    // The only nested-loop allowed is the bounded 16-row hyperplane
+    // broadcast (a BroadcastNestedLoopJoin over the plane table); the
+    // corpus-sized pair generation must be hash/sort-merge equi-joins.
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rk <= 5 must prune the rank window:\n${plan.take(3000)}")
+  }
+
+  test("h10: one user-keyed exchange serves close-ranking, return lags and " +
+    "all five rolling sums; the market census joins back as a broadcast") {
+    val plan = executedPlan("h10_rolling_corr")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // (user, day) close-rank, day-keyed market census, user-keyed
+    // lag+rolling stage — the lag window and all five rolling sums must
+    // SHARE the third, so exactly 3 materialized hash exchanges (the
+    // market census re-reads the close-rank stage via ReusedExchange,
+    // which mentions the exchange in its text — count only real ones).
+    val hashEx = """\+- Exchange hashpartitioning""".r.findAllIn(plan).length
+    assert(hashEx <= 3,
+      s"lag + rolling windows must share one user-keyed exchange, got $hashEx:\n${plan.take(3000)}")
+    assert(plan.contains("ReusedExchange"),
+      s"market census must reuse the daily-close exchange:\n${plan.take(3000)}")
+  }
+
+  test("x30: the per-source rollup rides the (source, tok) census " +
+    "partitioning — two aggregates, no second corpus scan") {
+    val plan = executedPlan("x30_lexical_diversity")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one documents scan, got $scans:\n${plan.take(3000)}")
+  }
 }
