@@ -77,7 +77,10 @@ object Bench {
     "g8_modularity", "p16_target_encode", "a27_path_census", "e19_centroid_drift",
     "s5_late_data", "r3_blocking_recall", "w16_underwater", "a28_cohort_ltv",
     "h9_overnight_gap", "a29_rfm", "j15_asof_nearest", "v13_seq_gaps",
-    "m6_patch_grid", "a30_kmv_distinct", "a31_kmv_rollup")
+    "m6_patch_grid", "a30_kmv_distinct", "a31_kmv_rollup",
+    "q16_sql_disjunctive", "q17_sql_large_orders", "w15_macd",
+    "h10_rolling_corr", "g9_knn_graph", "x30_lexical_diversity",
+    "x31_perplexity_filter", "h11_event_study")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

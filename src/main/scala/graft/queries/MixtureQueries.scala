@@ -698,8 +698,60 @@ object MixtureQueries {
       FROM q GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** X31: perplexity-gated filtering — the CCNet/KenLM admission gate built
+    * from x25's Kneser–Ney scorer: every scored document is ranked within
+    * its source by model surprise (mean bits/bigram, descending) and the
+    * worst decile is flagged for exclusion. Ranking is PER SOURCE because
+    * that is how production gates run — a uniform global threshold would
+    * simply drop whole high-entropy sources instead of trimming each
+    * source's tail. Composed from the SAME registry definition as x25
+    * (the e9 pattern), so the gate audits the shipped scorer, not a copy;
+    * docs with fewer than two tokens carry no bigrams and fall outside
+    * the scored population by construction.
+    *
+    * Determinism: mean_bits doubles are bit-identical on both engines
+    * (x25's quantized-log construction), so the (mean_bits DESC, doc_id)
+    * rank is total and stable; the decile cut is exact integer arithmetic
+    * (rank·10 ≤ n+9 ⇔ rank ≤ ⌈n/10⌉).
+    *
+    * Scale: x25's plan plus one doc-keyed broadcast-joinable projection
+    * and one source-keyed rank window over doc-level rows (corpus-sized
+    * but narrow — three numbers per doc, never text).
+    */
+  val x31PerplexityFilter: Q = Q(
+    "x31_perplexity_filter",
+    (s, dir) => {
+      val scored = x25KneserNey.fn(s, dir)
+      val src = t(s, dir, "documents").select(col("doc_id"), col("source"))
+      val bySrc = Window.partitionBy("source")
+      val rankW = Window.partitionBy("source")
+        .orderBy(col("mean_bits").desc, col("doc_id"))
+      scored.join(src, Seq("doc_id"))
+        .withColumn("n_docs", count(lit(1)).over(bySrc))
+        .withColumn("ppl_rank", row_number().over(rankW).cast("long"))
+        .select(col("doc_id"), col("source"), col("n_bigrams"), col("mean_bits"),
+          col("ppl_rank"),
+          when(col("ppl_rank") * 10 <= col("n_docs") + 9, 1L).otherwise(0L)
+            .as("flagged"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH kn AS (${x25KneserNey.oracle.get.replace("ORDER BY doc_id", "")}),
+      j AS (SELECT kn.doc_id, d.source, kn.n_bigrams, kn.mean_bits
+            FROM kn JOIN documents d USING (doc_id)),
+      r AS (SELECT *,
+              count(*) OVER (PARTITION BY source) AS n_docs,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY mean_bits DESC, doc_id) AS ppl_rank
+            FROM j)
+      SELECT doc_id, source, n_bigrams, mean_bits,
+        CAST(ppl_rank AS BIGINT) AS ppl_rank,
+        CAST(CASE WHEN ppl_rank * 10 <= n_docs + 9 THEN 1 ELSE 0 END AS BIGINT)
+          AS flagged
+      FROM r ORDER BY doc_id""")
+  )
+
   val all: Seq[Q] = Seq(
     c3MixtureBuild, p13WeightedSample, x11BigramSurprisal, d8IncrementalNearDup,
     x12RetentionPolicy, c8DsirAdmission, c9TemperatureMixture, c11EpochAllocation,
-    p14SplitAssign, c12DedupDiscount, x25KneserNey)
+    p14SplitAssign, c12DedupDiscount, x25KneserNey, x31PerplexityFilter)
 }

@@ -835,7 +835,93 @@ object TimeSeries {
       FROM rolled WHERE n = 20 ORDER BY user_id, day""")
   )
 
+  /** H11: event study — cumulative abnormal return around each series' peak:
+    * per user, the "event day" is the highest daily close (earliest day on
+    * ties), and the statistic is the sum of abnormal returns (own return
+    * minus the equal-weight market return, h8's decomposition) over the
+    * ±3-day event window, with the window's observed-return count. The
+    * event-study CAR is the standard abnormal-move test in the reference's
+    * asset-price domain (did this series move WITH the market into its
+    * peak, or idiosyncratically?).
+    *
+    * Determinism: closes/returns are h8's integer-quantized dailies; the
+    * event day is a rank-window argmax with a total (vq DESC, day) order;
+    * the CAR is an exact BIGINT sum of integer return differences.
+    *
+    * Scale: the same ONE user-keyed exchange carries the daily-close rank,
+    * the return lag, the event-day argmax (same key, reused partitioning)
+    * and the final rollup; the event day rejoins per-user (a key-to-key
+    * equi-join, both sides already user-partitioned). Nothing global but
+    * the day-keyed market census, which broadcasts back.
+    */
+  val h11EventStudy: Q = Q(
+    "h11_event_study",
+    (s, dir) => {
+      val wDay = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val daily = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          datediff(to_date(col("ts")), epochDay).cast("long").as("day"),
+          round(col("value") * 1024).cast("long").as("vq"))
+        .withColumn("rn", row_number().over(wDay))
+        .filter(col("rn") === 1)
+        .select("user_id", "day", "vq")
+      val market = daily.groupBy("day")
+        .agg(expr("sum(vq) div count(1)").as("mq"))
+      val wSeq = Window.partitionBy("user_id").orderBy("day")
+      val rets = daily
+        .join(broadcast(market), Seq("day"))
+        .withColumn("ru", col("vq") - lag(col("vq"), 1).over(wSeq))
+        .withColumn("rm", col("mq") - lag(col("mq"), 1).over(wSeq))
+        .filter(col("ru").isNotNull)
+        .select("user_id", "day", "ru", "rm")
+      val wPeak = Window.partitionBy("user_id").orderBy(col("vq").desc, col("day"))
+      val eventDay = daily
+        .withColumn("pk", row_number().over(wPeak))
+        .filter(col("pk") === 1)
+        .select(col("user_id"), col("day").as("event_day"), col("vq").as("peak_vq"))
+      rets
+        .join(eventDay, Seq("user_id"))
+        .filter(abs(col("day") - col("event_day")) <= 3)
+        .groupBy("user_id", "event_day", "peak_vq")
+        .agg(count(lit(1)).as("n_window_rets"),
+          sum(col("ru") - col("rm")).as("car_u"))
+        .select(col("user_id"), col("event_day"), col("peak_vq"),
+          col("n_window_rets"), col("car_u"),
+          (col("car_u").cast("double") / 1024).as("car"))
+        .orderBy("user_id")
+    },
+    Some("""WITH daily AS (
+        SELECT user_id, day, vq FROM (
+          SELECT user_id,
+                 CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+                 CAST(round(value * 1024) AS BIGINT) AS vq,
+                 row_number() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1),
+      market AS (SELECT day, CAST(sum(vq) AS BIGINT) // count(*) AS mq
+                 FROM daily GROUP BY day),
+      rets AS (SELECT user_id, day,
+                 vq - lag(vq) OVER w AS ru,
+                 mq - lag(mq) OVER w AS rm
+               FROM daily JOIN market USING (day)
+               WINDOW w AS (PARTITION BY user_id ORDER BY day)),
+      ev AS (SELECT user_id, day AS event_day, vq AS peak_vq FROM (
+               SELECT user_id, day, vq,
+                      row_number() OVER (PARTITION BY user_id
+                                         ORDER BY vq DESC, day) AS pk
+               FROM daily) WHERE pk = 1)
+      SELECT r.user_id, e.event_day, e.peak_vq,
+        count(*) AS n_window_rets,
+        CAST(sum(r.ru - r.rm) AS BIGINT) AS car_u,
+        CAST(CAST(sum(r.ru - r.rm) AS BIGINT) AS DOUBLE) / 1024 AS car
+      FROM rets r JOIN ev e ON e.user_id = r.user_id
+      WHERE r.ru IS NOT NULL AND abs(r.day - e.event_day) <= 3
+      GROUP BY r.user_id, e.event_day, e.peak_vq
+      ORDER BY r.user_id""")
+  )
+
   val all: Seq[Q] = Seq(h4GapFill, h5SplitAdjust, a24Concurrency, w13Bollinger,
     w14Rsi, h6Vwap, h7WeeklyBars, h8Beta, w16Underwater, h9OvernightGap,
-    w15Macd, h10RollingCorr)
+    w15Macd, h10RollingCorr, h11EventStudy)
 }

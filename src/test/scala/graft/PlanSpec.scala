@@ -1040,6 +1040,27 @@ class PlanSpec extends SparkSpec {
       s"market census must reuse the daily-close exchange:\n${plan.take(3000)}")
   }
 
+  test("h11: event-day argmax and return lag share the user-keyed " +
+    "partitioning; the market census broadcasts — no global window") {
+    val plan = executedPlan("h11_event_study")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // Every Window in the plan must be user-keyed (no empty partition spec).
+    assert(!plan.contains("windowspecdefinition(specified"),
+      s"unpartitioned window in event study:\n${plan.take(3000)}")
+  }
+
+  test("x31: the perplexity gate adds only doc-level narrow stages on top " +
+    "of x25 — document text is scanned by the scorer alone") {
+    val plan = executedPlan("x31_perplexity_filter")
+    val textScans = "text#".r.findAllIn(
+      plan.linesIterator.filter(_.contains("Scan parquet")).mkString("\n")).length
+    assert(textScans <= 2,
+      s"gate must not re-scan text beyond x25's tokenizer passes:\n${plan.take(3000)}")
+    assert(plan.contains("WindowGroupLimit") || plan.contains("Window"),
+      plan.take(3000))
+  }
+
   test("x30: the per-source rollup rides the (source, tok) census " +
     "partitioning — two aggregates, no second corpus scan") {
     val plan = executedPlan("x30_lexical_diversity")
