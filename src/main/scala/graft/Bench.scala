@@ -80,7 +80,9 @@ object Bench {
     "m6_patch_grid", "a30_kmv_distinct", "a31_kmv_rollup",
     "q16_sql_disjunctive", "q17_sql_large_orders", "w15_macd",
     "h10_rolling_corr", "g9_knn_graph", "x30_lexical_diversity",
-    "x31_perplexity_filter", "h11_event_study")
+    "x31_perplexity_filter", "h11_event_study",
+    "h12_atr", "w17_obv", "h13_pairs_spread", "h14_sharpe",
+    "q18_sql_global_avg", "c14_cluster_balanced")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

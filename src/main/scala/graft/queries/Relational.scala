@@ -848,10 +848,58 @@ object Relational {
     Some(sqlQ17)
   )
 
+  /** Q18: global-benchmark anti-join census (TPC-H Q22 shape) — customers
+    * whose balance beats the positive-balance average AND who never
+    * placed an urgent order, counted per nation-derived segment. The
+    * planner stress is
+    * the combination Q22 exists to test: an uncorrelated scalar subquery
+    * (the global average — computed once, broadcast as a literal-like
+    * single row, never re-evaluated per customer) feeding a filter, then
+    * an anti-join against the filtered orders table (which must stay a
+    * broadcast/shuffled ANTI join with the priority predicate pushed into
+    * the orders scan, never a NOT IN nested loop), then a small-key
+    * aggregate.
+    *
+    * Exactness: the "above average" cut is cross-multiplied in BIGINT
+    * cents — `bal_cents · n_pos > sum_cents` — so no engine ever divides
+    * (q16's discipline); the reported sum is exact cents.
+    */
+  private val sqlQ18 =
+    """WITH pos AS (
+         SELECT CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents, c_custkey,
+                c_nationkey
+         FROM customer WHERE c_acctbal > 0.0),
+       bench AS (
+         SELECT count(*) AS n_pos, CAST(sum(bal_cents) AS BIGINT) AS sum_cents
+         FROM pos),
+       rich AS (
+         SELECT p.c_custkey, p.c_nationkey, p.bal_cents
+         FROM pos p, bench b
+         WHERE p.bal_cents * b.n_pos > b.sum_cents),
+       quiet AS (
+         SELECT r.* FROM rich r
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = r.c_custkey
+                             AND o.o_orderpriority = '1-URGENT'))
+       SELECT c_nationkey % 5 AS segment, count(*) AS n_cust,
+              CAST(sum(bal_cents) AS BIGINT) AS total_cents
+       FROM quiet GROUP BY c_nationkey % 5 ORDER BY segment"""
+
+  val q18SqlGlobalAvg: Q = Q(
+    "q18_sql_global_avg",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(sqlQ18)
+    },
+    Some(sqlQ18)
+  )
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q07SqlAboveAvg, q08SqlNotExists, q09SqlCorrelated,
     q10SqlExistsChain, q11SqlNestedIn, q12SqlTopSupplier, q13SqlMinCost,
     q14SqlWindow, q15SqlRecursive, q16SqlDisjunctive, q17SqlLargeOrders,
+    q18SqlGlobalAvg,
     p1Drop, p2Rename, p3Project, p4Filter, p5Isin, p6Validity, p8MaskedUpdate,
     f1Respell, f2Case, f3Split, f4StringAgg, f5Concat, f6TimeTrunc, f9TsArith,
     f11CastNull, f13Json,

@@ -1492,9 +1492,55 @@ object SimilarityQueries {
       WHERE rk <= 5 ORDER BY src, rk""")
   )
 
+  /** C14: cluster-balanced corpus sampling — the topic-diversity selection
+    * step curation pipelines run after dedup (cluster the embedding space,
+    * then take the best few documents from EVERY cluster, so no topic
+    * dominates the training mix): assign each document's embedding to its
+    * e4 learned-IVF cluster (the SAME shipped codebook — same seeds, same
+    * quantized Lloyd step, same tie-breaks, via [[ivfModel]]), join back
+    * to the document table on the shared doc↔vec key, and keep the top 3
+    * per cluster by length quality (`n_chars` desc, doc_id tiebreak),
+    * carrying the cluster's population so the balance is auditable.
+    *
+    * Exactness: assignment determinism is e4's (integer-quantized
+    * centroids, rn=1 tie-break on (d², cid)); the pick rank orders by the
+    * stored BIGINT `n_chars` — no floats after assignment.
+    *
+    * Scale: the model build is e4's (broadcast 32-row codebook, one
+    * argmin window keyed by vec_id); doc enrichment is a keyed equi-join
+    * (embeddings↔documents co-keyed — bucketable at scale); the per-
+    * cluster top-k window partitions by `cid`, C partitions of n/C rows.
+    */
+  val c14ClusterBalanced: Q = Q(
+    "c14_cluster_balanced",
+    (s, dir) => {
+      val (_, assign) = ivfModel(s, dir)
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("n_chars"))
+      val byCluster = Window.partitionBy("cid")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      assign.select(col("vec_id"), col("cid"))
+        .join(docs, col("vec_id") === col("doc_id"))
+        .withColumn("n_in_cluster", count(lit(1)).over(Window.partitionBy("cid")))
+        .withColumn("rk", row_number().over(byCluster))
+        .filter(col("rk") <= 3)
+        .select(col("cid"), col("rk").cast("long").as("rk"), col("doc_id"),
+          col("n_chars"), col("n_in_cluster"))
+        .orderBy("cid", "rk")
+    },
+    Some(s"""WITH $sqlIvfCtes,
+      joined AS (
+        SELECT a.cid, d.doc_id, d.n_chars,
+               count(*) OVER (PARTITION BY a.cid) AS n_in_cluster,
+               row_number() OVER (PARTITION BY a.cid
+                                  ORDER BY d.n_chars DESC, d.doc_id) AS rk
+        FROM assign a JOIN documents d ON d.doc_id = a.vec_id)
+      SELECT cid, CAST(rk AS BIGINT) AS rk, doc_id, n_chars, n_in_cluster
+      FROM joined WHERE rk <= 3 ORDER BY cid, rk""")
+  )
+
   val all: Seq[Q] = Seq(e1CosineTopK, e2AnnIvf, e3BucketNearDup, e4AnnKmeans,
     e5AnnHyperplane, e6SemanticDedup, e7AnnBatch, e8PqAdc, e9AnnRecall,
     e10MmrRerank, e11EmbeddingQa, e12SqRecall, e13IvfPq, e14FilteredAnn,
     e15NprobeSweep, e16HybridRrf, e17HardNegatives, e18MeanPool,
-    e19CentroidDrift, g9KnnGraph)
+    e19CentroidDrift, g9KnnGraph, c14ClusterBalanced)
 }

@@ -921,7 +921,271 @@ object TimeSeries {
       ORDER BY r.user_id""")
   )
 
+  /** H12: Average True Range — the volatility indicator bar consumers run
+    * after w13's Bollinger bands: per user-day, the true range
+    * `max(hi−lo, |hi−prev_close|, |lo−prev_close|)` over the day's
+    * quantized observations, then its 14-day simple moving average (the
+    * SMA-ATR variant — Wilder's recursive smoothing would need an
+    * unbounded fold; the SMA form is the one whose window algebra stays
+    * exact).
+    *
+    * Determinism: hi/lo/close are BIGINT aggregates of the ×1024-quantized
+    * value (h9's bar recipe: close = last by (ts, event_id)); TR is
+    * integer max/abs arithmetic; the ATR division is ONE IEEE divide of an
+    * exact BIGINT window sum by an exact window count, identical on both
+    * engines.
+    *
+    * Scale: ONE user-keyed exchange serves the per-day bar aggregate, the
+    * prev-close lag, and the 14-row rolling frame (same partition key —
+    * Catalyst reuses the exchange); the rolling frame is streaming, O(1)
+    * state per row; no unpartitioned window anywhere.
+    */
+  val h12Atr: Q = Q(
+    "h12_atr",
+    (s, dir) => {
+      val wD = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val wSeq = Window.partitionBy("user_id").orderBy("day")
+      val wRoll = Window.partitionBy("user_id").orderBy("day").rowsBetween(-13, 0)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          datediff(to_date(col("ts")), epochDay).cast("long").as("day"),
+          round(col("value") * 1024).cast("long").as("vq"))
+        .withColumn("rnd", row_number().over(wD))
+        .groupBy("user_id", "day")
+        .agg(max(col("vq")).as("hi"), min(col("vq")).as("lo"),
+          max(when(col("rnd") === 1, col("vq"))).as("closeq"))
+        .withColumn("prev_close", lag(col("closeq"), 1).over(wSeq))
+        .filter(col("prev_close").isNotNull)
+        .withColumn("tr", greatest(col("hi") - col("lo"),
+          abs(col("hi") - col("prev_close")),
+          abs(col("lo") - col("prev_close"))))
+        .withColumn("sum_tr14", sum(col("tr")).over(wRoll))
+        .withColumn("n14", count(lit(1)).over(wRoll))
+        .select(col("user_id"), col("day"), col("tr"), col("sum_tr14"),
+          col("n14"),
+          (col("sum_tr14").cast("double") / col("n14")).as("atr14"))
+        .orderBy("user_id", "day")
+    },
+    Some("""WITH q AS (
+        SELECT user_id, ts, event_id,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+               CAST(round(value * 1024) AS BIGINT) AS vq
+        FROM events),
+      r AS (SELECT *, row_number() OVER (PARTITION BY user_id, day
+                        ORDER BY ts DESC, event_id DESC) AS rnd FROM q),
+      bars AS (SELECT user_id, day, max(vq) AS hi, min(vq) AS lo,
+                 max(CASE WHEN rnd = 1 THEN vq END) AS closeq
+               FROM r GROUP BY user_id, day),
+      tr AS (SELECT user_id, day,
+               greatest(hi - lo, abs(hi - prev_close), abs(lo - prev_close)) AS tr
+             FROM (SELECT *, lag(closeq) OVER (PARTITION BY user_id ORDER BY day)
+                     AS prev_close FROM bars)
+             WHERE prev_close IS NOT NULL)
+      SELECT user_id, day, tr,
+        CAST(sum(tr) OVER w AS BIGINT) AS sum_tr14,
+        count(*) OVER w AS n14,
+        CAST(CAST(sum(tr) OVER w AS BIGINT) AS DOUBLE) / (count(*) OVER w) AS atr14
+      FROM tr
+      WINDOW w AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+      ORDER BY user_id, day""")
+  )
+
+  /** W17: on-balance volume — the volume-flow accumulator (sign of the
+    * daily close move × the day's volume, summed from series start). Pure
+    * integer arithmetic end-to-end: the sign is a three-way CASE on
+    * BIGINT closes (a null prev-close on the first day falls through both
+    * comparisons to 0 in both engines), volume is the day's event count,
+    * and the OBV is an unbounded-preceding BIGINT running sum.
+    *
+    * Scale: same one user-keyed exchange discipline as h12 — bar
+    * aggregate, close lag, and running sum all partition by `user_id`;
+    * the running frame is streaming.
+    */
+  val w17Obv: Q = Q(
+    "w17_obv",
+    (s, dir) => {
+      val wD = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val wSeq = Window.partitionBy("user_id").orderBy("day")
+      val wRun = Window.partitionBy("user_id").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          datediff(to_date(col("ts")), epochDay).cast("long").as("day"),
+          round(col("value") * 1024).cast("long").as("vq"))
+        .withColumn("rnd", row_number().over(wD))
+        .groupBy("user_id", "day")
+        .agg(max(when(col("rnd") === 1, col("vq"))).as("closeq"),
+          count(lit(1)).as("vol"))
+        .withColumn("prev_close", lag(col("closeq"), 1).over(wSeq))
+        .withColumn("dir",
+          when(col("closeq") > col("prev_close"), lit(1L))
+            .when(col("closeq") < col("prev_close"), lit(-1L))
+            .otherwise(lit(0L)))
+        .withColumn("obv", sum(col("dir") * col("vol")).over(wRun))
+        .select("user_id", "day", "vol", "dir", "obv")
+        .orderBy("user_id", "day")
+    },
+    Some("""WITH q AS (
+        SELECT user_id, ts, event_id,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+               CAST(round(value * 1024) AS BIGINT) AS vq
+        FROM events),
+      r AS (SELECT *, row_number() OVER (PARTITION BY user_id, day
+                        ORDER BY ts DESC, event_id DESC) AS rnd FROM q),
+      bars AS (SELECT user_id, day,
+                 max(CASE WHEN rnd = 1 THEN vq END) AS closeq,
+                 count(*) AS vol
+               FROM r GROUP BY user_id, day),
+      d AS (SELECT user_id, day, vol,
+              CASE WHEN closeq > prev_close THEN 1
+                   WHEN closeq < prev_close THEN -1 ELSE 0 END AS dir
+            FROM (SELECT *, lag(closeq) OVER (PARTITION BY user_id ORDER BY day)
+                    AS prev_close FROM bars))
+      SELECT user_id, day, vol, CAST(dir AS BIGINT) AS dir,
+        CAST(sum(dir * vol) OVER (PARTITION BY user_id ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
+      FROM d ORDER BY user_id, day""")
+  )
+
+  /** H13: pairs-trading spread z-score — the stat-arb monitor over two
+    * co-traded series: the daily `purchase` and `click` value sums (whole
+    * units — see headroom below), their spread, and the spread's rolling
+    * 10-day z-score `(n·s − Σs) / √(n·Σs² − (Σs)²)` (mean/std folded into
+    * one integer numerator and one integer radicand — h10's discipline).
+    *
+    * Exactness: daily sums are BIGINT sums of `round(value)`; the spread
+    * and both z components are pure BIGINT; only the final z divides,
+    * where both engines cast the identical BIGINTs and run the identical
+    * multiply/sqrt/divide. Null z (den = 0 or a short leading window) is
+    * surfaced, not filtered. Overflow headroom (w11's discipline): daily
+    * per-type sums at sf0.1 are ≤ 4·10⁵ units; Σs² over 10 rows stays
+    * ≤ 10¹² — the BIGINT radicand holds to ~300× this corpus; quantizing
+    * finer (×1024) would burn 2¹⁰ of that margin per factor, which is why
+    * this query sums WHOLE units.
+    *
+    * Scale: two map-side-combinable day-keyed aggregates (one per leg,
+    * same exchange — it's one groupBy with conditional sums), one
+    * calendar-bounded join, and ONE unpartitioned-BY-DESIGN window whose
+    * input is one row per calendar day (~30 here, ~36.5k rows/century at
+    * any corpus scale — bounded by the calendar, never the corpus).
+    */
+  val h13PairsSpread: Q = Q(
+    "h13_pairs_spread",
+    (s, dir) => {
+      val daily = t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy(datediff(to_date(col("ts")), epochDay).cast("long").as("day"))
+        .agg(
+          sum(when(col("event_type") === "purchase",
+            round(col("value")).cast("long")).otherwise(0L)).as("sa"),
+          sum(when(col("event_type") === "click",
+            round(col("value")).cast("long")).otherwise(0L)).as("sb"))
+      val wRoll = Window.orderBy("day").rowsBetween(-9, 0)
+      daily
+        .withColumn("s", col("sa") - col("sb"))
+        .withColumn("n", count(lit(1)).over(wRoll))
+        .withColumn("sum_s", sum(col("s")).over(wRoll))
+        .withColumn("sum_s2", sum(col("s") * col("s")).over(wRoll))
+        .withColumn("num", col("n") * col("s") - col("sum_s"))
+        .withColumn("den", col("n") * col("sum_s2") - col("sum_s") * col("sum_s"))
+        .select(col("day"), col("sa"), col("sb"), col("s"), col("n"),
+          col("num"), col("den"),
+          when(col("den") > 0 && col("n") >= 10,
+            col("num").cast("double") / sqrt(col("den").cast("double")))
+            .as("z"))
+        .orderBy("day")
+    },
+    Some("""WITH daily AS (
+        SELECT CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                 THEN CAST(round(value) AS BIGINT) ELSE 0 END) AS BIGINT) AS sa,
+               CAST(sum(CASE WHEN event_type = 'click'
+                 THEN CAST(round(value) AS BIGINT) ELSE 0 END) AS BIGINT) AS sb
+        FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1),
+      sp AS (SELECT day, sa, sb, sa - sb AS s FROM daily),
+      win AS (SELECT day, sa, sb, s,
+                count(*) OVER w AS n,
+                CAST(sum(s) OVER w AS BIGINT) AS sum_s,
+                CAST(sum(s * s) OVER w AS BIGINT) AS sum_s2
+              FROM sp
+              WINDOW w AS (ORDER BY day ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+      SELECT day, sa, sb, s, n,
+        n * s - sum_s AS num,
+        n * sum_s2 - sum_s * sum_s AS den,
+        CASE WHEN n * sum_s2 - sum_s * sum_s > 0 AND n >= 10
+             THEN CAST(n * s - sum_s AS DOUBLE)
+                  / sqrt(CAST(n * sum_s2 - sum_s * sum_s AS DOUBLE))
+        END AS z
+      FROM win ORDER BY day""")
+  )
+
+  /** H14: per-series Sharpe-style ratio — mean over sample-stdev of the
+    * daily close move, per user, from the same quantized bars as h12.
+    * The ratio is computed from three exact BIGINT statistics
+    * (n, Σr, Σr²) as `(Σr/n) / √((n·Σr² − (Σr)²) / (n·(n−1)))` — both
+    * engines evaluate the identical expression tree over identical
+    * integers, so every IEEE step matches bit-for-bit. Degenerate series
+    * (n < 3 or zero variance) surface null, not a division error.
+    *
+    * Scale: one user-keyed exchange for bars + lag, then one
+    * map-side-combinable per-user aggregate — two shuffles total, both on
+    * the series key; output is one row per series.
+    */
+  val h14Sharpe: Q = Q(
+    "h14_sharpe",
+    (s, dir) => {
+      val wD = Window.partitionBy("user_id", "day")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val wSeq = Window.partitionBy("user_id").orderBy("day")
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          datediff(to_date(col("ts")), epochDay).cast("long").as("day"),
+          round(col("value") * 1024).cast("long").as("vq"))
+        .withColumn("rnd", row_number().over(wD))
+        .groupBy("user_id", "day")
+        .agg(max(when(col("rnd") === 1, col("vq"))).as("closeq"))
+        .withColumn("r", col("closeq") - lag(col("closeq"), 1).over(wSeq))
+        .filter(col("r").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum(col("r")).as("sr"),
+          sum(col("r") * col("r")).as("ssq"))
+        .withColumn("den", col("n") * col("ssq") - col("sr") * col("sr"))
+        .select(col("user_id"), col("n"), col("sr"), col("ssq"),
+          when(col("n") >= 3 && col("den") > 0,
+            (col("sr").cast("double") / col("n")) /
+              sqrt(col("den").cast("double") / (col("n") * (col("n") - 1))))
+            .as("sharpe"))
+        .orderBy("user_id")
+    },
+    Some("""WITH q AS (
+        SELECT user_id, ts, event_id,
+               CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+               CAST(round(value * 1024) AS BIGINT) AS vq
+        FROM events),
+      r AS (SELECT *, row_number() OVER (PARTITION BY user_id, day
+                        ORDER BY ts DESC, event_id DESC) AS rnd FROM q),
+      bars AS (SELECT user_id, day, max(CASE WHEN rnd = 1 THEN vq END) AS closeq
+               FROM r GROUP BY user_id, day),
+      rets AS (SELECT user_id,
+                 closeq - lag(closeq) OVER (PARTITION BY user_id ORDER BY day) AS r
+               FROM bars),
+      stats AS (SELECT user_id, count(*) AS n,
+                  CAST(sum(r) AS BIGINT) AS sr,
+                  CAST(sum(r * r) AS BIGINT) AS ssq
+                FROM rets WHERE r IS NOT NULL GROUP BY user_id)
+      SELECT user_id, n, sr, ssq,
+        CASE WHEN n >= 3 AND n * ssq - sr * sr > 0
+             THEN (CAST(sr AS DOUBLE) / n)
+                  / sqrt(CAST(n * ssq - sr * sr AS DOUBLE) / (n * (n - 1)))
+        END AS sharpe
+      FROM stats ORDER BY user_id""")
+  )
+
   val all: Seq[Q] = Seq(h4GapFill, h5SplitAdjust, a24Concurrency, w13Bollinger,
     w14Rsi, h6Vwap, h7WeeklyBars, h8Beta, w16Underwater, h9OvernightGap,
-    w15Macd, h10RollingCorr, h11EventStudy)
+    w15Macd, h10RollingCorr, h11EventStudy, h12Atr, w17Obv, h13PairsSpread,
+    h14Sharpe)
 }

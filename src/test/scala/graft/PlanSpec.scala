@@ -1067,4 +1067,52 @@ class PlanSpec extends SparkSpec {
     val scans = "Scan parquet".r.findAllIn(plan).length
     assert(scans == 1, s"expected one documents scan, got $scans:\n${plan.take(3000)}")
   }
+
+  test("q18: the urgent-order anti join stays a hash ANTI join with the " +
+    "priority predicate pushed into the orders scan — never a NOT IN " +
+    "nested loop") {
+    val plan = executedPlan("q18_sql_global_avg")
+    assert(plan.contains("LeftAnti"), s"anti join missing:\n${plan.take(3000)}")
+    // The o_orderpriority = '1-URGENT' conjunct must prune the orders
+    // parquet scan, not run as a post-scan filter over all orders.
+    val ordersScan = plan.linesIterator
+      .filter(l => l.contains("Scan parquet") && l.contains("o_custkey"))
+      .mkString("\n")
+    assert(ordersScan.contains("1-URGENT"),
+      s"priority predicate not pushed to orders scan:\n$ordersScan")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("h12/w17: bar aggregate, close lag and rolling/running frames all " +
+    "ride ONE user-keyed exchange each (Catalyst reuses the partitioning)") {
+    for (q <- Seq("h12_atr", "w17_obv")) {
+      val plan = executedPlan(q)
+      // (user, day) bar exchange + user-keyed window exchange + final
+      // presentation range-sort — no fourth shuffle.
+      val hashEx = """\+- Exchange hashpartitioning""".r.findAllIn(plan).length
+      assert(hashEx <= 2,
+        s"$q: lag and rolling frames must share the user exchange, got $hashEx:\n${plan.take(3000)}")
+      assert(!plan.contains("windowspecdefinition(specified"),
+        s"$q: unpartitioned window:\n${plan.take(3000)}")
+    }
+  }
+
+  test("h13: both legs aggregate in ONE day-keyed pass (conditional sums, " +
+    "one events scan); the calendar-bounded z window is the only " +
+    "unpartitioned operator") {
+    val plan = executedPlan("h13_pairs_spread")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one events scan, got $scans:\n${plan.take(3000)}")
+    assert(plan.contains("partial_sum"), s"no map-side combine:\n${plan.take(3000)}")
+  }
+
+  test("c14: cluster assignment broadcasts the codebook; doc enrichment " +
+    "is a keyed equi-join; the per-cluster pick group-limits") {
+    val plan = executedPlan("c14_cluster_balanced")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("WindowGroupLimit"),
+      s"rk <= 3 must prune the pick window:\n${plan.take(3000)}")
+  }
 }
