@@ -82,7 +82,9 @@ object Bench {
     "h10_rolling_corr", "g9_knn_graph", "x30_lexical_diversity",
     "x31_perplexity_filter", "h11_event_study",
     "h12_atr", "w17_obv", "h13_pairs_spread", "h14_sharpe",
-    "q18_sql_global_avg", "c14_cluster_balanced")
+    "q18_sql_global_avg", "c14_cluster_balanced",
+    "d18_dedup_agreement", "x32_calibration", "e20_pca_power",
+    "v14_ref_integrity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -852,7 +852,78 @@ object DedupQueries {
       ORDER BY d.a, d.b""")
   )
 
+  /** D18: lexical-vs-semantic dedup agreement — the cross-method audit a
+    * pipeline runs before trusting either dedup signal alone: for every
+    * verified d3 MinHash near-dup pair, whether both members land in the
+    * SAME e6-style embedding cluster (first-8 centroids, argmin-by-(d²,
+    * cid) assignment — e6's exact recipe), reported per cluster of the
+    * pair's left member. High agreement permille means the lexical and
+    * semantic signals corroborate; a low-agreement cluster is where one
+    * of the two methods is mis-binning (the SemDeDup-vs-MinHash
+    * consistency check).
+    *
+    * Exactness: d3's pairs are the verified exact-Jaccard set; cluster
+    * assignment reuses e6's deterministic tie-breaks; counts and the
+    * permille floor division are non-negative BIGINTs (Spark `div` ≡
+    * DuckDB `//` there).
+    *
+    * Scale: the pair table comes from the memoized [[d3Pairs]] (no LSH
+    * re-run); the 8-row centroid table broadcasts; each pair picks up its
+    * two cluster ids via keyed equi-joins on the doc↔vec key; the rollup
+    * is an O(clusters) map-side-combinable aggregate.
+    */
+  val d18DedupAgreement: Q = Q(
+    "d18_dedup_agreement",
+    (s, dir) => {
+      graft.functions.FastVec.register(s)
+      val W = org.apache.spark.sql.expressions.Window
+      val pairs = d3Pairs(s, dir).select(col("a"), col("b"))
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"),
+          graft.functions.Vectors.toDoubleVec(col("embedding")).as("v"))
+      val cent = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val byVec = W.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+      val assign = emb
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"),
+          graft.functions.FastVec.l2sq(col("v"), col("cv")).as("d2"))
+        .withColumn("rn", row_number().over(byVec))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
+      pairs
+        .join(assign.select(col("vec_id").as("a"), col("cid").as("ca")), Seq("a"))
+        .join(assign.select(col("vec_id").as("b"), col("cid").as("cb")), Seq("b"))
+        .groupBy(col("ca"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("ca") === col("cb"), 1L).otherwise(0L)).as("n_same"))
+        .select(col("ca").as("cid"), col("n_pairs"), col("n_same"),
+          expr("(1000 * n_same) div n_pairs").as("agree_pm"))
+        .orderBy("cid")
+    },
+    Some(s"""WITH lsh AS ($sqlD3Body),
+      e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+      assign AS (SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+            list_reduce(list_transform(range(len(e.v)),
+              i -> (e.v[i+1] - c.cv[i+1]) * (e.v[i+1] - c.cv[i+1])),
+              (x, y) -> x + y) AS d2
+          FROM e CROSS JOIN c)
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+      j AS (SELECT p.a, p.b, aa.cid AS ca, bb.cid AS cb
+            FROM lsh p
+            JOIN assign aa ON aa.vec_id = p.a
+            JOIN assign bb ON bb.vec_id = p.b)
+      SELECT ca AS cid, count(*) AS n_pairs,
+        CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT) AS n_same,
+        (1000 * CAST(sum(CASE WHEN ca = cb THEN 1 ELSE 0 END) AS BIGINT))
+          // count(*) AS agree_pm
+      FROM j GROUP BY ca ORDER BY cid""")
+  )
+
   val all: Seq[Q] = Seq(d1ExactDedup, d2NgramJaccard, d3MinHashLsh, d4SimHash,
     d7IncrementalDedup, d9Containment, d10DupSpans, d11LshRecall, d12OphMinhash,
-    d13OphDense, d14CdcChunks, d15BandTuning, d16TfidfDedup)
+    d13OphDense, d14CdcChunks, d15BandTuning, d16TfidfDedup, d18DedupAgreement)
 }

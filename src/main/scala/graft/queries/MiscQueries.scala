@@ -808,9 +808,78 @@ object MiscQueries {
       GROUP BY user_id ORDER BY user_id""")
   )
 
+  /** V14: referential-integrity audit — the foreign-key orphan census a
+    * warehouse runs after every load (and the one check `v9_expectations`'
+    * single-table constraints can't express): for each FK relation of the
+    * star schema (lineitem→orders, lineitem→part, lineitem→supplier,
+    * orders→customer, customer→nation), the referencing row count, the
+    * count whose key has NO match in the referenced table, and the orphan
+    * permille. One row per relation, integer-exact.
+    *
+    * Scale: each relation is ONE left-anti join from the fact side onto
+    * the referenced KEY COLUMN only (dimension sides are key-projected
+    * scans — broadcast when small, shuffled-hash past the threshold, both
+    * fine: the anti join ships only keys) followed by a map-side count;
+    * relations union as 1-row aggregates, so the output never shuffles
+    * fact rows twice. At 100 TB this is the canonical "keys-only" audit
+    * shape: no payload column is ever read (ReadSchema carries only the
+    * two key columns per relation).
+    */
+  val v14RefIntegrity: Q = Q(
+    "v14_ref_integrity",
+    (s, dir) => {
+      def rel(name: String, fact: org.apache.spark.sql.DataFrame, fk: String,
+              dim: org.apache.spark.sql.DataFrame, pk: String) = {
+        val f = fact.select(col(fk).as("k"))
+        val orphans = f.join(dim.select(col(pk).as("k")), Seq("k"), "left_anti")
+        f.agg(count(lit(1)).as("n_rows")).crossJoin(
+          orphans.agg(count(lit(1)).as("n_orphans")))
+          .select(lit(name).as("relation"), col("n_rows"), col("n_orphans"),
+            expr("(1000 * n_orphans) div n_rows").as("orphan_pm"))
+      }
+      val li = t(s, dir, "lineitem")
+      val od = t(s, dir, "orders")
+      val cu = t(s, dir, "customer")
+      Seq(
+        rel("lineitem_orders", li, "l_orderkey", od, "o_orderkey"),
+        rel("lineitem_part", li, "l_partkey", t(s, dir, "part"), "p_partkey"),
+        rel("lineitem_supplier", li, "l_suppkey", t(s, dir, "supplier"), "s_suppkey"),
+        rel("orders_customer", od, "o_custkey", cu, "c_custkey"),
+        rel("customer_nation", cu, "c_nationkey", t(s, dir, "nation"), "n_nationkey"))
+        .reduce(_ unionByName _)
+        .orderBy("relation")
+    },
+    Some("""WITH r1 AS (
+        SELECT 'lineitem_orders' AS relation, count(*) AS n_rows,
+          CAST(count(*) FILTER (o_orderkey IS NULL) AS BIGINT) AS n_orphans
+        FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey),
+      r2 AS (
+        SELECT 'lineitem_part', count(*),
+          CAST(count(*) FILTER (p_partkey IS NULL) AS BIGINT)
+        FROM lineitem l LEFT JOIN part p ON p.p_partkey = l.l_partkey),
+      r3 AS (
+        SELECT 'lineitem_supplier', count(*),
+          CAST(count(*) FILTER (s_suppkey IS NULL) AS BIGINT)
+        FROM lineitem l LEFT JOIN supplier s ON s.s_suppkey = l.l_suppkey),
+      r4 AS (
+        SELECT 'orders_customer', count(*),
+          CAST(count(*) FILTER (c_custkey IS NULL) AS BIGINT)
+        FROM orders o LEFT JOIN customer c ON c.c_custkey = o.o_custkey),
+      r5 AS (
+        SELECT 'customer_nation', count(*),
+          CAST(count(*) FILTER (n_nationkey IS NULL) AS BIGINT)
+        FROM customer c LEFT JOIN nation n ON n.n_nationkey = c.c_nationkey),
+      u AS (SELECT * FROM r1 UNION ALL SELECT * FROM r2 UNION ALL
+            SELECT * FROM r3 UNION ALL SELECT * FROM r4 UNION ALL
+            SELECT * FROM r5)
+      SELECT relation, n_rows, n_orphans,
+             (1000 * n_orphans) // n_rows AS orphan_pm
+      FROM u ORDER BY relation""")
+  )
+
   val all: Seq[Q] = Seq(
     a2Counts, a11Percentiles, f8Timezone, u2InsertAbsent, v2SchemaDiff, v4ColumnProfile,
     v5SourceOverlap, o4FileListing, m1BinaryMeta, v6ShardSkew, v7DataCard,
     v8PipelineYield, v9Expectations, v10PsiDrift, v11Freshness, p15ZorderLayout,
-    v12Benford, v13SeqGaps)
+    v12Benford, v13SeqGaps, v14RefIntegrity)
 }

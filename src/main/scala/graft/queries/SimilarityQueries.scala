@@ -1538,9 +1538,96 @@ object SimilarityQueries {
       FROM joined WHERE rk <= 3 ORDER BY cid, rk""")
   )
 
+  /** E20: top principal component by integer power iteration — the
+    * spectral primitive embedding pipelines run for whitening, anisotropy
+    * audits ("is the space collapsing onto one axis?") and PCA-based dim
+    * reduction: three rounds of `w ← Xᵀ(X·w)` over the ×1024-quantized
+    * embedding matrix, each round rescaled by an arithmetic right-shift.
+    *
+    * Exactness (g1's integer-iteration discipline applied to linear
+    * algebra): the quantized matrix is BIGINT; every mat-vec product is a
+    * sum of BIGINT products (order-independent); each round renormalizes
+    * ADAPTIVELY by the round's own max |w'| — `mq = max|w'| div 2²⁰ + 1`,
+    * then `w = w' div mq` — so the vector always re-enters the next round
+    * at the 2²⁰ scale regardless of the data's eigenvalue magnitude (a
+    * FIXED power-of-two rescale calibrated to the worst-case bound
+    * underflows real data to zero: random-ish embeddings concentrate √-
+    * cancellation, so actual round growth is far below the bound).
+    * Truncating integer division toward zero is IDENTICAL in Spark
+    * (`div`) and DuckDB (`//`) for negative operands too (both follow
+    * the Java/C convention; DuckDB's `>>` would instead floor), so every
+    * renormalized component matches bit-for-bit. The 3-round result is
+    * part of the result contract (the oracle unrolls the same three).
+    *
+    * Overflow headroom (w11's discipline): after each renormalization
+    * |w| ≤ ~2²⁰, so |s_j| ≤ d·2¹⁰·2²⁰ = 2³⁶ and the dim sums stay ≤
+    * n·2¹⁰·2³⁶ — inside BIGINT to n ≈ 2¹⁶ vectors; past that, drop the
+    * re-entry scale below 2²⁰ by ⌈log₂ n⌉ − 16 bits (corpus-scale
+    * config, not a semantic change).
+    *
+    * Scale: the quantized matrix is persisted once (n·d narrow rows) and
+    * scanned twice per round; each round is two map-side-combinable keyed
+    * aggregates (by vec then by dim) with the d-row vector, the n-row
+    * score table and the 1-row scale as broadcast builds — never a
+    * matrix shuffle.
+    */
+  val e20PcaPower: Q = Q(
+    "e20_pca_power",
+    (s, dir) => {
+      val x = t(s, dir, "embeddings")
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
+        .select(col("vec_id"), col("i").cast("long").as("i"),
+          round(col("xf").cast("double") * 1024).cast("long").as("q"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      x.count() // round 1 scans x from two subtrees (the g1 eager rule)
+      var w: org.apache.spark.sql.DataFrame = s.range(64)
+        .select(col("id").as("i"), lit(1048576L).as("w"))
+      for (_ <- 1 to 3) {
+        val sv = x.join(broadcast(w), Seq("i"))
+          .groupBy("vec_id")
+          .agg(sum(col("q") * col("w")).as("sc"))
+        val wp = x.join(broadcast(sv), Seq("vec_id"))
+          .groupBy("i")
+          .agg(sum(col("sc") * col("q")).as("wp"))
+        val mq = wp.agg(max(abs(col("wp"))).as("m"))
+          .select((expr("m div 1048576") + lit(1L)).as("mq"))
+        w = wp.crossJoin(broadcast(mq))
+          .select(col("i"), expr("wp div mq").as("w"))
+      }
+      w.orderBy("i").select(col("i"), col("w"))
+    },
+    Some("""WITH x AS (
+        SELECT vec_id, i - 1 AS i,
+               CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT) AS q
+        FROM (SELECT vec_id, unnest(embedding) AS x,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings)),
+      w0 AS (SELECT CAST(i AS BIGINT) AS i, CAST(1048576 AS BIGINT) AS w
+             FROM range(64) r(i)),
+      s1 AS (SELECT x.vec_id, CAST(sum(x.q * w.w) AS BIGINT) AS sc
+             FROM x JOIN w0 w ON w.i = x.i GROUP BY x.vec_id),
+      p1 AS (SELECT x.i, CAST(sum(s.sc * x.q) AS BIGINT) AS wp
+             FROM x JOIN s1 s ON s.vec_id = x.vec_id GROUP BY x.i),
+      m1 AS (SELECT CAST(max(abs(wp)) AS BIGINT) // 1048576 + 1 AS mq FROM p1),
+      w1 AS (SELECT i, wp // mq AS w FROM p1, m1),
+      s2 AS (SELECT x.vec_id, CAST(sum(x.q * w.w) AS BIGINT) AS sc
+             FROM x JOIN w1 w ON w.i = x.i GROUP BY x.vec_id),
+      p2 AS (SELECT x.i, CAST(sum(s.sc * x.q) AS BIGINT) AS wp
+             FROM x JOIN s2 s ON s.vec_id = x.vec_id GROUP BY x.i),
+      m2 AS (SELECT CAST(max(abs(wp)) AS BIGINT) // 1048576 + 1 AS mq FROM p2),
+      w2 AS (SELECT i, wp // mq AS w FROM p2, m2),
+      s3 AS (SELECT x.vec_id, CAST(sum(x.q * w.w) AS BIGINT) AS sc
+             FROM x JOIN w2 w ON w.i = x.i GROUP BY x.vec_id),
+      p3 AS (SELECT x.i, CAST(sum(s.sc * x.q) AS BIGINT) AS wp
+             FROM x JOIN s3 s ON s.vec_id = x.vec_id GROUP BY x.i),
+      m3 AS (SELECT CAST(max(abs(wp)) AS BIGINT) // 1048576 + 1 AS mq FROM p3),
+      w3 AS (SELECT i, wp // mq AS w FROM p3, m3)
+      SELECT i, w FROM w3 ORDER BY i""")
+  )
+
   val all: Seq[Q] = Seq(e1CosineTopK, e2AnnIvf, e3BucketNearDup, e4AnnKmeans,
     e5AnnHyperplane, e6SemanticDedup, e7AnnBatch, e8PqAdc, e9AnnRecall,
     e10MmrRerank, e11EmbeddingQa, e12SqRecall, e13IvfPq, e14FilteredAnn,
     e15NprobeSweep, e16HybridRrf, e17HardNegatives, e18MeanPool,
-    e19CentroidDrift, g9KnnGraph, c14ClusterBalanced)
+    e19CentroidDrift, g9KnnGraph, c14ClusterBalanced, e20PcaPower)
 }

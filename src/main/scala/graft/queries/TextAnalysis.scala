@@ -1095,11 +1095,113 @@ object TextAnalysis {
       FROM q GROUP BY source, n ORDER BY source""")
   )
 
+  /** X32: classifier calibration audit — the reliability curve a pipeline
+    * reads before trusting x26's model-based filter: documents binned by
+    * classifier mean weight (8 bins via seven cross-multiplied integer
+    * edges at mean ∈ {−75, −50, −25, 0, 25, 50, 75} — `sum_w ≥ e·n_tok`,
+    * sign-safe with no division), and per bin the Gopher-gate pass rate
+    * (x27's full conjunction as the independent rule-based quality
+    * signal) plus the keep↔pass agreement rate. A calibrated filter
+    * shows pass_pm rising monotonically with the bin; a flat curve means
+    * the classifier score carries no quality signal over the rule
+    * battery.
+    *
+    * Exactness: x26's logit statistics and x27's gates are reused with
+    * their exact integer spellings; the two permilles are non-negative
+    * floor divisions (Spark `div` ≡ DuckDB `//`).
+    *
+    * Scale: one token explode into x26's map-side-combinable doc
+    * aggregate, one narrow x27 gate map, one doc-keyed equi-join, then an
+    * O(8)-row rollup — nothing new shuffles beyond x26's own plan.
+    */
+  val x32Calibration: Q = Q(
+    "x32_calibration",
+    (s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      val bkt = pmod(Text.seededHash64(lit("clf"), col("tok")), lit(4096L))
+      val wt = pmod(Text.seededHash64(lit("w"), bkt.cast("string")), lit(2001L)) - 1000L
+      val clf = tok
+        .select(col("doc_id"), wt.as("wt"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"), sum(col("wt")).as("sum_w"))
+      val toks = Text.tokens(col("text"))
+      val n = size(toks).cast("long")
+      val chars = length(col("text")).cast("long") - n + 1
+      val nAlpha = size(filter(toks, tk => tk.rlike("[a-z]"))).cast("long")
+      val nStop = size(filter(toks, tk => tk.isin("the", "a", "of", "to"))).cast("long")
+      val gates = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(n >= 50 && n <= 100000 &&
+            chars >= n * 3 && chars <= n * 10 &&
+            lit(5) * nAlpha >= lit(4) * n && nStop >= 2, 1L).otherwise(0L).as("pass"))
+      val edges = Seq(-75L, -50L, -25L, 0L, 25L, 50L, 75L)
+      val bin = edges
+        .map(e => when(col("sum_w") >= lit(e) * col("n_tok"), 1L).otherwise(0L))
+        .reduce(_ + _)
+      val keep = col("sum_w") > lit(25L) * col("n_tok")
+      clf.join(gates, Seq("doc_id"))
+        .withColumn("bin", bin)
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(keep, 1L).otherwise(0L)).as("n_keep"),
+          sum(col("pass")).as("n_pass"),
+          sum(when(keep === (col("pass") === 1L), 1L).otherwise(0L)).as("n_agree"))
+        .select(col("bin"), col("n_docs"), col("n_keep"), col("n_pass"),
+          expr("(1000 * n_pass) div n_docs").as("pass_pm"),
+          expr("(1000 * n_agree) div n_docs").as("agree_pm"))
+        .orderBy("bin")
+    },
+    Some("""WITH toks AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      b AS (SELECT doc_id,
+              CAST('0x' || substr(md5('clf|' || tok), 1, 15) AS BIGINT) % 4096 AS bkt
+            FROM toks),
+      w AS (SELECT doc_id,
+              (CAST('0x' || substr(md5('w|' || CAST(bkt AS VARCHAR)), 1, 15) AS BIGINT)
+                % 2001) - 1000 AS wt
+            FROM b),
+      clf AS (SELECT doc_id, count(*) AS n_tok, CAST(sum(wt) AS BIGINT) AS sum_w
+              FROM w GROUP BY doc_id),
+      m AS (SELECT doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+              CAST(length(text) AS BIGINT)
+                - CAST(len(string_split(text, ' ')) AS BIGINT) + 1 AS n_chars,
+              CAST(len(list_filter(string_split(text, ' '),
+                tk -> regexp_matches(tk, '[a-z]'))) AS BIGINT) AS n_alpha,
+              CAST(len(list_filter(string_split(text, ' '),
+                tk -> tk IN ('the', 'a', 'of', 'to'))) AS BIGINT) AS n_stop
+            FROM documents),
+      g AS (SELECT doc_id,
+              CASE WHEN n_words >= 50 AND n_words <= 100000
+                    AND n_chars >= 3 * n_words AND n_chars <= 10 * n_words
+                    AND 5 * n_alpha >= 4 * n_words AND n_stop >= 2
+                   THEN 1 ELSE 0 END AS pass
+            FROM m),
+      binned AS (
+        SELECT c.doc_id, c.sum_w, c.n_tok, g.pass,
+          CAST((CASE WHEN sum_w >= -75 * n_tok THEN 1 ELSE 0 END)
+          + (CASE WHEN sum_w >= -50 * n_tok THEN 1 ELSE 0 END)
+          + (CASE WHEN sum_w >= -25 * n_tok THEN 1 ELSE 0 END)
+          + (CASE WHEN sum_w >= 0 THEN 1 ELSE 0 END)
+          + (CASE WHEN sum_w >= 25 * n_tok THEN 1 ELSE 0 END)
+          + (CASE WHEN sum_w >= 50 * n_tok THEN 1 ELSE 0 END)
+          + (CASE WHEN sum_w >= 75 * n_tok THEN 1 ELSE 0 END) AS BIGINT) AS bin
+        FROM clf c JOIN g ON g.doc_id = c.doc_id)
+      SELECT bin, count(*) AS n_docs,
+        CAST(sum(CASE WHEN sum_w > 25 * n_tok THEN 1 ELSE 0 END) AS BIGINT) AS n_keep,
+        CAST(sum(pass) AS BIGINT) AS n_pass,
+        (1000 * CAST(sum(pass) AS BIGINT)) // count(*) AS pass_pm,
+        (1000 * CAST(sum(CASE WHEN (sum_w > 25 * n_tok) = (pass = 1)
+                     THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS agree_pm
+      FROM binned GROUP BY bin ORDER BY bin""")
+  )
+
   val all: Seq[Q] = Seq(x1TokenStats, x2LangId, x3Quality, x4Fingerprint, x5TokenFreq,
     x13Bm25, x15BpePairs, x16PiiScrub, x17VocabGrowth, x18Readability,
     x19UnigramEntropy, x20ZipfSlope, x21NgramNovelty, x22LangConfusion,
     x23BpeTrain, x24Boilerplate, x26HashClassifier, x27GopherGates, x28Chunking,
-    x29KlDivergence, x30LexicalDiversity)
+    x29KlDivergence, x30LexicalDiversity, x32Calibration)
 
   /** X30: per-source lexical diversity — type-token ratio and hapax-legomenon
     * fraction, the corpus-health pair next to x17's Heaps curve and x19's

@@ -1115,4 +1115,47 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"),
       s"rk <= 3 must prune the pick window:\n${plan.take(3000)}")
   }
+
+  test("e20: each power-iteration round is two map-side-combinable keyed " +
+    "aggregates with the vector/score/scale sides broadcast — the " +
+    "quantized matrix never shuffles") {
+    val df = SparkEntry.queries("e20_pca_power")(spark, sf)
+    val plan = finalPlan(df)
+    assert(plan.contains("partial_sum"), s"no map-side combine:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    // The only nested loop allowed is the 1-row scale broadcast.
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // Non-degenerate result: the adaptive renormalization must keep the
+    // vector alive (a fixed worst-case shift underflowed it to zero).
+    val w = df.collect().map(_.getLong(1))
+    assert(w.exists(_ != 0L), "power iteration collapsed to the zero vector")
+    assert(w.map(math.abs).max <= (1L << 20) + 1,
+      "renormalization scale invariant violated")
+  }
+
+  test("x32: the calibration rollup adds no corpus shuffle beyond x26's " +
+    "doc aggregate — gates are a narrow map joined on doc_id") {
+    val plan = executedPlan("x32_calibration")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"no map-side combine:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("d18: pairs come from the memoized d3 table; cluster ids attach " +
+    "via keyed equi-joins with the 8-row centroid table broadcast") {
+    val plan = executedPlan("d18_dedup_agreement")
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("v14: the FK audit reads ONLY key columns — no payload column " +
+    "appears in any ReadSchema, and every relation is an anti join") {
+    val plan = executedPlan("v14_ref_integrity")
+    val antis = "LeftAnti".r.findAllIn(plan).length
+    assert(antis >= 5, s"expected 5 anti joins, got $antis:\n${plan.take(3000)}")
+    // Keys-only scans: lineitem's widest payload columns must not be read.
+    for (c <- Seq("l_extendedprice", "l_comment", "o_totalprice", "c_name"))
+      assert(!plan.contains(c), s"payload column $c read in a keys-only audit")
+  }
 }
