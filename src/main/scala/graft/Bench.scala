@@ -84,7 +84,8 @@ object Bench {
     "h12_atr", "w17_obv", "h13_pairs_spread", "h14_sharpe",
     "q18_sql_global_avg", "c14_cluster_balanced",
     "d18_dedup_agreement", "x32_calibration", "e20_pca_power",
-    "v14_ref_integrity")
+    "v14_ref_integrity", "e21_anisotropy", "v15_pk_unique",
+    "w18_stochastic")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -201,6 +202,7 @@ object Bench {
         if (ok1) {
           graft.queries.DedupQueries.clearMemo()
           graft.queries.GraphQueries.clearMemo()
+          graft.queries.SimilarityQueries.clearPcaMemo()
           spark.catalog.clearCache()
           val (ok2, t2) = once(name)
           if (ok2) math.min(t1, t2) else t1

@@ -877,9 +877,62 @@ object MiscQueries {
       FROM u ORDER BY relation""")
   )
 
+  /** V15: primary-key uniqueness audit — v14's sibling on the OTHER side of
+    * each FK relation (orphans are harmless if the dimension key isn't even
+    * unique — this is the check that makes v14's verdict meaningful): per
+    * table, the row count, the distinct-PK count, and the surplus rows
+    * carrying an already-seen key. Composite keys (lineitem's (l_orderkey,
+    * l_linenumber)) fold into ONE injective BIGINT — `orderkey·8 +
+    * linenumber` (linenumber ∈ [1,7] per the TPC-H contract) — rather than
+    * a tuple-distinct, because the two engines disagree on tuple NULL
+    * semantics (Spark's multi-column COUNT DISTINCT drops any-NULL rows;
+    * DuckDB's row-value distinct keeps them) and integer folding sidesteps
+    * the divergence entirely.
+    *
+    * Scale: one two-phase distinct aggregate per table over the KEY column
+    * only (partial distinct map-side, one exchange on the key — never a
+    * payload column in any ReadSchema); per-table results union as 1-row
+    * aggregates. The canonical post-load audit pair with [[v14RefIntegrity]].
+    */
+  val v15PkUnique: Q = Q(
+    "v15_pk_unique",
+    (s, dir) => {
+      def tab(name: String, df: org.apache.spark.sql.DataFrame, key: org.apache.spark.sql.Column) =
+        df.select(key.as("k"))
+          .agg(count(lit(1)).as("n_rows"), count_distinct(col("k")).as("n_keys"))
+          .select(lit(name).as("tbl"), col("n_rows"), col("n_keys"),
+            (col("n_rows") - col("n_keys")).as("n_dup_rows"))
+      Seq(
+        tab("customer", t(s, dir, "customer"), col("c_custkey")),
+        tab("documents", t(s, dir, "documents"), col("doc_id")),
+        tab("embeddings", t(s, dir, "embeddings"), col("vec_id")),
+        tab("events", t(s, dir, "events"), col("event_id")),
+        tab("lineitem", t(s, dir, "lineitem"),
+          col("l_orderkey") * 8 + col("l_linenumber")),
+        tab("orders", t(s, dir, "orders"), col("o_orderkey")),
+        tab("part", t(s, dir, "part"), col("p_partkey")),
+        tab("supplier", t(s, dir, "supplier"), col("s_suppkey")))
+        .reduce(_ unionByName _)
+        .orderBy("tbl")
+    },
+    Some("""WITH u AS (
+        SELECT 'customer' AS tbl, count(*) AS n_rows,
+               count(DISTINCT c_custkey) AS n_keys FROM customer
+        UNION ALL SELECT 'documents', count(*), count(DISTINCT doc_id) FROM documents
+        UNION ALL SELECT 'embeddings', count(*), count(DISTINCT vec_id) FROM embeddings
+        UNION ALL SELECT 'events', count(*), count(DISTINCT event_id) FROM events
+        UNION ALL SELECT 'lineitem', count(*),
+               count(DISTINCT l_orderkey * 8 + l_linenumber) FROM lineitem
+        UNION ALL SELECT 'orders', count(*), count(DISTINCT o_orderkey) FROM orders
+        UNION ALL SELECT 'part', count(*), count(DISTINCT p_partkey) FROM part
+        UNION ALL SELECT 'supplier', count(*), count(DISTINCT s_suppkey) FROM supplier)
+      SELECT tbl, n_rows, n_keys, n_rows - n_keys AS n_dup_rows
+      FROM u ORDER BY tbl""")
+  )
+
   val all: Seq[Q] = Seq(
     a2Counts, a11Percentiles, f8Timezone, u2InsertAbsent, v2SchemaDiff, v4ColumnProfile,
     v5SourceOverlap, o4FileListing, m1BinaryMeta, v6ShardSkew, v7DataCard,
     v8PipelineYield, v9Expectations, v10PsiDrift, v11Freshness, p15ZorderLayout,
-    v12Benford, v13SeqGaps, v14RefIntegrity)
+    v12Benford, v13SeqGaps, v14RefIntegrity, v15PkUnique)
 }

@@ -1570,10 +1570,24 @@ object SimilarityQueries {
     * aggregates (by vec then by dim) with the d-row vector, the n-row
     * score table and the 1-row scale as broadcast builds — never a
     * matrix shuffle.
+    *
+    * Shared e20/e21 model build: the ×1024-quantized BIGINT matrix `x`
+    * (vec_id, i, q — persisted once) and the 3-round renormalized dominant
+    * direction `w` (i, w). Memoized per (session, dir) the [[DedupQueries
+    * .d3Pairs]] way so e21's audit prices only its own aggregates on top of
+    * the persisted matrix, never a second model build; [[clearPcaMemo]]
+    * restores Bench's clean-slate discipline.
     */
-  val e20PcaPower: Q = Q(
-    "e20_pca_power",
-    (s, dir) => {
+  private val pcaCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String),
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)]
+
+  /** Drop the memoized PCA model (benchmark hygiene — see Bench). */
+  def clearPcaMemo(): Unit = pcaCache.clear()
+
+  private def pcaModel(s: SparkSession, dir: String):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    pcaCache.getOrElseUpdate((s, dir), {
       val x = t(s, dir, "embeddings")
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
         .select(col("vec_id"), col("i").cast("long").as("i"),
@@ -1594,9 +1608,14 @@ object SimilarityQueries {
         w = wp.crossJoin(broadcast(mq))
           .select(col("i"), expr("wp div mq").as("w"))
       }
-      w.orderBy("i").select(col("i"), col("w"))
-    },
-    Some("""WITH x AS (
+      (x, w)
+    })
+
+  /** Oracle CTE chain of [[pcaModel]] (quantized matrix `x`, rounds
+    * `w0`→`w3`) — shared by e20's result text and e21's audit so both
+    * oracles verify the SAME model.
+    */
+  private val sqlPcaChain: String = """x AS (
         SELECT vec_id, i - 1 AS i,
                CAST(round(CAST(x AS DOUBLE) * 1024) AS BIGINT) AS q
         FROM (SELECT vec_id, unnest(embedding) AS x,
@@ -1621,13 +1640,75 @@ object SimilarityQueries {
       p3 AS (SELECT x.i, CAST(sum(s.sc * x.q) AS BIGINT) AS wp
              FROM x JOIN s3 s ON s.vec_id = x.vec_id GROUP BY x.i),
       m3 AS (SELECT CAST(max(abs(wp)) AS BIGINT) // 1048576 + 1 AS mq FROM p3),
-      w3 AS (SELECT i, wp // mq AS w FROM p3, m3)
+      w3 AS (SELECT i, wp // mq AS w FROM p3, m3)"""
+
+  /** E20's registry entry: the [[pcaModel]] direction itself (see the model
+    * scaladoc above for exactness/renormalization/headroom).
+    */
+  val e20PcaPower: Q = Q(
+    "e20_pca_power",
+    (s, dir) => {
+      val (_, w) = pcaModel(s, dir)
+      w.orderBy("i").select(col("i"), col("w"))
+    },
+    Some(s"""WITH $sqlPcaChain
       SELECT i, w FROM w3 ORDER BY i""")
+  )
+
+  /** E21: anisotropy audit — the energy fraction along e20's dominant
+    * direction: `Σ(x·ŵ)² / (‖w‖²·Σ‖x‖²)` in permille, over the same
+    * quantized matrix. An isotropic embedding space scores near 1000/d;
+    * a space collapsing onto one axis (the common "anisotropic cone"
+    * failure of un-post-processed embedding models) scores near 1000 —
+    * the one-number health check read before trusting cosine distances
+    * in the e-family's ANN and dedup pipelines.
+    *
+    * Exactness: projections `sc = Σ q·w` are BIGINT sums (|sc| ≤ 2³⁹
+    * for this corpus's |q| ≤ 2¹², d = 64, |w| ≤ 2²⁰); sc² crosses into
+    * DECIMAL(38,0)/HUGEINT (d16's discipline — Σsc² ≤ n·2⁷⁸ ≈ 10²⁷,
+    * denominator ‖w‖²·Σ‖q‖² ≤ 2⁸⁹ ≈ 10²⁷, both inside 10³⁸); the final
+    * permille is one truncating integer division, identical on both
+    * engines, and ≤ 1000 by Cauchy–Schwarz.
+    *
+    * Scale: reuses the memoized [[pcaModel]] — the audit itself is one
+    * more scan of the persisted matrix feeding two map-side-combinable
+    * aggregates (projection per vector, energy total) plus two O(d)
+    * broadcast side-aggregates; never a matrix shuffle.
+    */
+  val e21Anisotropy: Q = Q(
+    "e21_anisotropy",
+    (s, dir) => {
+      val (x, w) = pcaModel(s, dir)
+      val sc = x.join(broadcast(w), Seq("i"))
+        .groupBy("vec_id")
+        .agg(sum(col("q") * col("w")).as("sc"))
+      val num = sc.agg(
+        sum(expr("CAST(sc AS DECIMAL(38,0)) * CAST(sc AS DECIMAL(38,0))")).as("ssc"),
+        count(lit(1)).as("n_vecs"))
+      val wn = w.agg(sum(col("w") * col("w")).as("wn2"))
+      val qn = x.agg(sum(col("q") * col("q")).as("qn2"))
+      num.crossJoin(broadcast(wn)).crossJoin(broadcast(qn))
+        .select(col("n_vecs"), col("wn2").as("wnorm2"),
+          expr("CAST((CAST(1000 AS DECIMAL(38,0)) * ssc) div " +
+            "(CAST(wn2 AS DECIMAL(38,0)) * CAST(qn2 AS DECIMAL(38,0))) AS BIGINT)")
+            .as("energy_pm"))
+    },
+    Some(s"""WITH $sqlPcaChain,
+      sc AS (SELECT x.vec_id, CAST(sum(x.q * w.w) AS BIGINT) AS sc
+             FROM x JOIN w3 w ON w.i = x.i GROUP BY x.vec_id),
+      num AS (SELECT sum(CAST(sc AS HUGEINT) * CAST(sc AS HUGEINT)) AS ssc,
+                     count(*) AS n_vecs FROM sc),
+      wn AS (SELECT sum(CAST(w AS HUGEINT) * CAST(w AS HUGEINT)) AS wn2 FROM w3),
+      qn AS (SELECT sum(CAST(q AS HUGEINT) * CAST(q AS HUGEINT)) AS qn2 FROM x)
+      SELECT CAST(n_vecs AS BIGINT) AS n_vecs, CAST(wn2 AS BIGINT) AS wnorm2,
+             CAST((1000 * ssc) // (wn2 * qn2) AS BIGINT) AS energy_pm
+      FROM num, wn, qn""")
   )
 
   val all: Seq[Q] = Seq(e1CosineTopK, e2AnnIvf, e3BucketNearDup, e4AnnKmeans,
     e5AnnHyperplane, e6SemanticDedup, e7AnnBatch, e8PqAdc, e9AnnRecall,
     e10MmrRerank, e11EmbeddingQa, e12SqRecall, e13IvfPq, e14FilteredAnn,
     e15NprobeSweep, e16HybridRrf, e17HardNegatives, e18MeanPool,
-    e19CentroidDrift, g9KnnGraph, c14ClusterBalanced, e20PcaPower)
+    e19CentroidDrift, g9KnnGraph, c14ClusterBalanced, e20PcaPower,
+    e21Anisotropy)
 }

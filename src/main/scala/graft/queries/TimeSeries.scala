@@ -1184,8 +1184,65 @@ object TimeSeries {
       FROM stats ORDER BY user_id""")
   )
 
+  /** W18: stochastic-oscillator census — %K = (close − low₁₄)/(high₁₄ −
+    * low₁₄) over the trailing 14 observations in permille integer
+    * arithmetic, then the w14 census: per key, observation count and how
+    * often the series closed in the top (>800‰) or bottom (<200‰) of its
+    * own trailing range. w14 reads gain share, w18 reads range position —
+    * together the classic momentum pair.
+    *
+    * Exactness: prices quantize once (×1024 → BIGINT, the w13 rule);
+    * `vq − lo ≥ 0` and `hi − lo > 0` inside the guarded branch, so the
+    * permille is a non-negative floor division (Spark `div` ≡ DuckDB
+    * `//`); flat windows (hi = lo) yield NULL, counted in n_obs but in
+    * neither tail — identical CASE semantics on both engines.
+    *
+    * Scale: row_number, max and min all ride ONE user-keyed exchange
+    * (same frame family), then a per-user map-side-combinable census —
+    * the h12/w17 single-exchange discipline, PlanSpec-asserted.
+    */
+  val w18Stochastic: Q = Q(
+    "w18_stochastic",
+    (s, dir) => {
+      val wSeq = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val w14 = wSeq.rowsBetween(-13, Window.currentRow)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          round(col("value") * 1024).cast("long").as("vq"))
+        .withColumn("rn", row_number().over(wSeq))
+        .withColumn("hi", max(col("vq")).over(w14))
+        .withColumn("lo", min(col("vq")).over(w14))
+        .filter(col("rn") >= 14)
+        .select(col("user_id"),
+          when(col("hi") > col("lo"),
+            expr("(1000 * (vq - lo)) div (hi - lo)")).as("k_pm"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_obs"),
+          sum(when(col("k_pm") > 800, 1L).otherwise(0L)).as("n_high"),
+          sum(when(col("k_pm") < 200, 1L).otherwise(0L)).as("n_low"))
+        .orderBy("user_id")
+    },
+    Some("""WITH q AS (
+        SELECT user_id, ts, event_id, CAST(round(value * 1024) AS BIGINT) AS vq
+        FROM events),
+      r AS (SELECT user_id, vq,
+              row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+              CAST(max(vq) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT) AS hi,
+              CAST(min(vq) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW) AS BIGINT) AS lo
+            FROM q),
+      k AS (SELECT user_id,
+              CASE WHEN hi > lo THEN (1000 * (vq - lo)) // (hi - lo) END AS k_pm
+            FROM r WHERE rn >= 14)
+      SELECT user_id, count(*) AS n_obs,
+        CAST(sum(CASE WHEN k_pm > 800 THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+        CAST(sum(CASE WHEN k_pm < 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_low
+      FROM k GROUP BY user_id ORDER BY user_id""")
+  )
+
   val all: Seq[Q] = Seq(h4GapFill, h5SplitAdjust, a24Concurrency, w13Bollinger,
     w14Rsi, h6Vwap, h7WeeklyBars, h8Beta, w16Underwater, h9OvernightGap,
     w15Macd, h10RollingCorr, h11EventStudy, h12Atr, w17Obv, h13PairsSpread,
-    h14Sharpe)
+    h14Sharpe, w18Stochastic)
 }

@@ -1158,4 +1158,40 @@ class PlanSpec extends SparkSpec {
     for (c <- Seq("l_extendedprice", "l_comment", "o_totalprice", "c_name"))
       assert(!plan.contains(c), s"payload column $c read in a keys-only audit")
   }
+
+  test("e21: the anisotropy audit reuses the memoized PCA model — its own " +
+    "work is keyed aggregates over the persisted matrix with broadcast " +
+    "sides, and the permille lands in (0, 1000] by Cauchy-Schwarz") {
+    val df = SparkEntry.queries("e21_anisotropy")(spark, sf)
+    val plan = finalPlan(df)
+    assert(plan.contains("partial_sum"), s"no map-side combine:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    val row = df.collect().head
+    val pm = row.getLong(row.fieldIndex("energy_pm"))
+    assert(pm > 0 && pm <= 1000, s"energy_pm=$pm outside (0, 1000]")
+  }
+
+  test("v15: the PK audit reads ONLY key columns and runs each table as " +
+    "one two-phase distinct aggregate") {
+    val plan = executedPlan("v15_pk_unique")
+    for (c <- Seq("l_extendedprice", "o_totalprice", "c_name", "p_name", "text",
+        "props"))
+      assert(!plan.contains(c), s"payload column $c read in a keys-only audit")
+    // The wide-payload tables must scan their key column ALONE ("embedding"
+    // can't go in the substring ban above — the file path contains it).
+    assert(plan.contains("ReadSchema: struct<vec_id:bigint>"),
+      s"embeddings scan not key-only:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("w18: row_number, max and min frames all ride ONE user-keyed " +
+    "exchange and the census reuses that partitioning (the h12/w17 rule)") {
+    val plan = executedPlan("w18_stochastic")
+    val hashEx = """\+- Exchange hashpartitioning""".r.findAllIn(plan).length
+    assert(hashEx <= 2,
+      s"frames must share the user exchange, got $hashEx:\n${plan.take(3000)}")
+    assert(!plan.contains("windowspecdefinition(specified"),
+      s"unpartitioned window:\n${plan.take(3000)}")
+  }
 }
