@@ -85,7 +85,7 @@ object Bench {
     "q18_sql_global_avg", "c14_cluster_balanced",
     "d18_dedup_agreement", "x32_calibration", "e20_pca_power",
     "v14_ref_integrity", "e21_anisotropy", "v15_pk_unique",
-    "w18_stochastic")
+    "w18_stochastic", "v16_two_sample_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -930,9 +930,84 @@ object MiscQueries {
       FROM u ORDER BY tbl""")
   )
 
+  /** V16: two-sample distribution drift — Kolmogorov–Smirnov D and the
+    * Mann–Whitney probability-of-superiority (AUC), BOTH derived from one
+    * shared per-value census: English vs non-English document lengths.
+    * v10's PSI needs pre-chosen bins; these two are the bin-free pair a
+    * monitoring stack runs when the binning itself is in question. KS
+    * reads the worst pointwise ECDF gap; AUC reads stochastic dominance
+    * (≈500‰ means neither group tends longer).
+    *
+    * Exactness: with per-value counts (a_v, b_v), cumulative (ca, cb) and
+    * totals (n1, n2): `D·n1·n2 = max|ca·n2 − cb·n1|` and the tie-averaged
+    * `2U = Σ a_v·(2·cb_v − b_v)` — every term an integer; cross products
+    * run in DECIMAL(38,0)/HUGEINT (headroom to ~10¹⁸ rows per side), and
+    * the two permilles are truncating divisions of non-negative operands
+    * (U ≤ n1·n2 and D ≤ 1 guarantee the ranges).
+    *
+    * Scale: ONE documents scan → value census (map-side-combinable; the
+    * value domain — distinct doc lengths — is bounded the x20/a21 way, so
+    * the single ordered cumulative window runs over a census, never over
+    * rows); totals broadcast; the final max/sum is one more O(values)
+    * aggregate.
+    */
+  val v16TwoSampleDrift: Q = Q(
+    "v16_two_sample_drift",
+    (s, dir) => {
+      val W = org.apache.spark.sql.expressions.Window
+      val census = t(s, dir, "documents")
+        .select(col("n_chars"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("ia"))
+        .groupBy("n_chars")
+        .agg(sum(col("ia")).as("a"), sum(lit(1L) - col("ia")).as("b"))
+      val wOrd = W.orderBy("n_chars")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+      val cum = census
+        .withColumn("ca", sum(col("a")).over(wOrd))
+        .withColumn("cb", sum(col("b")).over(wOrd))
+      val tot = census.agg(sum(col("a")).as("n1"), sum(col("b")).as("n2"))
+      cum.crossJoin(broadcast(tot))
+        .select(col("n1"), col("n2"),
+          expr("abs(CAST(ca AS DECIMAL(38,0)) * n2 - CAST(cb AS DECIMAL(38,0)) * n1)")
+            .as("dev"),
+          expr("CAST(a AS DECIMAL(38,0)) * (2 * cb - b)").as("uc"))
+        .groupBy("n1", "n2")
+        .agg(max(col("dev")).as("d_num"), sum(col("uc")).as("u2"))
+        .select(col("n1"), col("n2"),
+          expr("CAST(d_num AS BIGINT)").as("d_num"),
+          expr("CAST((CAST(1000 AS DECIMAL(38,0)) * d_num) div " +
+            "(CAST(n1 AS DECIMAL(38,0)) * n2) AS BIGINT)").as("ks_pm"),
+          expr("CAST(u2 AS BIGINT)").as("u2"),
+          expr("CAST((CAST(1000 AS DECIMAL(38,0)) * u2) div " +
+            "(CAST(2 AS DECIMAL(38,0)) * n1 * n2) AS BIGINT)").as("auc_pm"))
+    },
+    Some("""WITH census AS (
+        SELECT n_chars,
+               CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+               CAST(sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS BIGINT) AS b
+        FROM documents GROUP BY n_chars),
+      cum AS (SELECT n_chars, a, b,
+               CAST(sum(a) OVER (ORDER BY n_chars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+               CAST(sum(b) OVER (ORDER BY n_chars
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+             FROM census),
+      tot AS (SELECT CAST(sum(a) AS BIGINT) AS n1, CAST(sum(b) AS BIGINT) AS n2
+              FROM census),
+      dev AS (SELECT n1, n2,
+               abs(CAST(ca AS HUGEINT) * n2 - CAST(cb AS HUGEINT) * n1) AS dev,
+               CAST(a AS HUGEINT) * (2 * cb - b) AS uc
+              FROM cum, tot)
+      SELECT n1, n2, CAST(max(dev) AS BIGINT) AS d_num,
+        CAST((1000 * max(dev)) // (CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS ks_pm,
+        CAST(sum(uc) AS BIGINT) AS u2,
+        CAST((1000 * sum(uc)) // (2 * CAST(n1 AS HUGEINT) * n2) AS BIGINT) AS auc_pm
+      FROM dev GROUP BY n1, n2""")
+  )
+
   val all: Seq[Q] = Seq(
     a2Counts, a11Percentiles, f8Timezone, u2InsertAbsent, v2SchemaDiff, v4ColumnProfile,
     v5SourceOverlap, o4FileListing, m1BinaryMeta, v6ShardSkew, v7DataCard,
     v8PipelineYield, v9Expectations, v10PsiDrift, v11Freshness, p15ZorderLayout,
-    v12Benford, v13SeqGaps, v14RefIntegrity, v15PkUnique)
+    v12Benford, v13SeqGaps, v14RefIntegrity, v15PkUnique, v16TwoSampleDrift)
 }

@@ -1185,6 +1185,21 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("v16: KS and Mann-Whitney both derive from ONE documents scan into " +
+    "a value census; the ordered cumulative window runs over the census, " +
+    "not over rows") {
+    val plan = executedPlan("v16_two_sample_drift")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one documents scan, got $scans:\n${plan.take(3000)}")
+    assert(plan.contains("partial_sum"), s"no map-side combine:\n${plan.take(3000)}")
+    // Result sanity: AUC is a probability permille and d_num <= n1*n2.
+    val row = SparkEntry.queries("v16_two_sample_drift")(spark, sf).collect().head
+    val auc = row.getLong(row.fieldIndex("auc_pm"))
+    assert(auc >= 0 && auc <= 1000, s"auc_pm=$auc outside [0, 1000]")
+    val ks = row.getLong(row.fieldIndex("ks_pm"))
+    assert(ks >= 0 && ks <= 1000, s"ks_pm=$ks outside [0, 1000]")
+  }
+
   test("w18: row_number, max and min frames all ride ONE user-keyed " +
     "exchange and the census reuses that partitioning (the h12/w17 rule)") {
     val plan = executedPlan("w18_stochastic")
