@@ -705,7 +705,103 @@ object GraphQueries {
     labelCache.getOrElseUpdate((s, dir),
       labelAssign(coEdgesDeg(s, dir)._1, LpRounds))
 
+  private val HitsMass = 1000000L
+  private val HitsRounds = 3
+
+  /** The HITS oracle unrolls the same K mutual-reinforcement rounds the
+    * engine runs with identical integer arithmetic: each round rescales by
+    * FLOOR-dividing through `max(score) // mass` (clamped to ≥ 1), so no
+    * value ever exceeds ~mass·maxdeg and nothing approaches 64-bit range —
+    * the overflow-free alternative to multiplying scores UP by the mass
+    * (which would hit the long ceiling at in-degrees ≳ 9·10⁶; this form is
+    * safe to in-degrees ~9·10¹²). All operands are non-negative, so
+    * DuckDB's `//` (floor) and Spark's `div` (truncation) agree.
+    */
+  private def hitsOracle(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      s""",
+      ar$i AS (SELECT p.sk, CAST(sum(h.h) AS BIGINT) AS ar
+               FROM pair p JOIN h${i - 1} h ON h.ck = p.ck GROUP BY p.sk),
+      a$i AS (SELECT sk, ar // greatest((SELECT max(ar) FROM ar$i) // $HitsMass, 1) AS a
+              FROM ar$i),
+      hr$i AS (SELECT p.ck, CAST(sum(a.a) AS BIGINT) AS hr
+               FROM pair p JOIN a$i a ON a.sk = p.sk GROUP BY p.ck),
+      h$i AS (SELECT ck, hr // greatest((SELECT max(hr) FROM hr$i) // $HitsMass, 1) AS h
+              FROM hr$i)"""
+    }.mkString
+    s"""WITH pair AS (SELECT DISTINCT o.o_custkey AS ck, l.l_suppkey AS sk
+             FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+      h0 AS (SELECT DISTINCT ck, $HitsMass AS h FROM pair)$rounds
+      SELECT sk AS s_suppkey, a AS authority
+      FROM a$k ORDER BY authority DESC, s_suppkey LIMIT 20"""
+  }
+
+  /** G10: HITS hubs & authorities over the customer→supplier purchase
+    * graph — the OTHER classic link-analysis fixed point next to g1's
+    * PageRank: a supplier is a good authority when good hub customers buy
+    * from it, and a customer is a good hub when it buys from good
+    * authorities. On the bipartite purchase graph the two score vectors
+    * live on disjoint node sets, so each half-round is one keyed shuffle.
+    *
+    * Integer-exact normalization: instead of L2-normalizing (float), each
+    * half-round floor-divides by `max(score) // mass` (clamped ≥ 1), which
+    * keeps every score in [0, ~mass·maxdeg] — deterministic, overflow-free
+    * to in-degrees ~9·10¹² (headroom documented on [[hitsOracle]]), and
+    * bit-identical across engines and partitionings.
+    *
+    * Scale: the edge list is computed once, persisted, lineage-truncated,
+    * and reused by all 2K half-rounds; each half-round is one
+    * map-side-combinable sum keyed on one side's ids plus a broadcast of
+    * the 1-row max — never a collect, never a float. Score tables are
+    * node-sized, edges are scanned 2K times from cache.
+    */
+  val g10Hits: Q = Q(
+    "g10_hits",
+    (s, dir) => {
+      val pair = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(
+          t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      pair.count() // eager: each round scans it from two subtrees
+      val pairT = Lineage.truncate(pair)
+
+      var hub = pairT.select("ck").distinct().withColumn("h", lit(HitsMass))
+      var auth: DataFrame = null
+      var r = 1
+      while (r <= HitsRounds) {
+        val aRaw = pairT.join(hub, Seq("ck")).groupBy("sk").agg(sum("h").as("ar"))
+        val aMax = aRaw.agg(max("ar").as("am"))
+        auth = aRaw.crossJoin(broadcast(aMax))
+          .select(col("sk"), expr(s"ar div greatest(am div ${HitsMass}L, 1L)").as("a"))
+        val hRaw = pairT.join(auth, Seq("sk")).groupBy("ck").agg(sum("a").as("hr"))
+        val hMax = hRaw.agg(max("hr").as("hm"))
+        hub = hRaw.crossJoin(broadcast(hMax))
+          .select(col("ck"), expr(s"hr div greatest(hm div ${HitsMass}L, 1L)").as("h"))
+        // Lazy chaining is bounded: K=3 fixed rounds, each a small keyed
+        // agg over the cached edge list — no per-round materialization
+        // barrier needed (the g1 cadence lesson).
+        r += 1
+      }
+      // Materialize the final (supplier-sized) score table, then release
+      // the edge cache — the returned plan reads the persisted scores, and
+      // a rare cache miss recomputes through the captured physical plan
+      // (the g4 end-of-loop discipline).
+      val authP = auth.persist(StorageLevel.MEMORY_AND_DISK)
+      authP.count()
+      pair.unpersist()
+      Lineage.truncate(authP)
+        .select(col("sk").as("s_suppkey"), col("a").as("authority"))
+        .orderBy(desc("authority"), col("s_suppkey"))
+        .limit(20)
+    },
+    Some(hitsOracle(HitsRounds))
+  )
+
   val all: Seq[Q] =
     Seq(g1PageRank, g2TriangleCount, g3KCore, g4LabelProp, g5BfsHops, g6LinkPredict,
-      g7PersonalizedPr, g8Modularity)
+      g7PersonalizedPr, g8Modularity, g10Hits)
 }

@@ -895,11 +895,87 @@ object Relational {
     Some(sqlQ18)
   )
 
+  /** Q19: shipping-priority revenue (TPC-H Q3 shape) — the canonical
+    * 3-way star probe: the segment filter prunes customers BEFORE the
+    * orders join, both date predicates push into their parquet scans
+    * (`PushedFilters` on o_orderdate and l_shipdate), and the top-10
+    * revenue orders surface through TakeOrdered over the grouped
+    * aggregate — never a global sort of all orders. Revenue is
+    * integer-exact in 10⁻⁴ units (q16's rounding discipline), so the
+    * one ANSI text is bit-deterministic on both engines.
+    *
+    * Scale: at 100 TB the segment filter keeps ~1/5 of customers and
+    * the date cut prunes most lineitem row groups on min/max stats; the
+    * grouped agg keys on orderkey with map-side partials, and the final
+    * LIMIT is a per-partition top-k merge, not a sort.
+    */
+  private val sqlQ19 =
+    """SELECT l.l_orderkey,
+         CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                  AS BIGINT)) AS BIGINT) AS rev_u4,
+         o.o_orderdate, o.o_orderpriority
+       FROM customer c
+       JOIN orders o ON o.o_custkey = c.c_custkey
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE c.c_mktsegment = 'BUILDING'
+         AND o.o_orderdate < TIMESTAMP '1998-07-01'
+         AND l.l_shipdate > TIMESTAMP '1998-07-01'
+       GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+       ORDER BY rev_u4 DESC, l.l_orderkey
+       LIMIT 10"""
+
+  val q19SqlShippingPriority: Q = Q(
+    "q19_sql_shipping_priority",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sqlQ19)
+    },
+    Some(sqlQ19)
+  )
+
+  /** Q20: distinct-supplier census with a NOT IN exclusion (TPC-H Q16
+    * shape) — the planner stress is the null-aware anti join: `NOT IN
+    * (subquery)` must compile to a single anti join against the
+    * excluded-supplier set (s_suppkey is non-null, so the null-aware
+    * machinery degenerates to a plain anti join rather than a per-row
+    * nested loop), followed by a distinct-aggregate keyed on the part
+    * attributes. lineitem stands in for partsupp as the part↔supplier
+    * association (this corpus has no partsupp table).
+    *
+    * Scale: the exclusion set is supplier-sized (broadcastable at any
+    * SF), the anti join runs pre-aggregation so excluded rows never
+    * reach the distinct, and `count(DISTINCT l_suppkey)` expands to the
+    * standard two-phase partial-distinct plan.
+    */
+  private val sqlQ20 =
+    """SELECT p.p_brand, p.p_size, count(DISTINCT l.l_suppkey) AS supplier_cnt
+       FROM lineitem l
+       JOIN part p ON p.p_partkey = l.l_partkey
+       WHERE p.p_brand <> 'Brand#45'
+         AND l.l_suppkey NOT IN
+           (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+       GROUP BY p.p_brand, p.p_size
+       ORDER BY supplier_cnt DESC, p.p_brand, p.p_size
+       LIMIT 50"""
+
+  val q20SqlSupplierCensus: Q = Q(
+    "q20_sql_supplier_census",
+    (s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part")
+      t(s, dir, "supplier").createOrReplaceTempView("supplier")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sqlQ20)
+    },
+    Some(sqlQ20)
+  )
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q07SqlAboveAvg, q08SqlNotExists, q09SqlCorrelated,
     q10SqlExistsChain, q11SqlNestedIn, q12SqlTopSupplier, q13SqlMinCost,
     q14SqlWindow, q15SqlRecursive, q16SqlDisjunctive, q17SqlLargeOrders,
-    q18SqlGlobalAvg,
+    q18SqlGlobalAvg, q19SqlShippingPriority, q20SqlSupplierCensus,
     p1Drop, p2Rename, p3Project, p4Filter, p5Isin, p6Validity, p8MaskedUpdate,
     f1Respell, f2Case, f3Split, f4StringAgg, f5Concat, f6TimeTrunc, f9TsArith,
     f11CastNull, f13Json,
