@@ -1209,4 +1209,62 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("windowspecdefinition(specified"),
       s"unpartitioned window:\n${plan.take(3000)}")
   }
+
+  test("q19: both date cuts push into their parquet scans, the segment " +
+    "filter broadcasts against orders, and the top-10 is TakeOrdered") {
+    val plan = executedPlan("q19_sql_shipping_priority")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate), LessThan(o_orderdate") ||
+      plan.contains("LessThan(o_orderdate"),
+      s"o_orderdate cut not pushed:\n${plan.take(3000)}")
+    assert(plan.contains("GreaterThan(l_shipdate"),
+      s"l_shipdate cut not pushed:\n${plan.take(3000)}")
+    // customer-after-segment-filter is dimension-sized → broadcast side.
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-10 must be TakeOrdered, not a global sort:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q20: NOT IN over a non-null key compiles to ONE anti join (no " +
+    "per-row nested-loop re-scan) and the distinct agg is two-phase") {
+    val df = SparkEntry.queries("q20_sql_supplier_census")(spark, sf)
+    // The anti join lives in the OPTIMIZED LOGICAL plan: the physical tree
+    // may legitimately drop it when AQE proves the exclusion set empty at
+    // tiny SF (PropagateEmptyRelation folds LeftAnti-with-empty-build to
+    // its left child) — the planner property under test is that NOT IN
+    // compiled to ONE join, never a per-row subquery re-scan.
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(logical.contains("Join LeftAnti"),
+      s"NOT IN must compile to an anti join:\n${logical.take(3000)}")
+    val plan = finalPlan(df)
+    assert(plan.contains("partial_count"),
+      s"distinct agg must map-side combine:\n${plan.take(3000)}")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-50 must be TakeOrdered:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("g10: the returned plan reads the lineage-truncated score cache " +
+    "(O(1)-deep, no fact rescan) and cuts via TakeOrdered; scores carry " +
+    "the integer rescale invariant") {
+    val df = SparkEntry.queries("g10_hits")(spark, sf)
+    val plan = finalPlan(df)
+    // All 2K half-rounds ran behind persist+truncate during construction;
+    // the plan handed back must read the cached supplier-sized score
+    // table, not re-derive the purchase graph (the g3/g4 discipline).
+    assert(plan.contains("Scan ExistingRDD"),
+      "final scores must be a truncated ExistingRDD scan:\n" + plan.take(3000))
+    assert(!plan.contains("Scan parquet"),
+      "final read must not rescan the fact tables:\n" + plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be TakeOrdered:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"))
+    // Rescale invariant: each half-round floor-divides by max//mass
+    // (clamped), so the top authority lands in [mass/2, 2*mass) and no
+    // score is negative.
+    val scores = df.collect().map(_.getLong(1))
+    assert(scores.head >= 500000L && scores.head < 2000000L,
+      s"top authority ${scores.head} outside the rescale envelope")
+    assert(scores.forall(_ >= 0L))
+  }
 }
