@@ -1005,9 +1005,71 @@ object MiscQueries {
       FROM dev GROUP BY n1, n2""")
   )
 
+  /** P17: small-file compaction planner — the lakehouse OPTIMIZE/bin-pack
+    * step (Delta OPTIMIZE, Iceberg rewrite_data_files): given per-file
+    * stats, pack order-adjacent small files into target-sized compaction
+    * groups and report each group's fill. Files here are the corpus's
+    * natural write granules — (source, doc_id div 20) — with bytes =
+    * Σ n_chars; a file is assigned to group `exclusive-prefix-bytes div
+    * target` within its source, the streaming first-fit that preserves
+    * doc_id order (so compacted files stay range-prunable on doc_id).
+    * Groups can overfill past the target by at most one file — the
+    * planner reports fill_pm so the overflow is visible, matching how
+    * OPTIMIZE emits one oversized file rather than splitting a source
+    * file across outputs.
+    *
+    * Scale: the plan runs entirely over file METADATA — at 100 TB with
+    * ~10⁶ files the stats table is megabytes; the per-source cumulative
+    * window is the only ordered step and partitions by source, never a
+    * global sort. The data itself is touched only by the (separate)
+    * rewrite jobs this plan drives, one per group, each bounded by the
+    * target size.
+    */
+  val p17CompactionPlan: Q = {
+    val target = 20000L // target compacted size, chars
+    Q(
+      "p17_compaction_plan",
+      (s, dir) => {
+        import org.apache.spark.sql.expressions.Window
+        val files = t(s, dir, "documents")
+          .groupBy(col("source"), expr("doc_id div 20").as("file_id"))
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("bytes"))
+        val w = Window.partitionBy("source").orderBy("file_id")
+        files
+          .withColumn("cum", sum("bytes").over(w))
+          .withColumn("cgroup", expr(s"(cum - bytes) div ${target}L"))
+          .groupBy("source", "cgroup")
+          .agg(
+            count(lit(1)).as("n_files"),
+            sum("n_docs").as("n_docs"),
+            sum("bytes").as("bytes"),
+            min("file_id").as("first_file"),
+            max("file_id").as("last_file"))
+          .withColumn("fill_pm", expr(s"bytes * 1000 div ${target}L"))
+          .orderBy("source", "cgroup")
+      },
+      Some(s"""WITH files AS (
+          SELECT source, doc_id // 20 AS file_id,
+                 count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS bytes
+          FROM documents GROUP BY source, doc_id // 20),
+        plan AS (
+          SELECT *, CAST(sum(bytes) OVER (PARTITION BY source ORDER BY file_id
+                      ROWS UNBOUNDED PRECEDING) - bytes AS BIGINT) AS prior
+          FROM files)
+        SELECT source, prior // $target AS cgroup, count(*) AS n_files,
+          CAST(sum(n_docs) AS BIGINT) AS n_docs,
+          CAST(sum(bytes) AS BIGINT) AS bytes,
+          min(file_id) AS first_file, max(file_id) AS last_file,
+          CAST(sum(bytes) AS BIGINT) * 1000 // $target AS fill_pm
+        FROM plan GROUP BY source, prior // $target
+        ORDER BY source, cgroup""")
+    )
+  }
+
   val all: Seq[Q] = Seq(
     a2Counts, a11Percentiles, f8Timezone, u2InsertAbsent, v2SchemaDiff, v4ColumnProfile,
     v5SourceOverlap, o4FileListing, m1BinaryMeta, v6ShardSkew, v7DataCard,
     v8PipelineYield, v9Expectations, v10PsiDrift, v11Freshness, p15ZorderLayout,
-    v12Benford, v13SeqGaps, v14RefIntegrity, v15PkUnique, v16TwoSampleDrift)
+    v12Benford, v13SeqGaps, v14RefIntegrity, v15PkUnique, v16TwoSampleDrift,
+    p17CompactionPlan)
 }

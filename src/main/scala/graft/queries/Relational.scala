@@ -971,11 +971,57 @@ object Relational {
     Some(sqlQ20)
   )
 
+  /** Q21: volume shipping between a nation pair (TPC-H Q7 shape) — the
+    * planner stress is the DISJUNCTIVE pair predicate over two aliases of
+    * the same dimension: `(n1=A ∧ n2=B) ∨ (n1=B ∧ n2=A)` references both
+    * nation sides at once, so it cannot push below either dimension join
+    * and must survive as a post-join filter — while the non-disjunctive
+    * residue (each side's membership in {A, B}) IS separable and a good
+    * optimizer pushes `n_name IN (A, B)` into both nation scans,
+    * shrinking the broadcast sides before the fact tables join.
+    *
+    * Scale: all three dimension hops (supplier, customer, nation ×2) are
+    * broadcastable at any SF; lineitem⋈orders is the one real shuffle;
+    * the year rollup keys on a 3-value group with map-side partials.
+    * Revenue is integer-exact in 10⁻⁴ units (the q16 discipline).
+    */
+  private val sqlQ21 =
+    """SELECT supp_nation, cust_nation, l_year,
+         CAST(sum(vol_u4) AS BIGINT) AS revenue_u4
+       FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(extract(year FROM l.l_shipdate) AS INT) AS l_year,
+               CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                    AS BIGINT) AS vol_u4
+             FROM supplier s
+             JOIN lineitem l ON l.l_suppkey = s.s_suppkey
+             JOIN orders o ON o.o_orderkey = l.l_orderkey
+             JOIN customer c ON c.c_custkey = o.o_custkey
+             JOIN nation n1 ON n1.n_nationkey = s.s_nationkey
+             JOIN nation n2 ON n2.n_nationkey = c.c_nationkey
+             WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+                OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')) v
+       GROUP BY supp_nation, cust_nation, l_year
+       ORDER BY supp_nation, cust_nation, l_year"""
+
+  val q21SqlVolumeShipping: Q = Q(
+    "q21_sql_volume_shipping",
+    (s, dir) => {
+      t(s, dir, "supplier").createOrReplaceTempView("supplier")
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sqlQ21)
+    },
+    Some(sqlQ21)
+  )
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q07SqlAboveAvg, q08SqlNotExists, q09SqlCorrelated,
     q10SqlExistsChain, q11SqlNestedIn, q12SqlTopSupplier, q13SqlMinCost,
     q14SqlWindow, q15SqlRecursive, q16SqlDisjunctive, q17SqlLargeOrders,
     q18SqlGlobalAvg, q19SqlShippingPriority, q20SqlSupplierCensus,
+    q21SqlVolumeShipping,
     p1Drop, p2Rename, p3Project, p4Filter, p5Isin, p6Validity, p8MaskedUpdate,
     f1Respell, f2Case, f3Split, f4StringAgg, f5Concat, f6TimeTrunc, f9TsArith,
     f11CastNull, f13Json,

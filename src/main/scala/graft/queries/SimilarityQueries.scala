@@ -1705,10 +1705,98 @@ object SimilarityQueries {
       FROM num, wn, qn""")
   )
 
+  /** E22: Johnson–Lindenstrauss random projection + distortion audit —
+    * the dimensionality-reduction step a 100 TB ANN build runs BEFORE
+    * indexing (project d→K, index the short vectors, re-rank survivors
+    * at full precision). The projection matrix is ±1 signs derived from
+    * md5 of (k, dim) — no stored model, any executor regenerates any
+    * entry — and vectors are quantized to 10⁻³ integers, so projections
+    * are exact longs. The audit measures what JL promises: for the
+    * query's exact top-10 neighbors, projected squared distance ÷ K
+    * estimates true squared distance; ratio_pm is the per-pair
+    * distortion in permille (E[ratio_pm] = 1000, spread ~1/√K).
+    *
+    * Scale: the projection (posexplode ×K via codegen'd `sequence`, no
+    * join; one map-side-combinable sum keyed (vec_id, k)) lands in a
+    * persisted n·K-row table read by both its consumers; the exact arm
+    * re-scans only the narrow (vec_id, embedding) columns and joins the
+    * d-row broadcast query dims — cheaper than caching the n·d explode.
+    * All downstream joins are on K-row / 10-row results: nothing ever
+    * pairs vectors all-against-all, and the sign "matrix" ships as
+    * code, not data.
+    */
+  val e22JlProjection: Q = {
+    val K = 16
+    Q(
+      "e22_jl_projection",
+      (s, dir) => {
+        import graft.functions.Text
+        val dims = t(s, dir, "embeddings")
+          .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+          .select(col("vec_id"), col("i"),
+            round(col("x").cast("double") * 1000).cast("long").as("q"))
+        // ±1 sign from md5(k|i): regenerated per row, never materialized.
+        val proj = dims
+          .select(col("vec_id"), col("q"), col("i"),
+            explode(sequence(lit(0), lit(K - 1))).as("k"))
+          .withColumn("s",
+            when(Text.seededHash64(col("k"), col("i").cast("string")) % 2 === 0,
+              lit(1L)).otherwise(lit(-1L)))
+          .groupBy("vec_id", "k")
+          .agg(sum(col("s") * col("q")).as("p"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val qdims = dims.filter(col("vec_id") === 0)
+          .select(col("i"), col("q").as("qq"))
+        val exact = dims.filter(col("vec_id") =!= 0)
+          .join(broadcast(qdims), Seq("i"))
+          .groupBy("vec_id")
+          .agg(sum((col("q") - col("qq")) * (col("q") - col("qq"))).as("l2q"))
+          .orderBy(col("l2q").asc, col("vec_id"))
+          .limit(10)
+        val qproj = proj.filter(col("vec_id") === 0)
+          .select(col("k"), col("p").as("qp"))
+        val est = proj.filter(col("vec_id") =!= 0)
+          .join(broadcast(qproj), Seq("k"))
+          .groupBy("vec_id")
+          .agg(expr(s"sum((p - qp) * (p - qp)) div ${K}L").as("est_l2q"))
+        exact.join(est, Seq("vec_id"))
+          .withColumn("ratio_pm", expr("est_l2q * 1000 div greatest(l2q, 1L)"))
+          .select("vec_id", "l2q", "est_l2q", "ratio_pm")
+          .orderBy(col("l2q").asc, col("vec_id"))
+      },
+      Some(s"""WITH dims AS (
+          SELECT vec_id,
+            unnest(range(len(embedding))) AS i,
+            unnest(list_transform(embedding,
+              x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT))) AS q
+          FROM embeddings),
+        proj AS (
+          SELECT vec_id, k,
+            CAST(sum(CASE WHEN CAST('0x' || substr(md5(
+                   CAST(k AS VARCHAR) || '|' || CAST(i AS VARCHAR)), 1, 15)
+                   AS BIGINT) % 2 = 0 THEN q ELSE -q END) AS BIGINT) AS p
+          FROM dims CROSS JOIN (SELECT unnest(range($K)) AS k) ks
+          GROUP BY vec_id, k),
+        exact AS (
+          SELECT d.vec_id, CAST(sum((d.q - qd.q) * (d.q - qd.q)) AS BIGINT) AS l2q
+          FROM dims d JOIN dims qd ON qd.vec_id = 0 AND qd.i = d.i
+          WHERE d.vec_id <> 0 GROUP BY d.vec_id
+          ORDER BY l2q ASC, d.vec_id LIMIT 10),
+        est AS (
+          SELECT p.vec_id, CAST(sum((p.p - q.p) * (p.p - q.p)) AS BIGINT) // $K AS est_l2q
+          FROM proj p JOIN proj q ON q.vec_id = 0 AND q.k = p.k
+          WHERE p.vec_id <> 0 GROUP BY p.vec_id)
+        SELECT x.vec_id, x.l2q, e.est_l2q,
+          e.est_l2q * 1000 // greatest(x.l2q, 1) AS ratio_pm
+        FROM exact x JOIN est e ON e.vec_id = x.vec_id
+        ORDER BY x.l2q ASC, x.vec_id""")
+    )
+  }
+
   val all: Seq[Q] = Seq(e1CosineTopK, e2AnnIvf, e3BucketNearDup, e4AnnKmeans,
     e5AnnHyperplane, e6SemanticDedup, e7AnnBatch, e8PqAdc, e9AnnRecall,
     e10MmrRerank, e11EmbeddingQa, e12SqRecall, e13IvfPq, e14FilteredAnn,
     e15NprobeSweep, e16HybridRrf, e17HardNegatives, e18MeanPool,
     e19CentroidDrift, g9KnnGraph, c14ClusterBalanced, e20PcaPower,
-    e21Anisotropy)
+    e21Anisotropy, e22JlProjection)
 }

@@ -1244,6 +1244,45 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q21: the disjunctive nation-pair predicate keeps every dimension " +
+    "hop a broadcast join — the OR never degrades to a cartesian pairing") {
+    val plan = executedPlan("q21_sql_volume_shipping")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3,
+      s"supplier/customer/nation hops must broadcast, got $broadcasts:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("partial_sum"),
+      s"year rollup must map-side combine:\n${plan.take(3000)}")
+  }
+
+  test("p17: the compaction plan reads ONLY the three stat columns (never " +
+    "text) and its cumulative window partitions by source") {
+    val plan = executedPlan("p17_compaction_plan")
+    assert(!plan.contains("text"),
+      s"planner must not read document payloads:\n${plan.take(3000)}")
+    assert(!plan.contains("windowspecdefinition(specified"),
+      s"cumulative window must partition by source:\n${plan.take(3000)}")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one metadata scan, got $scans:\n${plan.take(3000)}")
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"file-stats agg must map-side combine:\n${plan.take(3000)}")
+  }
+
+  test("e22: the projection table is computed once (cached reads for both " +
+    "consumers), sums combine map-side, and nothing pairs all-against-all") {
+    val plan = executedPlan("e22_jl_projection")
+    assert(plan.contains("InMemoryTableScan"),
+      s"proj must be read from cache, not recomputed:\n${plan.take(3000)}")
+    assert(plan.contains("partial_sum"),
+      s"projection sums must map-side combine:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // The exact arm re-scans only the narrow columns; with the cached
+    // projection that's at most 3 parquet scans (exact dims + query dims
+    // + the one-time cache build inlined into this first action).
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 3, s"expected <=3 parquet scans, got $scans:\n${plan.take(3000)}")
+  }
+
   test("g10: the returned plan reads the lineage-truncated score cache " +
     "(O(1)-deep, no fact rescan) and cuts via TakeOrdered; scores carry " +
     "the integer rescale invariant") {
