@@ -1066,10 +1066,68 @@ object MiscQueries {
     )
   }
 
+  /** V17: rule-provenance quarantine census — v9's expectation suite
+    * reports PER-RULE failure counts; production quarantine needs the
+    * JOINT picture: each row carries a BITMASK of every rule it failed
+    * (the dead-letter "reasons" column), and the census groups by mask,
+    * so co-occurring failures ("high outliers are always off-hours")
+    * surface as one row instead of being double-counted across rules.
+    * The mask doubles as the routing key: mask 0 ships, anything else
+    * quarantines with its reasons attached.
+    *
+    * Scale: the mask is four codegen'd CASE expressions summed in the
+    * scan projection — ONE pass, no joins, no second scan per rule (the
+    * per-rule-count antipattern is R scans); the census aggregate keys
+    * on ≤2^R masks with map-side combine. Adding a rule is one more
+    * conditional, not another pass.
+    */
+  val v17RuleQuarantine: Q = Q(
+    "v17_rule_quarantine",
+    (s, dir) => {
+      val masked = t(s, dir, "events").select(
+        col("event_id"),
+        (when(col("value") > 250.0, 1L).otherwise(0L) +
+          when(col("value") < 1.0, 2L).otherwise(0L) +
+          when(col("event_type") === "error", 4L).otherwise(0L) +
+          when(hour(col("ts")) < 6 || hour(col("ts")) >= 22, 8L)
+            .otherwise(0L)).as("mask"))
+      masked
+        .groupBy("mask")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("event_id")).as("first_id"),
+          max(col("event_id")).as("last_id"))
+        .withColumn("reasons", concat_ws(",", array_remove(array(
+          when(expr("mask & 1") =!= 0, "outlier_high").otherwise(""),
+          when(expr("mask & 2") =!= 0, "suspicious_low").otherwise(""),
+          when(expr("mask & 4") =!= 0, "error_channel").otherwise(""),
+          when(expr("mask & 8") =!= 0, "off_hours").otherwise("")), "")))
+        .withColumn("verdict",
+          when(col("mask") === 0, "ship").otherwise("quarantine"))
+        .orderBy("mask")
+    },
+    Some("""WITH m AS (SELECT event_id,
+          (CASE WHEN value > 250.0 THEN 1 ELSE 0 END +
+           CASE WHEN value < 1.0 THEN 2 ELSE 0 END +
+           CASE WHEN event_type = 'error' THEN 4 ELSE 0 END +
+           CASE WHEN extract(hour FROM ts) < 6 OR extract(hour FROM ts) >= 22
+                THEN 8 ELSE 0 END) AS mask
+        FROM events)
+      SELECT CAST(mask AS BIGINT) AS mask, count(*) AS n_rows,
+        min(event_id) AS first_id, max(event_id) AS last_id,
+        coalesce(array_to_string(list_filter([
+          CASE WHEN mask & 1 <> 0 THEN 'outlier_high' ELSE '' END,
+          CASE WHEN mask & 2 <> 0 THEN 'suspicious_low' ELSE '' END,
+          CASE WHEN mask & 4 <> 0 THEN 'error_channel' ELSE '' END,
+          CASE WHEN mask & 8 <> 0 THEN 'off_hours' ELSE '' END],
+          x -> x <> ''), ','), '') AS reasons,
+        CASE WHEN mask = 0 THEN 'ship' ELSE 'quarantine' END AS verdict
+      FROM m GROUP BY mask ORDER BY mask""")
+  )
+
   val all: Seq[Q] = Seq(
     a2Counts, a11Percentiles, f8Timezone, u2InsertAbsent, v2SchemaDiff, v4ColumnProfile,
     v5SourceOverlap, o4FileListing, m1BinaryMeta, v6ShardSkew, v7DataCard,
     v8PipelineYield, v9Expectations, v10PsiDrift, v11Freshness, p15ZorderLayout,
     v12Benford, v13SeqGaps, v14RefIntegrity, v15PkUnique, v16TwoSampleDrift,
-    p17CompactionPlan)
+    p17CompactionPlan, v17RuleQuarantine)
 }

@@ -750,8 +750,78 @@ object MixtureQueries {
       FROM r ORDER BY doc_id""")
   )
 
+  /** C15: DoReMi-style domain reweighting step (Xie et al. 2023,
+    * arXiv:2305.10429) — one round of the proxy-loss-driven mixture
+    * update: per-domain EXCESS loss (domain mean token surprisal above
+    * the corpus mean, clipped at 0 — the "reducible" part a reweighted
+    * run could still learn) multiplies the domain's weight up, then
+    * weights renormalize. DoReMi's exponentiated-gradient step
+    * `w·exp(η·excess)` is approximated by its first-order multiplicative
+    * form `w·(1 + η·excess)` with η = 1/bit, which keeps every operand
+    * an exact integer (x10's 2^20-quantized surprisal) — bit-identical
+    * across engines and partitionings, where an exp() would not be.
+    * The uniform prior cancels in the normalization, so the update is
+    * pure arithmetic on the domain census.
+    *
+    * Scale: one tokenize→census pass (vocab-bounded, persisted — x10's
+    * discipline), one broadcast-degradable token join feeding a 20-row
+    * domain aggregate; the reweighting windows run over DOMAINS, not
+    * rows. Overflow headroom (the w11 discipline): per-token qbits ≤
+    * ~30·2^20 ≈ 3·10⁷, so a domain's long sum overflows past ~3·10¹¹
+    * tokens (~1 TB of text per domain); beyond that drop quantization
+    * to 2^10 (headroom ×1024) or widen the sum to DECIMAL(38,0) as c9
+    * does.
+    */
+  val c15DoremiStep: Q = Q(
+    "c15_doremi_step",
+    (s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("source"), explode(Text.tokens(col("text"))).as("tok"))
+      val census = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      census.count()
+      val total = census.agg(sum(col("c")).as("n_total"))
+      val dom = toks
+        .join(census, Seq("tok"))
+        .crossJoin(broadcast(total))
+        .select(col("source"),
+          round((log2(col("n_total")) - log2(col("c"))) * q20.toDouble)
+            .cast("long").as("qbits"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("qbits")).as("sum_qbits"))
+      dom
+        .withColumn("loss_q20", expr("sum_qbits div n_tokens"))
+        .withColumn("ref_q20",
+          expr("sum(sum_qbits) over () div sum(n_tokens) over ()"))
+        .withColumn("excess_q20", expr("greatest(loss_q20 - ref_q20, 0L)"))
+        .withColumn("w_pm", expr(
+          "(1048576 + excess_q20) * 1000 div sum(1048576 + excess_q20) over ()"))
+        .select("source", "n_tokens", "loss_q20", "ref_q20", "excess_q20", "w_pm")
+        .orderBy("source")
+    },
+    Some("""WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+          FROM documents),
+      census AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+      total AS (SELECT sum(c) AS n_total FROM census),
+      dom AS (SELECT source, count(*) AS n_tokens,
+          CAST(sum(CAST(round((log2(n_total) - log2(c)) * 1048576) AS BIGINT))
+               AS BIGINT) AS sum_qbits
+        FROM toks JOIN census USING (tok) CROSS JOIN total GROUP BY source),
+      x AS (SELECT *, sum_qbits // n_tokens AS loss_q20,
+          CAST(sum(sum_qbits) OVER () AS BIGINT)
+            // CAST(sum(n_tokens) OVER () AS BIGINT) AS ref_q20
+        FROM dom)
+      SELECT source, n_tokens, loss_q20, ref_q20,
+        greatest(loss_q20 - ref_q20, 0) AS excess_q20,
+        (1048576 + greatest(loss_q20 - ref_q20, 0)) * 1000
+          // CAST(sum(1048576 + greatest(loss_q20 - ref_q20, 0)) OVER ()
+               AS BIGINT) AS w_pm
+      FROM x ORDER BY source""")
+  )
+
   val all: Seq[Q] = Seq(
     c3MixtureBuild, p13WeightedSample, x11BigramSurprisal, d8IncrementalNearDup,
     x12RetentionPolicy, c8DsirAdmission, c9TemperatureMixture, c11EpochAllocation,
-    p14SplitAssign, c12DedupDiscount, x25KneserNey, x31PerplexityFilter)
+    p14SplitAssign, c12DedupDiscount, x25KneserNey, x31PerplexityFilter,
+    c15DoremiStep)
 }

@@ -1283,6 +1283,34 @@ class PlanSpec extends SparkSpec {
     assert(scans <= 3, s"expected <=3 parquet scans, got $scans:\n${plan.take(3000)}")
   }
 
+  test("c15: the vocab census is persisted (cached read feeds the token " +
+    "join), sums combine map-side, and the reweight windows run over the " +
+    "domain aggregate, not rows") {
+    val plan = executedPlan("c15_doremi_step")
+    assert(plan.contains("InMemoryTableScan"),
+      s"census must be read from cache:\n${plan.take(3000)}")
+    assert(plan.contains("partial_sum"),
+      s"domain sums must map-side combine:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // The MW update's unpartitioned window is bounded by construction:
+    // its input is the ≤|domains|-row aggregate. It must sit ABOVE the
+    // domain HashAggregate in the plan (window over 20 rows, not corpus).
+    val winAt = plan.indexOf("Window")
+    val aggAt = plan.indexOf("HashAggregate(keys=[source")
+    assert(winAt >= 0 && aggAt > winAt,
+      s"window must run over the domain aggregate:\n${plan.take(3000)}")
+  }
+
+  test("v17: the rule bitmask is ONE scan with codegen'd conditionals — " +
+    "no join, no per-rule re-scan — and the mask census combines map-side") {
+    val plan = executedPlan("v17_rule_quarantine")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one events scan, got $scans:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), s"mask needs no join:\n${plan.take(3000)}")
+    assert(plan.contains("partial_count"),
+      s"mask census must map-side combine:\n${plan.take(3000)}")
+  }
+
   test("g10: the returned plan reads the lineage-truncated score cache " +
     "(O(1)-deep, no fact rescan) and cuts via TakeOrdered; scores carry " +
     "the integer rescale invariant") {
