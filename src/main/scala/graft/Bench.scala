@@ -88,7 +88,8 @@ object Bench {
     "w18_stochastic", "v16_two_sample_drift",
     "g10_hits", "q19_sql_shipping_priority", "q20_sql_supplier_census",
     "q21_sql_volume_shipping", "p17_compaction_plan", "e22_jl_projection",
-    "c15_doremi_step", "v17_rule_quarantine")
+    "c15_doremi_step", "v17_rule_quarantine",
+    "d17_bloom_admission", "m7_shot_boundary")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

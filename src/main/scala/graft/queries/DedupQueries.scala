@@ -923,7 +923,95 @@ object DedupQueries {
       FROM j GROUP BY ca ORDER BY cid""")
   )
 
+  /** D17: Bloom-gated incremental admission with exact false-positive
+    * accounting — d7's anti-join gate swapped for the approximate-
+    * membership gate a 100 TB ingest actually runs first (probe a compact
+    * sketch, fall through to the exact census only on "maybe"). The
+    * filter is held DISTRIBUTED — the corpus's k=3 md5-seeded bit
+    * positions live as a ≤m-row position TABLE and membership is an
+    * equi-join counting hit probes — unlike j11's driver-collected bitmap
+    * literal: at 100 TB m grows to billions of bits, which ships fine as
+    * a table but never as a broadcast literal. Each batch doc is graded
+    * `admitted` (some probe missed — definitely new, the no-false-
+    * negative guarantee), `true_dup`, or `false_positive` (all probes
+    * hit but the exact fp is absent) — so the query IS the FPR audit for
+    * sizing m against the corpus cardinality.
+    *
+    * Scale: corpus side is one distinct aggregate on probe positions
+    * (vocab m-bounded); the batch explodes ×k (narrow longs), one
+    * equi-join on position, one count per doc; the exact arm reuses d7's
+    * census semi-join. No driver state anywhere.
+    */
+  val d17BloomAdmission: Q = {
+    // Deliberately undersized for this corpus (≈69 % fill at 400 census
+    // docs → FPR ≈ ⅓) so the audit's false_positive class is exercised;
+    // the sizing decision the report drives is "grow m until that class
+    // vanishes".
+    val m = 1024L
+    val k = 3
+    Q(
+      "d17_bloom_admission",
+      (s, dir) => {
+        val fp = Text.prefixFingerprint(Text.tokens(col("text")), 8)
+        val docs = t(s, dir, "documents").select(col("doc_id"), fp.as("fp"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        docs.count()
+        val corpus = docs.filter(col("doc_id") < 400)
+        val batch = docs.filter(col("doc_id") >= 400)
+        val cpos = corpus
+          .select(explode(sequence(lit(0), lit(k - 1))).as("i"), col("fp"))
+          .select((Text.seededHash64(col("i"), col("fp")) % m).as("p"))
+          .distinct()
+        val bpos = batch
+          .select(col("doc_id"), explode(sequence(lit(0), lit(k - 1))).as("i"),
+            col("fp"))
+          .select(col("doc_id"), (Text.seededHash64(col("i"), col("fp")) % m).as("p"))
+        val hits = bpos.join(cpos, Seq("p"))
+          .groupBy("doc_id").agg(count(lit(1)).as("h"))
+        val exact = batch
+          .join(corpus.select("fp").distinct(), Seq("fp"), "left_semi")
+          .select(col("doc_id").as("e_id"))
+        batch.select("doc_id")
+          .join(hits, Seq("doc_id"), "left")
+          .join(exact, col("doc_id") === col("e_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("h"), lit(0L)).as("n_hit"),
+            when(coalesce(col("h"), lit(0L)) === k && col("e_id").isNotNull,
+              "true_dup")
+              .when(coalesce(col("h"), lit(0L)) === k, "false_positive")
+              .otherwise("admitted").as("verdict"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH docs AS (SELECT doc_id,
+            md5(array_to_string(string_split(text, ' ')[1:8], ' ')) AS fp
+          FROM documents),
+        corpus AS (SELECT * FROM docs WHERE doc_id < 400),
+        batch AS (SELECT * FROM docs WHERE doc_id >= 400),
+        cpos AS (SELECT DISTINCT
+            CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || fp), 1, 15)
+                 AS BIGINT) % $m AS p
+          FROM corpus CROSS JOIN (SELECT unnest(range($k)) AS i) g),
+        bpos AS (SELECT doc_id,
+            CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' || fp), 1, 15)
+                 AS BIGINT) % $m AS p
+          FROM batch CROSS JOIN (SELECT unnest(range($k)) AS i) g),
+        hits AS (SELECT doc_id, count(*) AS h
+          FROM bpos JOIN cpos USING (p) GROUP BY doc_id),
+        ex AS (SELECT DISTINCT b.doc_id FROM batch b
+          WHERE b.fp IN (SELECT fp FROM corpus))
+        SELECT b.doc_id, coalesce(h.h, 0) AS n_hit,
+          CASE WHEN coalesce(h.h, 0) = $k AND e.doc_id IS NOT NULL
+                 THEN 'true_dup'
+               WHEN coalesce(h.h, 0) = $k THEN 'false_positive'
+               ELSE 'admitted' END AS verdict
+        FROM batch b LEFT JOIN hits h ON h.doc_id = b.doc_id
+        LEFT JOIN ex e ON e.doc_id = b.doc_id
+        ORDER BY b.doc_id""")
+    )
+  }
+
   val all: Seq[Q] = Seq(d1ExactDedup, d2NgramJaccard, d3MinHashLsh, d4SimHash,
     d7IncrementalDedup, d9Containment, d10DupSpans, d11LshRecall, d12OphMinhash,
-    d13OphDense, d14CdcChunks, d15BandTuning, d16TfidfDedup, d18DedupAgreement)
+    d13OphDense, d14CdcChunks, d15BandTuning, d16TfidfDedup, d18DedupAgreement,
+    d17BloomAdmission)
 }

@@ -523,9 +523,75 @@ object PipelineExtras {
       FROM g ORDER BY id, py, px""")
   )
 
+  /** M7: shot-boundary detection + keyframe census — the video
+    * segmentation step a vision-LM data pipeline runs before sampling
+    * training frames (cut detection → one keyframe per shot beats
+    * fixed-stride m2 sampling, which straddles cuts). Media stand-in as
+    * in m2/m4: each 64-byte payload block is a "frame", its 16-bit
+    * signature the first 4 md5 nibbles (a perceptual-hash stand-in; the
+    * codec is honestly stubbed, zero-egress). A cut falls where the
+    * Hamming distance between adjacent frame signatures ≥ 12 of 16 bits;
+    * shots are the running count of cuts, and the census emits one row
+    * per shot with its keyframe (first frame) signature.
+    *
+    * Scale: signatures are narrow per-row codegen (md5 + conv — payloads
+    * never shuffle); the lag/cumsum windows and the census all key on
+    * doc_id, so the whole pipeline rides ONE video-keyed exchange. Frame
+    * counts per video are bounded (minutes × fps), so per-key windows
+    * never skew.
+    */
+  val m7ShotBoundary: Q = Q(
+    "m7_shot_boundary",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("doc_id").orderBy("frame_id")
+      t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .withColumn("n_frames", expr("(length(text) + 63) div 64"))
+        .select(col("doc_id"), col("text"),
+          posexplode(sequence(lit(0), col("n_frames") - 1)))
+        .select(col("doc_id"), col("pos").cast("long").as("frame_id"),
+          expr("cast(conv(substr(md5(substr(text, pos * 64 + 1, 64)), 1, 4), 16, 10) as bigint)")
+            .as("sig"))
+        .withColumn("prev_sig", lag(col("sig"), 1).over(w))
+        .withColumn("cut",
+          when(col("prev_sig").isNull ||
+            expr("bit_count(sig ^ prev_sig)") >= 12, 1L).otherwise(0L))
+        .withColumn("shot", sum(col("cut")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)) - 1)
+        .groupBy("doc_id", "shot")
+        .agg(count(lit(1)).as("n_frames"),
+          min(col("frame_id")).as("first_frame"),
+          max(col("frame_id")).as("last_frame"),
+          min_by(col("sig"), col("frame_id")).as("keyframe_sig"))
+        .orderBy("doc_id", "shot")
+    },
+    Some("""WITH frames AS (
+        SELECT doc_id, frame_id,
+          CAST('0x' || substr(md5(substr(text, CAST(frame_id * 64 + 1 AS INTEGER), 64)), 1, 4)
+               AS BIGINT) AS sig
+        FROM (SELECT doc_id, text,
+                unnest(range((length(text) + 63) // 64)) AS frame_id
+              FROM documents WHERE length(text) > 0)),
+      cuts AS (SELECT doc_id, frame_id, sig,
+          CASE WHEN lag(sig) OVER (PARTITION BY doc_id ORDER BY frame_id) IS NULL
+                 OR bit_count(xor(sig,
+                      lag(sig) OVER (PARTITION BY doc_id ORDER BY frame_id))) >= 12
+               THEN 1 ELSE 0 END AS cut
+        FROM frames),
+      shots AS (SELECT doc_id, frame_id, sig,
+          CAST(sum(cut) OVER (PARTITION BY doc_id ORDER BY frame_id
+                ROWS UNBOUNDED PRECEDING) - 1 AS BIGINT) AS shot
+        FROM cuts)
+      SELECT doc_id, shot, count(*) AS n_frames,
+        min(frame_id) AS first_frame, max(frame_id) AS last_frame,
+        min_by(sig, frame_id) AS keyframe_sig
+      FROM shots GROUP BY doc_id, shot ORDER BY doc_id, shot""")
+  )
+
   val all: Seq[Q] = Seq(
     f14ArrayOps, f15MapOps, f16ExplodeSequence, f17StringFuncs,
     f18RegexpExtractAll, f19BucketCategorize, x6PiiScrub, x7BpeTokens,
     x14TokenFertility, m2FrameSample, m3ResizeMeta, d5DupClusters,
-    m4MediaDedup, m5AudioSegments, m6PatchGrid)
+    m4MediaDedup, m5AudioSegments, m6PatchGrid, m7ShotBoundary)
 }

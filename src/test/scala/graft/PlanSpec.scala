@@ -1311,6 +1311,37 @@ class PlanSpec extends SparkSpec {
       s"mask census must map-side combine:\n${plan.take(3000)}")
   }
 
+  test("d17: the bloom gate is equi-joins on a distributed position table " +
+    "— no driver bitmap, no cartesian — and the doc projection is cached") {
+    val plan = executedPlan("d17_bloom_admission")
+    assert(plan.contains("InMemoryTableScan"),
+      s"docs projection must be read from cache:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"membership must be an equi-join, never a nested loop:\n${plan.take(3000)}")
+    assert(plan.contains("partial_count"),
+      s"probe-hit count must map-side combine:\n${plan.take(3000)}")
+  }
+
+  test("m7: frame payloads never shuffle — signatures are computed in the " +
+    "scan-side projection and all windows/census ride the doc key") {
+    val plan = executedPlan("m7_shot_boundary")
+    assert(!plan.contains("windowspecdefinition(specified"),
+      s"windows must partition by doc_id:\n${plan.take(3000)}")
+    // The 64-byte frame substring + md5 must happen BELOW the exchange:
+    // after the shuffle only (doc_id, frame_id, sig) longs travel. The
+    // plan prints top-down, so everything ABOVE the first Exchange (the
+    // post-shuffle operators) must not reference the payload column.
+    val firstEx = plan.indexOf("Exchange")
+    assert(firstEx >= 0, s"expected a doc-keyed exchange:\n${plan.take(3000)}")
+    assert(!plan.substring(0, firstEx).contains("text#"),
+      s"payload column crossed the shuffle:\n${plan.take(3000)}")
+    assert(plan.contains("text#"),
+      s"expected the scan-side frame projection:\n${plan.take(3000)}")
+    assert(plan.contains("partial_count"),
+      s"shot census must map-side combine:\n${plan.take(3000)}")
+  }
+
   test("g10: the returned plan reads the lineage-truncated score cache " +
     "(O(1)-deep, no fact rescan) and cuts via TakeOrdered; scores carry " +
     "the integer rescale invariant") {
