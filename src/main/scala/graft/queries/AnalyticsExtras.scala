@@ -1343,6 +1343,73 @@ object AnalyticsExtras {
       ORDER BY user_id""")
   )
 
+  /** A32: multi-touch attribution — the conversion-credit model marketing
+    * analytics runs over event streams: each purchase is attributed to
+    * the user's clicks in the preceding 7 days under BOTH the
+    * first-touch and last-touch models, and the report counts
+    * conversions per (model, channel). Channels derive from the click's
+    * props payload (f13's json parity). Deterministic: ties on click
+    * timestamp break by event_id in the row_number ordering.
+    *
+    * Scale: candidates come from a user-keyed equi-join with the 7-day
+    * predicate riding it (never a time-range cross join); per-purchase
+    * work is bounded by one user's week of clicks. Both attribution
+    * windows share ONE purchase-keyed sort (same partition key and
+    * ordering — rn_first and rn_last are opposite ranks of the same
+    * frame), and the final census is a tiny (model × channel) rollup.
+    */
+  val a32Attribution: Q = Q(
+    "a32_attribution",
+    (s, dir) => {
+      val ev = Tables.table(s, dir, "events")
+      val winUs = 7L * 86400000000L
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"),
+          unix_micros(col("ts")).as("ct"), col("event_id").as("click_id"),
+          concat(lit("ch"),
+            get_json_object(col("props"), "$.k").cast("int") % 4).as("channel"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), unix_micros(col("ts")).as("pt"),
+          col("event_id").as("purchase_id"))
+      val cand = purch.join(clicks, Seq("user_id"))
+        .filter(col("ct") <= col("pt") && col("ct") >= col("pt") - winUs)
+      val byPurchase = Window.partitionBy("purchase_id")
+      val ranked = cand
+        .withColumn("rn_first",
+          row_number().over(byPurchase.orderBy(col("ct").asc, col("click_id").asc)))
+        .withColumn("rn_last",
+          row_number().over(byPurchase.orderBy(col("ct").desc, col("click_id").desc)))
+      ranked.filter(col("rn_first") === 1)
+        .select(lit("first_touch").as("model"), col("channel"))
+        .unionByName(ranked.filter(col("rn_last") === 1)
+          .select(lit("last_touch").as("model"), col("channel")))
+        .groupBy("model", "channel")
+        .agg(count(lit(1)).as("n_convs"))
+        .orderBy("model", "channel")
+    },
+    Some("""WITH clicks AS (SELECT user_id, epoch_us(ts) AS ct,
+            event_id AS click_id,
+            'ch' || CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 4
+                         AS VARCHAR) AS channel
+          FROM events WHERE event_type = 'click'),
+        purch AS (SELECT user_id, epoch_us(ts) AS pt, event_id AS purchase_id
+          FROM events WHERE event_type = 'purchase'),
+        cand AS (SELECT p.purchase_id, c.channel, c.ct, c.click_id
+          FROM purch p JOIN clicks c ON c.user_id = p.user_id
+          WHERE c.ct <= p.pt AND c.ct >= p.pt - 604800000000),
+        ranked AS (SELECT *,
+            row_number() OVER (PARTITION BY purchase_id
+              ORDER BY ct ASC, click_id ASC) AS rn_first,
+            row_number() OVER (PARTITION BY purchase_id
+              ORDER BY ct DESC, click_id DESC) AS rn_last
+          FROM cand)
+        SELECT model, channel, count(*) AS n_convs FROM (
+          SELECT 'first_touch' AS model, channel FROM ranked WHERE rn_first = 1
+          UNION ALL
+          SELECT 'last_touch' AS model, channel FROM ranked WHERE rn_last = 1)
+        GROUP BY model, channel ORDER BY model, channel""")
+  )
+
   val all: Seq[Q] = Seq(
     w5RankAnalytics, w6FirstLast, w7RangeFrame, a12StatsMoments,
     a13Conditional, a14MedianDistinct, a15GroupingSets, a16Funnel,
@@ -1350,5 +1417,6 @@ object AnalyticsExtras {
     q05RevenueByNation, q06ForecastRevenue, h1Scd2History, h2PointInTime,
     w8Streak, a20Anomaly, w9Ewma, w10Drawdown, a21Histogram, w11Cusum,
     w12Seasonality, a23Transitions, h3Scd2DimJoin, a25TimeToConvert,
-    a26Mode, p16TargetEncode, a27PathCensus, a28CohortLtv, a29Rfm)
+    a26Mode, p16TargetEncode, a27PathCensus, a28CohortLtv, a29Rfm,
+    a32Attribution)
 }

@@ -1016,12 +1016,44 @@ object Relational {
     Some(sqlQ21)
   )
 
+  /** Q22: per-group top-N through a correlated LATERAL subquery — the
+    * front-door spelling of "each nation's two richest customers". The
+    * planner stress: a naive engine re-executes the inner ORDER BY/LIMIT
+    * once per outer row; Spark must DECORRELATE the lateral into a
+    * windowed group-limit joined back to the outer — and, since Spark
+    * 3.5, push a PARTIAL WindowGroupLimit below the shuffle, so each map
+    * task forwards at most N rows per key and the exchange carries
+    * O(keys·N), not the table. PlanSpec pins both properties.
+    *
+    * Scale: customer shuffles once on nationkey with the map-side
+    * group-limit bound; the nation side broadcasts. Equivalent to w3's
+    * explicit window spelling — the point is that the declarative
+    * LATERAL arrives at the SAME physical plan.
+    */
+  private val sqlQ22 =
+    """SELECT n.n_name, t.c_name, t.c_acctbal
+       FROM nation n, LATERAL (
+         SELECT c_name, c_acctbal FROM customer c
+         WHERE c.c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+       ORDER BY n.n_name, t.c_acctbal DESC, t.c_name"""
+
+  val q22SqlLateralTopN: Q = Q(
+    "q22_sql_lateral_topn",
+    (s, dir) => {
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(sqlQ22)
+    },
+    Some(sqlQ22)
+  )
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q07SqlAboveAvg, q08SqlNotExists, q09SqlCorrelated,
     q10SqlExistsChain, q11SqlNestedIn, q12SqlTopSupplier, q13SqlMinCost,
     q14SqlWindow, q15SqlRecursive, q16SqlDisjunctive, q17SqlLargeOrders,
     q18SqlGlobalAvg, q19SqlShippingPriority, q20SqlSupplierCensus,
-    q21SqlVolumeShipping,
+    q21SqlVolumeShipping, q22SqlLateralTopN,
     p1Drop, p2Rename, p3Project, p4Filter, p5Isin, p6Validity, p8MaskedUpdate,
     f1Respell, f2Case, f3Split, f4StringAgg, f5Concat, f6TimeTrunc, f9TsArith,
     f11CastNull, f13Json,

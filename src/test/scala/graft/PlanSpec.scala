@@ -1342,6 +1342,35 @@ class PlanSpec extends SparkSpec {
       s"shot census must map-side combine:\n${plan.take(3000)}")
   }
 
+  test("q22: the correlated LATERAL top-N decorrelates to a windowed " +
+    "group-limit with a PARTIAL map-side bound — never a per-outer-row " +
+    "re-execution, never a cartesian") {
+    val plan = executedPlan("q22_sql_lateral_topn")
+    assert(plan.contains("WindowGroupLimit"),
+      s"lateral LIMIT must compile to a group-limit:\n${plan.take(3000)}")
+    assert(plan.contains("Partial"),
+      s"group-limit must bound rows BELOW the shuffle:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+  }
+
+  test("a32: both attribution ranks share ONE purchase-keyed exchange, " +
+    "and the candidate join is user-keyed (no time-range cross join)") {
+    val plan = executedPlan("a32_attribution")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"candidates must come from the user equi-join:\n${plan.take(3000)}")
+    assert(!plan.contains("windowspecdefinition(specified"),
+      s"attribution windows must partition by purchase:\n${plan.take(3000)}")
+    // rn_first and rn_last are opposite orderings of the same partition
+    // key: one hashpartitioning(purchase_id) exchange feeds both windows
+    // (the second window re-sorts in place, no re-shuffle). The union arm
+    // re-reads ranked, so allow the pair — but no more.
+    val ex = """Exchange hashpartitioning\(purchase_id""".r.findAllIn(plan).length
+    assert(ex <= 2,
+      s"attribution windows must share the purchase exchange, got $ex:\n${plan.take(3000)}")
+  }
+
   test("g10: the returned plan reads the lineage-truncated score cache " +
     "(O(1)-deep, no fact rescan) and cuts via TakeOrdered; scores carry " +
     "the integer rescale invariant") {
