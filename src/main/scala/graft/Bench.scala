@@ -90,7 +90,8 @@ object Bench {
     "q21_sql_volume_shipping", "p17_compaction_plan", "e22_jl_projection",
     "c15_doremi_step", "v17_rule_quarantine",
     "d17_bloom_admission", "m7_shot_boundary",
-    "q22_sql_lateral_topn", "a32_attribution")
+    "q22_sql_lateral_topn", "a32_attribution",
+    "q23_sql_pivot", "u8_union_by_name")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -466,6 +466,48 @@ object Relational {
       ORDER BY nationkey""")
   )
 
+  /** U8: schema-evolution union — reading two corpus epochs whose schemas
+    * drifted (an early epoch before `source`/`n_chars` landed, a late one
+    * that dropped `lang`) through `unionByName(allowMissingColumns)`:
+    * columns align BY NAME, absent columns null-fill, and the null-rate
+    * census per epoch is exactly the audit a reader runs after a
+    * schema-on-read merge (which nulls are real vs which are drift
+    * artifacts). Oracle via UNION ALL BY NAME — the same semantics in
+    * ANSI-adjacent form.
+    *
+    * Scale: name alignment is a plan-time projection (zero runtime cost);
+    * each epoch scans ONLY its own columns (pruning survives the union),
+    * and the census is one map-side-combinable conditional aggregate.
+    */
+  val u8UnionByName: Q = Q(
+    "u8_union_by_name",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      val epochA = docs.filter(col("doc_id") < 250)
+        .select(lit("epoch_a").as("epoch"), col("doc_id"), col("lang"))
+      val epochB = docs.filter(col("doc_id") >= 250)
+        .select(lit("epoch_b").as("epoch"), col("doc_id"), col("source"),
+          col("n_chars"))
+      epochA.unionByName(epochB, allowMissingColumns = true)
+        .groupBy("epoch")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("lang").isNull, 1L).otherwise(0L)).as("null_lang"),
+          sum(when(col("source").isNull, 1L).otherwise(0L)).as("null_source"),
+          sum(when(col("n_chars").isNull, 1L).otherwise(0L)).as("null_n_chars"))
+        .orderBy("epoch")
+    },
+    Some("""WITH merged AS (
+        (SELECT 'epoch_a' AS epoch, doc_id, lang FROM documents WHERE doc_id < 250)
+        UNION ALL BY NAME
+        (SELECT 'epoch_b' AS epoch, doc_id, source, n_chars FROM documents
+         WHERE doc_id >= 250))
+      SELECT epoch, count(*) AS n_rows,
+        CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_lang,
+        CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_source,
+        CAST(sum(CASE WHEN n_chars IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_n_chars
+      FROM merged GROUP BY epoch ORDER BY epoch""")
+  )
+
   /** O5: keyset pagination — resume the chronological feed AFTER a
     * (ts, event_id) cursor, LIMIT one page: the pagination shape that
     * stays O(page) at any depth because the cursor predicate reaches the
@@ -1048,16 +1090,61 @@ object Relational {
     Some(sqlQ22)
   )
 
+  /** Q23: SQL PIVOT clause through the front door — p9 covers the
+    * DataFrame `pivot()` API; this is the declarative spelling (Spark's
+    * `PIVOT (agg FOR col IN (...))`), compiled to the SAME two-phase
+    * aggregate: the pivot columns become conditional aggregates, partials
+    * combine map-side, and NO per-pivot-value scan or join exists. The
+    * oracle spells the identical semantics as portable conditional
+    * aggregation (engines' PIVOT surface syntaxes differ; the semantics
+    * is the contract). Money pivots to integer cents (the q16 rounding
+    * discipline) so both engines agree bit-for-bit. One semantic seam is
+    * reconciled explicitly: PIVOT null-pads a (group, value) pair with NO
+    * rows where conditional `count(*)` says 0 — the outer coalesce pins
+    * the count columns to the 0 convention at every SF.
+    *
+    * Scale: one customer scan, one hash aggregate keyed on nationkey
+    * with 2×2 conditional agg slots — pivot width is fixed at plan time,
+    * so the row explosion of a naive "join per segment" never happens.
+    */
+  private val sqlQ23Spark =
+    """SELECT c_nationkey,
+         coalesce(building_n, 0L) AS building_n, building_bal_c,
+         coalesce(automobile_n, 0L) AS automobile_n, automobile_bal_c
+       FROM (SELECT c_nationkey, c_mktsegment, c_acctbal FROM customer)
+       PIVOT (count(*) AS n,
+              CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_c
+              FOR c_mktsegment IN ('BUILDING' AS building, 'AUTOMOBILE' AS automobile))
+       ORDER BY c_nationkey"""
+
+  val q23SqlPivot: Q = Q(
+    "q23_sql_pivot",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      s.sql(sqlQ23Spark)
+    },
+    Some("""SELECT c_nationkey,
+         count(*) FILTER (c_mktsegment = 'BUILDING') AS building_n,
+         CAST(sum(CASE WHEN c_mktsegment = 'BUILDING'
+               THEN CAST(round(c_acctbal * 100) AS BIGINT) END) AS BIGINT)
+           AS building_bal_c,
+         count(*) FILTER (c_mktsegment = 'AUTOMOBILE') AS automobile_n,
+         CAST(sum(CASE WHEN c_mktsegment = 'AUTOMOBILE'
+               THEN CAST(round(c_acctbal * 100) AS BIGINT) END) AS BIGINT)
+           AS automobile_bal_c
+       FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")
+  )
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q07SqlAboveAvg, q08SqlNotExists, q09SqlCorrelated,
     q10SqlExistsChain, q11SqlNestedIn, q12SqlTopSupplier, q13SqlMinCost,
     q14SqlWindow, q15SqlRecursive, q16SqlDisjunctive, q17SqlLargeOrders,
     q18SqlGlobalAvg, q19SqlShippingPriority, q20SqlSupplierCensus,
-    q21SqlVolumeShipping, q22SqlLateralTopN,
+    q21SqlVolumeShipping, q22SqlLateralTopN, q23SqlPivot,
     p1Drop, p2Rename, p3Project, p4Filter, p5Isin, p6Validity, p8MaskedUpdate,
     f1Respell, f2Case, f3Split, f4StringAgg, f5Concat, f6TimeTrunc, f9TsArith,
     f11CastNull, f13Json,
     o1SortChrono, o2SortLex, o3TopK, o5KeysetPage,
     u1UnionDistinct, u3Except, u4UnionAll, u5Intersect, u6ExceptAll,
-    u7IntersectAll)
+    u7IntersectAll, u8UnionByName)
 }

@@ -1371,6 +1371,30 @@ class PlanSpec extends SparkSpec {
       s"attribution windows must share the purchase exchange, got $ex:\n${plan.take(3000)}")
   }
 
+  test("q23: the SQL PIVOT compiles to ONE two-phase aggregate — no " +
+    "per-pivot-value scan, no join") {
+    val plan = executedPlan("q23_sql_pivot")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one customer scan, got $scans:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), s"pivot needs no join:\n${plan.take(3000)}")
+    assert(plan.contains("partial_"),
+      s"pivot aggregates must map-side combine:\n${plan.take(3000)}")
+  }
+
+  test("u8: column pruning survives the by-name union — each epoch scans " +
+    "only its own columns, and `text` is read by neither") {
+    val plan = executedPlan("u8_union_by_name")
+    assert(!plan.contains("text"),
+      s"payload column read by a schema census:\n${plan.take(3000)}")
+    // epoch A must not read source/n_chars; epoch B must not read lang.
+    // Each column name appears exactly once across the two ReadSchemas.
+    for (c <- Seq("lang", "n_chars"))
+      assert(s"ReadSchema: [^\n]*$c".r.findAllIn(plan).length == 1,
+        s"column $c read by the wrong epoch:\n${plan.take(3000)}")
+    assert(plan.contains("partial_count"),
+      s"census must map-side combine:\n${plan.take(3000)}")
+  }
+
   test("g10: the returned plan reads the lineage-truncated score cache " +
     "(O(1)-deep, no fact rescan) and cuts via TakeOrdered; scores carry " +
     "the integer rescale invariant") {
