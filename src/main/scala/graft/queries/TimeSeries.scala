@@ -1241,8 +1241,84 @@ object TimeSeries {
       FROM k GROUP BY user_id ORDER BY user_id""")
   )
 
+  /** H15: cross-sectional momentum backtest — the factor-research shape
+    * the per-symbol indicator family (w13–w18) feeds into: each week,
+    * rank every symbol by its TRAILING weekly return (the signal, known
+    * at the week's start), cut the cross-section into terciles, and
+    * report each tercile's realized FORWARD mean return. A monotone
+    * mean_fwd_pm across terciles is the momentum effect; tercile 3 minus
+    * tercile 1 is the long-short portfolio. Weekly closes are h7's bars;
+    * a symbol enters a week's cross-section only with both trailing
+    * weeks present (lag(wk)=wk−1 guards — a gap silently spanning weeks
+    * would fabricate a signal).
+    *
+    * Determinism: the signal ranks on one IEEE division of stored
+    * doubles (bit-identical both engines) with a user_id tiebreak;
+    * forward returns quantize to permille longs at the row level, so
+    * tercile means are exact integer division. ntile's uneven-split rule
+    * (first buckets take the remainder) matches across engines.
+    *
+    * Scale: bars + lags ride ONE user-keyed exchange; the weekly ranking
+    * re-shuffles only the (symbols × weeks) bar table — thousandths of
+    * the tick data — and ntile's per-week partitions are cross-section-
+    * bounded. The census is a (weeks × 3)-row aggregate.
+    */
+  val h15MomentumPortfolio: Q = Q(
+    "h15_momentum_portfolio",
+    (s, dir) => {
+      val wBar = Window.partitionBy("user_id", "wk")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val byUser = Window.partitionBy("user_id").orderBy("wk")
+      val bars = t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          expr("datediff(to_date(ts), date '1970-01-01') div 7").cast("long")
+            .as("wk"))
+        .withColumn("rnd", row_number().over(wBar))
+        .groupBy("user_id", "wk")
+        .agg(max(when(col("rnd") === 1, col("value"))).as("close"))
+      val sig = bars
+        .withColumn("c1", lag(col("close"), 1).over(byUser))
+        .withColumn("c2", lag(col("close"), 2).over(byUser))
+        .withColumn("w1", lag(col("wk"), 1).over(byUser))
+        .withColumn("w2", lag(col("wk"), 2).over(byUser))
+        .filter(col("w1") === col("wk") - 1 && col("w2") === col("wk") - 2)
+        .withColumn("signal", col("c1") / col("c2"))
+        .withColumn("fwd_pm",
+          round(col("close") / col("c1") * 1000).cast("long"))
+      sig
+        .withColumn("tercile", ntile(3).over(
+          Window.partitionBy("wk").orderBy(col("signal").asc, col("user_id").asc))
+          .cast("long"))
+        .groupBy("wk", "tercile")
+        .agg(count(lit(1)).as("n_symbols"),
+          expr("sum(fwd_pm) div count(1)").as("mean_fwd_pm"))
+        .orderBy("wk", "tercile")
+    },
+    Some("""WITH e AS (SELECT user_id, ts, event_id, value,
+            (CAST(ts AS DATE) - DATE '1970-01-01') // 7 AS wk FROM events),
+        r AS (SELECT *, row_number() OVER (PARTITION BY user_id, wk
+                ORDER BY ts DESC, event_id DESC) AS rnd FROM e),
+        bars AS (SELECT user_id, CAST(wk AS BIGINT) AS wk,
+            max(CASE WHEN rnd = 1 THEN value END) AS close
+          FROM r GROUP BY user_id, wk),
+        lagd AS (SELECT *,
+            lag(close, 1) OVER (PARTITION BY user_id ORDER BY wk) AS c1,
+            lag(close, 2) OVER (PARTITION BY user_id ORDER BY wk) AS c2,
+            lag(wk, 1) OVER (PARTITION BY user_id ORDER BY wk) AS w1,
+            lag(wk, 2) OVER (PARTITION BY user_id ORDER BY wk) AS w2
+          FROM bars),
+        sig AS (SELECT user_id, wk, c1 / c2 AS signal,
+            CAST(round(close / c1 * 1000) AS BIGINT) AS fwd_pm
+          FROM lagd WHERE w1 = wk - 1 AND w2 = wk - 2),
+        cut AS (SELECT *, ntile(3) OVER (PARTITION BY wk
+                ORDER BY signal ASC, user_id ASC) AS tercile FROM sig)
+        SELECT wk, tercile, count(*) AS n_symbols,
+          CAST(sum(fwd_pm) AS BIGINT) // count(*) AS mean_fwd_pm
+        FROM cut GROUP BY wk, tercile ORDER BY wk, tercile""")
+  )
+
   val all: Seq[Q] = Seq(h4GapFill, h5SplitAdjust, a24Concurrency, w13Bollinger,
     w14Rsi, h6Vwap, h7WeeklyBars, h8Beta, w16Underwater, h9OvernightGap,
     w15Macd, h10RollingCorr, h11EventStudy, h12Atr, w17Obv, h13PairsSpread,
-    h14Sharpe, w18Stochastic)
+    h14Sharpe, w18Stochastic, h15MomentumPortfolio)
 }

@@ -1395,6 +1395,21 @@ class PlanSpec extends SparkSpec {
       s"census must map-side combine:\n${plan.take(3000)}")
   }
 
+  test("h15: every window partitions on its key, the bar/lag stages share " +
+    "the user exchange, and only the bar table reaches the weekly ranking") {
+    val plan = executedPlan("h15_momentum_portfolio")
+    assert(!plan.contains("windowspecdefinition(specified"),
+      s"unpartitioned window:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // bars (user_id, wk) → lags (user_id): the lag stage must REUSE the
+    // bar exchange's co-partitioning or add at most one user re-shuffle;
+    // the wk-ranking adds one more. Anything beyond that means a stage
+    // re-shuffled the raw tick table.
+    val hashEx = """\+- Exchange hashpartitioning""".r.findAllIn(plan).length
+    assert(hashEx <= 3,
+      s"expected <=3 keyed exchanges (bars, lags, weekly rank), got $hashEx:\n${plan.take(3000)}")
+  }
+
   test("g10: the returned plan reads the lineage-truncated score cache " +
     "(O(1)-deep, no fact rescan) and cuts via TakeOrdered; scores carry " +
     "the integer rescale invariant") {
