@@ -197,7 +197,37 @@ object Plans {
     "m6_patch_grid" ->
       "Patch grid: a pure narrow generate bounded by ceil(w/P)*ceil(h/P) per image off the decode-metadata scan — media bytes never shuffle; the only exchange is the presentation sort.",
     "a30_kmv_distinct" ->
-      "Bottom-k sketch (TypedImperativeAggregate): ObjectHashAggregate with partial_graft_bottomk before the exchange and merge_graft_bottomk after — the <=k-long buffer combines map-side exactly like a builtin, and the distinct-count arm shares the plan.")
+      "Bottom-k sketch (TypedImperativeAggregate): ObjectHashAggregate with partial_graft_bottomk before the exchange and merge_graft_bottomk after — the <=k-long buffer combines map-side exactly like a builtin, and the distinct-count arm shares the plan.",
+    "g10_hits" ->
+      "HITS fixed point: the returned plan reads the lineage-truncated persisted score table (ExistingRDD leaf, no fact rescan) through a TakeOrdered — all 2K half-rounds ran as map-side-combinable keyed sums with 1-row broadcast rescales.",
+    "q19_sql_shipping_priority" ->
+      "TPC-H Q3 shape: both date cuts in PushedFilters, segment-filtered customers broadcast, top-10 revenue via TakeOrderedAndProject over the grouped aggregate — never a global sort.",
+    "q20_sql_supplier_census" ->
+      "TPC-H Q16 shape: NOT IN compiles to ONE LeftAnti join in the optimized plan (AQE may fold it when the exclusion set is provably empty); the count(DISTINCT) expands to the two-phase partial-distinct plan.",
+    "q21_sql_volume_shipping" ->
+      "TPC-H Q7 shape: the disjunctive nation-pair predicate survives as a post-join filter while all four dimension hops broadcast; lineitem⋈orders is the only real shuffle; revenue folds as exact 10^-4-unit longs.",
+    "q22_sql_lateral_topn" ->
+      "Correlated LATERAL top-N: decorrelates to WindowGroupLimit with a PARTIAL map-side bound below the shuffle (each map task forwards <=N rows per key) — never a per-outer-row re-execution.",
+    "q23_sql_pivot" ->
+      "SQL PIVOT clause: compiles to ONE two-phase hash aggregate with conditional agg slots per pivot value — no per-value scan, no join; counts pinned to the 0 convention via outer coalesce.",
+    "p17_compaction_plan" ->
+      "Compaction planner: runs entirely over file METADATA (one stats scan, payloads never read); the per-source cumulative window partitions by source; group assignment is integer prefix-sum arithmetic.",
+    "e22_jl_projection" ->
+      "JL projection: the n·K projection table persists once (InMemoryTableScan feeds both consumers); signs regenerate as codegen md5 arithmetic (the matrix ships as code); distortion joins only K-row / 10-row results.",
+    "c15_doremi_step" ->
+      "DoReMi reweighting: one persisted vocab census, one broadcast-degradable token join into a 20-row domain aggregate; the multiplicative-weights update windows over DOMAINS, not rows — integer-exact throughout.",
+    "v17_rule_quarantine" ->
+      "Rule-bitmask quarantine: four codegen CASE expressions summed in the scan projection — ONE pass, no per-rule re-scan — into a map-side-combined census on <=2^R masks.",
+    "d17_bloom_admission" ->
+      "Distributed Bloom gate: corpus bit positions live as a distinct-aggregate position TABLE (never a driver bitmap literal); membership is an equi-join counting hit probes; the exact arm reuses d7's census semi-join — no driver state.",
+    "m7_shot_boundary" ->
+      "Shot-boundary detection: signatures are scan-side codegen (payloads never cross the shuffle — PlanSpec pins no text# above the first Exchange); cut/shot windows and the keyframe census all ride the doc_id key.",
+    "a32_attribution" ->
+      "Multi-touch attribution: candidates from a user-keyed equi-join with the 7-day predicate riding it; rn_first/rn_last are opposite orderings of ONE purchase-keyed exchange; the census is a (model x channel) rollup.",
+    "u8_union_by_name" ->
+      "Schema-evolution union: name alignment is a plan-time projection; column pruning survives the union (each epoch's ReadSchema carries only its own columns, text read by neither); null-fill census combines map-side.",
+    "h15_momentum_portfolio" ->
+      "Momentum backtest: bars + both lags ride the user-keyed exchange; only the (symbols x weeks) bar table reaches the weekly ntile ranking; tercile means are exact integer division of permille longs.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
