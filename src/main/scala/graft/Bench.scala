@@ -91,7 +91,8 @@ object Bench {
     "c15_doremi_step", "v17_rule_quarantine",
     "d17_bloom_admission", "m7_shot_boundary",
     "q22_sql_lateral_topn", "a32_attribution",
-    "q23_sql_pivot", "u8_union_by_name", "h15_momentum_portfolio")
+    "q23_sql_pivot", "u8_union_by_name", "h15_momentum_portfolio",
+    "a33_root_cause", "e23_ann_ndcg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

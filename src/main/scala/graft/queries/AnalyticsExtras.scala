@@ -1410,6 +1410,75 @@ object AnalyticsExtras {
         GROUP BY model, channel ORDER BY model, channel""")
   )
 
+  /** A33: root-cause contribution analysis (the Adtributor shape,
+    * Bhagwan et al. 2014) — when a metric moves between two periods, rank
+    * which dimension values EXPLAIN the move: per (dimension, value), the
+    * signed share of the total delta (contribution_pm) plus both periods'
+    * integer-cent sums, across two dimensions (event_type, weekday). The
+    * on-call drill-down that turns "revenue dipped 8%" into "errors on
+    * Saturday".
+    *
+    * Determinism: values quantize to cents ONCE per row; every sum and
+    * the permille share are exact integer arithmetic (sign-safe: `div`
+    * and `//` both truncate toward zero on negatives, the e20 rule).
+    *
+    * Scale: ONE events scan — both periods are conditional aggregates and
+    * both dimensions come from a single GROUPING SETS aggregate (never a
+    * scan per period or per dimension); each dimension's cells PARTITION
+    * the events, so the per-dimension window sum IS the global total and
+    * no separate totals pass exists. Everything after the aggregate is
+    * bounded at |values| rows per dimension.
+    */
+  val a33RootCause: Q = Q(
+    "a33_root_cause",
+    (s, dir) => {
+      val cents = expr("cast(round(value * 100) as bigint)")
+      val split = lit("2024-01-15").cast("timestamp")
+      val wDim = Window.partitionBy("dimension")
+      Tables.table(s, dir, "events")
+        .select(col("event_type"), cents.as("cents"),
+          (col("ts") < split).as("p1"),
+          date_format(col("ts"), "EEEE").as("weekday"))
+        .groupingSets(Seq(Seq(col("event_type")), Seq(col("weekday"))),
+          col("event_type"), col("weekday"))
+        .agg(sum(when(col("p1"), col("cents")).otherwise(0L)).as("s1"),
+          sum(when(!col("p1"), col("cents")).otherwise(0L)).as("s2"))
+        // event_type/weekday are non-null in the data, so the NULL side
+        // identifies the grouping set without a grouping() marker (which
+        // Spark only resolves inside the aggregate projection itself).
+        .select(
+          when(col("event_type").isNotNull, "event_type")
+            .otherwise("weekday").as("dimension"),
+          coalesce(col("event_type"), col("weekday")).as("dim_value"),
+          col("s1"), col("s2"))
+        .withColumn("delta_c", col("s2") - col("s1"))
+        .withColumn("contribution_pm", expr(
+          """(s2 - s1) * 1000 div
+             nullif(sum(s2) over (partition by dimension)
+                  - sum(s1) over (partition by dimension), 0L)"""))
+        .orderBy("dimension", "dim_value")
+    },
+    Some("""WITH base AS (SELECT event_type,
+          CAST(round(value * 100) AS BIGINT) AS cents,
+          ts < TIMESTAMP '2024-01-15 00:00:00' AS p1,
+          dayname(CAST(ts AS DATE)) AS weekday
+        FROM events),
+      cells AS (
+        SELECT CASE WHEN event_type IS NOT NULL THEN 'event_type'
+                    ELSE 'weekday' END AS dimension,
+          coalesce(event_type, weekday) AS dim_value,
+          CAST(sum(CASE WHEN p1 THEN cents ELSE 0 END) AS BIGINT) AS s1,
+          CAST(sum(CASE WHEN NOT p1 THEN cents ELSE 0 END) AS BIGINT) AS s2
+        FROM base GROUP BY GROUPING SETS ((event_type), (weekday)))
+      SELECT dimension, dim_value, s1, s2, s2 - s1 AS delta_c,
+        (s2 - s1) * 1000 // nullif(
+          CAST(sum(s2) OVER (PARTITION BY dimension) AS BIGINT)
+          - CAST(sum(s1) OVER (PARTITION BY dimension) AS BIGINT), 0)
+          AS contribution_pm
+      FROM cells
+      ORDER BY dimension, dim_value""")
+  )
+
   val all: Seq[Q] = Seq(
     w5RankAnalytics, w6FirstLast, w7RangeFrame, a12StatsMoments,
     a13Conditional, a14MedianDistinct, a15GroupingSets, a16Funnel,
@@ -1418,5 +1487,5 @@ object AnalyticsExtras {
     w8Streak, a20Anomaly, w9Ewma, w10Drawdown, a21Histogram, w11Cusum,
     w12Seasonality, a23Transitions, h3Scd2DimJoin, a25TimeToConvert,
     a26Mode, p16TargetEncode, a27PathCensus, a28CohortLtv, a29Rfm,
-    a32Attribution)
+    a32Attribution, a33RootCause)
 }

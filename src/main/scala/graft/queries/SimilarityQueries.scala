@@ -1247,6 +1247,65 @@ object SimilarityQueries {
       FROM fused ORDER BY rrf_q DESC, doc_id LIMIT 10""")
   )
 
+  /** E23: nDCG@10 rank-quality audit for the shipped ANN pipeline — the
+    * IR-evaluation metric e9's set-recall can't express: e9 counts how
+    * many of the exact top-10 an ANN variant RETRIEVES; this grades how
+    * well it ORDERS them. Truth is e1's exact cosine top-10 with graded
+    * gains (10…1 by exact rank); the system list is e2's IVF pipeline in
+    * its own ranked order. Position discounts are the standard
+    * 1/log2(i+1), pre-quantized to 2^20 integers per rank (log2 of small
+    * ints is bit-identical IEEE on both engines, rounded ONCE), so
+    * DCG/IDCG are exact longs and nDCG is one integer permille division.
+    * Composed from the SAME registry definitions it audits (the e9/e16
+    * rule — it measures the shipped pipelines, not copies).
+    *
+    * Scale: both arms end in bounded top-10 lists before any join; the
+    * metric is a join + two aggregates over <=10 rows each.
+    */
+  val e23AnnNdcg: Q = Q(
+    "e23_ann_ndcg",
+    (s, dir) => {
+      FastVec.register(s)
+      val wSys = Window.partitionBy().orderBy(col("sim").desc, col("vec_id"))
+      val sysRank = e2AnnIvf.fn(s, dir)
+        .withColumn("i", row_number().over(wSys).cast("long"))
+        .select(col("vec_id").as("sys_id"), col("i"))
+      val wTr = Window.partitionBy().orderBy(col("sim").desc, col("vec_id"))
+      val truth = e1CosineTopK.fn(s, dir)
+        .withColumn("gain", lit(11L) - row_number().over(wTr))
+        .select(col("vec_id"), col("gain"))
+      val disc = "cast(round(1048576.0 / log2(%s + 1)) as bigint)"
+      val dcg = sysRank
+        .join(truth, sysRank("sys_id") === truth("vec_id"))
+        .agg(count(lit(1)).as("n_hits"),
+          sum(expr(s"gain * ${disc.format("i")}")).as("dcg_q"))
+      val idcg = truth
+        .agg(sum(expr(s"gain * ${disc.format("(11 - gain)")}")).as("idcg_q"))
+      dcg.crossJoin(broadcast(idcg))
+        .select(col("n_hits"),
+          coalesce(col("dcg_q"), lit(0L)).as("dcg_q"), col("idcg_q"),
+          expr("coalesce(dcg_q, 0L) * 1000 div idcg_q").as("ndcg_pm"))
+    },
+    Some(s"""WITH sysl AS (SELECT vec_id, sim FROM (${e2AnnIvf.oracle.get})),
+      sys AS (SELECT vec_id AS sys_id,
+          CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS i
+        FROM sysl),
+      ex AS (SELECT vec_id, sim FROM (${e1CosineTopK.oracle.get})),
+      truth AS (SELECT vec_id,
+          11 - CAST(row_number() OVER (ORDER BY sim DESC, vec_id) AS BIGINT) AS gain
+        FROM ex),
+      dcg AS (SELECT count(*) AS n_hits,
+          CAST(sum(t.gain *
+            CAST(round(1048576.0 / log2(s.i + 1)) AS BIGINT)) AS BIGINT) AS dcg_q
+        FROM sys s JOIN truth t ON t.vec_id = s.sys_id),
+      idcg AS (SELECT CAST(sum(gain *
+            CAST(round(1048576.0 / log2((11 - gain) + 1)) AS BIGINT)) AS BIGINT)
+          AS idcg_q FROM truth)
+      SELECT n_hits, coalesce(dcg_q, 0) AS dcg_q, idcg_q,
+        coalesce(dcg_q, 0) * 1000 // idcg_q AS ndcg_pm
+      FROM dcg CROSS JOIN idcg""")
+  )
+
   /** E18: per-label mean-pooled prototypes — element-wise mean of every
     * label's embeddings, the class-centroid/prototype build behind
     * nearest-class-mean classification, prototype-based retrieval, and
@@ -1798,5 +1857,5 @@ object SimilarityQueries {
     e10MmrRerank, e11EmbeddingQa, e12SqRecall, e13IvfPq, e14FilteredAnn,
     e15NprobeSweep, e16HybridRrf, e17HardNegatives, e18MeanPool,
     e19CentroidDrift, g9KnnGraph, c14ClusterBalanced, e20PcaPower,
-    e21Anisotropy, e22JlProjection)
+    e21Anisotropy, e22JlProjection, e23AnnNdcg)
 }

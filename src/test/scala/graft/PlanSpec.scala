@@ -1410,6 +1410,25 @@ class PlanSpec extends SparkSpec {
       s"expected <=3 keyed exchanges (bars, lags, weekly rank), got $hashEx:\n${plan.take(3000)}")
   }
 
+  test("a33: both periods and both dimensions come from ONE events scan " +
+    "of three columns — never a scan per period or per dimension") {
+    val plan = executedPlan("a33_root_cause")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected ONE grouping-sets scan, got $scans:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("props"), s"unreferenced payload column read:\n${plan.take(3000)}")
+    assert(plan.contains("partial_sum"),
+      s"period sums must map-side combine:\n${plan.take(3000)}")
+  }
+
+  test("e23: both arms cut to bounded top-10 lists via TakeOrdered before " +
+    "the metric joins — nothing after the scans grows with the corpus") {
+    val plan = executedPlan("e23_ann_ndcg")
+    assert("TakeOrderedAndProject".r.findAllIn(plan).length >= 2,
+      s"both arms must cut via TakeOrdered:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("g10: the returned plan reads the lineage-truncated score cache " +
     "(O(1)-deep, no fact rescan) and cuts via TakeOrdered; scores carry " +
     "the integer rescale invariant") {
