@@ -227,7 +227,11 @@ object Plans {
     "u8_union_by_name" ->
       "Schema-evolution union: name alignment is a plan-time projection; column pruning survives the union (each epoch's ReadSchema carries only its own columns, text read by neither); null-fill census combines map-side.",
     "h15_momentum_portfolio" ->
-      "Momentum backtest: bars + both lags ride the user-keyed exchange; only the (symbols x weeks) bar table reaches the weekly ntile ranking; tercile means are exact integer division of permille longs.")
+      "Momentum backtest: bars + both lags ride the user-keyed exchange; only the (symbols x weeks) bar table reaches the weekly ntile ranking; tercile means are exact integer division of permille longs.",
+    "a33_root_cause" ->
+      "Root-cause contributions: ONE events scan — both periods are conditional aggregates and both dimensions come from a single GROUPING SETS Expand; each dimension's window total IS the global total, so no separate totals pass exists.",
+    "e23_ann_ndcg" ->
+      "ANN nDCG: both arms end in TakeOrdered top-10 lists before any join; rank discounts are pre-quantized 2^20 integers, so the metric is exact longs over <=10-row tables.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
