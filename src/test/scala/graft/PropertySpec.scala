@@ -306,4 +306,75 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+  test("d17 bloom admission is one-sided: every exact duplicate is graded " +
+    "true_dup (never admitted or false_positive) — the no-false-negative " +
+    "guarantee — and every false_positive has all k probes hit") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("d17_bloom_admission")(spark, sf).collect()
+    // Recompute exact duplicate truth independently (d7's census rule).
+    val fp = graft.functions.Text.prefixFingerprint(
+      graft.functions.Text.tokens(org.apache.spark.sql.functions.col("text")), 8)
+    val docs = Tables.table(spark, sf, "documents")
+      .select(org.apache.spark.sql.functions.col("doc_id"), fp.as("fp"))
+    val corpusFps = docs.filter("doc_id < 400").select("fp")
+      .collect().map(_.getString(0)).toSet
+    val batchFp = docs.filter("doc_id >= 400")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    var dups = 0
+    out.foreach { r =>
+      val (id, nHit, verdict) = (r.getLong(0), r.getLong(1), r.getString(2))
+      val isDup = corpusFps.contains(batchFp(id))
+      if (isDup) {
+        dups += 1
+        assert(verdict == "true_dup" && nHit == 3,
+          s"doc $id: exact dup graded '$verdict' with n_hit=$nHit — false negative")
+      }
+      if (verdict == "false_positive")
+        assert(nHit == 3 && !isDup, s"doc $id: bad false_positive row")
+      if (verdict == "admitted")
+        assert(nHit < 3, s"doc $id: admitted with all probes hit")
+    }
+    assert(dups > 0, "fixture must contain at least one exact duplicate")
+  }
+
+  test("m7 shots PARTITION each doc's frames: shot sizes sum to the frame " +
+    "count, shots are contiguous 0..n, and adjacent shots abut") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("m7_shot_boundary")(spark, sf)
+      .collect().groupBy(_.getLong(0))
+    val nFrames = Tables.table(spark, sf, "documents")
+      .filter("length(text) > 0")
+      .selectExpr("doc_id", "(length(text) + 63) div 64 AS n")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (doc, rows) =>
+      val sorted = rows.sortBy(_.getLong(1))
+      assert(sorted.map(_.getLong(1)).toSeq == (0L until sorted.length).toSeq,
+        s"doc $doc: shot ids not contiguous")
+      assert(sorted.map(_.getLong(2)).sum == nFrames(doc),
+        s"doc $doc: shot sizes don't sum to the frame count")
+      assert(sorted.head.getLong(3) == 0L, s"doc $doc: first shot must start at frame 0")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getLong(3) == a.getLong(4) + 1,
+            s"doc $doc: shot ${b.getLong(1)} does not abut its predecessor")
+        case _ => ()
+      }
+    }
+  }
+
+  test("h15 terciles are balanced and exhaustive per week: sizes differ by " +
+    "at most 1 and cover the week's full valid cross-section") {
+    val out = SparkEntry.queries("h15_momentum_portfolio")(
+      spark, "/root/testdata/sf0.001").collect().groupBy(_.getLong(0))
+    assert(out.nonEmpty)
+    out.foreach { case (wk, rows) =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L),
+        s"week $wk: expected exactly terciles 1..3")
+      val sizes = rows.map(_.getLong(2))
+      assert(sizes.max - sizes.min <= 1,
+        s"week $wk: ntile imbalance ${sizes.mkString(",")}")
+    }
+  }
+
 }
