@@ -46,4 +46,34 @@ object StreamJoin {
         // the matching spread at trade time; null on unmatched outer rows
         (col("ask") - col("bid")).as("spread"))
   }
+
+  /** Stream-STATIC enrichment join — the other half of §2.9's join
+    * surface next to [[tradesWithQuotes]]'s stream-stream state machine:
+    * each micro-batch of trades joins a file-backed reference dimension
+    * (symbol → sector here; the reference's `categorize_market_caps`
+    * symbol→bucket dict is exactly this shape). Stream-static joins are
+    * STATELESS — nothing is watermarked, nothing is held between batches
+    * — and the static side's file SNAPSHOT is pinned when the query is
+    * analyzed: files appended to the path later are invisible to the
+    * running stream (and overwriting in place breaks it — the captured
+    * index references deleted files). Dimension refresh therefore means
+    * either a query restart (the pattern StreamJoinSpec proves) or a
+    * transactional table format whose scan re-resolves snapshots per
+    * batch; pretending `refreshByPath` alone updates a running parquet
+    * stream is a production foot-gun this scaladoc exists to flag.
+    *
+    * Scale: the dimension is broadcast per batch (symbol universes are
+    * dimension-sized at any corpus scale); left join keeps every trade —
+    * an unknown symbol enriches as null, never drops.
+    */
+  def enrichTrades(
+      trades: DataFrame,
+      spark: org.apache.spark.sql.SparkSession,
+      dimPath: String): DataFrame = {
+    val dim = spark.read
+      .schema("symbol STRING, sector STRING")
+      .parquet(dimPath)
+    trades.join(broadcast(dim), Seq("symbol"), "left")
+      .select(col("symbol"), col("ts"), col("price"), col("sector"))
+  }
 }

@@ -79,4 +79,67 @@ class StreamJoinSpec extends SparkSpec {
         s"got $unmatched")
     } finally query.stop()
   }
+  test("stream-static enrichment: left join keeps unknown symbols, the " +
+    "static snapshot is PINNED at query start (appended dim files are " +
+    "invisible mid-stream), and a restart picks up the refreshed dim") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val dimDir = java.nio.file.Files.createTempDirectory("graft-dim").toString
+    Seq(("AAA", "tech"), ("BBB", "finance")).toDF("symbol", "sector")
+      .coalesce(1).write.mode("overwrite").parquet(dimDir)
+    val trades = MemoryStream[Trade]
+    def start() = StreamJoin.enrichTrades(trades.toDF(), spark, dimDir)
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append()).start()
+    val query = start()
+    try {
+      trades.addData(
+        Trade("AAA", 10.0, ts("2024-01-02 10:00:00")),
+        Trade("ZZZ", 5.0, ts("2024-01-02 10:01:00"))) // not in the dim
+      query.processAllAvailable()
+      val b1 = spark.table("enriched")
+        .as[(String, Timestamp, Double, Option[String])].collect().toSet
+      assert(b1 == Set(
+        ("AAA", ts("2024-01-02 10:00:00"), 10.0, Some("tech")),
+        ("ZZZ", ts("2024-01-02 10:01:00"), 5.0, None)), s"got $b1")
+
+      // APPEND a new symbol's file: the running query's pinned snapshot
+      // must NOT see it — ZZZ still enriches as null.
+      Seq(("ZZZ", "materials")).toDF("symbol", "sector")
+        .coalesce(1).write.mode("append").parquet(dimDir)
+      trades.addData(Trade("ZZZ", 6.0, ts("2024-01-02 10:05:00")))
+      query.processAllAvailable()
+      val b2 = spark.table("enriched")
+        .as[(String, Timestamp, Double, Option[String])].collect().toSet -- b1
+      assert(b2 == Set(("ZZZ", ts("2024-01-02 10:05:00"), 6.0, None)),
+        s"pinned snapshot leaked the appended file: $b2")
+      query.stop()
+
+      // Restart = re-analysis = fresh snapshot: the refreshed dimension
+      // now enriches ZZZ — and, with no checkpoint, the restarted query
+      // REPLAYS the source from the beginning, re-enriching the replayed
+      // 10:05 trade under the NEW snapshot (stream-static joins are
+      // stateless: enrichment is a property of the batch that processes
+      // a row, not of the row — the reason production restarts pair a
+      // checkpoint with the dim refresh when history must not re-enrich).
+      spark.catalog.refreshByPath(dimDir)
+      val query2 = start()
+      try {
+        trades.addData(Trade("ZZZ", 7.0, ts("2024-01-02 10:10:00")))
+        query2.processAllAvailable()
+        val b3 = spark.table("enriched")
+          .as[(String, Timestamp, Double, Option[String])].collect().toSet -- b1 -- b2
+        assert(b3(("ZZZ", ts("2024-01-02 10:10:00"), 7.0, Some("materials"))),
+          s"fresh snapshot not applied after restart: $b3")
+        assert(b3(("ZZZ", ts("2024-01-02 10:05:00"), 6.0, Some("materials"))),
+          s"checkpoint-free replay should re-enrich history under the new dim: $b3")
+      } finally query2.stop()
+    } finally {
+      query.stop()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dimDir))
+    }
+  }
+
 }
+
