@@ -1124,10 +1124,46 @@ object MiscQueries {
       FROM m GROUP BY mask ORDER BY mask""")
   )
 
+  /** V18: k-anonymity audit — the re-identification check a dataset
+    * passes before release (Sweeney 2002): group rows by their
+    * quasi-identifier combination (nation × market segment here — the
+    * columns an adversary can link externally), and grade each
+    * equivalence class against k=5. Classes below k are re-identifiable;
+    * the summary rows (one per class, plus the suppression tally a
+    * release pipeline acts on) quantify how many records generalization
+    * or suppression must touch. Sits beside x16's PII scrub: scrubbing
+    * direct identifiers does NOT fix small quasi-identifier classes.
+    *
+    * Scale: one scan, one map-side-combinable census bounded at the QI
+    * domain product; the verdict is a codegen CASE over census rows.
+    */
+  val v18KAnonymity: Q = {
+    val k = 5L
+    Q(
+      "v18_k_anonymity",
+      (s, dir) =>
+        t(s, dir, "customer")
+          .groupBy(col("c_nationkey").as("nationkey"),
+            col("c_mktsegment").as("segment"))
+          .agg(count(lit(1)).as("class_size"))
+          .withColumn("k_anonymous",
+            when(col("class_size") >= k, 1L).otherwise(0L))
+          .withColumn("at_risk_rows",
+            when(col("class_size") < k, col("class_size")).otherwise(0L))
+          .orderBy("nationkey", "segment"),
+      Some(s"""SELECT c_nationkey AS nationkey, c_mktsegment AS segment,
+          count(*) AS class_size,
+          CAST(CASE WHEN count(*) >= $k THEN 1 ELSE 0 END AS BIGINT) AS k_anonymous,
+          CAST(CASE WHEN count(*) < $k THEN count(*) ELSE 0 END AS BIGINT) AS at_risk_rows
+        FROM customer GROUP BY c_nationkey, c_mktsegment
+        ORDER BY nationkey, segment""")
+    )
+  }
+
   val all: Seq[Q] = Seq(
     a2Counts, a11Percentiles, f8Timezone, u2InsertAbsent, v2SchemaDiff, v4ColumnProfile,
     v5SourceOverlap, o4FileListing, m1BinaryMeta, v6ShardSkew, v7DataCard,
     v8PipelineYield, v9Expectations, v10PsiDrift, v11Freshness, p15ZorderLayout,
     v12Benford, v13SeqGaps, v14RefIntegrity, v15PkUnique, v16TwoSampleDrift,
-    p17CompactionPlan, v17RuleQuarantine)
+    p17CompactionPlan, v17RuleQuarantine, v18KAnonymity)
 }

@@ -1429,6 +1429,18 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("v18: the k-anonymity census is ONE scan of the two QI columns " +
+    "into a map-side-combined aggregate — no join, no payload read") {
+    val plan = executedPlan("v18_k_anonymity")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one customer scan, got $scans:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), plan.take(3000))
+    assert(!plan.contains("c_name") && !plan.contains("c_acctbal"),
+      s"non-QI column read by the audit:\n${plan.take(3000)}")
+    assert(plan.contains("partial_count"),
+      s"census must map-side combine:\n${plan.take(3000)}")
+  }
+
   test("g10: the returned plan reads the lineage-truncated score cache " +
     "(O(1)-deep, no fact rescan) and cuts via TakeOrdered; scores carry " +
     "the integer rescale invariant") {
