@@ -783,7 +783,12 @@ object GraphQueries {
           .select(col("ck"), expr(s"hr div greatest(hm div ${HitsMass}L, 1L)").as("h"))
         // Lazy chaining is bounded: K=3 fixed rounds, each a small keyed
         // agg over the cached edge list — no per-round materialization
-        // barrier needed (the g1 cadence lesson).
+        // barrier needed (the g1 cadence lesson). Although each round
+        // references its predecessor twice (rescale join + broadcast-max
+        // subtree), ReuseExchange dedups the identical aggregate
+        // subtrees, so there is NO exponential recompute — measured r6:
+        // adding per-round persists made the query SLOWER (6.0 → 7.3 s
+        // isolated sf0.1), pure cache-write overhead.
         r += 1
       }
       // Materialize the final (supplier-sized) score table, then release
