@@ -92,7 +92,7 @@ object Bench {
     "d17_bloom_admission", "m7_shot_boundary",
     "q22_sql_lateral_topn", "a32_attribution",
     "q23_sql_pivot", "u8_union_by_name", "h15_momentum_portfolio",
-    "a33_root_cause", "e23_ann_ndcg", "v18_k_anonymity")
+    "a33_root_cause", "e23_ann_ndcg", "v18_k_anonymity", "q24_sql_unpivot")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

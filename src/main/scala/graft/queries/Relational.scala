@@ -1135,12 +1135,51 @@ object Relational {
        FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""")
   )
 
+  /** Q24: SQL UNPIVOT clause through the front door — q23's inverse and
+    * p10's declarative spelling: wide columns melt to (metric, val) rows
+    * via Spark's `UNPIVOT (val FOR metric IN (...))`, compiled to ONE
+    * Expand (each input row fans to |metrics| output rows in the scan
+    * stage projection — no join, no shuffle before the presentation
+    * sort). The oracle spells the identical semantics as a portable
+    * UNION ALL (engines' UNPIVOT surface syntaxes differ). Values
+    * normalize to integer cents pre-melt so both engines emit
+    * bit-identical longs from one shared value column.
+    *
+    * Scale: Expand is a narrow codegen operator — melting a 100 TB fact
+    * table is a map-only pass; UNPIVOT's NULL-dropping default is pinned
+    * explicitly (INCLUDE NULLS) so row counts are schema-determined.
+    */
+  private val sqlQ24Spark =
+    """SELECT s_suppkey, metric, val_c FROM (
+         SELECT s_suppkey,
+                CAST(s_nationkey AS BIGINT) * 100 AS nation_c,
+                CAST(round(s_acctbal * 100) AS BIGINT) AS acctbal_c
+         FROM supplier)
+       UNPIVOT INCLUDE NULLS (val_c FOR metric IN
+         (nation_c AS nation, acctbal_c AS acctbal))
+       ORDER BY s_suppkey, metric"""
+
+  val q24SqlUnpivot: Q = Q(
+    "q24_sql_unpivot",
+    (s, dir) => {
+      t(s, dir, "supplier").createOrReplaceTempView("supplier")
+      s.sql(sqlQ24Spark)
+    },
+    Some("""SELECT s_suppkey, metric, val_c FROM (
+         SELECT s_suppkey, 'nation' AS metric,
+                CAST(s_nationkey AS BIGINT) * 100 AS val_c FROM supplier
+         UNION ALL
+         SELECT s_suppkey, 'acctbal',
+                CAST(round(s_acctbal * 100) AS BIGINT) FROM supplier)
+       ORDER BY s_suppkey, metric""")
+  )
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q07SqlAboveAvg, q08SqlNotExists, q09SqlCorrelated,
     q10SqlExistsChain, q11SqlNestedIn, q12SqlTopSupplier, q13SqlMinCost,
     q14SqlWindow, q15SqlRecursive, q16SqlDisjunctive, q17SqlLargeOrders,
     q18SqlGlobalAvg, q19SqlShippingPriority, q20SqlSupplierCensus,
-    q21SqlVolumeShipping, q22SqlLateralTopN, q23SqlPivot,
+    q21SqlVolumeShipping, q22SqlLateralTopN, q23SqlPivot, q24SqlUnpivot,
     p1Drop, p2Rename, p3Project, p4Filter, p5Isin, p6Validity, p8MaskedUpdate,
     f1Respell, f2Case, f3Split, f4StringAgg, f5Concat, f6TimeTrunc, f9TsArith,
     f11CastNull, f13Json,

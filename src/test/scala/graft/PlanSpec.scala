@@ -1441,6 +1441,19 @@ class PlanSpec extends SparkSpec {
       s"census must map-side combine:\n${plan.take(3000)}")
   }
 
+  test("q24: the SQL UNPIVOT compiles to ONE Expand over one scan — " +
+    "no join, no pre-sort shuffle beyond the presentation sort") {
+    val plan = executedPlan("q24_sql_unpivot")
+    assert(plan.contains("Expand"),
+      s"UNPIVOT must plan as Expand:\n${plan.take(3000)}")
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one supplier scan, got $scans:\n${plan.take(3000)}")
+    assert(!plan.contains("Join"), plan.take(3000))
+    val hashEx = """Exchange hashpartitioning""".r.findAllIn(plan).length
+    assert(hashEx == 0,
+      s"melt must be map-only before the sort:\n${plan.take(3000)}")
+  }
+
   test("g10: the returned plan reads the lineage-truncated score cache " +
     "(O(1)-deep, no fact rescan) and cuts via TakeOrdered; scores carry " +
     "the integer rescale invariant") {
