@@ -231,7 +231,11 @@ object Plans {
     "a33_root_cause" ->
       "Root-cause contributions: ONE events scan — both periods are conditional aggregates and both dimensions come from a single GROUPING SETS Expand; each dimension's window total IS the global total, so no separate totals pass exists.",
     "e23_ann_ndcg" ->
-      "ANN nDCG: both arms end in TakeOrdered top-10 lists before any join; rank discounts are pre-quantized 2^20 integers, so the metric is exact longs over <=10-row tables.")
+      "ANN nDCG: both arms end in TakeOrdered top-10 lists before any join; rank discounts are pre-quantized 2^20 integers, so the metric is exact longs over <=10-row tables.",
+    "v18_k_anonymity" ->
+      "k-anonymity audit: ONE scan of the two quasi-identifier columns into a map-side-combined census bounded at the QI domain product; the verdict is a codegen CASE over census rows.",
+    "q24_sql_unpivot" ->
+      "SQL UNPIVOT clause: ONE Expand over one scan — each row fans to |metrics| outputs in the scan-stage projection, map-only before the presentation sort; INCLUDE NULLS pins schema-determined row counts.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
