@@ -92,7 +92,8 @@ object Bench {
     "d17_bloom_admission", "m7_shot_boundary",
     "q22_sql_lateral_topn", "a32_attribution",
     "q23_sql_pivot", "u8_union_by_name", "h15_momentum_portfolio",
-    "a33_root_cause", "e23_ann_ndcg", "v18_k_anonymity", "q24_sql_unpivot")
+    "a33_root_cause", "e23_ann_ndcg", "v18_k_anonymity", "q24_sql_unpivot",
+    "j16_asof_native_forward", "j17_asof_native_nearest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -129,6 +130,11 @@ object Bench {
       // mmap/unmap-bound executor stacks, and idle CPUs). On a real
       // cluster these are executor-local SSD scratch dirs anyway.
       .config("spark.local.dir", "/dev/shm/graft-spark")
+      // Backstop for the between-queries System.gc(): ContextCleaner is
+      // GC-driven and the default periodic GC is 30 min — longer than a
+      // whole bench run, so without this nothing would ever reclaim
+      // dereferenced shuffles if the explicit gc were skipped.
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Untimed JVM/codegen warmup (no benchmark data touched): the first
@@ -203,17 +209,33 @@ object Bench {
     // min — a least-noise estimate, flagged in the JSON. Sub-second
     // queries fluctuating ±50% contributed several seconds of pure noise
     // to single-shot totals.
+    def clearSlate(): Unit = {
+      graft.queries.DedupQueries.clearMemo()
+      graft.queries.GraphQueries.clearMemo()
+      graft.queries.SimilarityQueries.clearPcaMemo()
+      spark.catalog.clearCache()
+    }
     val results = names.map { name =>
       val (ok1, t1) = once(name)
       val best =
         if (ok1) {
-          graft.queries.DedupQueries.clearMemo()
-          graft.queries.GraphQueries.clearMemo()
-          graft.queries.SimilarityQueries.clearPcaMemo()
-          spark.catalog.clearCache()
+          clearSlate()
           val (ok2, t2) = once(name)
           if (ok2) math.min(t1, t2) else t1
         } else t1
+      // Post-query hygiene (r6 verdict: the closing artifact recorded d3 at
+      // 9.6 s in-session vs 1.9 s isolated — accumulated session state, not
+      // the plan). Two mechanisms, both bounded here:
+      //  1. run 2's memos/persists used to linger into the NEXT query's
+      //     first run — clear again so every measurement starts clean;
+      //  2. Spark's ContextCleaner is GC-driven, and a 128 GiB heap may
+      //     never collect during a 3-minute 238-query run (the periodicGC
+      //     default is 30 min) — so every query's shuffle files and
+      //     broadcasts pile up in spark.local.dir for the whole session.
+      //     An explicit gc BETWEEN queries (outside the timed window)
+      //     lets the cleaner reclaim them while nothing is measured.
+      clearSlate()
+      System.gc()
       // Per-query progress on stderr (stdout stays the single JSON line);
       // failures and timeouts are marked, not silently timed.
       System.err.println(

@@ -21,6 +21,9 @@ object Verify {
       .config("spark.shuffle.sort.bypassMergeThreshold", "1")
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.local.dir", "/dev/shm/graft-spark")
+      // ContextCleaner is GC-driven; reclaim dereferenced shuffle files
+      // during the 274-query session (see Bench's scaladoc).
+      .config("spark.cleaner.periodicGC.interval", "5min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -44,6 +47,18 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // Cache hygiene between queries (Bench's clean-slate discipline):
+      // per-query persists whose consumers live INSIDE the returned plan
+      // (d17's docs projection, e22's proj, c15's census, …) are done once
+      // the parquet write above materialized the result, but nothing
+      // unpersists them — over 274 queries in one session the
+      // MEMORY_AND_DISK entries accumulate and evict each other. Memos are
+      // cleared together with the cache so no memoized plan silently
+      // recomputes through a dropped persist.
+      graft.queries.DedupQueries.clearMemo()
+      graft.queries.GraphQueries.clearMemo()
+      graft.queries.SimilarityQueries.clearPcaMemo()
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -3,11 +3,24 @@ package graft.plans
 import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, AttributeSet, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Ascending, Attribute, AttributeReference, AttributeSet, Descending, Expression, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.catalyst.util.TypeUtils
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types.{DataType, DateType, IntegerType, LongType, TimestampNTZType, TimestampType}
+
+/** Direction of the as-of match — pandas `merge_asof`'s three modes.
+  *
+  *  - [[AsOfBackward]]: greatest `rightTs <= leftTs` (at-or-before).
+  *  - [[AsOfForward]]: smallest `rightTs >= leftTs` (at-or-after).
+  *  - [[AsOfNearest]]: whichever of the two is closer in time; ties at
+  *    equal distance resolve to the BACKWARD side (pandas' rule).
+  */
+sealed trait AsOfDirection
+case object AsOfBackward extends AsOfDirection
+case object AsOfForward extends AsOfDirection
+case object AsOfNearest extends AsOfDirection
 
 /** NATIVE as-of join — the whole-operator Catalyst integration path
   * (SURVEY §7.2 preference (c)): a custom `LogicalPlan` node, a
@@ -24,17 +37,35 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * sorts each side independently (map-side of each exchange carries only
   * its own columns, no union row widening, no window state machine), and
   * the exec is a textbook streamed merge: advance the right iterator
-  * while `(rKey, rTs) ≤ (lKey, lTs)`, holding ONE candidate row.
-  * O(|L| + |R|) per partition, O(1) memory beyond the held row — exactly
-  * what a 100 TB quote/trade alignment needs, and the same physical
-  * shape Spark's own SortMergeJoinExec declares.
+  * while `(rKey, rTs)` is at-or-behind `(lKey, lTs)`, holding ONE
+  * candidate row. O(|L| + |R|) per partition, O(1) memory beyond the
+  * held row — exactly what a 100 TB quote/trade alignment needs, and the
+  * same physical shape Spark's own SortMergeJoinExec declares.
   *
-  * Semantics (identical to `AsOf.joinAsOf`, spec-proven): for each left
-  * row, the right row with the greatest `rightTs <= leftTs` within the
-  * same key; at-or-before (equal timestamps match); among right ties on
-  * (key, ts) the greatest payload wins (the rightVals columns join the
-  * right child's sort order); unmatched left rows keep their multiplicity
-  * with null as-of columns.
+  * DIRECTIONS (round 7 — the j13/j15 union+window twins' widened shuffle
+  * was the exact cost this exec was built to remove):
+  *
+  *  - BACKWARD is the original semantics (identical to `AsOf.joinAsOf`,
+  *    spec-proven): right sorted `(key, ts, payload)` ascending; among
+  *    ties on (key, ts) the greatest payload wins; equal timestamps
+  *    match (at-or-before).
+  *  - FORWARD is the SAME merge loop with the time axis reversed: both
+  *    children sort `(key ASC, ts DESC)` and every ts comparison flips
+  *    sign, so "behind in the stream" now means `rightTs >= leftTs` and
+  *    the held row converges on the SMALLEST right ts at-or-after —
+  *    with the right payload still ascending, ties on (key, ts) still
+  *    resolve to the greatest payload (last replacement wins), matching
+  *    the composed j13 formulation's documented tiebreak.
+  *  - NEAREST runs the backward merge and additionally PEEKS the right
+  *    head: after the advance loop the head IS the first right row
+  *    strictly after the left ts (same key), i.e. the forward candidate
+  *    — no second pass, no reversal. The winner is chosen by integer
+  *    time distance (ts must be integral: long/int/timestamp/date —
+  *    enforced at construction), ties to the backward side. With
+  *    duplicate right rows on (key, ts) the forward arm sees the
+  *    smallest payload (stream head) while the backward arm sees the
+  *    greatest (last replacement); callers that care collapse the right
+  *    side per (key, ts) first — exactly what j15/j17 do.
   *
   * Scale notes: the merge preserves the left child's partitioning and
   * ordering (`outputPartitioning`/`outputOrdering` pass through), so a
@@ -50,7 +81,8 @@ case class AsOfJoin(
     leftTs: Expression,
     rightTs: Expression,
     rightVals: Seq[Expression],
-    asofOutput: Seq[Attribute]) extends BinaryNode {
+    asofOutput: Seq[Attribute],
+    direction: AsOfDirection = AsOfBackward) extends BinaryNode {
   override def output: Seq[Attribute] = left.output ++ asofOutput
   override def producedAttributes: AttributeSet = AttributeSet(asofOutput)
   override protected def withNewChildrenInternal(
@@ -63,8 +95,8 @@ case class AsOfJoin(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoin(l, r, lk, rk, lts, rts, rv, out) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, rv, out) :: Nil
+    case AsOfJoin(l, r, lk, rk, lts, rts, rv, out, dir) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, rv, out, dir) :: Nil
     case _ => Nil
   }
 }
@@ -77,7 +109,8 @@ case class AsOfJoinExec(
     leftTs: Expression,
     rightTs: Expression,
     rightVals: Seq[Expression],
-    asofOutput: Seq[Attribute]) extends BinaryExecNode {
+    asofOutput: Seq[Attribute],
+    direction: AsOfDirection = AsOfBackward) extends BinaryExecNode {
 
   override def output: Seq[Attribute] = left.output ++ asofOutput
   override def producedAttributes: AttributeSet = AttributeSet(asofOutput)
@@ -88,13 +121,20 @@ case class AsOfJoinExec(
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(leftKey :: Nil) :: ClusteredDistribution(rightKey :: Nil) :: Nil
 
-  /** Per-child sort: (key, ts) both sides; the right side additionally
-    * sorts by payload so the held row at equal (key, ts) is the GREATEST
-    * payload — the deterministic tiebreak `AsOf.joinAsOf` established.
+  /** Time sort direction: reversed for FORWARD (the merge walks both
+    * streams from latest to earliest), ascending otherwise.
+    */
+  private def tsDir = if (direction == AsOfForward) Descending else Ascending
+
+  /** Per-child sort: (key, ts-in-stream-direction) both sides; the right
+    * side additionally sorts by payload ASCENDING so the held row at equal
+    * (key, ts) is the GREATEST payload — the deterministic tiebreak
+    * `AsOf.joinAsOf` established (holds for both stream directions, since
+    * the held row is always the LAST behind-row seen).
     */
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
-    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, tsDir)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, tsDir)) ++
       rightVals.map(SortOrder(_, Ascending)))
 
   /** Left rows stream through in order — partitioning and ordering survive
@@ -102,6 +142,18 @@ case class AsOfJoinExec(
     */
   override def outputPartitioning: Partitioning = left.outputPartitioning
   override def outputOrdering: Seq[SortOrder] = left.outputOrdering
+
+  /** NEAREST needs subtraction, not just ordering: accept exactly the types
+    * whose internal representation is an integral (timestamps are µs longs,
+    * dates are day ints).
+    */
+  private def integralTs(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | TimestampType | TimestampNTZType | DateType => true
+    case _ => false
+  }
+  if (direction == AsOfNearest)
+    require(integralTs(leftTs.dataType),
+      s"nearest as-of needs an integral/timestamp ts, got ${leftTs.dataType}")
 
   protected override def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
@@ -111,9 +163,11 @@ case class AsOfJoinExec(
     val lTs = leftTs
     val rTs = rightTs
     val rVals = rightVals
-    val asofOut = asofOutput
+    val dir = direction
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)
+    // FORWARD flips every ts comparison (streams walk time backwards).
+    val tsSign = if (dir == AsOfForward) -1 else 1
 
     val lRdd = left.execute()
     val rRdd = right.execute()
@@ -139,6 +193,13 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       val nullRight: InternalRow =
         new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(rOut.size)
+      // NEAREST's distance arithmetic: timestamps/dates eval to Long/Int.
+      def toL(x: Any): Long = x match {
+        case l: java.lang.Long => l.longValue()
+        case i: java.lang.Integer => i.longValue()
+        case other => throw new IllegalStateException(
+          s"non-integral ts value under nearest as-of: $other")
+      }
 
       new Iterator[InternalRow] {
         // Key/ts values are cached alongside the rows they came from: the
@@ -177,7 +238,7 @@ case class AsOfJoinExec(
                 if (rHeadKey == null || rHeadTs == null) true
                 else {
                   val c = keyOrd.compare(rHeadKey, lk)
-                  c < 0 || (c == 0 && tsOrd.compare(rHeadTs, lt) <= 0)
+                  c < 0 || (c == 0 && tsSign * tsOrd.compare(rHeadTs, lt) <= 0)
                 }
               if (behind) {
                 if (rHeadKey != null && rHeadTs != null &&
@@ -191,10 +252,26 @@ case class AsOfJoinExec(
               } else continue = false
             }
           }
-          val matched = lk != null && lt != null && held != null &&
+          val matchedHeld = lk != null && lt != null && held != null &&
             heldKey != null && keyOrd.compare(heldKey, lk) == 0 &&
-            heldTs != null && tsOrd.compare(heldTs, lt) <= 0
-          proj(joined(l, if (matched) held else nullRight))
+            heldTs != null && tsSign * tsOrd.compare(heldTs, lt) <= 0
+          val rightRow =
+            if (dir != AsOfNearest) { if (matchedHeld) held else nullRight }
+            else {
+              // The not-behind head is the forward candidate iff same key
+              // (its ts is strictly after lt — equal ts was consumed into
+              // `held` and wins as the backward arm at distance 0).
+              val matchedHead = lk != null && lt != null && rHead != null &&
+                rHeadKey != null && keyOrd.compare(rHeadKey, lk) == 0
+              if (matchedHeld && matchedHead) {
+                val dPrev = toL(lt) - toL(heldTs)
+                val dNext = toL(rHeadTs) - toL(lt)
+                if (dPrev <= dNext) held else rHead
+              } else if (matchedHeld) held
+              else if (matchedHead) rHead
+              else nullRight
+            }
+          proj(joined(l, rightRow))
         }
       }
     }
@@ -209,10 +286,10 @@ case class AsOfJoinExec(
 object NativeAsOf {
 
   /** Same contract as [[graft.operators.AsOf.joinAsOf]]: emits every left
-    * row plus `asof_ts` and `asof_<v>` columns (null when no right row at
-    * or before). The strategy self-registers on the session
-    * (`experimental.extraStrategies` — idempotent), so callers need no
-    * session-builder configuration.
+    * row plus `asof_ts` and `asof_<v>` columns (null when no matching
+    * right row in the requested direction). The strategy self-registers
+    * on the session (`experimental.extraStrategies` — idempotent), so
+    * callers need no session-builder configuration.
     */
   def joinAsOf(
       left: DataFrame,
@@ -220,7 +297,8 @@ object NativeAsOf {
       key: String,
       leftTs: String,
       rightTs: String,
-      rightVals: Seq[String]): DataFrame = {
+      rightVals: Seq[String],
+      direction: AsOfDirection = AsOfBackward): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
@@ -250,6 +328,6 @@ object NativeAsOf {
       rvs.map(v => AttributeReference(s"asof_${v.name}", v.dataType, nullable = true)())
 
     org.apache.spark.sql.graftbridge.Bridge.ofRows(
-      spark, AsOfJoin(lPlan, rPlan, lk, rk, lts, rts, rvs, asofOut))
+      spark, AsOfJoin(lPlan, rPlan, lk, rk, lts, rts, rvs, asofOut, direction))
   }
 }

@@ -1366,8 +1366,13 @@ object AnalyticsExtras {
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"),
           unix_micros(col("ts")).as("ct"), col("event_id").as("click_id"),
-          concat(lit("ch"),
-            get_json_object(col("props"), "$.k").cast("int") % 4).as("channel"))
+          // coalesce: a props payload without an integer $.k would yield a
+          // NULL channel, and the gate compares rows positionally while the
+          // engines disagree on NULL placement in ORDER BY (Spark NULLS
+          // FIRST, DuckDB NULLS LAST) — pin a sentinel on BOTH engines.
+          coalesce(concat(lit("ch"),
+            get_json_object(col("props"), "$.k").cast("int") % 4),
+            lit("ch_unknown")).as("channel"))
       val purch = ev.filter(col("event_type") === "purchase")
         .select(col("user_id"), unix_micros(col("ts")).as("pt"),
           col("event_id").as("purchase_id"))
@@ -1389,8 +1394,8 @@ object AnalyticsExtras {
     },
     Some("""WITH clicks AS (SELECT user_id, epoch_us(ts) AS ct,
             event_id AS click_id,
-            'ch' || CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 4
-                         AS VARCHAR) AS channel
+            coalesce('ch' || CAST(CAST(json_extract_string(props, '$.k') AS INTEGER) % 4
+                         AS VARCHAR), 'ch_unknown') AS channel
           FROM events WHERE event_type = 'click'),
         purch AS (SELECT user_id, epoch_us(ts) AS pt, event_id AS purchase_id
           FROM events WHERE event_type = 'purchase'),

@@ -622,6 +622,114 @@ object Joins {
       ORDER BY event_id""")
   )
 
+  /** J16: j13's forward as-of THROUGH THE NATIVE EXEC — the same
+    * "next click by the same user within 10 minutes" semantics, planned
+    * as `AsOfJoinExec(direction = Forward)` instead of the time-negated
+    * union+window formulation. The composed j13 shuffles a union row
+    * carrying BOTH sides' columns null-padded; the native node declares
+    * per-child requirements, so each exchange ships only its own side —
+    * the structural halving the exec was built for (j14's win, now for
+    * the forward direction). Same oracle as j13, so the driver gate
+    * proves the Forward direction end-to-end; NativeAsOfSpec additionally
+    * proves row parity with the composed form.
+    *
+    * Right payload is NOT pre-collapsed: the Forward exec's right sort
+    * (key ASC, ts DESC, payload ASC) makes the greatest payload win ties
+    * on (key, ts) — identical to j13's window tiebreak.
+    */
+  val j16AsOfNativeForward: Q = Q(
+    "j16_asof_native_forward",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val tolUs = 600000000L // 10 minutes
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("pt"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("ct"), col("value"))
+      graft.plans.NativeAsOf
+        .joinAsOf(facts, clicks, key = "user_id",
+          leftTs = "pt", rightTs = "ct", rightVals = Seq("value"),
+          direction = graft.plans.AsOfForward)
+        .select(col("event_id"), col("pt"),
+          when(col("asof_ts") - col("pt") <= tolUs, col("asof_ts")).as("next_ts"),
+          when(col("asof_ts") - col("pt") <= tolUs, col("asof_value"))
+            .as("next_value"))
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS pt FROM events
+              WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, epoch_us(ts) AS ct, value FROM events
+            WHERE event_type = 'click'),
+      m AS (SELECT p.event_id, c.ct, c.value,
+              row_number() OVER (PARTITION BY p.event_id
+                                 ORDER BY c.ct, c.value DESC) AS rn
+            FROM p JOIN c ON c.user_id = p.user_id
+              AND c.ct >= p.pt AND c.ct <= p.pt + 600000000)
+      SELECT p.event_id, p.pt, m.ct AS next_ts, m.value AS next_value
+      FROM p LEFT JOIN (SELECT event_id, ct, value FROM m WHERE rn = 1) m
+        USING (event_id)
+      ORDER BY event_id""")
+  )
+
+  /** J17: j15's nearest as-of THROUGH THE NATIVE EXEC — one merge pass
+    * computes both arms: the backward candidate is the exec's held row,
+    * the forward candidate is the right stream's head after the advance
+    * loop (a peek, not a second shuffle), winner by integer µs distance
+    * with ties to the backward side (pandas' rule). The composed j15
+    * pays TWO union+window passes (four exchanges, union-width rows);
+    * this is ONE exchange per side.
+    *
+    * Clicks collapse per (user_id, ct) first — j15's own shape — which
+    * also removes the one case where the two arms' (key, ts) tiebreaks
+    * differ (documented on the exec).
+    */
+  val j17AsOfNativeNearest: Q = Q(
+    "j17_asof_native_nearest",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val facts = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("pt"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("ct"), col("value"))
+        .groupBy("user_id", "ct").agg(max(col("value")).as("value"))
+      graft.plans.NativeAsOf
+        .joinAsOf(facts, clicks, key = "user_id",
+          leftTs = "pt", rightTs = "ct", rightVals = Seq("value"),
+          direction = graft.plans.AsOfNearest)
+        .select(col("event_id"), col("pt"),
+          col("asof_ts").as("nearest_ts"),
+          col("asof_value").as("nearest_value"),
+          when(col("asof_ts").isNull, lit(null).cast("string"))
+            .when(col("asof_ts") <= col("pt"), lit("prev"))
+            .otherwise(lit("next")).as("direction"))
+        .orderBy("event_id")
+    },
+    Some("""WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS pt FROM events
+              WHERE event_type = 'purchase'),
+      c AS (SELECT user_id, epoch_us(ts) AS ct, max(value) AS value FROM events
+            WHERE event_type = 'click' GROUP BY 1, 2),
+      b AS (SELECT event_id, ct, value FROM (
+              SELECT p.event_id, c.ct, c.value,
+                     row_number() OVER (PARTITION BY p.event_id ORDER BY c.ct DESC) AS rn
+              FROM p JOIN c ON c.user_id = p.user_id AND c.ct <= p.pt)
+            WHERE rn = 1),
+      f AS (SELECT event_id, ct, value FROM (
+              SELECT p.event_id, c.ct, c.value,
+                     row_number() OVER (PARTITION BY p.event_id ORDER BY c.ct) AS rn
+              FROM p JOIN c ON c.user_id = p.user_id AND c.ct > p.pt)
+            WHERE rn = 1)
+      SELECT p.event_id, p.pt,
+        CASE WHEN f.ct IS NULL OR (b.ct IS NOT NULL AND p.pt - b.ct <= f.ct - p.pt)
+             THEN b.ct ELSE f.ct END AS nearest_ts,
+        CASE WHEN f.ct IS NULL OR (b.ct IS NOT NULL AND p.pt - b.ct <= f.ct - p.pt)
+             THEN b.value ELSE f.value END AS nearest_value,
+        CASE WHEN b.ct IS NULL AND f.ct IS NULL THEN NULL
+             WHEN f.ct IS NULL OR (b.ct IS NOT NULL AND p.pt - b.ct <= f.ct - p.pt)
+             THEN 'prev' ELSE 'next' END AS direction
+      FROM p LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
+      ORDER BY event_id""")
+  )
+
   /** R3: blocking-recall audit — the d11/e9 self-evaluation pattern
     * applied to entity resolution: of the TRUE matches (r1's similarity
     * predicate with NO blocking), what fraction does r1's
@@ -692,5 +800,5 @@ object Joins {
     j1Semi, j2Anti, j3Inner, j4FullOuter, j5Left, j6Right, j7ThetaRange,
     j8Cross, j9AsOf, j10SaltedSkew, r1EntityMatch, r2GoldenRecord, j11BloomSemi,
     j12IntervalJoin, j13AsOfForward, j14AsOfNative, r3BlockingRecall,
-    j15AsOfNearest)
+    j15AsOfNearest, j16AsOfNativeForward, j17AsOfNativeNearest)
 }

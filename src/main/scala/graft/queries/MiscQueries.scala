@@ -146,6 +146,15 @@ object MiscQueries {
       ORDER BY column_name""")
   )
 
+  /** V2: schema diff as rows. Oracle-checked (round 7, previously
+    * rows-only): DuckDB sees the same parquet footers through its
+    * registered views, so `DESCRIBE <view>` yields the same field list;
+    * the oracle maps DuckDB's type names onto Spark's `simpleString`
+    * spelling (BIGINT→bigint, VARCHAR→string, TIMESTAMP→timestamp_ntz —
+    * the corpus timestamps are parquet µs `isAdjustedToUTC=false`, which
+    * Spark 4 infers as TIMESTAMP_NTZ). `dtypes.json` written by Verify
+    * guards the mapping against reader-inference drift.
+    */
   val v2SchemaDiff: Q = Q(
     "v2_schema_diff",
     (s, dir) => {
@@ -162,13 +171,37 @@ object MiscQueries {
           max(when(col("side") === "lineitem", lit(true)).otherwise(lit(false))).as("in_lineitem"))
         .orderBy("field", "dtype")
     },
-    None
+    Some("""WITH cols AS (
+        SELECT column_name AS field, column_type AS dt,
+               true AS in_o, false AS in_l FROM (DESCRIBE orders)
+        UNION ALL
+        SELECT column_name, column_type, false, true FROM (DESCRIBE lineitem))
+      SELECT field,
+        CASE dt WHEN 'BIGINT' THEN 'bigint' WHEN 'INTEGER' THEN 'int'
+                WHEN 'VARCHAR' THEN 'string' WHEN 'DOUBLE' THEN 'double'
+                WHEN 'TIMESTAMP' THEN 'timestamp_ntz' WHEN 'DATE' THEN 'date'
+                WHEN 'FLOAT' THEN 'float' WHEN 'BOOLEAN' THEN 'boolean'
+                WHEN 'SMALLINT' THEN 'smallint' WHEN 'TINYINT' THEN 'tinyint'
+                ELSE lower(dt) END AS dtype,
+        bool_or(in_o) AS in_orders, bool_or(in_l) AS in_lineitem
+      FROM cols GROUP BY field, dt ORDER BY field, dtype""")
   )
 
   /** S10/O4: file-listing source — the `glob("*.parquet") → latest N`
     * inspection path (`parquet_details.py:15-23`) via Spark's binaryFile
     * metadata source (no content read; `PathFilter` prunes at listing
-    * time). Oracle-free: file mtimes aren't visible to DuckDB.
+    * time).
+    *
+    * Oracle-checked (round 7, previously rows-only): DuckDB's
+    * `read_blob()` exposes `size` and `last_modified` for the same files.
+    * Its `last_modified` carries SECOND precision, so the engine
+    * truncates `modificationTime` to seconds too and both engines break
+    * the resulting ties deterministically on `table_name` — without the
+    * truncation Spark would order by millisecond mtimes DuckDB cannot
+    * see. The oracle pins the driver-gate corpus dir (sf0.01, the one
+    * scale the CORRECTNESS gate runs at — TESTDATA.md); read_blob is the
+    * one DuckDB table function that can see the filesystem, and it takes
+    * a literal path, not a registered view.
     */
   val o4FileListing: Q = Q(
     "o4_file_listing",
@@ -179,11 +212,15 @@ object MiscQueries {
         .load(dir)
         .select(
           regexp_extract(col("path"), "([^/]+)\\.parquet$", 1).as("table_name"),
-          col("length").as("file_bytes"))
-        .orderBy(col("modificationTime").desc, col("table_name"))
+          col("length").as("file_bytes"),
+          date_trunc("second", col("modificationTime")).as("mts"))
+        .orderBy(col("mts").desc, col("table_name"))
         .limit(5)
         .select("table_name", "file_bytes"),
-    None
+    Some("""SELECT regexp_extract(filename, '([^/]+)\.parquet$', 1) AS table_name,
+        size AS file_bytes
+      FROM read_blob('/root/testdata/sf0.01/*.parquet')
+      ORDER BY last_modified DESC, table_name LIMIT 5""")
   )
 
   /** M1: multimodal binary plumbing — opaque bytes column + typed metadata

@@ -437,9 +437,10 @@ object TextAnalysis {
     *
     * Exactness: the score is computed in MILLI-points with integer floor
     * division (`206.835 → 206835`, `1.015·w/s → (1015·w) div s`,
-    * `84.6·y/w → (84600·y) div w`) — all operands non-negative, so
-    * Spark's truncating `div` and DuckDB's floor `//` agree and the
-    * result is bit-identical with no float rounding to drift.
+    * `84.6·y/w → (84600·y) div w`) — DuckDB's `//` truncates toward
+    * zero like Spark's `div` (and all operands are non-negative here
+    * anyway), so the result is bit-identical with no float rounding to
+    * drift.
     *
     * Scale: narrow per-row expressions only (regexp_count + arithmetic,
     * all codegen'd builtins) — no shuffle, no UDF; streams through the

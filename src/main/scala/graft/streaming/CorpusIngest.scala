@@ -509,4 +509,117 @@ object CorpusIngest {
       }
       .start()
   }
+
+  /** Start the MEDIA admission stream — the frame-signature twin of
+    * [[startIngestNearDup]], completing census-gated ingest for the last
+    * modality (text fp / spans / vectors / now media): each candidate's
+    * payload is cut into m4's 64-byte frames, each frame hashed
+    * (`Text.tokenHash32` — the codegen'd md5-prefix expression), and the
+    * per-frame hashes folded into ONE 32-bit doc SimHash
+    * (`Text.simhashAgg`); admission probes the stored signature census at
+    * m4's byte-band granularity and rejects any candidate whose simhash
+    * lies within `maxHamming` bits of a stored one. Payloads here are the
+    * repo-wide text-as-media stand-in (m1/m4's convention — the container
+    * ships no codecs); a real deployment swaps the frame extraction for
+    * the decoder's frame iterator and NOTHING downstream changes: the
+    * census stores 8-byte signatures, never frames.
+    *
+    * Gates, cheapest first:
+    *  1. exact: whole-payload md5 (m1's content hash) against the census
+    *     fp set, plus within-batch lowest-id-wins dedup;
+    *  2. fuzzy: m4's 4×8-bit band probe over the signature census, then
+    *     an exact popcount verify `hamming ≤ maxHamming`. Pigeonhole: a
+    *     pair within Hamming 3 ALWAYS shares a band; 4..6 is caught when
+    *     a band survives — exactly m4's documented recall trade.
+    *
+    * The census stores (fp, k, byte, simhash) band rows (≤ 4 per admitted
+    * doc, payload-free) plus one k = −1 fp row per admitted doc so that
+    * frameless payloads (empty text) still feed the exact gate. All sinks
+    * follow the `batch_id <` dynamic-overwrite replay protocol; same-epoch
+    * near-dups are admitted together (the [[startIngestNearDup]]
+    * batch-granularity trade).
+    *
+    * Scale per epoch: O(batch frames) hashing (map-only), one band
+    * equi-join against the census (only colliding buckets verify), and
+    * the popcount verify on 8-byte pairs — no stage quadratic, admitted
+    * payloads never re-read.
+    */
+  def startIngestFrames(
+      spark: SparkSession,
+      inputDir: String,
+      corpusDir: String,
+      censusDir: String,
+      checkpointDir: String,
+      maxHamming: Int = 6,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    readDocs(spark, inputDir)
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (raw: DataFrame, batchId: Long) =>
+        val w = Window.partitionBy("fp").orderBy("doc_id")
+        val batch = raw
+          .withColumn("fp", md5(col("text")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .drop("rn")
+          .persist()
+        // m4's frame-signature pipeline, verbatim: 64-byte frames →
+        // 32-bit hash per frame → majority-vote SimHash per doc.
+        val sims = batch
+          .filter(length(col("text")) > 0)
+          .withColumn("n_frames", expr("(length(text) + 63) div 64"))
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(0), col("n_frames") - 1)).as("fpos"))
+          .select(col("doc_id"),
+            Text.tokenHash32(expr("substr(text, fpos * 64 + 1, 64)")).as("hv"))
+          .groupBy("doc_id")
+          .agg(Text.simhashAgg(col("hv")))
+          .persist()
+        sims.count() // eager: banded probe + census delta both rescan
+        val bands = sims
+          .withColumn("k", explode(sequence(lit(0), lit(3))))
+          .select(col("doc_id"), col("k"),
+            expr("shiftright(simhash, k * 8) & 255").as("byte"),
+            col("simhash"))
+        val admitted =
+          if (hasCensus(spark, censusDir)) {
+            val census = spark.read.parquet(censusDir)
+              .filter(col("batch_id") < batchId)
+            val exactHit = census.select("fp").distinct()
+            val fuzzyHit = bands
+              .join(census.filter(col("k") >= 0)
+                  .select(col("k"), col("byte"),
+                    col("simhash").as("stored_sim")).distinct(),
+                Seq("k", "byte"))
+              .filter(expr(s"bit_count(simhash ^ stored_sim) <= $maxHamming"))
+              .select("doc_id").distinct()
+            batch
+              .join(exactHit, Seq("fp"), "left_anti")
+              .join(fuzzyHit, Seq("doc_id"), "left_anti")
+          } else batch
+        admitted
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(corpusDir)
+        // census delta: band rows for framed payloads + one k = -1 row per
+        // admitted doc so empty payloads still hit the exact gate
+        bands
+          .join(admitted.select("doc_id", "fp"), Seq("doc_id"))
+          .select(col("fp"), col("k"), col("byte"), col("simhash"))
+          .unionByName(admitted.select(col("fp"), lit(-1).as("k"),
+            lit(-1L).as("byte"), lit(0L).as("simhash")))
+          .withColumn("batch_id", lit(batchId))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("batch_id")
+          .parquet(censusDir)
+        sims.unpersist()
+        batch.unpersist()
+        ()
+      }
+      .start()
 }

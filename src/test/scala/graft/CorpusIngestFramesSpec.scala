@@ -1,0 +1,97 @@
+package graft
+
+import graft.streaming.CorpusIngest
+import java.nio.file.{Files, Paths}
+
+/** Streaming MEDIA admission end-to-end (`startIngestFrames`) — the
+  * frame-signature twin of m4's batch media dedup: exact payload copies
+  * are rejected by the content-hash gate, frame-level near-copies by the
+  * banded SimHash probe (the chosen near-copy sits at Hamming 3 of the
+  * original's 32-bit signature — inside the 4×8 banding's pigeonhole
+  * guarantee), novel payloads are admitted, and a drained stream re-run
+  * admits nothing new (the replay-idempotence contract every ingest
+  * variant shares).
+  */
+class CorpusIngestFramesSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ~1 KB payloads (16 frames): one-token edits move few simhash bits.
+  private val mediaA = (0 until 200).map(i => f"w$i%03d").mkString(" ")
+  // one frame's content changed → signature Hamming 3 from mediaA
+  private val mediaANear = mediaA.replace("w003", "x003")
+  // disjoint content → signature Hamming 19 from mediaA (well past the gate)
+  private val mediaC = (0 until 200).map(i => f"z$i%03d").mkString(" ")
+
+  test("frame ingest rejects exact copies and Hamming-close near-copies " +
+    "against the signature census, admits novel media, and replays " +
+    "idempotently") {
+    val root = Files.createTempDirectory("corpusingestframes").toString
+    val in = s"$root/in"; val corpus = s"$root/corpus"
+    val census = s"$root/census"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(in))
+
+    Files.writeString(Paths.get(s"$in/m0.json"),
+      s"""{"doc_id":1,"text":"$mediaA","source":"s"}
+         |""".stripMargin)
+    CorpusIngest.startIngestFrames(spark, in, corpus, census, ckpt)
+      .awaitTermination(120000)
+    val round1 = CorpusIngest.corpus(spark, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(round1 == Set(1L), s"epoch 0 admitted $round1")
+
+    // epoch 1: exact copy (new id), frame-level near-copy, novel payload
+    Files.writeString(Paths.get(s"$in/m1.json"),
+      s"""{"doc_id":5,"text":"$mediaA","source":"s"}
+         |{"doc_id":6,"text":"$mediaANear","source":"s"}
+         |{"doc_id":7,"text":"$mediaC","source":"s"}
+         |""".stripMargin)
+    CorpusIngest.startIngestFrames(spark, in, corpus, census, ckpt)
+      .awaitTermination(120000)
+    val round2 = CorpusIngest.corpus(spark, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(round2 == Set(1L, 7L), s"epoch 1 corpus $round2")
+
+    // census carries band rows for both admitted docs (4 each) plus one
+    // fp row each — and nothing for the rejected candidates
+    val censusRows = spark.read.parquet(census)
+    assert(censusRows.count() == 10L,
+      s"expected 2 x (4 bands + 1 fp row), got ${censusRows.count()}")
+
+    // replay idempotence: a drained re-run admits nothing new
+    CorpusIngest.startIngestFrames(spark, in, corpus, census, ckpt)
+      .awaitTermination(120000)
+    val round3 = CorpusIngest.corpus(spark, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(round3 == round2, s"re-run changed the corpus: $round3")
+  }
+
+  test("within-batch exact copies collapse to the lowest doc_id; empty " +
+    "payloads ride the exact gate only (no band rows) and still dedup") {
+    val root = Files.createTempDirectory("corpusingestframes2").toString
+    val in = s"$root/in"; val corpus = s"$root/corpus"
+    val census = s"$root/census"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(in))
+
+    Files.writeString(Paths.get(s"$in/m0.json"),
+      s"""{"doc_id":4,"text":"$mediaA","source":"s"}
+         |{"doc_id":2,"text":"$mediaA","source":"s"}
+         |{"doc_id":3,"text":"","source":"s"}
+         |""".stripMargin)
+    CorpusIngest.startIngestFrames(spark, in, corpus, census, ckpt)
+      .awaitTermination(120000)
+    val ids = CorpusIngest.corpus(spark, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(2L, 3L), s"epoch 0 admitted $ids")
+
+    // epoch 1: another empty payload must be rejected by the fp census
+    // even though empty text produced no band rows
+    Files.writeString(Paths.get(s"$in/m1.json"),
+      s"""{"doc_id":9,"text":"","source":"s"}
+         |""".stripMargin)
+    CorpusIngest.startIngestFrames(spark, in, corpus, census, ckpt)
+      .awaitTermination(120000)
+    val ids2 = CorpusIngest.corpus(spark, corpus)
+      .select("doc_id").as[Long].collect().toSet
+    assert(ids2 == Set(2L, 3L), s"empty-payload dup admitted: $ids2")
+  }
+}

@@ -79,7 +79,7 @@ class GraphSpec extends SparkSpec {
     val edges = GraphQueries.partCoEdges(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1)))
     val labels = GraphQueries.labelAssign(
-      GraphQueries.coEdgesDeg(spark, sf)._1, 4).collect()
+      GraphQueries.coAdjDeg(spark, sf)._1, 4).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val m = edges.length.toLong
     val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)

@@ -2,6 +2,7 @@ package graft
 
 import graft.operators.AsOf
 import graft.plans.NativeAsOf
+import graft.queries.Joins
 import org.apache.spark.sql.functions._
 
 /** The native planner-integrated as-of join (`graft.plans.AsOfJoinPlan`)
@@ -103,6 +104,122 @@ class NativeAsOfSpec extends SparkSpec {
     assert(out.count() == trades.count())
   }
 
+  test("FORWARD direction equals the composed time-negation formulation on " +
+    "the corpus (j16 vs j13), row for row") {
+    val sf = "/root/testdata/sf0.001"
+    def collectRows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3))).toSeq
+    val native = collectRows(Joins.j16AsOfNativeForward.fn(spark, sf))
+    val composed = collectRows(Joins.j13AsOfForward.fn(spark, sf))
+    assert(native.size == composed.size && native == composed)
+    assert(native.exists(_._3 != null) && native.exists(_._3 == null),
+      "corpus must exercise both matched and tolerance-missed rows")
+  }
+
+  test("NEAREST direction equals the composed two-pass formulation on the " +
+    "corpus (j17 vs j15), row for row") {
+    val sf = "/root/testdata/sf0.001"
+    def collectRows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getLong(0), r.get(1), r.get(2), r.get(3), r.get(4))).toSeq
+    val native = collectRows(Joins.j17AsOfNativeNearest.fn(spark, sf))
+    val composed = collectRows(Joins.j15AsOfNearest.fn(spark, sf))
+    assert(native.size == composed.size && native == composed)
+    val dirs = native.flatMap(r => Option(r._5)).toSet
+    assert(dirs == Set("prev", "next"),
+      s"corpus must exercise both directions, got $dirs")
+  }
+
+  test("forward physical shape: AsOfJoinExec, no Window, descending-ts " +
+    "sorts, one exchange per side") {
+    val sf = "/root/testdata/sf0.001"
+    val df = Joins.j16AsOfNativeForward.fn(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val cut = plan.indexOf("== Initial Plan ==")
+    val finalPlan = if (cut >= 0) plan.substring(0, cut) else plan
+    assert(finalPlan.contains("AsOfJoin "), finalPlan.take(3000))
+    // the ORDER BY event_id at the top is a Sort but adds no Window; the
+    // as-of itself must not fall back to the union+window formulation
+    assert(!finalPlan.contains("Window"), finalPlan.take(3000))
+    assert(finalPlan.contains("DESC"),
+      "forward direction must sort ts descending:\n" + finalPlan.take(3000))
+  }
+
+  test("randomized adversarial FORWARD equality with the composed " +
+    "time-negation path") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowGen = for {
+      k <- Gen.choose(1L, 4L)
+      t <- Gen.choose(0L, 20L)
+      v <- Gen.choose(0L, 9L)
+    } yield (k, t, v.toDouble)
+    def sample(seed: Long, n: Int) = Gen.listOfN(n, rowGen)
+      .apply(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+    (1L to 6L).foreach { seed =>
+      val l = sample(seed, 50).zipWithIndex
+        .map { case ((k, t, _), i) => (i.toLong, k, t) }
+        .toDF("lid", "key", "lts")
+      val r = sample(seed + 100, 50).toDF("key", "rts", "v")
+        .repartition((seed % 3 + 1).toInt)
+      val native = NativeAsOf
+        .joinAsOf(l, r, "key", "lts", "rts", Seq("v"), graft.plans.AsOfForward)
+        .select($"lid", $"asof_ts", $"asof_v")
+        .collect().map(row => (row.getLong(0), row.get(1), row.get(2))).toSet
+      // composed forward = backward over negated time (the j13 identity)
+      val composed = AsOf
+        .joinAsOf(
+          l.withColumn("nts", -$"lts"), r.withColumn("nts", -$"rts").drop("rts"),
+          "key", "nts", "nts", Seq("v"))
+        .select($"lid",
+          (-$"asof_ts").as("asof_ts"), $"asof_v")
+        .collect().map(row => (row.getLong(0), row.get(1), row.get(2))).toSet
+      assert(native == composed, s"seed=$seed\n" +
+        s"native-only=${native -- composed}\ncomposed-only=${composed -- native}")
+    }
+  }
+
+  test("randomized adversarial NEAREST equality with the composed two-pass " +
+    "arbiter — unique (key, ts) right side, pandas tie-to-backward rule") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    val rowGen = for {
+      k <- Gen.choose(1L, 4L)
+      t <- Gen.choose(0L, 20L)
+      v <- Gen.choose(0L, 9L)
+    } yield (k, t, v.toDouble)
+    def sample(seed: Long, n: Int) = Gen.listOfN(n, rowGen)
+      .apply(Gen.Parameters.default, Seed(seed)).getOrElse(Nil)
+    (1L to 6L).foreach { seed =>
+      val l = sample(seed, 50).zipWithIndex
+        .map { case ((k, t, _), i) => (i.toLong, k, t) }
+        .toDF("lid", "key", "lts")
+      // collapse right per (key, ts): the nearest contract (exec scaladoc)
+      val r = sample(seed + 100, 50).toDF("key", "rts", "v")
+        .groupBy("key", "rts").agg(max($"v").as("v"))
+        .repartition((seed % 3 + 1).toInt)
+      val native = NativeAsOf
+        .joinAsOf(l, r, "key", "lts", "rts", Seq("v"), graft.plans.AsOfNearest)
+        .select($"lid", $"asof_ts", $"asof_v")
+        .collect().map(row => (row.getLong(0), row.get(1), row.get(2))).toSet
+      val back = AsOf.joinAsOf(l, r, "key", "lts", "rts", Seq("v"))
+        .withColumnRenamed("asof_ts", "bts").withColumnRenamed("asof_v", "bv")
+      val both = AsOf.joinAsOf(
+          back.withColumn("nts", -$"lts"),
+          r.withColumn("nts", -$"rts").drop("rts"), "key", "nts", "nts", Seq("v"))
+        .select($"lid", $"lts", $"bts", $"bv",
+          (-$"asof_ts").as("fts"), $"asof_v".as("fv"))
+      val pickPrev = $"fts".isNull ||
+        ($"bts".isNotNull && ($"lts" - $"bts") <= ($"fts" - $"lts"))
+      val composed = both.select($"lid",
+          when(pickPrev, $"bts").otherwise($"fts"),
+          when(pickPrev, $"bv").otherwise($"fv"))
+        .collect().map(row => (row.getLong(0), row.get(1), row.get(2))).toSet
+      assert(native == composed, s"seed=$seed\n" +
+        s"native-only=${native -- composed}\ncomposed-only=${composed -- native}")
+    }
+  }
+
   test("randomized adversarial equality with the composed operator — dense " +
     "key collisions, duplicate (key, ts) rows, nulls, varied partitioning") {
     import org.scalacheck.Gen
@@ -132,7 +249,7 @@ class NativeAsOfSpec extends SparkSpec {
         f(l, r, "key", "lts", "rts", Seq("v"))
           .select($"lid", $"asof_ts", $"asof_v")
           .collect().map(row => (row.getLong(0), row.get(1), row.get(2))).toSet
-      val native = run(NativeAsOf.joinAsOf)
+      val native = run(NativeAsOf.joinAsOf(_, _, _, _, _, _))
       val composed = run(AsOf.joinAsOf)
       assert(native == composed, s"seed=$seed\n" +
         s"native-only=${native -- composed}\ncomposed-only=${composed -- native}")

@@ -747,6 +747,39 @@ class PlanSpec extends SparkSpec {
       "existing edges must leave via an anti join:\n" + plan.take(3000))
   }
 
+  test("co-purchase adjacency is a BUCKETED materialized view: groupBy and " +
+    "self-join on the bucket key plan with NO Exchange on the edge side") {
+    val (adj, deg) = graft.queries.GraphQueries.coAdjDeg(spark, sf)
+    // degree-style aggregation on the bucket key: the table's
+    // hash-partitioning satisfies the agg's required distribution
+    val aggPlan = finalPlan(
+      adj.groupBy("a").agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1))))
+    assert(!aggPlan.contains("Exchange"),
+      "bucketed adjacency groupBy(a) must not shuffle:\n" + aggPlan.take(3000))
+    // g6's wedge shape: adjacency self-joined on the center node — the
+    // bucketed layout means NO SHUFFLE of the edge side ever: at scale
+    // both sides read bucketed and sort-merge with zero exchanges; at
+    // sf0.001 AQE rightly swaps in a broadcast build (the table is tiny),
+    // which still shuffles nothing. Either way "Exchange hashpartitioning"
+    // must be absent — that is the property that survives 100 TB.
+    import org.apache.spark.sql.functions.col
+    val wedge = adj.select(col("a"), col("b").as("u"))
+      .join(adj.select(col("a"), col("b").as("v")), Seq("a"))
+    val joinPlan = finalPlan(wedge)
+    assert(!joinPlan.contains("Exchange hashpartitioning"),
+      "bucketed self-join must not shuffle either side:\n" +
+        joinPlan.take(3000))
+    assert(joinPlan.contains("SortMergeJoin") ||
+      joinPlan.contains("BroadcastHashJoin"),
+      joinPlan.take(3000))
+    // the degree table is bucketed on id the same way
+    val degPlan = finalPlan(
+      deg.groupBy("id").agg(org.apache.spark.sql.functions.max(col("d"))))
+    assert(!degPlan.contains("Exchange"),
+      "bucketed degree groupBy(id) must not shuffle:\n" + degPlan.take(3000))
+  }
+
   test("x25: the bigram occurrence and TYPE tables are each cached once — " +
     "continuation censuses aggregate types, never the occurrence stream twice") {
     val plan = executedPlan("x25_kneser_ney")
