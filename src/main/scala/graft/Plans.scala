@@ -2,12 +2,24 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Plan-evidence dump: executes a representative query per family at
-  * sf0.001 and writes the POST-AQE physical plan (the plan that actually
-  * ran, not the initial estimate) to PLANS.md, annotated with the property
-  * each plan is expected to exhibit. Regenerate with:
+/** Plan-evidence dump: executes the annotated queries at sf0.001 and
+  * writes each POST-AQE physical plan (the plan that actually ran, not the
+  * initial estimate) to PLANS.md, annotated with the property the plan is
+  * expected to exhibit. Regenerate with:
   *
   *   sbt "runMain graft.Plans"
+  *
+  * SELECTION RULE (round 7, closing the r6 "plan-evidence lags the
+  * registry" gap): the annotated set is exactly every registry query
+  * whose 100 TB scale claim rests on a PLAN property — operationally,
+  * every query PlanSpec asserts a physical/optimized-plan property for,
+  * plus family representatives. A registry query with NO annotation is
+  * excluded by rule, not by omission: its scale argument is value-level
+  * (exact integer arithmetic, bounded output, reuse of an annotated
+  * family member's shape) and a plan dump would add no evidence —
+  * RegistrySpec mechanically asserts the rule (every PlanSpec-referenced
+  * query name must appear here), so the annotated set cannot silently
+  * fall behind the asserted set again.
   *
   * The same properties are ASSERTED (not just displayed) in PlanSpec; this
   * artifact exists so a reviewer can read the actual operator trees.
@@ -235,7 +247,97 @@ object Plans {
     "v18_k_anonymity" ->
       "k-anonymity audit: ONE scan of the two quasi-identifier columns into a map-side-combined census bounded at the QI domain product; the verdict is a codegen CASE over census rows.",
     "q24_sql_unpivot" ->
-      "SQL UNPIVOT clause: ONE Expand over one scan — each row fans to |metrics| outputs in the scan-stage projection, map-only before the presentation sort; INCLUDE NULLS pins schema-determined row counts.")
+      "SQL UNPIVOT clause: ONE Expand over one scan — each row fans to |metrics| outputs in the scan-stage projection, map-only before the presentation sort; INCLUDE NULLS pins schema-determined row counts.",
+    "a20_anomaly" ->
+      "Anomaly monitor: the fact table collapses to days BEFORE the bounded global window, and the scan reads only the three referenced columns.",
+    "a21_histogram" ->
+      "Histogram: the orders scan reads only o_totalprice (column pruning) and the 1-row extremes broadcast — no shuffle join anywhere.",
+    "c14_cluster_balanced" ->
+      "Cluster-balanced sampling: cluster assignment broadcasts the codebook; doc enrichment is a keyed equi-join; the per-cluster pick group-limits.",
+    "d14_cdc_chunks" ->
+      "CDC chunking: chunk assembly is per-doc array work — the corpus is scanned ONCE (cached), census and join-back are keyed, no cartesian.",
+    "d18_dedup_agreement" ->
+      "Lexical-vs-semantic agreement: pairs come from the memoized d3 table; cluster ids attach via keyed equi-joins with the 8-row centroid table broadcast.",
+    "e13_ivf_pq" ->
+      "IVF-PQ: residual subvectors are cached once; PQ encode and the ADC probe are broadcast equi-joins — the corpus never sort-merge-joins.",
+    "e20_pca_power" ->
+      "PCA power iteration: each round is two map-side-combinable keyed aggregates with the vector/score/scale sides broadcast — the quantized matrix never shuffles.",
+    "e21_anisotropy" ->
+      "Anisotropy audit: reuses the memoized PCA model — its own work is keyed aggregates over the persisted matrix with broadcast sides; the permille lands in (0, 1000] by Cauchy-Schwarz.",
+    "e6_semantic_dedup" ->
+      "Semantic dedup: centroid assignment broadcasts the codebook, never shuffles the vectors for it.",
+    "g2_triangle_count" ->
+      "Triangle counting: wedge and closing joins are equi-joins over the CACHED oriented edge table — no cartesian, three reads of one cache.",
+    "g3_kcore" ->
+      "k-core peel: the final census reads the last peel round's LINEAGE-TRUNCATED edge set — an O(1)-deep ExistingRDD scan, never a parquet re-derivation; round 0 scans the bucketed adjacency table.",
+    "g9_knn_graph" ->
+      "kNN graph: candidates come from the band equi-join — no all-pairs operator anywhere, and the per-src top-5 rank window group-limits.",
+    "h10_rolling_corr" ->
+      "Rolling correlation: one user-keyed exchange serves close-ranking, return lags and all five rolling sums; the market census joins back as a broadcast.",
+    "h11_event_study" ->
+      "Event study: event-day argmax and return lag share the user-keyed partitioning; the market census broadcasts — no global window.",
+    "h13_pairs_spread" ->
+      "Pairs spread: both legs aggregate in ONE day-keyed pass (conditional sums, one events scan); the calendar-bounded z window is the only unpartitioned operator.",
+    "h1_scd2_history" ->
+      "SCD2 build: windows over ONE key shuffle — no join, and both windows carry the user_id partition spec.",
+    "j1_semi_join" ->
+      "Semi join: the small dim side is a broadcast build, not a shuffle of the fact side.",
+    "p12_stratified_sample" ->
+      "Stratified sample: the scan reads only the referenced document columns.",
+    "q06_forecast_revenue" ->
+      "Range scan: both range predicates reach the scan, no separate filter stage re-reads.",
+    "q10_sql_exists_chain" ->
+      "EXISTS chain: both quantified subqueries decorrelate — EXISTS becomes a left-semi and NOT EXISTS a left-anti join on l_orderkey.",
+    "q11_sql_nested_in" ->
+      "Nested IN: IN decorrelates to a semi join and the correlated scalar sum becomes a grouped aggregate — no per-row rescan, no cartesian.",
+    "q12_sql_top_supplier" ->
+      "Top supplier (TPC-H Q15 shape): the revenue aggregate's exchange is planned once and reused between the join input and the scalar max; shipdate range reaches the scan.",
+    "q14_sql_window" ->
+      "SQL window front door: the rank filter infers the same WindowGroupLimit as the DataFrame form (w3).",
+    "q16_sql_disjunctive" ->
+      "Disjunctive predicate: the OR'd multi-clause predicate keeps p_partkey = l_partkey as a hash-join key — no nested-loop fallback from the disjunction.",
+    "q17_sql_large_orders" ->
+      "HAVING aggregate: partial-aggregates map-side before its exchange — the only full fact pass combines before shuffling.",
+    "q18_sql_global_avg" ->
+      "Global-average anti join: stays a hash ANTI join with the priority predicate pushed into the orders scan — never a NOT IN nested loop.",
+    "q25_sql_exists_range" ->
+      "Date-range EXISTS (TPC-H Q4 shape): decorrelates to ONE semi join — the correlated non-equi predicate rides the join, never a per-row subquery — and the outer date range pushes to the orders scan.",
+    "q26_sql_market_share" ->
+      "Market share (TPC-H Q8 shape): all six dimension hops broadcast; numerator and denominator fold in ONE aggregate over one fact pass (8 scans = 7 tables + nation twice).",
+    "q27_sql_priority_split" ->
+      "Priority split (TPC-H Q12 shape): the shipping window pushes to the lineitem scan and both priority CASE sums fold in one map-side-combined aggregate.",
+    "r2_golden_record" ->
+      "Golden record: survivorship windows and censuses all read the cached member table; cluster-to-documents linkage is a key equi-join.",
+    "v11_freshness" ->
+      "Freshness audit: the recent-liveness probe joins the tiny per-stream watermark table by broadcast; no sort-merge join of the fact table.",
+    "v14_ref_integrity" ->
+      "FK audit: reads ONLY key columns — no payload column appears in any ReadSchema, and every relation is an anti join.",
+    "v15_pk_unique" ->
+      "PK audit: reads ONLY key columns and runs each table as one two-phase distinct aggregate.",
+    "v16_two_sample_drift" ->
+      "Two-sample drift: KS and Mann-Whitney both derive from ONE documents scan into a value census; the ordered cumulative window runs over the census, not over rows.",
+    "v9_expectations" ->
+      "Expectations suite: referential checks plan as anti joins and each audited table is scanned once per role, not once per constraint.",
+    "w10_drawdown" ->
+      "Drawdown: the running-peak window and the final aggregate share ONE event_type shuffle — no join, no second keyed exchange.",
+    "w18_stochastic" ->
+      "Stochastic oscillator: row_number, max and min frames all ride ONE user-keyed exchange and the census reuses that partitioning.",
+    "w3_topn_per_group" ->
+      "Top-n per group: the rank filter infers a WindowGroupLimit — per-key top-n is pruned MAP-SIDE (Partial) before the shuffle, not post-window.",
+    "w8_streak" ->
+      "Streaks: the streak build is a dedup shuffle plus ONE shared user_id shuffle — windows and run aggregate reuse the same partitioning.",
+    "x18_readability" ->
+      "Readability: a pure narrow map — no join, no aggregate, only the sort exchange.",
+    "x20_zipf_slope" ->
+      "Zipf slope: the vocabulary census cuts to top-100 via TakeOrdered (no full global sort) and the regression sums run over bounded rows.",
+    "x21_ngram_novelty" ->
+      "N-gram novelty: the shingle table is cached once and both census and join-back consume the cache; candidates join on the shingle key only.",
+    "x30_lexical_diversity" ->
+      "Lexical diversity: the per-source rollup rides the (source, tok) census partitioning — two aggregates, no second corpus scan.",
+    "x31_perplexity_filter" ->
+      "Perplexity gate: adds only doc-level narrow stages on top of x25 — document text is scanned by the scorer alone.",
+    "x32_calibration" ->
+      "Calibration audit: the rollup adds no corpus shuffle beyond x26's doc aggregate — gates are a narrow map joined on doc_id.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
@@ -251,7 +353,15 @@ object Plans {
     sb.append("# PLANS — post-AQE physical plans of representative queries\n\n")
     sb.append(s"Generated by `graft.Plans` at `$sfDir`. Each plan below is the\n")
     sb.append("final adaptive plan of the executed query; the stated property is\n")
-    sb.append("asserted mechanically in `PlanSpec`.\n")
+    sb.append("asserted mechanically in `PlanSpec`.\n\n")
+    sb.append("SELECTION RULE: every registry query whose 100 TB scale claim\n")
+    sb.append("rests on a PLAN property (operationally: every query PlanSpec\n")
+    sb.append("asserts a plan property for, plus family representatives) is\n")
+    sb.append("annotated here — RegistrySpec mechanically enforces that\n")
+    sb.append("coverage. A registry query absent from this file is excluded by\n")
+    sb.append("rule: its scale argument is value-level (exact integer\n")
+    sb.append("arithmetic, bounded output, or reuse of an annotated family\n")
+    sb.append("member's plan shape), and a dump would add no evidence.\n")
     annotated.foreach { case (name, note) =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       df.collect() // finalize AQE

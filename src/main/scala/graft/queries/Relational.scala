@@ -1174,12 +1174,130 @@ object Relational {
        ORDER BY s_suppkey, metric""")
   )
 
+  /** Q25: order-priority census gated by a correlated EXISTS with a
+    * date-range outer filter (TPC-H Q4's shape — the remaining classic
+    * decorrelation stress after q08's NOT EXISTS): count the quarter's
+    * orders per priority where at least one line item shipped more than
+    * 60 days after the order date. The planner must decorrelate the
+    * EXISTS into ONE left-semi join keyed on orderkey — never a per-row
+    * subquery — with the non-correlated date predicates pushed to the
+    * orders scan (PlanSpec-asserted).
+    *
+    * Scale: the semi join keeps only the key + the correlated date from
+    * lineitem (no payload widens the shuffle); the priority census is a
+    * 5-group aggregate with map-side partials.
+    */
+  private val sqlQ25 =
+    """SELECT o.o_orderpriority, count(*) AS order_count
+       FROM orders o
+       WHERE o.o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+         AND o.o_orderdate < TIMESTAMP '1997-10-01 00:00:00'
+         AND EXISTS (SELECT 1 FROM lineitem l
+                     WHERE l.l_orderkey = o.o_orderkey
+                       AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+       GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority"""
+
+  val q25SqlExistsRange: Q = Q(
+    "q25_sql_exists_range",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sqlQ25)
+    },
+    Some(sqlQ25)
+  )
+
+  /** Q26: national market share (TPC-H Q8's shape) — one nation's share
+    * of a region's ECONOMY-part purchase volume per order year, through
+    * an EIGHT-table join chain (part→lineitem→supplier→orders→customer→
+    * nation×2→region) with the share as a conditional-sum CASE over the
+    * supplier nation. Numerator and denominator are exact integer 10⁻⁴
+    * units folded in ONE aggregate (never two scans); the share itself is
+    * one IEEE division of identical BIGINT operands per year row (the
+    * Q.davg determinism rule).
+    *
+    * Scale: every dimension hop (part, supplier, customer, nation ×2,
+    * region) is broadcastable at any SF — lineitem⋈orders is the single
+    * real shuffle; the region/type filters prune the broadcast sides
+    * before the fact join; the year rollup has map-side partials.
+    */
+  private val sqlQ26 =
+    """SELECT o_year,
+         CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN vol_u4 ELSE 0 END)
+              AS BIGINT) AS nation_vol_u4,
+         CAST(sum(vol_u4) AS BIGINT) AS total_vol_u4,
+         CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN vol_u4 ELSE 0 END)
+              AS DOUBLE) / CAST(sum(vol_u4) AS DOUBLE) AS mkt_share
+       FROM (SELECT CAST(extract(year FROM o.o_orderdate) AS INT) AS o_year,
+               CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                    AS BIGINT) AS vol_u4,
+               n2.n_name AS supp_nation
+             FROM part p
+             JOIN lineitem l ON l.l_partkey = p.p_partkey
+             JOIN supplier s ON s.s_suppkey = l.l_suppkey
+             JOIN orders o ON o.o_orderkey = l.l_orderkey
+             JOIN customer c ON c.c_custkey = o.o_custkey
+             JOIN nation n1 ON n1.n_nationkey = c.c_nationkey
+             JOIN region r ON r.r_regionkey = n1.n_regionkey
+             JOIN nation n2 ON n2.n_nationkey = s.s_nationkey
+             WHERE r.r_name = 'ASIA' AND p.p_type = 'ECONOMY') v
+       GROUP BY o_year ORDER BY o_year"""
+
+  val q26SqlMarketShare: Q = Q(
+    "q26_sql_market_share",
+    (s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part")
+      t(s, dir, "supplier").createOrReplaceTempView("supplier")
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      t(s, dir, "region").createOrReplaceTempView("region")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sqlQ26)
+    },
+    Some(sqlQ26)
+  )
+
+  /** Q27: priority split per line category (TPC-H Q12's shape — the
+    * shipmode CASE aggregate; this corpus's lineitem carries no
+    * l_shipmode, so l_returnflag plays the category): per return flag in
+    * a one-year shipping window, how many lines belong to high-priority
+    * orders vs the rest. The two CASE sums fold in ONE orders⋈lineitem
+    * pass — the classic "pivot a predicate into columns" aggregate.
+    *
+    * Scale: one equi-join shuffle on orderkey (the date filter pushes to
+    * the lineitem scan and prunes before the join); the census keys on a
+    * 3-value group with map-side partials.
+    */
+  private val sqlQ27 =
+    """SELECT l.l_returnflag,
+         CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+         CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+       FROM orders o
+       JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+         AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+       GROUP BY l.l_returnflag ORDER BY l.l_returnflag"""
+
+  val q27SqlPrioritySplit: Q = Q(
+    "q27_sql_priority_split",
+    (s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sqlQ27)
+    },
+    Some(sqlQ27)
+  )
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q07SqlAboveAvg, q08SqlNotExists, q09SqlCorrelated,
     q10SqlExistsChain, q11SqlNestedIn, q12SqlTopSupplier, q13SqlMinCost,
     q14SqlWindow, q15SqlRecursive, q16SqlDisjunctive, q17SqlLargeOrders,
     q18SqlGlobalAvg, q19SqlShippingPriority, q20SqlSupplierCensus,
     q21SqlVolumeShipping, q22SqlLateralTopN, q23SqlPivot, q24SqlUnpivot,
+    q25SqlExistsRange, q26SqlMarketShare, q27SqlPrioritySplit,
     p1Drop, p2Rename, p3Project, p4Filter, p5Isin, p6Validity, p8MaskedUpdate,
     f1Respell, f2Case, f3Split, f4StringAgg, f5Concat, f6TimeTrunc, f9TsArith,
     f11CastNull, f13Json,

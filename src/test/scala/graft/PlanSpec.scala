@@ -1288,6 +1288,49 @@ class PlanSpec extends SparkSpec {
       s"year rollup must map-side combine:\n${plan.take(3000)}")
   }
 
+  test("q25: the date-range EXISTS decorrelates to ONE semi join (the " +
+    "correlated non-equi predicate rides the join, never a per-row " +
+    "subquery) and the outer date range pushes to the orders scan") {
+    val df = SparkEntry.queries("q25_sql_exists_range")(spark, sf)
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(logical.contains("Join LeftSemi"),
+      s"EXISTS must compile to one semi join:\n${logical.take(3000)}")
+    val plan = finalPlan(df)
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate)") ||
+      plan.contains("GreaterThanOrEqual(o_orderdate"),
+      s"outer date range must reach the orders scan:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("partial_count"),
+      s"priority census must map-side combine:\n${plan.take(3000)}")
+  }
+
+  test("q26: all six dimension hops of the market-share chain broadcast; " +
+    "numerator and denominator fold in ONE aggregate over one fact pass") {
+    val plan = executedPlan("q26_sql_market_share")
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 4,
+      s"part/supplier/customer/nation/region hops must broadcast, got " +
+        s"$broadcasts:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("partial_sum"),
+      s"year rollup must map-side combine:\n${plan.take(3000)}")
+    // both CASE sums live in the same aggregate — lineitem is scanned once
+    // (8 = one per table + nation twice: the n1/n2 dimension aliases)
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 8, s"one scan per table, got $scans:\n${plan.take(3000)}")
+  }
+
+  test("q27: the shipping window pushes to the lineitem scan and both " +
+    "priority CASE sums fold in one map-side-combined aggregate") {
+    val plan = executedPlan("q27_sql_priority_split")
+    assert(plan.contains("GreaterThanOrEqual(l_shipdate"),
+      s"date window must reach the lineitem scan:\n${plan.take(3000)}")
+    assert(plan.contains("partial_sum"),
+      s"CASE sums must map-side combine:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
   test("p17: the compaction plan reads ONLY the three stat columns (never " +
     "text) and its cumulative window partitions by source") {
     val plan = executedPlan("p17_compaction_plan")

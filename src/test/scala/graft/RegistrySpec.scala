@@ -23,6 +23,28 @@ class RegistrySpec extends SparkSpec {
     assert(stray.isEmpty, s"headline names not in registry: $stray")
   }
 
+  test("PLANS.md selection rule: every PlanSpec-asserted registry query is " +
+    "annotated in graft.Plans (a reviewer can resolve any name to either " +
+    "a ran-plan or the explicit exclusion rule)") {
+    // The rule lives in Plans' scaladoc; this assert makes it mechanical:
+    // scrape the PlanSpec SOURCE for the query names it asserts plan
+    // properties on, and require each to carry a PLANS.md annotation.
+    val src = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/scala/graft/PlanSpec.scala")), "UTF-8")
+    val asserted =
+      ("""executedPlan\("([a-z0-9_]+)"\)""".r.findAllMatchIn(src).map(_.group(1)) ++
+        """queries\("([a-z0-9_]+)"\)""".r.findAllMatchIn(src).map(_.group(1))).toSet
+    assert(asserted.size > 100, s"PlanSpec scrape looks broken: $asserted")
+    val annotated = Plans.annotated.map(_._1).toSet
+    val missing = (asserted -- annotated).toSeq.sorted
+    assert(missing.isEmpty,
+      s"PlanSpec asserts plan properties for unannotated queries " +
+        s"(add them to Plans.annotated and regenerate PLANS.md): $missing")
+    // and every annotation must resolve to a real registry query
+    val stray = (annotated -- SparkEntry.queries.keySet).toSeq.sorted
+    assert(stray.isEmpty, s"annotations for unknown queries: $stray")
+  }
+
   SparkEntry.registry.foreach { q =>
     test(s"${q.name} executes at sf0.001") {
       val df = q.fn(spark, sf)
