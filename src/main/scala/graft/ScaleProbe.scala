@@ -20,6 +20,28 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
+  /** Inflation factors — override with SPARK_GRAFT_PROBE_FACTORS
+    * (e.g. "1,4,16,32,64" for the deep run; default 1,2,4,8). Applied to
+    * the three families whose 100 TB asymptotics carry the story (d3 LSH,
+    * e3/g9 embedding buckets, g4/g10 iterative graph); the other probes
+    * keep the default curve — their shapes were settled at 8×.
+    */
+  private[graft] def factors: Seq[Int] =
+    sys.env.get("SPARK_GRAFT_PROBE_FACTORS")
+      .map(_.split(",").map(_.trim.toInt).toSeq)
+      .getOrElse(Seq(1, 2, 4, 8))
+
+  /** Restrict to a probe subset: SPARK_GRAFT_PROBE_ONLY=lsh,ann,graph. */
+  private def probeOn(name: String): Boolean =
+    sys.env.get("SPARK_GRAFT_PROBE_ONLY")
+      .forall(_.split(",").map(_.trim).contains(name))
+
+  /** One machine-readable line per measurement (grep PROBEJSON → the
+    * committed PROBES artifact).
+    */
+  private def probeJson(kind: String, f: Int, n: Long, aux: Long, sec: Double): Unit =
+    println(f"""PROBEJSON {"probe":"$kind","factor":$f,"n":$n,"aux":$aux,"sec":$sec%.2f}""")
+
   def inflate(docs: DataFrame, factor: Int): DataFrame = {
     val salted = (0 until factor).map { k =>
       docs.select(
@@ -50,7 +72,7 @@ object ScaleProbe {
     spark.range(1000).selectExpr("sum(id * 2)").collect() // JIT warmup
     val docs = Tables.table(spark, sfDir, "documents").select("doc_id", "text")
     docs.persist(); docs.count()
-    Seq(1, 2, 4, 8).foreach { f =>
+    if (probeOn("lsh")) factors.foreach { f =>
       val inflated = inflate(docs, f)
       // min of 2 runs from a clean slate (host parallelism varies)
       val times = (1 to 2).map { _ =>
@@ -65,15 +87,16 @@ object ScaleProbe {
       }
       val (best, pairs) = times.minBy(_._1)
       println(f"[scale] factor=$f%2d docs=${docs.count() * f}%7d pairs=$pairs%7d time=$best%7.2f s")
+      probeJson("lsh", f, docs.count() * f, pairs, best)
     }
-    annProbe(spark, sfDir)
-    ccProbe(spark, sfDir)
-    snProbe(spark, sfDir)
-    spanProbe(spark, sfDir)
-    curriculumProbe(spark, sfDir)
-    graphProbe(spark, sfDir)
-    intervalProbe(spark, sfDir)
-    levProbe(spark)
+    if (probeOn("ann")) annProbe(spark, sfDir)
+    if (probeOn("cc")) ccProbe(spark, sfDir)
+    if (probeOn("sn")) snProbe(spark, sfDir)
+    if (probeOn("span")) spanProbe(spark, sfDir)
+    if (probeOn("cur")) curriculumProbe(spark, sfDir)
+    if (probeOn("graph")) graphProbe(spark, sfDir)
+    if (probeOn("interval")) intervalProbe(spark, sfDir)
+    if (probeOn("lev")) levProbe(spark)
     spark.stop()
   }
 
@@ -173,7 +196,7 @@ object ScaleProbe {
     val edges = graft.queries.GraphQueries.partCoEdges(spark, sfDir)
       .persist()
     val nEdges = edges.count()
-    Seq(1, 2, 4, 8).foreach { f =>
+    factors.foreach { f =>
       val inflated = (0 until f).map { k =>
         edges.select(
           (col("u") * f + k).as("u"),
@@ -188,6 +211,7 @@ object ScaleProbe {
       val (best, n) = times.minBy(_._1)
       println(f"[scale-graph] factor=$f%2d edges=${nEdges * f}%8d " +
         f"communities=$n%6d time=$best%7.2f s")
+      probeJson("graph", f, nEdges * f, n, best)
     }
     edges.unpersist()
   }
@@ -332,7 +356,7 @@ object ScaleProbe {
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("v"))
     emb.persist(); emb.count()
-    Seq(1, 2, 4, 8).foreach { f =>
+    factors.foreach { f =>
       val inflated = inflateEmb(emb, f)
       val nCent = (8 * math.sqrt(f)).round.toInt
       val times = (1 to 2).map { _ =>
@@ -363,6 +387,7 @@ object ScaleProbe {
       }
       val (best, pairs) = times.minBy(_._1)
       println(f"[scale-ann] factor=$f%2d vecs=${emb.count() * f}%7d cents=$nCent%3d neardup=$pairs%7d time=$best%7.2f s")
+      probeJson("ann", f, emb.count() * f, pairs, best)
     }
   }
 }

@@ -53,8 +53,6 @@ object PageRank {
       edges: DataFrame,
       iterations: Int,
       totalMass: Long = 1000000000000L): DataFrame = {
-    val sess = edges.sparkSession
-
     val e = edges.select(col("a"), col("b"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Eager materialize: round 1 scans `e` from two subtrees at once (the
@@ -75,6 +73,24 @@ object PageRank {
     val edgedT = Lineage.truncate(edged)
     val nodes = eT.select(col("a").as("id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    nodes.count()
+    ranksPrepared(edgedT, Lineage.truncate(nodes), iterations, totalMass)
+  }
+
+  /** The power-iteration core over PRE-MATERIALIZED inputs: `edged` is the
+    * degree-joined edge list (`a`, `b`, `d`) and `nodes` the node set
+    * (`id`), both assumed cheap to rescan (a bucketed table or a persisted
+    * frame — the r7 graph materialized views). Skips [[ranks]]' three
+    * persist+count barriers, which dominate an ISOLATED query's wall when
+    * the derivation already lives in the warehouse; when `edged` is
+    * bucketed on `a`, each round's contribution join plans with no
+    * Exchange on the edge side.
+    */
+  def ranksPrepared(
+      edgedT: DataFrame,
+      nodes: DataFrame,
+      iterations: Int,
+      totalMass: Long = 1000000000000L): DataFrame = {
     val n = nodes.count()
     require(n > 0, "PageRank over an empty edge list")
     val base = totalMass / n
