@@ -160,6 +160,10 @@ object Plans {
       "Gopher gate battery: a pure narrow codegen map (size/filter/length HOFs, cross-multiplied integer bounds) — zero joins, zero hash exchanges before the presentation sort.",
     "j14_asof_native" ->
       "NATIVE as-of join (custom LogicalPlan + SparkStrategy + BinaryExecNode): the AsOfJoin node declares ClusteredDistribution(key) + per-child (key, ts) sort orders, so EnsureRequirements plans ONE exchange and ONE sort per side (each carrying only its own columns) and the exec merges the sorted streams in O(|L|+|R|) with O(1) held state — no union widening, no window state machine.",
+    "j16_asof_native_forward" ->
+      "FORWARD direction through the native as-of exec: the SAME one-exchange-one-sort-per-side shape with the time axis reversed — both children sort (key ASC, ts DESC) and the merge loop flips one comparison sign; no Window operator, no union-width shuffle (NativeAsOfSpec pins the DESC sorts).",
+    "j17_asof_native_nearest" ->
+      "NEAREST direction through the native as-of exec: ONE backward merge pass computes both arms — the held row is the backward candidate and the right stream's head after the advance loop IS the forward candidate (a peek, not a second shuffle); winner by integer-µs distance, ties to backward. Two exchanges total vs the composed j15's four.",
     "x28_chunking" ->
       "RAG chunking: a pure narrow generate — sequence over the per-doc chunk count, slice over the token array, fingerprint — zero shuffles before the presentation sort; chunk geometry (stride/overlap/short tail) proven exact in ChunkingSpec.",
     "e18_mean_pool" ->

@@ -1484,6 +1484,95 @@ object AnalyticsExtras {
       ORDER BY dimension, dim_value""")
   )
 
+  /** A34: bootstrap confidence interval for the per-type mean value — the
+    * error bar every data-quality report should carry before anyone acts
+    * on "mean purchase value moved": B=32 deterministic Poisson-style
+    * resamples, each row's weight in resample b drawn from the seeded
+    * 60-bit hash of (b, event_id) mod 8 → {0,0,0,1,1,1,2,3} — a
+    * two-moment match for Poisson(1) (E[w] = 1, Var[w] = 1), which is the
+    * distributed-friendly bootstrap: no sampling with replacement, no
+    * shared state, each row decides its own multiplicity per resample.
+    * The CI is the 2nd/31st order statistics of the 32 resample means
+    * (≈ the 5th/95th percentile).
+    *
+    * Determinism: weights are pure md5 functions of (b, event_id); each
+    * resample mean is ONE IEEE division of an exact integer cent sum by
+    * an exact integer weight sum (the Q.davg rule), so all 32 means are
+    * bit-identical cross-engine and the order statistics need only the
+    * (mean, b) total order.
+    *
+    * Scale: the explode is ×32 narrow longs (never payloads); the
+    * resample sums are ONE map-side-combinable aggregate keyed on
+    * (event_type, b) — B·|types| cells; the order-statistic window sorts
+    * 32 rows per type. At 100 TB this is the bootstrap you can actually
+    * run: one pass, no per-resample shuffles of the fact table.
+    */
+  val a34BootstrapCi: Q = Q(
+    "a34_bootstrap_ci",
+    (s, dir) => {
+      import graft.functions.Text
+      val e = Tables.table(s, dir, "events")
+        .select(col("event_id"), col("event_type"),
+          expr("cast(round(value * 100) as bigint)").as("cents"))
+      val weighted = e
+        .select(col("event_type"), col("cents"),
+          explode(sequence(lit(0), lit(31))).as("b"),
+          col("event_id"))
+        .withColumn("h",
+          pmod(Text.seededHash64(col("b"), col("event_id").cast("string")), lit(8L)))
+        .withColumn("w",
+          when(col("h") < 3, 0L).when(col("h") < 6, 1L)
+            .when(col("h") === 6, 2L).otherwise(3L))
+      val means = weighted
+        .groupBy("event_type", "b")
+        .agg(sum(col("w") * col("cents")).as("sw"), sum(col("w")).as("nw"))
+        .select(col("event_type"), col("b"),
+          (col("sw").cast("double") / greatest(col("nw"), lit(1L))).as("mean_b"))
+      val byType = Window.partitionBy("event_type")
+        .orderBy(col("mean_b"), col("b"))
+      val ranked = means.withColumn("rn", row_number().over(byType))
+      ranked.groupBy("event_type")
+        .agg(
+          max(when(col("rn") === 2, col("mean_b"))).as("boot_lo"),
+          max(when(col("rn") === 31, col("mean_b"))).as("boot_hi"))
+        .join(
+          e.groupBy("event_type")
+            .agg(count(lit(1)).as("n_events"),
+              (sum(col("cents")).cast("double") / count(lit(1))).as("mean_cents")),
+          Seq("event_type"))
+        .select("event_type", "n_events", "mean_cents", "boot_lo", "boot_hi")
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (SELECT event_id, event_type,
+            CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+      wt AS (SELECT event_type, cents, b,
+            CAST('0x' || substr(md5(CAST(b AS VARCHAR) || '|' ||
+                 CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT) % 8 AS h
+          FROM e CROSS JOIN (SELECT unnest(range(32)) AS b) g),
+      w AS (SELECT event_type, b, cents,
+            CASE WHEN h < 3 THEN 0 WHEN h < 6 THEN 1
+                 WHEN h = 6 THEN 2 ELSE 3 END AS w
+          FROM wt),
+      means AS (SELECT event_type, b,
+            CAST(sum(w * cents) AS DOUBLE) /
+              greatest(CAST(sum(w) AS BIGINT), 1) AS mean_b
+          FROM w GROUP BY event_type, b),
+      rk AS (SELECT event_type, mean_b,
+            row_number() OVER (PARTITION BY event_type
+                               ORDER BY mean_b, b) AS rn
+          FROM means),
+      ci AS (SELECT event_type,
+            max(CASE WHEN rn = 2 THEN mean_b END) AS boot_lo,
+            max(CASE WHEN rn = 31 THEN mean_b END) AS boot_hi
+          FROM rk GROUP BY event_type),
+      pt AS (SELECT event_type, count(*) AS n_events,
+            CAST(sum(cents) AS DOUBLE) / count(*) AS mean_cents
+          FROM e GROUP BY event_type)
+      SELECT pt.event_type, pt.n_events, pt.mean_cents, ci.boot_lo, ci.boot_hi
+      FROM pt JOIN ci ON ci.event_type = pt.event_type
+      ORDER BY pt.event_type""")
+  )
+
   val all: Seq[Q] = Seq(
     w5RankAnalytics, w6FirstLast, w7RangeFrame, a12StatsMoments,
     a13Conditional, a14MedianDistinct, a15GroupingSets, a16Funnel,
@@ -1492,5 +1581,5 @@ object AnalyticsExtras {
     w8Streak, a20Anomaly, w9Ewma, w10Drawdown, a21Histogram, w11Cusum,
     w12Seasonality, a23Transitions, h3Scd2DimJoin, a25TimeToConvert,
     a26Mode, p16TargetEncode, a27PathCensus, a28CohortLtv, a29Rfm,
-    a32Attribution, a33RootCause)
+    a32Attribution, a33RootCause, a34BootstrapCi)
 }

@@ -2,7 +2,9 @@ package graft.queries
 
 import graft.{Q, Tables}
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 
 /** Remaining SURVEY §2 coverage: global counts (A2), exact percentiles,
   * timezone conversion (F8), insert-if-absent set growth (U2), schema diff
@@ -1197,10 +1199,88 @@ object MiscQueries {
     )
   }
 
+  /** V19: split-balance chi-square audit — is p14's train/val/test hash
+    * assignment independent of `source`? A contaminated or skewed split
+    * (one source over-represented in test) silently biases every eval;
+    * the release gate is Pearson's chi-square over the source×split
+    * contingency table, emitted per cell plus the table total. Uses
+    * p14's EXACT assignment expression (seed-14 60-bit hash mod 100,
+    * 96/2/2) so the audit measures the shipped split, not a twin.
+    *
+    * Exactness: each cell's statistic is (obs·T − rt·ct)²/(rt·ct·T)
+    * cross-multiplied — the square is computed in DECIMAL(38,0) (obs·T
+    * reaches 10¹¹ at sf1; its square overflows BIGINT, the g8/e20
+    * headroom rule), then ONE cast to double and two divisions by exact
+    * integers: identical IEEE inputs → identical doubles → identical
+    * round-to-permille on both engines. The total is a sum of integer
+    * permilles — order-independent.
+    *
+    * Scale: one corpus scan into a map-side-combinable (source, split)
+    * census; everything after is bounded at |sources|·3 cells (the
+    * single-partition window is over those cells, the v6 Lorenz rule).
+    */
+  val v19SplitBalance: Q = Q(
+    "v19_split_balance",
+    (s, dir) => {
+      import graft.functions.Text
+      val cells = t(s, dir, "documents")
+        .select(col("source"),
+          pmod(Text.seededHash64(lit(14), col("doc_id").cast("string")), lit(100L))
+            .as("slot"))
+        .withColumn("split",
+          when(col("slot") < 96, "train")
+            .when(col("slot") < 98, "val").otherwise("test"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_obs"))
+      val w = Window.partitionBy(lit(1))
+      val wr = Window.partitionBy("source")
+      val wc = Window.partitionBy("split")
+      val chi = cells
+        .withColumn("rt", sum(col("n_obs")).over(wr))
+        .withColumn("ct", sum(col("n_obs")).over(wc))
+        .withColumn("tt", sum(col("n_obs")).over(w))
+        .withColumn("dev",
+          (col("n_obs") * col("tt") - col("rt") * col("ct"))
+            .cast(DecimalType(19, 0)))
+        .withColumn("chi2_cell_pm",
+          round((col("dev") * col("dev")).cast("double")
+            / (col("rt") * col("ct")).cast("double")
+            / col("tt").cast("double") * 1000).cast("long"))
+      chi
+        .withColumn("chi2_total_pm", sum(col("chi2_cell_pm")).over(w))
+        .select("source", "split", "n_obs", "chi2_cell_pm", "chi2_total_pm")
+        .orderBy("source", "split")
+    },
+    Some("""WITH d AS (SELECT source,
+          CAST('0x' || substr(md5('14|' || CAST(doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % 100 AS slot
+        FROM documents),
+      cells AS (SELECT source,
+          CASE WHEN slot < 96 THEN 'train' WHEN slot < 98 THEN 'val'
+               ELSE 'test' END AS split,
+          count(*) AS n_obs
+        FROM d GROUP BY 1, 2),
+      m AS (SELECT source, split, n_obs,
+          CAST(sum(n_obs) OVER (PARTITION BY source) AS BIGINT) AS rt,
+          CAST(sum(n_obs) OVER (PARTITION BY split) AS BIGINT) AS ct,
+          CAST(sum(n_obs) OVER () AS BIGINT) AS tt
+        FROM cells),
+      c AS (SELECT source, split, n_obs,
+          CAST(round(
+            CAST(CAST(n_obs * tt - rt * ct AS DECIMAL(19,0))
+                 * CAST(n_obs * tt - rt * ct AS DECIMAL(19,0)) AS DOUBLE)
+            / CAST(rt * ct AS DOUBLE) / CAST(tt AS DOUBLE) * 1000)
+          AS BIGINT) AS chi2_cell_pm
+        FROM m)
+      SELECT source, split, n_obs, chi2_cell_pm,
+        CAST(sum(chi2_cell_pm) OVER () AS BIGINT) AS chi2_total_pm
+      FROM c ORDER BY source, split""")
+  )
+
   val all: Seq[Q] = Seq(
     a2Counts, a11Percentiles, f8Timezone, u2InsertAbsent, v2SchemaDiff, v4ColumnProfile,
     v5SourceOverlap, o4FileListing, m1BinaryMeta, v6ShardSkew, v7DataCard,
     v8PipelineYield, v9Expectations, v10PsiDrift, v11Freshness, p15ZorderLayout,
     v12Benford, v13SeqGaps, v14RefIntegrity, v15PkUnique, v16TwoSampleDrift,
-    p17CompactionPlan, v17RuleQuarantine, v18KAnonymity)
+    p17CompactionPlan, v17RuleQuarantine, v18KAnonymity, v19SplitBalance)
 }

@@ -1852,10 +1852,84 @@ object SimilarityQueries {
     )
   }
 
+  /** E24: Matryoshka truncation audit — retrieval recall@10 of
+    * PREFIX-TRUNCATED embeddings (the first 16 of 64 dims) against the
+    * full-dimension exact ranking, per probe query. Truncation is the
+    * modern storage/latency lever (MRL-style models are trained so
+    * prefixes remain usable embeddings); before a pipeline ships 4×
+    * cheaper vectors it measures exactly this number — the e9/e23
+    * self-evaluation pattern applied to the dimensionality axis instead
+    * of the index axis.
+    *
+    * Determinism: both rankings order by an IEEE cosine of identical
+    * exact operands (the e1 precedent) with a vec_id tiebreak; recall is
+    * an integer count × 100 (permille of 10). Probes are
+    * `vec_id % 100 = 0` — a bounded deterministic eval sample (the
+    * annProbe rule), 5 probes at sf0.01.
+    *
+    * Scale: probes broadcast; candidates stream through one embeddings
+    * scan doing BOTH cosines per row (the truncated one reads a slice of
+    * the same array — no second scan); the two rank windows share ONE
+    * probe-keyed exchange; everything after the rank filter is bounded
+    * at |probes|·10 rows.
+    */
+  val e24MatryoshkaRecall: Q = {
+    val td = 16
+    Q(
+      "e24_matryoshka_recall",
+      (s, dir) => {
+        FastVec.register(s)
+        val emb = t(s, dir, "embeddings")
+          .select(col("vec_id"), Vectors.toDoubleVec(col("embedding")).as("v"))
+        val probes = emb.filter(col("vec_id") % 100 === 0)
+          .select(col("vec_id").as("id_p"), col("v").as("pv"),
+            slice(col("v"), 1, td).as("pvt"))
+        val byProbe = org.apache.spark.sql.expressions.Window.partitionBy("id_p")
+        val ranked = emb
+          .crossJoin(broadcast(probes))
+          .filter(col("vec_id") =!= col("id_p"))
+          .select(col("id_p"), col("vec_id"),
+            FastVec.cosine(col("v"), col("pv")).as("sf"),
+            FastVec.cosine(slice(col("v"), 1, td), col("pvt")).as("st"))
+          .withColumn("rn_f",
+            row_number().over(byProbe.orderBy(col("sf").desc, col("vec_id"))))
+          .withColumn("rn_t",
+            row_number().over(byProbe.orderBy(col("st").desc, col("vec_id"))))
+        val overlap = ranked
+          .filter(col("rn_f") <= 10 && col("rn_t") <= 10)
+          .groupBy("id_p").agg(count(lit(1)).as("n_overlap"))
+        probes.select(col("id_p").as("probe_id"))
+          .join(overlap.withColumnRenamed("id_p", "probe_id"), Seq("probe_id"), "left")
+          .select(col("probe_id"),
+            coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+            (coalesce(col("n_overlap"), lit(0L)) * 100).as("recall_pm"))
+          .orderBy("probe_id")
+      },
+      Some(s"""WITH e AS ($sqlE),
+        p AS (SELECT vec_id AS id_p, v AS pv, v[1:$td] AS pvt FROM e
+              WHERE vec_id % 100 = 0),
+        r AS (SELECT p.id_p, e.vec_id,
+                ${sqlCos("e.v", "p.pv")} AS sf,
+                ${sqlCos("e.v[1:" + td + "]", "p.pvt")} AS st
+              FROM e CROSS JOIN p WHERE e.vec_id <> p.id_p),
+        rk AS (SELECT id_p, vec_id,
+                row_number() OVER (PARTITION BY id_p ORDER BY sf DESC, vec_id) AS rn_f,
+                row_number() OVER (PARTITION BY id_p ORDER BY st DESC, vec_id) AS rn_t
+              FROM r),
+        ov AS (SELECT id_p, count(*) AS n_overlap FROM rk
+              WHERE rn_f <= 10 AND rn_t <= 10 GROUP BY id_p)
+        SELECT p.id_p AS probe_id,
+          coalesce(ov.n_overlap, 0) AS n_overlap,
+          coalesce(ov.n_overlap, 0) * 100 AS recall_pm
+        FROM p LEFT JOIN ov ON ov.id_p = p.id_p
+        ORDER BY probe_id""")
+    )
+  }
+
   val all: Seq[Q] = Seq(e1CosineTopK, e2AnnIvf, e3BucketNearDup, e4AnnKmeans,
     e5AnnHyperplane, e6SemanticDedup, e7AnnBatch, e8PqAdc, e9AnnRecall,
     e10MmrRerank, e11EmbeddingQa, e12SqRecall, e13IvfPq, e14FilteredAnn,
     e15NprobeSweep, e16HybridRrf, e17HardNegatives, e18MeanPool,
     e19CentroidDrift, g9KnnGraph, c14ClusterBalanced, e20PcaPower,
-    e21Anisotropy, e22JlProjection, e23AnnNdcg)
+    e21Anisotropy, e22JlProjection, e23AnnNdcg, e24MatryoshkaRecall)
 }

@@ -25,6 +25,35 @@ class GraphSpec extends SparkSpec {
     assert(t.queryExecution.analyzed.isInstanceOf[LogicalRDD])
   }
 
+  test("the bucketed materialized views are SEMANTICALLY the derivations " +
+    "they replace: adjacency = symmetrized partCoEdges, degrees = endpoint " +
+    "census, pr-edges = degree-joined parity graph (staleness guard)") {
+    val sf = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.functions._
+    val (adj, deg) = GraphQueries.coAdjDeg(spark, sf)
+    val e = GraphQueries.partCoEdges(spark, sf)
+    val expectAdj = e.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val gotAdj = adj.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(gotAdj == expectAdj, "bucketed adjacency drifted from partCoEdges")
+    val expectDeg = expectAdj.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val gotDeg = deg.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotDeg == expectDeg, "bucketed degree table drifted")
+    val (edged, nodes) = GraphQueries.coPrGraph(spark, sf)
+    val gotE = edged.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every row's degree matches the recomputed out-degree of its source
+    val outdeg = gotE.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    assert(gotE.forall { case (a, _, d) => outdeg(a) == d },
+      "pre-joined degree drifted from the edge census")
+    // parity encode: sources/targets alternate customer(even)/supplier(odd)
+    assert(gotE.forall { case (a, b, _) => (a % 2) != (b % 2) },
+      "parity encoding violated — customer/supplier key spaces collide")
+    val gotNodes = nodes.collect().map(_.getLong(0)).sorted.toSeq
+    assert(gotNodes == gotE.map(_._1).distinct.sorted.toSeq,
+      "node table drifted from the edge sources")
+  }
+
   test("labelPropagate converges on two disjoint triangles and the early " +
     "exit returns the same result as the full fixed-R unroll") {
     import spark.implicits._
