@@ -70,8 +70,12 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000).selectExpr("sum(id * 2)").collect() // JIT warmup
-    val docs = Tables.table(spark, sfDir, "documents").select("doc_id", "text")
-    docs.persist(); docs.count()
+    // documents is scanned/pinned only when the lsh probe actually runs —
+    // a PROBE_ONLY=graph deep run must not cache an unused corpus.
+    lazy val docs = {
+      val d = Tables.table(spark, sfDir, "documents").select("doc_id", "text")
+      d.persist(); d.count(); d
+    }
     if (probeOn("lsh")) factors.foreach { f =>
       val inflated = inflate(docs, f)
       // min of 2 runs from a clean slate (host parallelism varies)

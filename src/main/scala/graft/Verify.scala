@@ -22,7 +22,7 @@ object Verify {
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
       .config("spark.local.dir", "/dev/shm/graft-spark")
       // ContextCleaner is GC-driven; reclaim dereferenced shuffle files
-      // during the 274-query session (see Bench's scaladoc).
+      // during the full-registry session (see Bench's scaladoc).
       .config("spark.cleaner.periodicGC.interval", "5min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -51,7 +51,7 @@ object Verify {
       // per-query persists whose consumers live INSIDE the returned plan
       // (d17's docs projection, e22's proj, c15's census, …) are done once
       // the parquet write above materialized the result, but nothing
-      // unpersists them — over 274 queries in one session the
+      // unpersists them — over the full-registry session the
       // MEMORY_AND_DISK entries accumulate and evict each other. Memos are
       // cleared together with the cache so no memoized plan silently
       // recomputes through a dropped persist.

@@ -105,4 +105,41 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("media"))
       .as[MediaRecord]
   }
+
+  /** The media frame-signature derivation SHARED by the batch dedup
+    * (m4_media_dedup) and its streaming admission twin
+    * (`CorpusIngest.startIngestFrames`): the payload is cut into
+    * [[FrameBytes]]-byte frames, each frame hashed to 32 bits
+    * (`Text.tokenHash32` — the codegen'd md5-prefix expression), and the
+    * per-frame hashes folded into ONE 32-bit doc SimHash
+    * (`Text.simhashAgg`). One definition so the stream gate and the batch
+    * query can never silently desynchronize on frame size or hash;
+    * empty payloads are excluded (no frames → no signature).
+    *
+    * @param docs frame source with `doc_id` and a `text` payload column
+    * @return (doc_id, simhash)
+    */
+  val FrameBytes = 64
+  def frameSimhash(docs: DataFrame): DataFrame =
+    docs
+      .filter(length(col("text")) > 0)
+      .withColumn("n_frames", expr(s"(length(text) + ${FrameBytes - 1}) div $FrameBytes"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("fpos"))
+      .select(col("doc_id"),
+        graft.functions.Text.tokenHash32(
+          expr(s"substr(text, fpos * $FrameBytes + 1, $FrameBytes)")).as("hv"))
+      .groupBy("doc_id")
+      .agg(graft.functions.Text.simhashAgg(col("hv")))
+
+  /** m4's 4×8-bit band explode over [[frameSimhash]] signatures — the
+    * candidate-generation granularity both the batch pair join and the
+    * streaming census probe key on.
+    */
+  def simhashBands(sims: DataFrame): DataFrame =
+    sims
+      .withColumn("k", explode(sequence(lit(0), lit(3))))
+      .select(col("doc_id"), col("k"),
+        expr("shiftright(simhash, k * 8) & 255").as("byte"),
+        col("simhash"))
 }

@@ -73,8 +73,8 @@ object PageRank {
     val edgedT = Lineage.truncate(edged)
     val nodes = eT.select(col("a").as("id")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    nodes.count()
-    ranksPrepared(edgedT, Lineage.truncate(nodes), iterations, totalMass)
+    val n = nodes.count() // one job: materializes the persist AND sizes the mass
+    core(edgedT, Lineage.truncate(nodes), n, iterations, totalMass)
   }
 
   /** The power-iteration core over PRE-MATERIALIZED inputs: `edged` is the
@@ -90,8 +90,15 @@ object PageRank {
       edgedT: DataFrame,
       nodes: DataFrame,
       iterations: Int,
-      totalMass: Long = 1000000000000L): DataFrame = {
-    val n = nodes.count()
+      totalMass: Long = 1000000000000L): DataFrame =
+    core(edgedT, nodes, nodes.count(), iterations, totalMass)
+
+  private def core(
+      edgedT: DataFrame,
+      nodes: DataFrame,
+      n: Long,
+      iterations: Int,
+      totalMass: Long): DataFrame = {
     require(n > 0, "PageRank over an empty edge list")
     val base = totalMass / n
     // Positive longs: Scala `/`, Spark `div` and DuckDB `//` all truncate

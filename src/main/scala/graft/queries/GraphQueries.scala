@@ -57,9 +57,18 @@ object GraphQueries {
   private val edgeCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), (DataFrame, DataFrame)]
 
-  /** One root per JVM so a fresh run never reads a stale corpus. */
-  private lazy val bucketRoot =
-    s"/tmp/graft-co-${java.util.UUID.randomUUID().toString.take(8)}"
+  /** One root per JVM so a fresh run never reads a stale corpus; deleted
+    * on JVM exit so repeated bench/test runs don't accumulate abandoned
+    * table directories in /tmp (the session warehouse has an owner; these
+    * external paths need one too).
+    */
+  private lazy val bucketRoot = {
+    val root = s"/tmp/graft-co-${java.util.UUID.randomUUID().toString.take(8)}"
+    sys.addShutdownHook {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+    root
+  }
   private val buildLock = new Object
   private val CoBuckets = 16
 

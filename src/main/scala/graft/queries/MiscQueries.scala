@@ -1222,14 +1222,10 @@ object MiscQueries {
   val v19SplitBalance: Q = Q(
     "v19_split_balance",
     (s, dir) => {
-      import graft.functions.Text
       val cells = t(s, dir, "documents")
         .select(col("source"),
-          pmod(Text.seededHash64(lit(14), col("doc_id").cast("string")), lit(100L))
-            .as("slot"))
-        .withColumn("split",
-          when(col("slot") < 96, "train")
-            .when(col("slot") < 98, "val").otherwise("test"))
+          MixtureQueries.splitSlot(col("doc_id")).as("slot"))
+        .withColumn("split", MixtureQueries.splitOf(col("slot")))
         .groupBy("source", "split")
         .agg(count(lit(1)).as("n_obs"))
       val w = Window.partitionBy(lit(1))

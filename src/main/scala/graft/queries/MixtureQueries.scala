@@ -557,6 +557,23 @@ object MixtureQueries {
     * expressions), one keyed aggregate with map-side combine. The split
     * decision never needs a shuffle at all — it's the census that groups.
     */
+  /** THE shipped split assignment — seed-14 60-bit hash of the doc id mod
+    * 100, 96/2/2 — as one shared expression pair so p14's census and
+    * v19's balance audit measure the SAME split by construction (the
+    * audit's contract is "the shipped split, not a twin").
+    */
+  private[graft] def splitSlot(docId: org.apache.spark.sql.Column) =
+    pmod(Text.seededHash64(lit(14), docId.cast("string")), lit(100L))
+  private[graft] def splitOf(slot: org.apache.spark.sql.Column) =
+    when(slot < 96, "train").when(slot < 98, "val").otherwise("test")
+
+  /** The DuckDB spelling of [[splitSlot]]/[[splitOf]], shared by both
+    * oracles for the same reason.
+    */
+  private[graft] val sqlSplit =
+    """CAST('0x' || substr(md5('14|' || CAST(doc_id AS VARCHAR)), 1, 15)
+               AS BIGINT) % 100"""
+
   val p14SplitAssign: Q = Q(
     "p14_split_assign",
     (s, dir) => {
@@ -564,11 +581,8 @@ object MixtureQueries {
         .select(
           col("source"),
           size(Text.tokens(col("text"))).as("n_tokens"),
-          pmod(Text.seededHash64(lit(14), col("doc_id").cast("string")), lit(100L))
-            .as("slot"))
-        .withColumn("split",
-          when(col("slot") < 96, "train")
-            .when(col("slot") < 98, "val").otherwise("test"))
+          splitSlot(col("doc_id")).as("slot"))
+        .withColumn("split", splitOf(col("slot")))
         .groupBy("source", "split")
         .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
         .orderBy("source", "split")

@@ -348,23 +348,16 @@ object PipelineExtras {
   val m4MediaDedup: Q = Q(
     "m4_media_dedup",
     (s, dir) => {
-      val frames = t(s, dir, "documents")
-        .filter(length(col("text")) > 0)
-        .withColumn("n_frames", expr("(length(text) + 63) div 64"))
-        .select(col("doc_id"), col("text"),
-          explode(sequence(lit(0), col("n_frames") - 1)).as("fpos"))
-        .select(col("doc_id"),
-          graft.functions.Text.tokenHash32(
-            expr("substr(text, fpos * 64 + 1, 64)")).as("hv"))
-      val sims = frames
-        .groupBy("doc_id")
-        .agg(graft.functions.Text.simhashAgg(col("hv")))
+      // Frame signatures come from the ONE shared derivation
+      // (operators/Multimodal.frameSimhash) the streaming admission twin
+      // (startIngestFrames) also uses — frame size and hash cannot drift
+      // between the batch dedup and the stream gate.
+      val sims = graft.operators.Multimodal
+        .frameSimhash(t(s, dir, "documents"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sims.count() // eager: byte-block explode + both verify sides rescan
-      val bytes = sims
-        .withColumn("k", explode(sequence(lit(0), lit(3))))
-        .select(col("doc_id"), col("k"),
-          expr("shiftright(simhash, k * 8) & 255").as("byte"))
+      val bytes = graft.operators.Multimodal.simhashBands(sims)
+        .select("doc_id", "k", "byte")
       val cand = bytes
         .select(col("doc_id").as("a"), col("k"), col("byte"))
         .join(bytes.select(col("doc_id").as("b"), col("k"), col("byte")),

@@ -565,24 +565,14 @@ object CorpusIngest {
           .filter(col("rn") === 1)
           .drop("rn")
           .persist()
-        // m4's frame-signature pipeline, verbatim: 64-byte frames →
-        // 32-bit hash per frame → majority-vote SimHash per doc.
-        val sims = batch
-          .filter(length(col("text")) > 0)
-          .withColumn("n_frames", expr("(length(text) + 63) div 64"))
-          .select(col("doc_id"), col("text"),
-            explode(sequence(lit(0), col("n_frames") - 1)).as("fpos"))
-          .select(col("doc_id"),
-            Text.tokenHash32(expr("substr(text, fpos * 64 + 1, 64)")).as("hv"))
-          .groupBy("doc_id")
-          .agg(Text.simhashAgg(col("hv")))
+        // m4's frame-signature pipeline via the ONE shared derivation
+        // (operators/Multimodal.frameSimhash + simhashBands) — the batch
+        // dedup and this gate cannot drift on frame size, hash, or band
+        // layout.
+        val sims = graft.operators.Multimodal.frameSimhash(batch)
           .persist()
         sims.count() // eager: banded probe + census delta both rescan
-        val bands = sims
-          .withColumn("k", explode(sequence(lit(0), lit(3))))
-          .select(col("doc_id"), col("k"),
-            expr("shiftright(simhash, k * 8) & 255").as("byte"),
-            col("simhash"))
+        val bands = graft.operators.Multimodal.simhashBands(sims)
         val admitted =
           if (hasCensus(spark, censusDir)) {
             val census = spark.read.parquet(censusDir)
