@@ -93,6 +93,7 @@ object ScaleProbe {
       println(f"[scale] factor=$f%2d docs=${docs.count() * f}%7d pairs=$pairs%7d time=$best%7.2f s")
       probeJson("lsh", f, docs.count() * f, pairs, best)
     }
+    if (probeOn("asof")) asofProbe(spark, sfDir)
     if (probeOn("ann")) annProbe(spark, sfDir)
     if (probeOn("cc")) ccProbe(spark, sfDir)
     if (probeOn("sn")) snProbe(spark, sfDir)
@@ -102,6 +103,58 @@ object ScaleProbe {
     if (probeOn("interval")) intervalProbe(spark, sfDir)
     if (probeOn("lev")) levProbe(spark)
     spark.stop()
+  }
+
+  /** Native vs composed as-of join under inflation — the r7 direction-enum
+    * exec's scale claim, measured: USER-SALTED copies of the event stream
+    * (user ids offset per copy, so per-key row counts stay constant while
+    * the key space scales — the partition-friendly growth direction) run
+    * the j9/j14 purchase⋈click backward alignment through BOTH
+    * formulations. The native exec shuffles each side's own columns only
+    * and merges with O(1) held state; the composed union+window shuffles
+    * `left + right` rows null-padded to the union width. Both must scale
+    * ~linearly in the factor; the native curve should sit strictly below
+    * the composed one, and the GAP is the union-widening cost the exec
+    * was built to remove.
+    */
+  def asofProbe(spark: SparkSession, sfDir: String): Unit = {
+    val ev = Tables.table(spark, sfDir, "events")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("event_type"), col("value"))
+    ev.persist(); ev.count()
+    factors.foreach { f =>
+      val inflated = (0 until f).map { k =>
+        ev.select((col("event_id") * f + k).as("event_id"),
+          (col("user_id") * f + k).as("user_id"),
+          col("ts"), col("event_type"), col("value"))
+      }.reduce(_.unionByName(_))
+      val purchases = inflated.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = inflated.filter(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      def time(run: () => Long): (Double, Long) = {
+        val times = (1 to 2).map { _ =>
+          spark.catalog.clearCache()
+          ev.persist(); ev.count()
+          val t0 = System.nanoTime()
+          val n = run()
+          (System.nanoTime() - t0) / 1e9 -> n
+        }
+        val (best, n) = times.minBy(_._1)
+        (best, n)
+      }
+      val (tN, nN) = time(() => graft.plans.NativeAsOf
+        .joinAsOf(purchases, clicks, "user_id", "ts", "ts", Seq("value"))
+        .filter(col("asof_ts").isNotNull).count())
+      val (tC, nC) = time(() => graft.operators.AsOf
+        .joinAsOf(purchases, clicks, "user_id", "ts", "ts", Seq("value"))
+        .filter(col("asof_ts").isNotNull).count())
+      require(nN == nC, s"native/composed disagree at factor $f: $nN vs $nC")
+      println(f"[scale-asof] factor=$f%2d matched=$nN%9d native=$tN%7.2f s composed=$tC%7.2f s")
+      probeJson("asof_native", f, nN, 0, tN)
+      probeJson("asof_composed", f, nC, 0, tC)
+    }
+    ev.unpersist()
   }
 
   /** The banded-levenshtein rewrite's asymptotic claim, measured: filter
