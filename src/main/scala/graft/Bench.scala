@@ -95,7 +95,8 @@ object Bench {
     "a33_root_cause", "e23_ann_ndcg", "v18_k_anonymity", "q24_sql_unpivot",
     "j16_asof_native_forward", "j17_asof_native_nearest",
     "q25_sql_exists_range", "q26_sql_market_share", "q27_sql_priority_split",
-    "e24_matryoshka_recall", "a34_bootstrap_ci", "v19_split_balance")
+    "e24_matryoshka_recall", "a34_bootstrap_ci", "v19_split_balance",
+    "m8_phash_dct")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

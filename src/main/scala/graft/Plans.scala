@@ -341,7 +341,9 @@ object Plans {
     "x31_perplexity_filter" ->
       "Perplexity gate: adds only doc-level narrow stages on top of x25 — document text is scanned by the scorer alone.",
     "x32_calibration" ->
-      "Calibration audit: the rollup adds no corpus shuffle beyond x26's doc aggregate — gates are a narrow map joined on doc_id.")
+      "Calibration audit: the rollup adds no corpus shuffle beyond x26's doc aggregate — gates are a narrow map joined on doc_id.",
+    "m8_phash_dct" ->
+      "Perceptual hash: the exact integer DCT is two bounded keyed aggregates (row pass, column pass) with the 64-row Q14 basis and 32-row zigzag coefficient tables as broadcast builds; candidates come from the byte-band equi-join on the 32-bit sign signature and payload text never crosses an exchange.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

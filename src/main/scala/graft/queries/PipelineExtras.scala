@@ -582,9 +582,147 @@ object PipelineExtras {
       FROM shots GROUP BY doc_id, shot ORDER BY doc_id, shot""")
   )
 
+  /** M8: perceptual hash (pHash) media dedup — the canonical
+    * frequency-domain near-dup signature next to m4's content-block
+    * SimHash: an 8×8 intensity grid per payload, an EXACT INTEGER
+    * DCT-II (cosine basis quantized to Q14 fixed-point, the 64 constants
+    * generated ONCE in Scala and inlined as literals into BOTH engines —
+    * no runtime transcendental anywhere), and a 32-bit signature from
+    * the SIGNS of the 32 lowest-frequency AC coefficients in zigzag
+    * order. Real pHash thresholds against the coefficient median; the
+    * sign form keeps the audit integer-exact while preserving the
+    * property that matters: low-frequency signs are stable under small
+    * local perturbations, so near-identical payloads land within a few
+    * bits while the chance background at the hamming ≤ 4 gate is
+    * ~4·10⁻⁷ per pair.
+    *
+    * The "pixels" are the honest codec stand-in (the m1/m4 posture): the
+    * payload's first 1 KiB maps to 64 cells of 16 chars, each hashed to
+    * an 8-bit intensity — a real build swaps in the decoder's downscaled
+    * luma grid and NOTHING downstream changes (the DCT, signature, and
+    * dedup join consume an (id, cell, intensity) frame whatever produced
+    * it).
+    *
+    * Scale: the DCT is SEPARABLE — a row pass then a column pass, each
+    * one map-side-combinable keyed aggregate over ≤64 narrow rows per
+    * doc joined to a broadcast 40-row basis table; candidates come from
+    * m4's byte-band equi-join on the signature (never all-pairs) and the
+    * verify is one popcount on 16-bit pairs. Payload bytes never
+    * shuffle.
+    */
+  val m8PhashDct: Q = {
+    val Q14 = 16384L
+    // Full DCT-II basis (8×8), quantized to Q14 — ONE source of constants
+    // for both engines.
+    val k: Array[Array[Long]] = Array.tabulate(8, 8) { (u, r) =>
+      math.round(math.cos(math.Pi * (2 * r + 1) * u / 16) * Q14)
+    }
+    // The 32 lowest-frequency AC coefficients in zigzag order (by u+v,
+    // then u) — pHash's standard low-band selection; bit index = zigzag
+    // position. At 32 sign bits the chance background at hamming ≤ 4 is
+    // ~4·10⁻⁷ per pair, so emitted pairs are structure, not noise.
+    val coefs: Seq[(Int, Int)] =
+      (for (u <- 0 to 7; v <- 0 to 7 if u + v > 0) yield (u, v))
+        .sortBy { case (u, v) => (u + v, u) }.take(32)
+    Q(
+      "m8_phash_dct",
+      (s, dir) => {
+        import s.implicits._
+        val kRows = for (u <- 0 to 7; r <- 0 to 7) yield (u, r, k(u)(r))
+        val kU = broadcast(kRows.toDF("u", "r", "ku"))
+        val kV = broadcast(kRows.toDF("v", "c", "kv"))
+        val cj = broadcast(coefs.zipWithIndex
+          .map { case ((u, v), j) => (u, v, j) }.toDF("u", "v", "j"))
+        // The grid covers the WHOLE payload (cell width = len/64) — the
+        // stand-in for pHash's resize-to-8×8: a short payload never pads
+        // with shared empty cells (which would correlate every short
+        // doc's signature), and a local edit perturbs one or two cells.
+        val cells = t(s, dir, "documents")
+          .filter(length(col("text")) > 0)
+          .select(col("doc_id"), col("text"),
+            explode(sequence(lit(0), lit(63))).as("i"))
+          .withColumn("cw", expr("greatest(length(text) div 64, 1)"))
+          .select(col("doc_id"), col("i"),
+            pmod(graft.functions.Text.seededHash64(
+              col("i"), expr("substr(text, cast(i * cw + 1 as int), cast(cw as int))")),
+              lit(256L)).as("p"))
+          .select(col("doc_id"), expr("i div 8").as("r"), (col("i") % 8).as("c"),
+            col("p"))
+        val rowPass = cells.join(kV, Seq("c"))
+          .groupBy("doc_id", "r", "v")
+          .agg(sum(col("p") * col("kv")).as("rs"))
+        val cuv = rowPass.join(kU, Seq("r"))
+          .groupBy("doc_id", "u", "v")
+          .agg(sum(col("rs") * col("ku")).as("cuv"))
+        val sigs = cuv.join(cj, Seq("u", "v"))
+          .groupBy("doc_id")
+          .agg(sum(when(col("cuv") > 0, expr("shiftleft(1L, j)"))
+            .otherwise(0L)).as("sig"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sigs.count() // eager: band explode + both verify sides rescan
+        val bands = sigs
+          .withColumn("b", explode(sequence(lit(0), lit(3))))
+          .select(col("doc_id"), col("b"),
+            expr("shiftright(sig, b * 8) & 255").as("byte"))
+        val cand = bands
+          .select(col("doc_id").as("a"), col("b"), col("byte"))
+          .join(bands.select(col("doc_id").as("bid"), col("b"), col("byte")),
+            Seq("b", "byte"))
+          .filter(col("a") < col("bid"))
+          .select(col("a"), col("bid").as("bb"))
+          .distinct()
+        cand
+          .join(sigs.select(col("doc_id").as("a"), col("sig").as("sig_a")), Seq("a"))
+          .join(sigs.select(col("doc_id").as("bb"), col("sig").as("sig_b")), Seq("bb"))
+          .select(col("a"), col("bb").as("b"),
+            bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+          .filter(col("hamming") <= 4)
+          .orderBy("a", "b")
+      },
+      Some {
+        val kVals = (for (u <- 0 to 7; r <- 0 to 7)
+          yield s"($u, $r, ${k(u)(r)})").mkString(", ")
+        val cjVals = coefs.zipWithIndex
+          .map { case ((u, v), j) => s"($u, $v, $j)" }.mkString(", ")
+        s"""WITH kt(u, r, kk) AS (VALUES $kVals),
+          cj(u, v, j) AS (VALUES $cjVals),
+          cells AS (SELECT doc_id, i // 8 AS r, i % 8 AS c,
+              CAST('0x' || substr(md5(CAST(i AS VARCHAR) || '|' ||
+                   substr(text, CAST(i * cw + 1 AS INTEGER), CAST(cw AS INTEGER))),
+                   1, 15) AS BIGINT) % 256 AS p
+            FROM (SELECT doc_id, text, unnest(range(64)) AS i,
+                         greatest(length(text) // 64, 1) AS cw
+                  FROM documents WHERE length(text) > 0)),
+          rp AS (SELECT cells.doc_id, cells.r, kt.u AS v,
+                CAST(sum(cells.p * kt.kk) AS BIGINT) AS rs
+            FROM cells JOIN kt ON kt.r = cells.c GROUP BY 1, 2, 3),
+          cp AS (SELECT rp.doc_id, kt.u, rp.v,
+                CAST(sum(rp.rs * kt.kk) AS BIGINT) AS cuv
+            FROM rp JOIN kt ON kt.r = rp.r GROUP BY 1, 2, 3),
+          sigs AS (SELECT cp.doc_id,
+                CAST(sum(CASE WHEN cp.cuv > 0 THEN CAST(1 AS BIGINT) << cj.j
+                         ELSE 0 END) AS BIGINT) AS sig
+            FROM cp JOIN cj ON cj.u = cp.u AND cj.v = cp.v
+            GROUP BY cp.doc_id),
+          bands AS (SELECT doc_id, b, (sig >> CAST(b * 8 AS INTEGER)) & 255 AS byte
+            FROM sigs CROSS JOIN (SELECT unnest(range(4)) AS b) g),
+          cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+            FROM bands x JOIN bands y
+              ON x.b = y.b AND x.byte = y.byte AND x.doc_id < y.doc_id)
+          SELECT c.a, c.b,
+            CAST(bit_count(xor(sa.sig, sb.sig)) AS BIGINT) AS hamming
+          FROM cand c
+          JOIN sigs sa ON sa.doc_id = c.a
+          JOIN sigs sb ON sb.doc_id = c.b
+          WHERE bit_count(xor(sa.sig, sb.sig)) <= 4
+          ORDER BY c.a, c.b"""
+      }
+    )
+  }
+
   val all: Seq[Q] = Seq(
     f14ArrayOps, f15MapOps, f16ExplodeSequence, f17StringFuncs,
     f18RegexpExtractAll, f19BucketCategorize, x6PiiScrub, x7BpeTokens,
     x14TokenFertility, m2FrameSample, m3ResizeMeta, d5DupClusters,
-    m4MediaDedup, m5AudioSegments, m6PatchGrid, m7ShotBoundary)
+    m4MediaDedup, m5AudioSegments, m6PatchGrid, m7ShotBoundary, m8PhashDct)
 }
