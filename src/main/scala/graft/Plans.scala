@@ -343,7 +343,7 @@ object Plans {
     "x32_calibration" ->
       "Calibration audit: the rollup adds no corpus shuffle beyond x26's doc aggregate — gates are a narrow map joined on doc_id.",
     "m8_phash_dct" ->
-      "Perceptual hash: the exact integer DCT is two bounded keyed aggregates (row pass, column pass) with the 64-row Q14 basis and 32-row zigzag coefficient tables as broadcast builds; candidates come from the byte-band equi-join on the 32-bit sign signature and payload text never crosses an exchange.")
+      "Perceptual hash: cells, the exact integer DCT (32 precomputed 64-long weight arrays, one zip_with/aggregate fold per coefficient) and the sign signature are ALL narrow per-row expression work — the first exchange is the candidate band join, payload text never crosses it, and the oracle's relational row-pass/column-pass spelling proves the fused fold computes the same separable transform.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

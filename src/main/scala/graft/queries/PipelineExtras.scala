@@ -610,13 +610,20 @@ object PipelineExtras {
     * verify is one popcount on 16-bit pairs. Payload bytes never
     * shuffle.
     */
-  val m8PhashDct: Q = {
-    val Q14 = 16384L
-    // Full DCT-II basis (8×8), quantized to Q14 — ONE source of constants
-    // for both engines.
-    val k: Array[Array[Long]] = Array.tabulate(8, 8) { (u, r) =>
-      math.round(math.cos(math.Pi * (2 * r + 1) * u / 16) * Q14)
+  /** Q14 fixed-point scale and the quantized DCT-II basis m8 transforms
+    * with — exposed for the orthogonality spec (MultimodalSpec proves the
+    * 64 literals ARE a DCT basis, which the cross-engine oracle cannot:
+    * both engines would agree on a mistranscribed table).
+    */
+  private[graft] val PhashQ14 = 16384L
+  private[graft] val phashBasis: Array[Array[Long]] =
+    Array.tabulate(8, 8) { (u, r) =>
+      math.round(math.cos(math.Pi * (2 * r + 1) * u / 16) * PhashQ14)
     }
+
+  val m8PhashDct: Q = {
+    val Q14 = PhashQ14
+    val k = phashBasis
     // The 32 lowest-frequency AC coefficients in zigzag order (by u+v,
     // then u) — pHash's standard low-band selection; bit index = zigzag
     // position. At 32 sign bits the chance background at hamming ≤ 4 is
@@ -627,37 +634,40 @@ object PipelineExtras {
     Q(
       "m8_phash_dct",
       (s, dir) => {
-        import s.implicits._
-        val kRows = for (u <- 0 to 7; r <- 0 to 7) yield (u, r, k(u)(r))
-        val kU = broadcast(kRows.toDF("u", "r", "ku"))
-        val kV = broadcast(kRows.toDF("v", "c", "kv"))
-        val cj = broadcast(coefs.zipWithIndex
-          .map { case ((u, v), j) => (u, v, j) }.toDF("u", "v", "j"))
+        // The engine computes the WHOLE transform as narrow per-row
+        // expression work — cells, DCT, and sign signature never touch a
+        // shuffle (the first exchange in the plan is the candidate band
+        // join, PlanSpec-asserted). The 2-D DCT weight of grid cell i for
+        // coefficient j is K(u_j, i/8)·K(v_j, i%8): 32 precomputed 64-long
+        // weight arrays ship as literals, and each coefficient is one
+        // zip_with/aggregate fold over the cell array. The relational
+        // row-pass/column-pass spelling lives in the ORACLE, which proves
+        // this fused form computes the same separable transform.
+        //
         // The grid covers the WHOLE payload (cell width = len/64) — the
         // stand-in for pHash's resize-to-8×8: a short payload never pads
         // with shared empty cells (which would correlate every short
         // doc's signature), and a local edit perturbs one or two cells.
-        val cells = t(s, dir, "documents")
+        val w: Seq[Array[Long]] = coefs.map { case (u, v) =>
+          Array.tabulate(64)(i => k(u)(i / 8) * k(v)(i % 8))
+        }
+        val docsF = t(s, dir, "documents")
           .filter(length(col("text")) > 0)
-          .select(col("doc_id"), col("text"),
-            explode(sequence(lit(0), lit(63))).as("i"))
           .withColumn("cw", expr("greatest(length(text) div 64, 1)"))
-          .select(col("doc_id"), col("i"),
-            pmod(graft.functions.Text.seededHash64(
-              col("i"), expr("substr(text, cast(i * cw + 1 as int), cast(cw as int))")),
-              lit(256L)).as("p"))
-          .select(col("doc_id"), expr("i div 8").as("r"), (col("i") % 8).as("c"),
-            col("p"))
-        val rowPass = cells.join(kV, Seq("c"))
-          .groupBy("doc_id", "r", "v")
-          .agg(sum(col("p") * col("kv")).as("rs"))
-        val cuv = rowPass.join(kU, Seq("r"))
-          .groupBy("doc_id", "u", "v")
-          .agg(sum(col("rs") * col("ku")).as("cuv"))
-        val sigs = cuv.join(cj, Seq("u", "v"))
-          .groupBy("doc_id")
-          .agg(sum(when(col("cuv") > 0, expr("shiftleft(1L, j)"))
-            .otherwise(0L)).as("sig"))
+        val pArr = transform(sequence(lit(0), lit(63)), i =>
+          pmod(graft.functions.Text.seededHash64(
+            i, col("text").substr(
+              (i * col("cw") + 1).cast("int"), col("cw").cast("int"))),
+            lit(256L)))
+        val sigCol = coefs.indices.map { j =>
+          val dot = aggregate(
+            zip_with(col("p"), typedLit(w(j).toSeq), (a, b) => a * b),
+            lit(0L), (acc, x) => acc + x)
+          when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+        }.reduce(_ + _)
+        val sigs = docsF
+          .select(col("doc_id"), pArr.as("p"))
+          .select(col("doc_id"), sigCol.as("sig"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         sigs.count() // eager: band explode + both verify sides rescan
         val bands = sigs

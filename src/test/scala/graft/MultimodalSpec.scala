@@ -29,4 +29,28 @@ class MultimodalSpec extends SparkSpec {
     assert(recs(0L).kind == "image" && recs(1L).kind == "audio")
     assert(new String(recs(0L).media, "UTF-8") == "some text")
   }
+
+  test("m8's quantized basis IS a DCT-II basis: row u=0 is constant, rows " +
+    "are pairwise orthogonal and equal-norm within quantization error — " +
+    "the property the cross-engine oracle cannot check (both engines " +
+    "would agree on a mistranscribed table)") {
+    val k = graft.queries.PipelineExtras.phashBasis
+    val q = graft.queries.PipelineExtras.PhashQ14
+    assert(k(0).forall(_ == q), "DC row must be the constant Q14")
+    // exact values are round(cos(pi (2r+1) u / 16) * Q14)
+    for (u <- 0 to 7; r <- 0 to 7)
+      assert(k(u)(r) ==
+        math.round(math.cos(math.Pi * (2 * r + 1) * u / 16) * q),
+        s"basis cell ($u, $r) mistranscribed")
+    // orthogonality: |<k_u, k_v>| for u != v is bounded by the rounding
+    // error (8 cells x ~Q14 x 0.5 each way), far below the diagonal norm
+    val maxCross = (for (u <- 0 to 7; v <- 0 to 7 if u != v)
+      yield math.abs((0 to 7).map(r => k(u)(r) * k(v)(r)).sum)).max
+    assert(maxCross < 8 * q, s"off-diagonal inner product too large: $maxCross")
+    // AC rows all carry the same energy (8/2 x Q14^2) up to rounding
+    val norms = (1 to 7).map(u => (0 to 7).map(r => k(u)(r) * k(u)(r)).sum)
+    val target = 4L * q * q
+    assert(norms.forall(n => math.abs(n - target) < 8 * q),
+      s"AC row norms drifted from 4*Q14^2: $norms")
+  }
 }

@@ -780,26 +780,27 @@ class PlanSpec extends SparkSpec {
       "bucketed degree groupBy(id) must not shuffle:\n" + degPlan.take(3000))
   }
 
-  test("m8: the DCT runs as two bounded keyed aggregates with broadcast " +
-    "basis tables; candidates come from the band equi-join — payload " +
-    "text never crosses an exchange") {
+  test("m8: cells, integer DCT and sign signature are ALL narrow per-row " +
+    "expression work — the first exchange in the plan is the candidate " +
+    "band join, and payload text never crosses it") {
     val plan = executedPlan("m8_phash_dct")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
-    // the 64-row basis and 32-row coefficient tables must broadcast
-    assert("BroadcastHashJoin".r.findAllIn(plan).length >= 2,
-      "basis/coef tables must broadcast:\n" + plan.take(3000))
-    assert(plan.contains("partial_sum"),
-      "DCT passes must map-side combine:\n" + plan.take(3000))
+    // The fused engine form has no row-pass/column-pass joins at all —
+    // the relational spelling lives in the DuckDB oracle, which proves
+    // the fused fold computes the same separable transform.
     // The plan prints top-down: everything ABOVE the first Exchange (the
     // post-shuffle operators) must not reference the payload column —
-    // after the shuffle only (doc_id, r/c/u/v, integer) rows travel
-    // (the m7 rule).
+    // after the shuffle only (doc_id, band, sig) longs travel (m7 rule).
     val firstEx = plan.indexOf("Exchange")
-    assert(firstEx >= 0, s"expected a keyed exchange:\n${plan.take(3000)}")
+    assert(firstEx >= 0, s"expected the band-join exchange:\n${plan.take(3000)}")
     assert(!plan.substring(0, firstEx).contains("text#"),
       s"payload column crossed the shuffle:\n${plan.take(3000)}")
     assert(plan.contains("text#"),
       s"expected the scan-side cell projection:\n${plan.take(3000)}")
+    // the signature table is cached and both verify sides read the cache
+    assert(plan.contains("InMemoryTableScan") ||
+      plan.contains("TableCacheQueryStage"),
+      "signatures must be computed once:\n" + plan.take(3000))
   }
 
   test("x25: the bigram occurrence and TYPE tables are each cached once — " +
