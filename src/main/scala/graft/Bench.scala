@@ -178,7 +178,22 @@ object Bench {
       d.setDaemon(true)
       d.start()
     }
-    def once(name: String): (Boolean, Double) = {
+    // Effective-parallelism instrumentation (r7 verdict ask #2): sum
+    // executor task run time per measurement window so every artifact row
+    // carries cores_eff = task-seconds / wall-seconds. Host drift (the
+    // container's 32 vCPUs deliver 7-30 effective cores run-to-run) is
+    // then adjudicated FROM the artifact instead of manual isolated
+    // re-measures: a ≥1.5x wall flag with matching cores_eff drop is
+    // delivery variance, not a plan change.
+    val taskMs = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) taskMs.addAndGet(m.executorRunTime)
+      }
+    })
+    def once(name: String): (Boolean, Double, Double) = {
+      val task0 = taskMs.get()
       val t0 = System.nanoTime()
       @volatile var ok = false
       val runner = new Thread(() => {
@@ -202,7 +217,11 @@ object Bench {
         runner.interrupt()
         runner.join(10000L) // grace; a stuck thread is abandoned (daemon)
       }
-      (ok, (System.nanoTime() - t0) / 1e9)
+      val wall = (System.nanoTime() - t0) / 1e9
+      // Listener-bus lag: task-end events post asynchronously; give the
+      // tail a moment OUTSIDE the timed window before reading the counter.
+      Thread.sleep(100)
+      (ok, wall, (taskMs.get() - task0) / 1e3)
     }
     // The container's 32 vCPUs deliver a host-dependent 7-30 cores of
     // parallel throughput (oversubscription), so parallel-stage wall time
@@ -219,13 +238,18 @@ object Bench {
       spark.catalog.clearCache()
     }
     val results = names.map { name =>
-      val (ok1, t1) = once(name)
-      val best =
+      graft.sources.MatView.drainTouched() // reset the view-read tracker
+      val (ok1, t1, task1) = once(name)
+      val (best, bestTask) =
         if (ok1) {
           clearSlate()
-          val (ok2, t2) = once(name)
-          if (ok2) math.min(t1, t2) else t1
-        } else t1
+          val (ok2, t2, task2) = once(name)
+          if (ok2 && t2 < t1) (t2, task2) else (t1, task1)
+        } else (t1, task1)
+      // View-backed tagging (r7 advice): min-of-2 under the clean-slate
+      // protocol reports warm-materialized-view time; the artifact must
+      // say so per query (one-time build costs land in view_build_sec).
+      val views = graft.sources.MatView.drainTouched()
       // Post-query hygiene (r6 verdict: the closing artifact recorded d3 at
       // 9.6 s in-session vs 1.9 s isolated — accumulated session state, not
       // the plan). Two mechanisms, both bounded here:
@@ -241,28 +265,45 @@ object Bench {
       System.gc()
       // Per-query progress on stderr (stdout stays the single JSON line);
       // failures and timeouts are marked, not silently timed.
+      val eff = if (best > 0) bestTask / best else 0.0
       System.err.println(
-        f"[bench] $name%-28s $best%8.3f s" + (if (ok1) "" else "  FAILED"))
-      name -> (if (ok1) best else -1.0)
+        f"[bench] $name%-28s $best%8.3f s  eff=$eff%5.1f" +
+          (if (views.nonEmpty) "  [view]" else "") +
+          (if (ok1) "" else "  FAILED"))
+      (name, if (ok1) best else -1.0, eff, views)
     }
     def f(v: Double): String = f"$v%.3f"
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     // Failed queries carry -1 in the per-query map; the headline total sums
     // only successful runs (failures are visible, not negative credit).
     val total = results.map(_._2).filter(_ >= 0).sum
+    // Effective parallelism of the reported (min) run, 1 decimal: the
+    // host-drift adjudicator (task-seconds / wall-seconds).
+    val effs = results.map { case (k, _, e, _) => "\"" + k + "\":" + f"$e%.1f" }
+      .mkString("{", ",", "}")
+    // Queries whose reported time leans on a warm materialized view, and
+    // what the one-time builds cost in THIS session (r7 advice: keep
+    // cross-round comparisons self-describing).
+    val viewBacked = results.filter(_._4.nonEmpty)
+      .map { case (k, _, _, v) =>
+        "\"" + k + "\":[" + v.toSeq.sorted.map("\"" + _ + "\"").mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val viewBuilds = graft.sources.MatView.buildCosts.toSeq.sortBy(_._1)
+      .map { case (t, sec) => "\"" + t + "\":" + f(sec) }
+      .mkString("{", ",", "}")
     // The driver records only the LAST ~2000 chars of stdout (BENCH_r01:
     // rc=0 yet parsed:null — the 4 KB full-map line had its FRONT cut off
     // by the tail window, so the JSON never parsed). Print the full
     // per-query map first for humans/judges, then END with a compact line
     // guaranteed to fit the tail window: same metric/value schema, slowest
     // 15 queries inline, full map one line up.
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","agg":"per-query min of 2 clean-slate runs (host parallelism varies run-to-run)"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"cores_eff":$effs,"view_backed":$viewBacked,"view_build_sec":$viewBuilds,"sf":"$sfDir","agg":"per-query min of 2 clean-slate runs (host parallelism varies run-to-run); cores_eff = executor-task-sec/wall-sec of the reported run; view_backed queries read warm materialized views whose one-time build cost is view_build_sec"}""")
     val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
-      .map { case (k, v) => "\"" + k + "\":" + f(v) }
+      .map { case (k, v, _, _) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val nFail = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$slow,"sf":"$sfDir","n_queries":${results.size},"n_failed":$nFail,"note":"slowest 15 of ${results.size}; full per-query map on the previous stdout line"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$slow,"sf":"$sfDir","n_queries":${results.size},"n_failed":$nFail,"note":"slowest 15 of ${results.size}; full per-query map with cores_eff and view tags on the previous stdout line"}""")
     spark.stop()
   }
 }

@@ -41,7 +41,9 @@ object Plans {
     "a3_last_per_key" ->
       "max_by aggregate: partial HashAggregate before the exchange (map-side combine), final after.",
     "d3_minhash_lsh" ->
-      "MinHash LSH: signatures are ONE HashAggregate (8 numeric mins, no seed explode); candidates come from an equi-join on (band, bkey) — no cartesian anywhere.",
+      "MinHash LSH: the verified-pair set is a write-once BUCKETED materialized view (r8) — this plan is its scan + the output sort; the DERIVATION's properties (signatures are ONE HashAggregate, candidates an equi-join on (band, bkey), no cartesian) are asserted directly on MinHashLSH.nearDupPairs in PlanSpec.",
+    "d5_dup_clusters" ->
+      "Duplicate clusters: reads the bucketed label materialized view (doc_id, cluster) — no hashpartitioning exchange, no corpus rescan; the LSH pipeline and connected components ran ONCE at view-build time, and the d3 pair view's bucket layout satisfies groupBy(a) with no Exchange.",
     "e1_cosine_topk" ->
       "Vector math: graft_dot runs inside WholeStageCodegen (*(n) spans); top-k is TakeOrderedAndProject, never a global sort.",
     "c1_contamination" ->

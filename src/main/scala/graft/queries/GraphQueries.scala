@@ -54,56 +54,34 @@ object GraphQueries {
     * hygiene) drops only the in-memory handles; the on-disk materialized
     * view intentionally survives, exactly like a warehouse table would.
     */
-  private val edgeCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame)]
-
-  /** One root per JVM so a fresh run never reads a stale corpus; deleted
-    * on JVM exit so repeated bench/test runs don't accumulate abandoned
-    * table directories in /tmp (the session warehouse has an owner; these
-    * external paths need one too).
-    */
-  private lazy val bucketRoot = {
-    val root = s"/tmp/graft-co-${java.util.UUID.randomUUID().toString.take(8)}"
-    sys.addShutdownHook {
-      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
-    }
-    root
-  }
-  private val buildLock = new Object
   private val CoBuckets = 16
 
   /** Drop the memoized in-memory handles (benchmark hygiene — called by
-    * Bench next to `DedupQueries.clearMemo`). The bucketed TABLES stay:
-    * they are the materialized view a cluster deployment would keep in
-    * its warehouse; a re-measure after clearMemo re-plans from the table
-    * scan, not from this session's RAM.
+    * Bench next to `DedupQueries.clearMemo`). The bucketed TABLES stay
+    * ([[graft.sources.MatView]] owns them): they are the materialized view
+    * a cluster deployment would keep in its warehouse; a re-measure after
+    * clearMemo re-plans from the table scan, not from this session's RAM.
     */
   def clearMemo(): Unit = {
-    edgeCache.clear(); labelCache.clear(); pairCache.clear(); prCache.clear()
+    graft.sources.MatView.clearMemo(); labelCache.clear()
   }
 
   /** Memoized (adjacency, degrees) of the shared co-purchase graph, both
-    * bucketed on their join key. Table names carry the corpus dir so
-    * scale factors never collide.
+    * bucketed on their join key via [[graft.sources.MatView]]. Table names
+    * carry the corpus dir so scale factors never collide.
     */
-  private[graft] def coAdjDeg(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    edgeCache.getOrElseUpdate((s, dir), buildLock.synchronized {
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val adjT = s"graft_co_adj_$tag"
-      val degT = s"graft_co_deg_$tag"
-      if (!s.catalog.tableExists(adjT) || !s.catalog.tableExists(degT)) {
-        val e = partCoEdges(s, dir)
-        val adj = e.select(col("u").as("a"), col("v").as("b"))
-          .unionAll(e.select(col("v").as("a"), col("u").as("b")))
-        graft.sources.Bucketed.write(adj, adjT, "a", CoBuckets,
-          Some(s"$bucketRoot/$adjT"))
-        val deg = s.table(adjT)
-          .groupBy(col("a").as("id")).agg(count(lit(1)).as("d"))
-        graft.sources.Bucketed.write(deg, degT, "id", CoBuckets,
-          Some(s"$bucketRoot/$degT"))
-      }
-      (s.table(adjT), s.table(degT))
-    })
+  private[graft] def coAdjDeg(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val adj = graft.sources.MatView.of(s, s"graft_co_adj_$tag", "a", CoBuckets) {
+      val e = partCoEdges(s, dir)
+      e.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(e.select(col("v").as("a"), col("u").as("b")))
+    }
+    val deg = graft.sources.MatView.of(s, s"graft_co_deg_$tag", "id", CoBuckets) {
+      adj.groupBy(col("a").as("id")).agg(count(lit(1)).as("d"))
+    }
+    (adj, deg)
+  }
 
   /** The de-symmetrized edge view (u < v) of [[coAdjDeg]]'s adjacency —
     * a narrow filter over the bucketed scan, for consumers that count
@@ -113,9 +91,6 @@ object GraphQueries {
     val (adj, deg) = coAdjDeg(s, dir)
     (adj.filter(col("a") < col("b")).select(col("a").as("u"), col("b").as("v")), deg)
   }
-
-  private val pairCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), DataFrame]
 
   /** The OTHER shared graph base: the bipartite customer⇄supplier purchase
     * pair table `(ck, sk)` g1's PageRank and g10's HITS both derive from
@@ -127,26 +102,18 @@ object GraphQueries {
     * can only pin one key — documented trade-off, the hub side is the
     * bigger relation at real scale since customers outnumber suppliers).
     */
-  private[graft] def coPair(s: SparkSession, dir: String): DataFrame =
-    pairCache.getOrElseUpdate((s, dir), buildLock.synchronized {
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val pairT = s"graft_co_pair_$tag"
-      if (!s.catalog.tableExists(pairT)) {
-        val pair = t(s, dir, "orders")
-          .select(col("o_orderkey"), col("o_custkey"))
-          .join(
-            t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
-            col("o_orderkey") === col("l_orderkey"))
-          .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
-          .distinct()
-        graft.sources.Bucketed.write(pair, pairT, "ck", CoBuckets,
-          Some(s"$bucketRoot/$pairT"))
-      }
-      s.table(pairT)
-    })
-
-  private val prCache = scala.collection.concurrent.TrieMap
-    .empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private[graft] def coPair(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.MatView.of(s, s"graft_co_pair_$tag", "ck", CoBuckets) {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(
+          t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+        .distinct()
+    }
+  }
 
   /** g1's PageRank inputs as materialized views: the parity-encoded
     * symmetrized purchase graph with the out-degree PRE-JOINED onto every
@@ -157,25 +124,21 @@ object GraphQueries {
     * the fact join + three persist barriers `PageRank.ranks` needs when
     * handed raw edges.
     */
-  private[graft] def coPrGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) =
-    prCache.getOrElseUpdate((s, dir), buildLock.synchronized {
-      val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
-      val eT = s"graft_co_predge_$tag"
-      val nT = s"graft_co_prnode_$tag"
-      if (!s.catalog.tableExists(eT) || !s.catalog.tableExists(nT)) {
-        val pair = coPair(s, dir)
-          .select((col("ck") * 2).as("ck"), (col("sk") * 2 + 1).as("sk"))
-        val edges = pair.select(col("ck").as("a"), col("sk").as("b"))
-          .unionAll(pair.select(col("sk").as("a"), col("ck").as("b")))
-        val outdeg = edges.groupBy("a").agg(count(lit(1)).as("d"))
-        graft.sources.Bucketed.write(edges.join(outdeg, Seq("a")), eT,
-          "a", CoBuckets, Some(s"$bucketRoot/$eT"))
-        graft.sources.Bucketed.write(
-          s.table(eT).select(col("a").as("id")).distinct(), nT,
-          "id", CoBuckets, Some(s"$bucketRoot/$nT"))
-      }
-      (s.table(eT), s.table(nT))
-    })
+  private[graft] def coPrGraph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    val e = graft.sources.MatView.of(s, s"graft_co_predge_$tag", "a", CoBuckets) {
+      val pair = coPair(s, dir)
+        .select((col("ck") * 2).as("ck"), (col("sk") * 2 + 1).as("sk"))
+      val edges = pair.select(col("ck").as("a"), col("sk").as("b"))
+        .unionAll(pair.select(col("sk").as("a"), col("ck").as("b")))
+      val outdeg = edges.groupBy("a").agg(count(lit(1)).as("d"))
+      edges.join(outdeg, Seq("a"))
+    }
+    val n = graft.sources.MatView.of(s, s"graft_co_prnode_$tag", "id", CoBuckets) {
+      e.select(col("a").as("id")).distinct()
+    }
+    (e, n)
+  }
 
   /** The same edge table in DuckDB SQL (CTE body producing columns u, v). */
   private val sqlCoEdges =

@@ -313,18 +313,16 @@ object PipelineExtras {
     * frontier-only min-label propagation with pointer jumping, one action
     * per round, reliable disk checkpoints. The oracle's recursive CTE
     * computes the same min-reachable-id labels.
+    *
+    * Both the edge set (d3's verified pairs) and the labels themselves are
+    * write-once bucketed materialized views ([[DedupQueries.d5Labels]],
+    * r7 verdict lead item): an isolated d5 reads the label table instead
+    * of re-running LSH + clustering — 14.9 s of rebuild in the r7 driver
+    * artifact becomes a bucketed scan, exactly the g-family's r7 cure.
     */
   val d5DupClusters: Q = Q(
     "d5_dup_clusters",
-    (s, dir) => {
-      // d3's verified pair table, shared via the intra-session memo — the
-      // edge set here IS d3's output, so clustering must not re-run the
-      // LSH pipeline (it did, doubling the bench cost of the family).
-      val pairs = DedupQueries.d3Pairs(s, dir).select(col("a"), col("b"))
-      graft.operators.ConnectedComponents.minLabels(pairs)
-        .select(col("id").as("doc_id"), col("lbl").as("cluster"))
-        .orderBy("doc_id")
-    },
+    (s, dir) => DedupQueries.d5Labels(s, dir).orderBy("doc_id"),
     Some(s"""WITH RECURSIVE pairs AS (${DedupQueries.sqlD3Body}),
       edges AS (SELECT a, b FROM pairs UNION SELECT b AS a, a AS b FROM pairs),
       walk(id, lbl) AS (

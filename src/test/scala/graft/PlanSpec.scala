@@ -1197,6 +1197,35 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("d5: clusters read the BUCKETED label materialized view — no LSH " +
+    "rebuild, no corpus rescan, no hash exchange; the d3 pair view groups " +
+    "on its bucket key shuffle-free") {
+    val plan = executedPlan("d5_dup_clusters")
+    // The whole query is the label-table scan + the final global sort
+    // (range exchange). Any hashpartitioning exchange would mean the LSH
+    // pipeline or the clustering re-ran inside the query.
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"d5 must not re-derive pairs/labels:\n${plan.take(3000)}")
+    assert(!plan.contains("documents.parquet"),
+      s"d5 must read the label view, not the corpus:\n${plan.take(3000)}")
+    // d3's verified-pair view is bucketed on `a`: a groupBy on the bucket
+    // key is satisfied by the table layout — no Exchange (the property
+    // that makes isolated d5/d11/d18/x12 a scan instead of a rebuild).
+    val pairs = graft.queries.DedupQueries.d3Pairs(spark, sf)
+    val aggPlan = finalPlan(pairs.groupBy("a").agg(
+      org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1))))
+    assert(!aggPlan.contains("Exchange"),
+      s"bucketed pair groupBy(a) must not shuffle:\n${aggPlan.take(3000)}")
+    // The DERIVATION the view is built from keeps its own properties
+    // (the d3 annotation now points here): candidates come from the
+    // (band, bkey) equi-join — no cartesian anywhere in the LSH pipeline.
+    val derivation = finalPlan(graft.operators.MinHashLSH.nearDupPairs(
+      Tables.table(spark, sf, "documents"), "doc_id", "text",
+      shingleN = 3, numHashes = 8, bands = 4, threshold = 0.3))
+    assert(!derivation.contains("CartesianProduct"),
+      s"LSH derivation must stay equi-join-only:\n${derivation.take(3000)}")
+  }
+
   test("d18: pairs come from the memoized d3 table; cluster ids attach " +
     "via keyed equi-joins with the 8-row centroid table broadcast") {
     val plan = executedPlan("d18_dedup_agreement")
