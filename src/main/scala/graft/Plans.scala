@@ -112,6 +112,10 @@ object Plans {
       "Heaps-law curve: first-occurrence docs come from ONE map-side-combined min(doc_id) census on tok — no prefix re-scans — and the growth curve is two running sums over ten decile rows.",
     "q09_sql_correlated" ->
       "TPC-H Q17 shape: both per-part correlated scalar subqueries decorrelate into ONE keyed aggregate joined back — no ScalarSubquery (per-row re-execution) survives in the physical plan.",
+    "q28_sql_profit" ->
+      "TPC-H Q9 shape: the p_name LIKE filter prunes the part dimension before the fact join; part/supplier/nation hops broadcast (lineitem⋈orders is the single real shuffle); the (nation, extract-year) expression-keyed rollup has map-side partials.",
+    "q29_sql_cust_dist" ->
+      "TPC-H Q13 shape: the priority predicate lives in the LEFT OUTER join's ON side, so the join stays outer and the zero-order customer group survives (count(o_orderkey) null semantics); per-customer counts and the c_count histogram both map-side combine.",
     "g4_label_prop" ->
       "Synchronous label propagation: every round is one keyed adjacency⋈labels join feeding a two-level aggregation (first level map-side combinable); each round is persisted and lineage-truncated, so the final census reads a single ExistingRDD leaf — never a re-derivation from the raw scan — and rounds exit early at the label fixed point.",
     "q13_sql_min_cost" ->

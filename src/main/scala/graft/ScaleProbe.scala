@@ -406,6 +406,18 @@ object ScaleProbe {
     copies.reduce(_.unionByName(_))
   }
 
+  /** The ann probe's r7 ambiguity, closed (r7 verdict Next #4): the
+    * 32×→64× wall jump (32→145 s) tracked OUTPUT (planted quadratic
+    * intra-cluster pairs), but the artifact didn't separate stage costs,
+    * so "per-candidate time is flat" was inferred, not shown. Each factor
+    * now records the three stages separately — centroid assignment
+    * (materialized behind a persist barrier), the candidate equi-join
+    * count, and the cosine verify — plus candidate/verified counts, so
+    * PROBES rows carry `verify_sec / candidates` directly. If that ratio
+    * bends upward with the factor, the √n codebook needs the two-level
+    * coarse quantizer (SURVEY §6.1); flat means the growth is pure
+    * output volume.
+    */
   def annProbe(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.FastVec.register(spark)
@@ -431,20 +443,37 @@ object ScaleProbe {
           .filter(col("rn") === 1)
           .select(col("vec_id"), col("v"), col("cid"),
             graft.functions.FastVec.norm(col("v")).as("nv"))
+          .persist()
+        assign.count()
+        val tAssign = (System.nanoTime() - t0) / 1e9
         val left = assign.select(
           col("vec_id").as("a"), col("v").as("va"), col("nv").as("na"), col("cid"))
         val right = assign.select(
           col("vec_id").as("b"), col("v").as("vb"), col("nv").as("nb"), col("cid"))
+        val t1 = System.nanoTime()
+        val cand = left.join(right, Seq("cid"))
+          .filter(col("a") < col("b"))
+          .count()
+        val tCand = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
         val pairs = left.join(right, Seq("cid"))
           .filter(col("a") < col("b"))
           .filter(graft.functions.FastVec
             .cosinePre(col("va"), col("vb"), col("na"), col("nb")) >= 0.999)
           .count()
-        (System.nanoTime() - t0) / 1e9 -> pairs
+        val tVerify = (System.nanoTime() - t2) / 1e9
+        assign.unpersist()
+        // end-to-end equivalent of the r7 number: assignment + verify
+        // (the candidate COUNT pass is probe instrumentation, not
+        // pipeline work — the verify join re-derives candidates inline)
+        (tAssign + tVerify, tAssign, tCand, tVerify, cand, pairs)
       }
-      val (best, pairs) = times.minBy(_._1)
-      println(f"[scale-ann] factor=$f%2d vecs=${emb.count() * f}%7d cents=$nCent%3d neardup=$pairs%7d time=$best%7.2f s")
-      probeJson("ann", f, emb.count() * f, pairs, best)
+      val (best, tAssign, tCand, tVerify, cand, pairs) = times.minBy(_._1)
+      val perCandUs = if (cand > 0) tVerify * 1e6 / cand else 0.0
+      println(f"[scale-ann] factor=$f%2d vecs=${emb.count() * f}%7d cents=$nCent%3d " +
+        f"cand=$cand%9d neardup=$pairs%7d assign=$tAssign%6.2f s cand_ct=$tCand%6.2f s " +
+        f"verify=$tVerify%7.2f s ($perCandUs%6.3f us/cand) total=$best%7.2f s")
+      println(f"""PROBEJSON {"probe":"ann","factor":$f,"n":${emb.count() * f},"aux":$pairs,"sec":$best%.2f,"candidates":$cand,"verified":$pairs,"assign_sec":$tAssign%.2f,"cand_count_sec":$tCand%.2f,"verify_sec":$tVerify%.2f,"verify_us_per_cand":$perCandUs%.3f}""")
     }
   }
 }

@@ -72,8 +72,15 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // SF-parametric oracles: a query whose DuckDB mirror must name a
+    // filesystem path literally (o4's read_blob — DuckDB table functions
+    // take literal paths, not views) carries the __GRAFT_SF_DIR__
+    // placeholder, substituted here with the corpus dir THIS dump ran
+    // against — so the oracle always inspects the same corpus as the
+    // engine, at every scale factor.
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) => s"${q(k)}: ${q(v.replace("__GRAFT_SF_DIR__", sfDir))}" }
+      .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     val dtypeJson = dtypes
       .map { case (name, cols) =>

@@ -151,9 +151,19 @@ case class AsOfJoinExec(
     case LongType | IntegerType | TimestampType | TimestampNTZType | DateType => true
     case _ => false
   }
-  if (direction == AsOfNearest)
+  // Construction-time validation (fail at planning, not mid-execution
+  // after the shuffle is spent): keyOrd/tsOrd are built from the LEFT
+  // types and applied to right-side values, so the sides must agree.
+  require(leftTs.dataType == rightTs.dataType,
+    s"as-of ts types must match: ${leftTs.dataType} vs ${rightTs.dataType}")
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of key types must match: ${leftKey.dataType} vs ${rightKey.dataType}")
+  if (direction == AsOfNearest) {
     require(integralTs(leftTs.dataType),
       s"nearest as-of needs an integral/timestamp ts, got ${leftTs.dataType}")
+    require(integralTs(rightTs.dataType),
+      s"nearest as-of needs an integral/timestamp right ts, got ${rightTs.dataType}")
+  }
 
   protected override def doExecute(): RDD[InternalRow] = {
     val lOut = left.output

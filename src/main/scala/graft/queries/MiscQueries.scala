@@ -200,10 +200,12 @@ object MiscQueries {
     * truncates `modificationTime` to seconds too and both engines break
     * the resulting ties deterministically on `table_name` — without the
     * truncation Spark would order by millisecond mtimes DuckDB cannot
-    * see. The oracle pins the driver-gate corpus dir (sf0.01, the one
-    * scale the CORRECTNESS gate runs at — TESTDATA.md); read_blob is the
-    * one DuckDB table function that can see the filesystem, and it takes
-    * a literal path, not a registered view.
+    * see. read_blob is the one DuckDB table function that can see the
+    * filesystem, and it takes a literal path, not a registered view — so
+    * the oracle carries the `__GRAFT_SF_DIR__` placeholder that
+    * [[graft.Verify]] substitutes with the corpus dir under test at dump
+    * time (r8: previously pinned to sf0.01, which made every other leg of
+    * the determinism matrix flag o4 by construction).
     */
   val o4FileListing: Q = Q(
     "o4_file_listing",
@@ -221,7 +223,7 @@ object MiscQueries {
         .select("table_name", "file_bytes"),
     Some("""SELECT regexp_extract(filename, '([^/]+)\.parquet$', 1) AS table_name,
         size AS file_bytes
-      FROM read_blob('/root/testdata/sf0.01/*.parquet')
+      FROM read_blob('__GRAFT_SF_DIR__/*.parquet')
       ORDER BY last_modified DESC, table_name LIMIT 5""")
   )
 

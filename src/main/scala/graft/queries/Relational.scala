@@ -1291,6 +1291,95 @@ object Relational {
     Some(sqlQ27)
   )
 
+  /** Q28: product-line profit (TPC-H Q9's shape) — the multi-join
+    * aggregate keyed on an EXPRESSION (order year) across five tables:
+    * every lineitem selling a '%gear%' part contributes
+    * revenue − supply cost to its supplier nation's yearly profit (this
+    * corpus has no partsupp, so supply cost is the standard proxy
+    * p_retailprice·quantity at a fixed 10 % cost ratio). The planner
+    * shapes Q9 exercises and nothing in q01–q27 does together: a LIKE
+    * filter pruning the part dimension BEFORE the fact join, a five-table
+    * join DAG where every dimension hop must broadcast, and a group key
+    * computed from an expression (`extract(year ...)`) rather than a
+    * column.
+    *
+    * Exactness: profit folds in 10⁻⁵ integer units —
+    * `10·round(ext·(1−disc)·10⁴) − round(retail·10⁴)·qty` — one exact
+    * BIGINT sum, then ONE IEEE division per output row (the Q.davg rule).
+    *
+    * Scale: part (LIKE-pruned), supplier and nation broadcast at any SF;
+    * lineitem⋈orders is the single real shuffle; the (nation, year)
+    * rollup has map-side partials.
+    */
+  private val sqlQ28 =
+    """SELECT n.n_name AS nation,
+         CAST(extract(year FROM o.o_orderdate) AS INT) AS o_year,
+         CAST(sum(10 * CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                       AS BIGINT)
+                  - CAST(round(p.p_retailprice * 10000) AS BIGINT)
+                    * CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS profit_u5,
+         CAST(sum(10 * CAST(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                       AS BIGINT)
+                  - CAST(round(p.p_retailprice * 10000) AS BIGINT)
+                    * CAST(l.l_quantity AS BIGINT)) AS DOUBLE) / 100000.0
+           AS profit
+       FROM part p
+       JOIN lineitem l ON l.l_partkey = p.p_partkey
+       JOIN supplier s ON s.s_suppkey = l.l_suppkey
+       JOIN orders o ON o.o_orderkey = l.l_orderkey
+       JOIN nation n ON n.n_nationkey = s.s_nationkey
+       WHERE p.p_name LIKE '%gear%'
+       GROUP BY n.n_name, CAST(extract(year FROM o.o_orderdate) AS INT)
+       ORDER BY nation, o_year DESC"""
+
+  val q28SqlProfit: Q = Q(
+    "q28_sql_profit",
+    (s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part")
+      t(s, dir, "supplier").createOrReplaceTempView("supplier")
+      t(s, dir, "nation").createOrReplaceTempView("nation")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(sqlQ28)
+    },
+    Some(sqlQ28)
+  )
+
+  /** Q29: customer order-count distribution (TPC-H Q13's shape) — the
+    * OUTER-join-then-count-distribution with the null group: customers
+    * left-join orders with the filter in the ON clause (priority ≠
+    * '5-LOW'), so a customer with no qualifying orders survives with
+    * count 0 — the one planner shape q01–q28 never exercises (a WHERE
+    * would silently drop the zero-order customers and collapse the join
+    * to inner). `count(o_orderkey)` counts only matched rows by SQL null
+    * semantics; the histogram then groups the per-customer counts.
+    *
+    * Scale: one outer-join shuffle on custkey (orders' ON-filter prunes
+    * before the join); the per-customer count has map-side partials; the
+    * distribution keys on the O(max orders per customer) count domain.
+    */
+  private[graft] val sqlQ29 =
+    """SELECT c_count, count(*) AS custdist
+       FROM (SELECT c.c_custkey,
+               count(o.o_orderkey) AS c_count
+             FROM customer c
+             LEFT JOIN orders o
+               ON o.o_custkey = c.c_custkey
+              AND o.o_orderpriority <> '5-LOW'
+             GROUP BY c.c_custkey) per_cust
+       GROUP BY c_count
+       ORDER BY custdist DESC, c_count DESC"""
+
+  val q29SqlCustDist: Q = Q(
+    "q29_sql_cust_dist",
+    (s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("customer")
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      s.sql(sqlQ29)
+    },
+    Some(sqlQ29)
+  )
+
   val all: Seq[Q] = Seq(
     q01PricingSummary, q07SqlAboveAvg, q08SqlNotExists, q09SqlCorrelated,
     q10SqlExistsChain, q11SqlNestedIn, q12SqlTopSupplier, q13SqlMinCost,
@@ -1298,6 +1387,7 @@ object Relational {
     q18SqlGlobalAvg, q19SqlShippingPriority, q20SqlSupplierCensus,
     q21SqlVolumeShipping, q22SqlLateralTopN, q23SqlPivot, q24SqlUnpivot,
     q25SqlExistsRange, q26SqlMarketShare, q27SqlPrioritySplit,
+    q28SqlProfit, q29SqlCustDist,
     p1Drop, p2Rename, p3Project, p4Filter, p5Isin, p6Validity, p8MaskedUpdate,
     f1Respell, f2Case, f3Split, f4StringAgg, f5Concat, f6TimeTrunc, f9TsArith,
     f11CastNull, f13Json,

@@ -1383,6 +1383,52 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
+  test("q28: the LIKE filter prunes part BEFORE the fact join; every " +
+    "dimension hop broadcasts; the expression-keyed rollup map-side " +
+    "combines") {
+    val plan = executedPlan("q28_sql_profit")
+    // part (LIKE-pruned), supplier and nation are broadcast builds — the
+    // lineitem fact side is never shuffled FOR A DIMENSION (the
+    // lineitem⋈orders key join is the single legitimate shuffle).
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3,
+      s"part/supplier/nation hops must broadcast, got $broadcasts:\n${plan.take(3000)}")
+    assert(plan.contains("StartsWith") || plan.contains("Contains") ||
+      plan.contains("EndsWith") || plan.contains("LIKE"),
+      s"the p_name LIKE filter must prune the part scan:\n${plan.take(3000)}")
+    assert(plan.contains("partial_sum"),
+      s"(nation, year) rollup must map-side combine:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+  }
+
+  test("q29: the priority filter stays in the OUTER join's ON side (the " +
+    "null group survives) and both counts map-side combine") {
+    val plan = executedPlan("q29_sql_cust_dist")
+    // The join must remain LEFT OUTER — a planner that migrated the ON
+    // filter to a WHERE would have collapsed it to inner and dropped the
+    // zero-order customers (the c_count = 0 row).
+    assert(plan.contains("LeftOuter"),
+      s"customer⟕orders must stay outer:\n${plan.take(3000)}")
+    assert(plan.contains("partial_count"),
+      s"per-customer count must map-side combine:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // and the null group is really in the output — proven on a synthetic
+    // corpus where customer 2 has ONLY a 5-LOW order (sf0.001 happens to
+    // have no such customer, which is exactly why the shape needs a
+    // planted witness): the same registry SQL must emit a c_count = 0 row.
+    import spark.implicits._
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("c_custkey", "c_name")
+      .createOrReplaceTempView("customer")
+    Seq((10L, 1L, "1-URGENT"), (11L, 2L, "5-LOW"))
+      .toDF("o_orderkey", "o_custkey", "o_orderpriority")
+      .createOrReplaceTempView("orders")
+    val dist = spark.sql(graft.queries.Relational.sqlQ29).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(dist.get(0L).contains(2L),
+      s"customers 2 (only a 5-LOW order) and 3 (no orders) must land in " +
+        s"the zero group, got $dist")
+  }
+
   test("p17: the compaction plan reads ONLY the three stat columns (never " +
     "text) and its cumulative window partitions by source") {
     val plan = executedPlan("p17_compaction_plan")
