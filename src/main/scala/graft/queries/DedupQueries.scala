@@ -563,6 +563,71 @@ object DedupQueries {
       ORDER BY d.doc_id""")
   )
 
+  /** D19: MAXIMAL duplicate spans — the suffix-extension complement of
+    * d10 (r7 verdict stretch): d10 reports which fixed-w windows are
+    * duplicated and how much they cover; d19 extends runs of matched
+    * windows left/right into their MAXIMAL spans, reporting each span as
+    * a row (start, length, window count) — the window-granular
+    * approximation of the MassiveText exact-substring signal's span
+    * output (a run of consecutive duplicated positions p..q is the span
+    * [p, q+w-1]; a span that could be extended would have a duplicated
+    * window one position further out, which by construction it doesn't —
+    * maximality is proved on planted substrings in TextDedupSpec).
+    * Window-granularity caveat, stated honestly: each window in a run may
+    * match a DIFFERENT partner document, so a span is "every token
+    * covered by some corpus-duplicated window", not necessarily one
+    * contiguous match against a single partner — the standard
+    * window-merge approximation of suffix-array spans.
+    *
+    * Scale: identical stages to d10 (narrow window explode, fp census
+    * with map-side combine, keyed join-back) plus ONE per-doc window over
+    * only the DUPLICATED positions (`p − row_number()` gaps-and-islands
+    * grouping) and an O(spans) aggregate — still census-keyed, never
+    * positional all-pairs, nothing quadratic in corpus size.
+    */
+  val d19MaxDupSpans: Q = Q(
+    "d19_max_dup_spans",
+    (s, dir) => {
+      val w = 15
+      val wins = t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= w)
+        .select(col("doc_id"), explode(sequence(lit(0), size(col("t")) - w)).as("p"), col("t"))
+        .select(col("doc_id"), col("p"),
+          md5(concat_ws(" ", slice(col("t"), col("p") + 1, lit(w)))).as("fp"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      wins.count() // eager: census + join-back scan it (d10's pattern)
+      val census = wins.groupBy("fp").agg(count(lit(1)).as("c"))
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("p")
+      wins.join(census, Seq("fp")).filter(col("c") > 1)
+        .select(col("doc_id"), col("p"))
+        .withColumn("grp", col("p") - row_number().over(byDoc))
+        .groupBy("doc_id", "grp")
+        .agg(
+          min(col("p")).cast("long").as("span_start"),
+          (max(col("p")) - min(col("p")) + w).cast("long").as("span_len"),
+          count(lit(1)).as("n_windows"))
+        .select("doc_id", "span_start", "span_len", "n_windows")
+        .orderBy("doc_id", "span_start")
+    },
+    Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      fps AS (SELECT doc_id, p, md5(array_to_string(t[(p+1):(p+15)], ' ')) AS fp
+              FROM (SELECT doc_id, unnest(range(len(t) - 14)) AS p, t
+                    FROM base WHERE len(t) >= 15)),
+      census AS (SELECT fp, count(*) AS c FROM fps GROUP BY fp),
+      dup AS (SELECT f.doc_id, f.p FROM fps f JOIN census c ON f.fp = c.fp WHERE c.c > 1),
+      isl AS (SELECT doc_id, p,
+                p - row_number() OVER (PARTITION BY doc_id ORDER BY p) AS grp
+              FROM dup)
+      SELECT doc_id,
+        CAST(min(p) AS BIGINT) AS span_start,
+        CAST(max(p) - min(p) + 15 AS BIGINT) AS span_len,
+        count(*) AS n_windows
+      FROM isl GROUP BY doc_id, grp
+      ORDER BY doc_id, span_start""")
+  )
+
   /** D11: LSH recall evaluation — e9's harness applied to text dedup: the
     * fraction of the EXACT 3-gram-Jaccard ≥ 0.3 ground truth that the
     * probabilistic MinHash-banded pipeline (d3: 8 hashes, 4×2 banding)
@@ -1034,5 +1099,5 @@ object DedupQueries {
   val all: Seq[Q] = Seq(d1ExactDedup, d2NgramJaccard, d3MinHashLsh, d4SimHash,
     d7IncrementalDedup, d9Containment, d10DupSpans, d11LshRecall, d12OphMinhash,
     d13OphDense, d14CdcChunks, d15BandTuning, d16TfidfDedup, d18DedupAgreement,
-    d17BloomAdmission)
+    d17BloomAdmission, d19MaxDupSpans)
 }

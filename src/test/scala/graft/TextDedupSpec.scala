@@ -315,6 +315,48 @@ class TextDedupSpec extends SparkSpec {
     assert(f1 > 0.4, s"shared token mass should dominate, got $f1")
   }
 
+  test("d19: planted shared substrings yield exactly their MAXIMAL spans — " +
+    "not extended, not fragmented, and two separated plants stay two spans") {
+    // Vocabulary discipline: every non-shared token is globally unique, so
+    // NO window outside a plant can collide — the emitted spans are purely
+    // the planted substrings.
+    val S = (1 to 25).map(i => s"s$i")       // 25-token shared substring
+    val s1 = (1 to 15).map(i => s"p$i")      // 15-token plant #1
+    val s2 = (1 to 15).map(i => s"q$i")      // 15-token plant #2
+    def uniq(tag: String, n: Int) = (1 to n).map(i => s"$tag$i")
+    val docs = Seq(
+      // doc 1: 20 unique + S + 20 unique → S at positions 20..44
+      (1L, (uniq("a", 20) ++ S ++ uniq("b", 20)).mkString(" ")),
+      // doc 2: 17 unique + S + 23 unique → S at positions 17..41
+      (2L, (uniq("c", 17) ++ S ++ uniq("d", 23)).mkString(" ")),
+      // doc 3: two separated plants (gap 5) — must NOT merge into one span
+      (3L, (s1 ++ uniq("e", 5) ++ s2).mkString(" ")),
+      // doc 4: the plants' partners, far apart
+      (4L, (s1 ++ uniq("f", 30) ++ s2).mkString(" ")),
+      (5L, uniq("g", 40).mkString(" ")))    // unrelated
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("src0"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("d19spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val spans = graft.queries.DedupQueries.d19MaxDupSpans.fn(spark, dir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .groupBy(_._1)
+    // MAXIMALITY on doc 1/2: exactly ONE span, starting exactly where S
+    // starts, with length exactly |S| = 25 — one token more would need a
+    // duplicated window one position further out, which cannot exist.
+    assert(spans(1L).toSeq == Seq((1L, 20L, 25L, 11L)), spans(1L).toSeq.toString)
+    assert(spans(2L).toSeq == Seq((2L, 17L, 25L, 11L)), spans(2L).toSeq.toString)
+    // SEPARATION on doc 3/4: two w-length plants with a 5-token gap stay
+    // two spans of exactly w — the islands rule must not bridge the gap.
+    assert(spans(3L).toSeq.sortBy(_._2) ==
+      Seq((3L, 0L, 15L, 1L), (3L, 20L, 15L, 1L)), spans(3L).toSeq.toString)
+    assert(spans(4L).toSeq.sortBy(_._2) ==
+      Seq((4L, 0L, 15L, 1L), (4L, 45L, 15L, 1L)), spans(4L).toSeq.toString)
+    assert(!spans.contains(5L), "unrelated doc must emit no spans")
+  }
+
   test("tokenHash32 is a stable 32-bit value") {
     val vals = Seq(("x", 1), ("x", 2)).toDF("tok", "i")
       .select(Text.tokenHash32($"tok").as("h")).collect().map(_.getLong(0))
