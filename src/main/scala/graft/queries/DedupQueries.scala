@@ -89,7 +89,7 @@ object DedupQueries {
     (s, dir) => {
       // Persisted for the same reason as nearDupPairs: the prefix index,
       // both verify sides and both count sides all scan this one table.
-      val sh = MinHashLSH.shingleTable(t(s, dir, "documents"), "doc_id", "text", 5)
+      val sh = shTable(s, dir, 5)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sh.count() // eager: see nearDupPairs — concurrent first-scan race
       val cand = MinHashLSH.prefixFilteredPairs(sh, "doc_id")
@@ -159,6 +159,25 @@ object DedupQueries {
     * stay, see [[graft.sources.MatView.clearMemo]]).
     */
   def clearMemo(): Unit = graft.sources.MatView.clearMemo()
+
+  /** The corpus's n-gram shingle table (doc_id, shingle) as a write-once
+    * bucketed view — the INVERTED-INDEX posting table every dedup pass
+    * reads (d2/d9/d15/d16 share the 5-gram table; d11/d12/d13 the
+    * 3-gram). Two reasons to persist it rather than re-derive per query:
+    * (1) it is the family's second shared derivation after [[d3Pairs]] —
+    * four isolated queries each paid the same tokenize→shingle→distinct
+    * pass; (2) that pass is NARROW, so its parallelism is the raw scan's —
+    * a single-file corpus explodes on one core (bench cores_eff ≈ 1 for
+    * the whole family), while the 16-bucket table reads back on 16. At
+    * 100 TB a posting/shingle table is a standard warehouse asset (it is
+    * the search index); storage is ~n_tokens rows of (key, 16-byte hash).
+    */
+  private[graft] def shTable(s: SparkSession, dir: String, n: Int): org.apache.spark.sql.DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.MatView.of(s, s"graft_sh${n}_$tag", "doc_id", PairBuckets) {
+      MinHashLSH.shingleTable(t(s, dir, "documents"), "doc_id", "text", n)
+    }
+  }
 
   private[graft] def d3Pairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
@@ -238,7 +257,7 @@ object DedupQueries {
     (s, dir) => {
       // Signature agg, both verify sides and both count sides scan this
       // one table: persist + eager count (d2's pattern).
-      val sh = MinHashLSH.shingleTable(t(s, dir, "documents"), "doc_id", "text", 3)
+      val sh = shTable(s, dir, 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sh.count()
       val cand = MinHashLSH.candidatePairs(
@@ -302,7 +321,7 @@ object DedupQueries {
   val d13OphDense: Q = Q(
     "d13_oph_dense",
     (s, dir) => {
-      val sh = MinHashLSH.shingleTable(t(s, dir, "documents"), "doc_id", "text", 3)
+      val sh = shTable(s, dir, 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sh.count()
       val cand = MinHashLSH.candidatePairs(
@@ -451,7 +470,7 @@ object DedupQueries {
     (s, dir) => {
       // Prefix index, the full inverted index, and both verify sides all
       // scan this one table — persist + eager count (d2's pattern).
-      val sh = MinHashLSH.shingleTable(t(s, dir, "documents"), "doc_id", "text", 5)
+      val sh = shTable(s, dir, 5)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sh.count()
       val cand = MinHashLSH.containmentPairs(sh, "doc_id", 4, 5)
@@ -651,7 +670,7 @@ object DedupQueries {
     (s, dir) => {
       // The inter self-join and both count sides scan this one table:
       // persist + eager count (d2's pattern).
-      val sh = MinHashLSH.shingleTable(t(s, dir, "documents"), "doc_id", "text", 3)
+      val sh = shTable(s, dir, 3)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sh.count()
       val truth = MinHashLSH.jaccardAllPairs(sh, "doc_id")
@@ -776,7 +795,7 @@ object DedupQueries {
   val d15BandTuning: Q = Q(
     "d15_band_tuning",
     (s, dir) => {
-      val sh = MinHashLSH.shingleTable(t(s, dir, "documents"), "doc_id", "text", 5)
+      val sh = shTable(s, dir, 5)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sh.count() // eager: prefix index + verify sides share it
       val pairs = MinHashLSH
@@ -869,7 +888,7 @@ object DedupQueries {
     "d16_tfidf_dedup",
     (s, dir) => {
       val dec = org.apache.spark.sql.types.DecimalType(38, 0)
-      val sh = MinHashLSH.shingleTable(t(s, dir, "documents"), "doc_id", "text", 5)
+      val sh = shTable(s, dir, 5)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       sh.count() // eager: df census, norms, index and verify all scan it
       val nDocs = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
