@@ -120,6 +120,8 @@ object Plans {
       "Synchronous label propagation: every round is one keyed adjacency⋈labels join feeding a two-level aggregation (first level map-side combinable); each round is persisted and lineage-truncated, so the final census reads a single ExistingRDD leaf — never a re-derivation from the raw scan — and rounds exit early at the label fixed point.",
     "q13_sql_min_cost" ->
       "TPC-H Q2 shape: the correlated per-part scalar min decorrelates into an aggregate + equi-join; supplier/nation dims broadcast; the p_size range pushes to the parquet scan.",
+    "e25_ivf_balanced" ->
+      "Two-level balanced IVF: level-1 assignment broadcasts the sqrt(n) codebook; the O(C) census gates a semi-joined sub-draw/sub-assign over ONLY oversized cells; pairing equi-joins on the final (cid, scid) key with TakeOrdered top-20 — the worst cell's quadratic pair term is capped by construction (PROBES_r08's candidate-volume finding), never by the data's goodwill.",
     "e14_filtered_ann" ->
       "Filtered vector search: the label range predicate reaches the embeddings parquet scan (pre-filter beats post-filtering an ANN candidate list and never under-fills k); the query vector is a 1-row broadcast; per-label top-k is a rank window partitioned on the label key — no global sort.",
     "w11_cusum" ->

@@ -95,6 +95,7 @@ object ScaleProbe {
     }
     if (probeOn("asof")) asofProbe(spark, sfDir)
     if (probeOn("ann")) annProbe(spark, sfDir)
+    if (probeOn("annbal")) annBalancedProbe(spark, sfDir)
     if (probeOn("cc")) ccProbe(spark, sfDir)
     if (probeOn("sn")) snProbe(spark, sfDir)
     if (probeOn("span")) spanProbe(spark, sfDir)
@@ -418,6 +419,60 @@ object ScaleProbe {
     * coarse quantizer (SURVEY §6.1); flat means the growth is pure
     * output volume.
     */
+  /** e25's two-level balanced cells against the plain √n codebook, same
+    * inflated corpora as [[annProbe]]: the probe that motivated e25 showed
+    * candidate VOLUME growing past n^1.5 (1.05 B at 64× vs the 128 M
+    * balanced ideal) because perturbed-copy clusters make cells uneven.
+    * This leg measures the same candidate count under the (cid, scid)
+    * final cells — the structural cap on the worst cell's quadratic term.
+    */
+  def annBalancedProbe(spark: SparkSession, sfDir: String): Unit = {
+    graft.functions.FastVec.register(spark)
+    val emb = Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    emb.persist(); emb.count()
+    factors.foreach { f =>
+      val inflated = inflateEmb(emb, f)
+      val n = emb.count() * f
+      val nCent = (8 * math.sqrt(f)).round.toInt
+      // Ablation knob: SPARK_GRAFT_PROBE_NOSPLIT=1 disables the
+      // second level (cap = ∞), isolating the md5-draw codebook's own
+      // effect from the split's — the honest attribution for the
+      // candidate-volume reduction vs [[annProbe]]'s first-n draw.
+      val cap =
+        if (sys.env.contains("SPARK_GRAFT_PROBE_NOSPLIT")) Long.MaxValue / 4
+        else 2L * math.ceil(n.toDouble / nCent).toLong
+      val times = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        emb.persist(); emb.count()
+        val t0 = System.nanoTime()
+        val fin = graft.queries.SimilarityQueries
+          .balancedCells(inflated, nCent, cap)
+          .select(col("vec_id"), col("v"), col("cid"), col("scid"),
+            graft.functions.FastVec.norm(col("v")).as("nv"))
+        val left = fin.select(col("vec_id").as("a"), col("v").as("va"),
+          col("nv").as("na"), col("cid"), col("scid"))
+        val right = fin.select(col("vec_id").as("b"), col("v").as("vb"),
+          col("nv").as("nb"), col("cid"), col("scid"))
+        val joined = left.join(right, Seq("cid", "scid"))
+          .filter(col("a") < col("b"))
+        val t1 = System.nanoTime()
+        val cand = joined.count()
+        val pairs = joined
+          .filter(graft.functions.FastVec
+            .cosinePre(col("va"), col("vb"), col("na"), col("nb")) >= 0.999)
+          .count()
+        val tVerify = (System.nanoTime() - t1) / 1e9
+        ((System.nanoTime() - t0) / 1e9, cand, pairs, tVerify)
+      }
+      val (best, cand, pairs, tVerify) = times.minBy(_._1)
+      println(f"[scale-annbal] factor=$f%2d vecs=$n%7d cents=$nCent%3d cap=$cap%6d " +
+        f"cand=$cand%11d neardup=$pairs%8d verify=$tVerify%7.2f s total=$best%7.2f s")
+      println(f"""PROBEJSON {"probe":"annbal","factor":$f,"n":$n,"aux":$pairs,"sec":$best%.2f,"candidates":$cand,"verified":$pairs,"cap":$cap}""")
+    }
+  }
+
   def annProbe(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.expressions.Window
     graft.functions.FastVec.register(spark)
@@ -432,7 +487,16 @@ object ScaleProbe {
         spark.catalog.clearCache()
         emb.persist(); emb.count()
         val t0 = System.nanoTime()
-        val cent = inflated.orderBy("vec_id").limit(nCent)
+        // The SHIPPED e3/e25 codebook draw (md5-ordered) — r8 finding:
+        // the previous `orderBy(vec_id).limit(nCent)` draw was degenerate
+        // UNDER INFLATION (the first nCent inflated ids are nCent
+        // perturbed copies of base vector 0, so every centroid was nearly
+        // identical and one cell swallowed the corpus: 1.05 B candidates
+        // at 64× vs the 135 M the shipped draw yields). The probe must
+        // measure the design the registry actually ships.
+        val cent = inflated
+          .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+          .limit(nCent)
           .select(col("vec_id").as("cid"), col("v").as("cv"))
         val byVec = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
         val assign = inflated

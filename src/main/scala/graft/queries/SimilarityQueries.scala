@@ -1926,10 +1926,136 @@ object SimilarityQueries {
     )
   }
 
+  /** Two-level balanced cell assignment shared by [[e25IvfBalanced]] and
+    * its spec: level-1 cells from `nC` md5-drawn centroids (e3's draw),
+    * then every cell whose census exceeds `cap` is split by a second
+    * argmin over 4 md5-drawn members OF THAT CELL. Returns
+    * (vec_id, v, cid, scid) — scid = −1 for unsplit cells. All draws and
+    * argmins carry the family's deterministic tie-breaks
+    * ((d², centroid id); md5-then-id for draws), so both engines and any
+    * partitioning produce identical cells.
+    */
+  private[graft] def balancedCells(
+      emb: org.apache.spark.sql.DataFrame, nC: Int, cap: Long)
+      : org.apache.spark.sql.DataFrame = {
+    val cent = emb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(nC)
+      .select(col("vec_id").as("cid"), col("v").as("cv"))
+    val byVec = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+    val a1 = emb
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("cid"),
+        FastVec.l2sq(col("v"), col("cv")).as("d2"))
+      .withColumn("rn", row_number().over(byVec))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    a1.count() // census, sub-draw, sub-assign and the unsplit arm scan it
+    val big = a1.groupBy("cid").agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > cap).select("cid")
+    val members = a1.join(broadcast(big), Seq("cid"), "left_semi")
+    val bySub = Window.partitionBy("cid")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    val subc = members
+      .withColumn("srn", row_number().over(bySub))
+      .filter(col("srn") <= 4)
+      .select(col("cid"), col("vec_id").as("scid"), col("v").as("scv"))
+    val byVec2 = Window.partitionBy("vec_id").orderBy(col("d2"), col("scid"))
+    val a2 = members.join(subc, Seq("cid"))
+      .select(col("vec_id"), col("v"), col("cid"), col("scid"),
+        FastVec.l2sq(col("v"), col("scv")).as("d2"))
+      .withColumn("rn", row_number().over(byVec2))
+      .filter(col("rn") === 1)
+      .select(col("vec_id"), col("v"), col("cid"), col("scid"))
+    a1.join(broadcast(big), Seq("cid"), "left_anti")
+      .select(col("vec_id"), col("v"), col("cid"), lit(-1L).as("scid"))
+      .unionByName(a2)
+  }
+
+  /** E25: TWO-LEVEL balanced IVF near-dup — e3's within-cell search with
+    * the §6.1 coarse-quantizer refinement the r8 scale probe motivates:
+    * `PROBES_r08` shows per-candidate verify cost flat to 64× but
+    * candidate VOLUME growing past n^1.5 because the √n codebook's cells
+    * go uneven on clustered data (1.05 B candidates at 64× vs the 128 M
+    * balanced ideal). The fix is structural, not arithmetical: any
+    * level-1 cell whose census exceeds `cap = 2·⌈n/C⌉` (twice the
+    * balanced mean) is re-quantized by a second 4-centroid argmin over
+    * its OWN members, and pairing keys on the FINAL (cid, scid) cell —
+    * an oversized cell's quadratic pair term drops ~16× per split level.
+    * One level suffices for the ≤8× skews measured; production recurses
+    * until the census clears the cap (same plan shape per level).
+    *
+    * Recall trade, stated honestly: pairs straddling a subcell boundary
+    * are lost exactly as level-1 IVF loses cross-cell pairs — that is
+    * IVF's contract; e9/e15-style recall audits price it.
+    *
+    * Scale: the census is O(C); the sub-draw and sub-assign touch ONLY
+    * oversized cells via semi-joins and a per-cell window bounded by the
+    * cell size; the pair join keys on (cid, scid) — no stage is
+    * quadratic in n, and the worst cell's pair work is capped by
+    * construction rather than by the data's goodwill.
+    */
+  val e25IvfBalanced: Q = Q(
+    "e25_ivf_balanced",
+    (s, dir) => {
+      FastVec.register(s)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), Vectors.toDoubleVec(col("embedding")).as("v"))
+      val n = emb.count()
+      val nC = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
+      val cap = 2L * math.ceil(n.toDouble / nC).toLong
+      val fin = balancedCells(emb, nC, cap)
+        .select(col("vec_id"), col("v"), col("cid"), col("scid"),
+          FastVec.norm(col("v")).as("nv"))
+      val left = fin.select(col("vec_id").as("a"), col("v").as("va"),
+        col("nv").as("na"), col("cid"), col("scid"))
+      val right = fin.select(col("vec_id").as("b"), col("v").as("vb"),
+        col("nv").as("nb"), col("cid"), col("scid"))
+      left.join(right, Seq("cid", "scid"))
+        .filter(col("a") < col("b"))
+        .select(col("a"), col("b"), col("cid"), col("scid"),
+          FastVec.cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
+        .orderBy(col("sim").desc, col("a"), col("b"))
+        .limit(20)
+    },
+    Some(s"""WITH e AS ($sqlE),
+      nn AS (SELECT count(*) AS c FROM e),
+      c1 AS (SELECT vec_id AS cid, v AS cv FROM e
+             QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+               <= (SELECT greatest(8, CAST(ceil(sqrt(c)) AS BIGINT)) FROM nn)),
+      a1 AS (SELECT vec_id, v, cid FROM (
+               SELECT e.vec_id, e.v, c.cid, ${sqlL2sq("e.v", "c.cv")} AS d2
+               FROM e CROSS JOIN c1 c)
+             QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+      capt AS (SELECT 2 * CAST(ceil(CAST(c AS DOUBLE) /
+                 greatest(8, CAST(ceil(sqrt(c)) AS BIGINT))) AS BIGINT) AS cap
+               FROM nn),
+      big AS (SELECT cid FROM (SELECT cid, count(*) AS sz FROM a1 GROUP BY cid), capt
+              WHERE sz > cap),
+      mem AS (SELECT a1.* FROM a1 JOIN big USING (cid)),
+      subc AS (SELECT cid, vec_id AS scid, v AS scv FROM mem
+               QUALIFY row_number() OVER (PARTITION BY cid
+                 ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 4),
+      a2 AS (SELECT vec_id, v, cid, scid FROM (
+               SELECT m.vec_id, m.v, m.cid, s.scid, ${sqlL2sq("m.v", "s.scv")} AS d2
+               FROM mem m JOIN subc s ON s.cid = m.cid)
+             QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, scid) = 1),
+      fin AS (SELECT vec_id, v, cid, CAST(-1 AS BIGINT) AS scid
+              FROM a1 WHERE cid NOT IN (SELECT cid FROM big)
+              UNION ALL SELECT vec_id, v, cid, scid FROM a2)
+      SELECT x.vec_id AS a, y.vec_id AS b, x.cid, x.scid,
+        ${sqlCos("x.v", "y.v")} AS sim
+      FROM fin x JOIN fin y
+        ON x.cid = y.cid AND x.scid = y.scid AND x.vec_id < y.vec_id
+      ORDER BY sim DESC, a, b LIMIT 20""")
+  )
+
   val all: Seq[Q] = Seq(e1CosineTopK, e2AnnIvf, e3BucketNearDup, e4AnnKmeans,
     e5AnnHyperplane, e6SemanticDedup, e7AnnBatch, e8PqAdc, e9AnnRecall,
     e10MmrRerank, e11EmbeddingQa, e12SqRecall, e13IvfPq, e14FilteredAnn,
     e15NprobeSweep, e16HybridRrf, e17HardNegatives, e18MeanPool,
     e19CentroidDrift, g9KnnGraph, c14ClusterBalanced, e20PcaPower,
-    e21Anisotropy, e22JlProjection, e23AnnNdcg, e24MatryoshkaRecall)
+    e21Anisotropy, e22JlProjection, e23AnnNdcg, e24MatryoshkaRecall,
+    e25IvfBalanced)
 }

@@ -1189,6 +1189,20 @@ class PlanSpec extends SparkSpec {
       "renormalization scale invariant violated")
   }
 
+  test("e25: the sub-draw and sub-assign touch only oversized cells via " +
+    "semi-joins; pairing is an equi-join on the final (cid, scid) key — " +
+    "no cartesian beyond the broadcast codebook") {
+    val plan = executedPlan("e25_ivf_balanced")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    // the final pair join must be a keyed equi-join (SMJ or broadcast),
+    // never a nested loop over vectors
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin"),
+      s"pair join must be an equi-join on (cid, scid):\n${plan.take(3000)}")
+    // top-20 is TakeOrdered, never a global sort of the pair set
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-20 must be TakeOrdered:\n${plan.take(3000)}")
+  }
+
   test("x32: the calibration rollup adds no corpus shuffle beyond x26's " +
     "doc aggregate — gates are a narrow map joined on doc_id") {
     val plan = executedPlan("x32_calibration")
