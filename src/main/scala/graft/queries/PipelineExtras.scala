@@ -728,9 +728,105 @@ object PipelineExtras {
     )
   }
 
+  /** M9: audio fingerprint matching — the Shazam constellation scheme
+    * (Wang 2003, "An Industrial-Strength Audio Search Algorithm"): per
+    * frame a PEAK FREQUENCY stand-in (hash of the 64-byte frame slice
+    * mod 1024 — a real build takes the STFT argmax; the m-family's
+    * honest-decode contract), each anchor frame paired with the next
+    * Z = 5 frames into (f1, f2, Δt) landmark hashes, and candidate media
+    * pairs verified by OFFSET COHERENCE: matched landmarks between two
+    * payloads vote on (t_a − t_b), and a true match concentrates votes
+    * at one offset — the property that makes the scheme robust to
+    * clipping and lets it reject bag-of-landmark coincidences. Output:
+    * per matching pair, the best offset and its vote count (votes ≥ 4).
+    *
+    * Landmarks with census df > 50 are dropped before matching — the
+    * standard common-landmark cut (boilerplate frames would otherwise
+    * contribute Σ df² join work for zero discriminative value; d16's
+    * rare-feature blocking, applied to audio).
+    *
+    * Scale: frames explode narrowly off the payload scan (m2's shape);
+    * anchor→target pairing is an equi-join on (doc, t2 = t1 + Δt) with
+    * fanout bounded at Z; the landmark census is map-side combinable;
+    * matching is an equi-join on the landmark hash with df-capped
+    * posting lists; the offset vote is one (a, b, Δ) aggregate and the
+    * best-offset cut a pair-keyed window. Only (doc, t, hash) longs ever
+    * shuffle — payload bytes never do (the m4 rule).
+    */
+  val m9AudioFingerprint: Q = Q(
+    "m9_audio_fingerprint",
+    (s, dir) => {
+      val Z = 5
+      val minVotes = 4
+      val dfCap = 50
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("a", "b").orderBy(col("votes").desc, col("offset"))
+      val frames = t(s, dir, "documents")
+        .filter(length(col("text")) > 0)
+        .withColumn("n_frames", expr("(length(text) + 63) div 64"))
+        .select(col("doc_id"), col("text"),
+          posexplode(sequence(lit(0), col("n_frames") - 1)))
+        .withColumnRenamed("pos", "t")
+        .withColumn("f",
+          pmod(graft.functions.Text.seededHash64(lit("cfp"),
+            expr("substr(text, t * 64 + 1, 64)")), lit(1024L)))
+        .select(col("doc_id"), col("t"), col("f"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      frames.count() // eager: anchor and target sides + census scan it
+      val landmarks = frames
+        .select(col("doc_id"), col("t").as("t1"), col("f").as("f1"),
+          explode(sequence(lit(1), lit(Z))).as("dt"))
+        .withColumn("t", col("t1") + col("dt"))
+        .join(frames.select(col("doc_id"), col("t"), col("f").as("f2")),
+          Seq("doc_id", "t"))
+        .select(col("doc_id"), col("t1"),
+          (col("f1") * lit(8192L) + col("f2") * lit(8L) + col("dt")).as("h"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      landmarks.count() // eager: census + both match sides scan it
+      val rare = landmarks.groupBy("h").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= dfCap).select("h")
+      val fp = landmarks.join(rare, Seq("h"), "left_semi")
+      fp.select(col("doc_id").as("a"), col("t1").as("ta"), col("h"))
+        .join(fp.select(col("doc_id").as("b"), col("t1").as("tb"), col("h")),
+          Seq("h"))
+        .filter(col("a") < col("b"))
+        .groupBy(col("a"), col("b"), (col("ta") - col("tb")).as("offset"))
+        .agg(count(lit(1)).as("votes"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("votes") >= minVotes)
+        .select(col("a"), col("b"), col("offset").cast("long").as("offset"),
+          col("votes"))
+        .orderBy("a", "b")
+    },
+    Some("""WITH fr AS (SELECT doc_id, unnest(range((length(text) + 63) // 64)) AS t, text
+              FROM documents WHERE length(text) > 0),
+      fq AS (SELECT doc_id, t,
+               CAST('0x' || substr(md5('cfp|' ||
+                 substr(text, CAST(t * 64 + 1 AS INTEGER), 64)), 1, 15)
+                 AS BIGINT) % 1024 AS f
+             FROM fr),
+      pr AS (SELECT x.doc_id, x.t AS t1,
+               x.f * 8192 + y.f * 8 + (y.t - x.t) AS h
+             FROM fq x JOIN fq y
+               ON y.doc_id = x.doc_id AND y.t BETWEEN x.t + 1 AND x.t + 5),
+      cen AS (SELECT h, count(*) AS df FROM pr GROUP BY h),
+      fp AS (SELECT pr.doc_id, pr.t1, pr.h FROM pr
+             JOIN cen ON cen.h = pr.h WHERE cen.df <= 50),
+      m AS (SELECT x.doc_id AS a, y.doc_id AS b, x.t1 - y.t1 AS off,
+              count(*) AS votes
+            FROM fp x JOIN fp y ON y.h = x.h AND x.doc_id < y.doc_id
+            GROUP BY 1, 2, 3),
+      best AS (SELECT a, b, off, votes FROM m
+               QUALIFY row_number() OVER (PARTITION BY a, b
+                 ORDER BY votes DESC, off) = 1)
+      SELECT a, b, CAST(off AS BIGINT) AS offset, votes
+      FROM best WHERE votes >= 4 ORDER BY a, b""")
+  )
+
   val all: Seq[Q] = Seq(
     f14ArrayOps, f15MapOps, f16ExplodeSequence, f17StringFuncs,
     f18RegexpExtractAll, f19BucketCategorize, x6PiiScrub, x7BpeTokens,
     x14TokenFertility, m2FrameSample, m3ResizeMeta, d5DupClusters,
-    m4MediaDedup, m5AudioSegments, m6PatchGrid, m7ShotBoundary, m8PhashDct)
+    m4MediaDedup, m5AudioSegments, m6PatchGrid, m7ShotBoundary, m8PhashDct,
+    m9AudioFingerprint)
 }

@@ -53,4 +53,29 @@ class MultimodalSpec extends SparkSpec {
     assert(norms.forall(n => math.abs(n - target) < 8 * q),
       s"AC row norms drifted from 4*Q14^2: $norms")
   }
+
+  test("m9: a payload re-embedded one frame later matches at EXACTLY the " +
+    "shift offset with full landmark votes — offset coherence, not " +
+    "bag-of-landmark counting") {
+    import org.apache.spark.sql.functions.{length, lit, col}
+    // 10 distinct 64-char frames; doc 2 = one junk frame + doc 1's payload
+    val payload = (0 until 10).map(i => ('a' + i).toChar.toString * 64).mkString
+    val docs = Seq(
+      (1L, payload),
+      (2L, "!" * 64 + payload),
+      (3L, (10 until 20).map(i => ('A' + i).toChar.toString * 64).mkString))
+      .toDF("doc_id", "text").withColumn("lang", lit("en"))
+      .withColumn("source", lit("src0"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    val dir = java.nio.file.Files.createTempDirectory("m9spec").toString
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = graft.queries.PipelineExtras.m9AudioFingerprint.fn(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // doc 1's anchors t and targets t+dt (dt 1..5, both < 10) give
+    // sum_{t=0..9} min(5, 9-t) = 35 landmarks, ALL shared with doc 2 at
+    // t_1 - t_2 = -1 (doc 2's copy starts one frame later); doc 3 shares
+    // nothing. Coherence: a single best offset carrying every vote.
+    assert(rows.toSeq == Seq((1L, 2L, -1L, 35L)),
+      s"expected the planted shift match only, got ${rows.toSeq}")
+  }
 }

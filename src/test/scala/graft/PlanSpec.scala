@@ -1203,6 +1203,20 @@ class PlanSpec extends SparkSpec {
       s"top-20 must be TakeOrdered:\n${plan.take(3000)}")
   }
 
+  test("m9: landmark pairing is an equi-join on (doc, t); matching is an " +
+    "equi-join on the df-capped landmark hash — no cartesian, cached " +
+    "frame/landmark tables reused, only longs shuffle") {
+    val plan = executedPlan("m9_audio_fingerprint")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    // frames + landmarks are persisted; census, anchor/target and both
+    // match sides read the caches, never the payload scan again
+    val cacheReads = plan.linesIterator.count(l =>
+      l.contains("TableCacheQueryStage") || l.contains("BroadcastQueryStage"))
+    assert(cacheReads >= 2,
+      s"match sides must reuse the landmark cache, got $cacheReads:\n${plan.take(3000)}")
+  }
+
   test("x32: the calibration rollup adds no corpus shuffle beyond x26's " +
     "doc aggregate — gates are a narrow map joined on doc_id") {
     val plan = executedPlan("x32_calibration")

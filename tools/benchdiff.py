@@ -35,14 +35,15 @@ def load(path):
     cpus = raw.get("cpus", 4)
     if "parsed" in raw and isinstance(raw["parsed"], dict):
         raw = raw["parsed"]
-    return raw.get("queries", {}) or {}, raw.get("value"), cpus
+    return (raw.get("queries", {}) or {}, raw.get("value"), cpus,
+            raw.get("cores_eff", {}) or {})
 
 def main():
     if len(sys.argv) < 3:
         print(__doc__)
         return 2
-    old_q, old_total, old_cpus = load(sys.argv[1])
-    new_q, new_total, new_cpus = load(sys.argv[2])
+    old_q, old_total, old_cpus, old_eff = load(sys.argv[1])
+    new_q, new_total, new_cpus, new_eff = load(sys.argv[2])
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     # Sub-0.3s timings are dominated by scheduler noise at local[N]; a 1.5x
     # blip there is not a plan regression.
@@ -82,8 +83,22 @@ def main():
           f"total {old_total} -> {new_total} sec "
           f"(median per-query ratio {med:.2f}x — host drift baseline)")
     for name, a, b, r, nr in regressed:
+        # cores_eff (r8+ artifacts): the in-artifact adjudicator — a flag
+        # whose effective parallelism is low (<= ~1.5) is latency-bound
+        # (driver rounds / tiny stages), where wall time is scheduler
+        # jitter; a CPU-bound regression would hold eff while task time
+        # grew. Printed so BENCH_NOTES adjudication reads off this output.
+        effs = []
+        if name in old_eff:
+            effs.append(f"old_eff={old_eff[name]}")
+        if name in new_eff:
+            effs.append(f"new_eff={new_eff[name]}")
+        tag = ""
+        if name in new_eff and float(new_eff[name]) <= 1.5:
+            tag = "  [latency-bound: likely host jitter]"
         print(f"REGRESSED {name}: {a:.3f} -> {b:.3f} "
-              f"({r:.2f}x raw, {nr:.2f}x vs median)")
+              f"({r:.2f}x raw, {nr:.2f}x vs median)"
+              + (f"  [{', '.join(effs)}]" if effs else "") + tag)
     for name, a, b in improved[:10]:
         print(f"improved  {name}: {a:.3f} -> {b:.3f} "
               f"({b/a:.2f}x raw, {b/a/med:.2f}x vs median)")
