@@ -122,6 +122,8 @@ object Plans {
       "TPC-H Q2 shape: the correlated per-part scalar min decorrelates into an aggregate + equi-join; supplier/nation dims broadcast; the p_size range pushes to the parquet scan.",
     "e25_ivf_balanced" ->
       "Two-level balanced IVF: level-1 assignment broadcasts the sqrt(n) codebook; the O(C) census gates a semi-joined sub-draw/sub-assign over ONLY oversized cells; pairing equi-joins on the final (cid, scid) key with TakeOrdered top-20 — the worst cell's quadratic pair term is capped by construction (PROBES_r08's candidate-volume finding), never by the data's goodwill.",
+    "p18_layout_cost" ->
+      "Layout cost model: one narrow codegen (px, sy, z) projection cached and scanned by all three <=256-cell manifests (map-side-combined min/max zone maps); the 8-probe workload is a broadcast nested-loop over <=768 manifest cells (bounded by construction); the rollup is O(layouts) — the corpus is aggregated once, never shuffled per probe.",
     "m9_audio_fingerprint" ->
       "Constellation audio fingerprint: frames explode narrowly off the payload scan; anchor→target landmark pairing is an equi-join on (doc, t2 = t1 + Δt) with fanout bounded at Z = 5; matching equi-joins the df-capped landmark hash (common-landmark cut at 50); offset votes are one (a, b, Δ) map-side-combined aggregate and the best-offset cut a pair-keyed window — payload bytes never shuffle.",
     "e14_filtered_ann" ->

@@ -762,6 +762,101 @@ object MiscQueries {
     }
   )
 
+  /** P18: layout cost model over a PROBE WORKLOAD — p15 generalized from
+    * one box probe to the decision a table owner actually makes: given
+    * eight deterministic 16×16 box probes over (px, sy), how many bucket
+    * reads and rows does each candidate layout force? Three layouts
+    * compete on identical data: z-order tiles (`z div 256` — aligned
+    * 16×16 tiles), px single-key, and sy single-key. A bucket is READ by
+    * a probe iff its (min, max) envelope on both dims overlaps the box —
+    * exactly the row-group zone-map pruning rule — and the layout's cost
+    * is Σ rows over (probe, bucket-hit) pairs. The single-key layouts win
+    * probes aligned to their own key and read ~everything for the other
+    * dim; z-order pays a small bounded overhead on both — the read_pm
+    * column IS the file-skipping argument for multi-dimensional layout
+    * at 100 TB, computed from the table's own stats.
+    *
+    * Exactness: all counts are BIGINTs; read_pm is one floor division of
+    * non-negative longs (Spark `div` ≡ DuckDB `//`); the probe set is
+    * the same 8 literal rows inlined into both engines.
+    *
+    * Scale: one narrow codegen projection builds (px, sy, z) once
+    * (persisted — three manifests scan it); each manifest is a
+    * map-side-combinable ≤256-cell aggregate; the probe join is an 8-row
+    * broadcast against ≤768 manifest cells; the rollup is O(layouts).
+    */
+  val p18LayoutCost: Q = {
+    val probes: Seq[(Int, Int, Int, Int, Int)] = (0 until 8).map { j =>
+      val pxlo = 16 * ((5 * j) % 16)
+      val sylo = 16 * ((7 * j) % 16)
+      (j, pxlo, pxlo + 15, sylo, sylo + 15)
+    }
+    Q(
+      "p18_layout_cost",
+      (s, dir) => {
+        import s.implicits._
+        val base = t(s, dir, "lineitem")
+          .select((col("l_partkey") % 256).as("px"), (col("l_suppkey") % 256).as("sy"))
+          .withColumn("z", zInterleave8(col("px"), col("sy")))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nTotal = base.count() // eager: three manifests + the total
+        def manifest(layout: String, bucket: org.apache.spark.sql.Column) = base
+          .select(lit(layout).as("layout"), bucket.as("b"), col("px"), col("sy"))
+          .groupBy("layout", "b")
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("px")).as("min_px"), max(col("px")).as("max_px"),
+            min(col("sy")).as("min_sy"), max(col("sy")).as("max_sy"))
+        val m = manifest("zorder", expr("z div 256"))
+          .unionByName(manifest("px_key", col("px")))
+          .unionByName(manifest("sy_key", col("sy")))
+        val p = probes.toDF("pid", "pxlo", "pxhi", "sylo", "syhi")
+        m.join(broadcast(p),
+            col("max_px") >= col("pxlo") && col("min_px") <= col("pxhi") &&
+              col("max_sy") >= col("sylo") && col("min_sy") <= col("syhi"))
+          .groupBy("layout")
+          .agg(count(lit(1)).as("buckets_read"),
+            sum(col("n_rows")).cast("long").as("rows_read"))
+          .select(col("layout"), col("buckets_read"), col("rows_read"),
+            expr(s"(1000 * rows_read) div ${nTotal * probes.size}").as("read_pm"))
+          .orderBy("layout")
+      },
+      Some {
+        val sqlZ = (0 until 8).map { i =>
+          s"(((l_partkey % 256) & ${1L << i}) << $i) + (((l_suppkey % 256) & ${1L << i}) << ${i + 1})"
+        }.mkString(" + ")
+        val vals = probes
+          .map { case (j, a, b, c, d) => s"($j, $a, $b, $c, $d)" }.mkString(", ")
+        s"""WITH base AS (
+            SELECT l_partkey % 256 AS px, l_suppkey % 256 AS sy, ($sqlZ) AS z
+            FROM lineitem),
+          m AS (
+            SELECT 'zorder' AS layout, z // 256 AS b,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   min(px) AS min_px, max(px) AS max_px,
+                   min(sy) AS min_sy, max(sy) AS max_sy
+            FROM base GROUP BY 1, 2
+            UNION ALL
+            SELECT 'px_key', px, CAST(count(*) AS BIGINT),
+                   min(px), max(px), min(sy), max(sy)
+            FROM base GROUP BY 1, 2
+            UNION ALL
+            SELECT 'sy_key', sy, CAST(count(*) AS BIGINT),
+                   min(px), max(px), min(sy), max(sy)
+            FROM base GROUP BY 1, 2),
+          probes(pid, pxlo, pxhi, sylo, syhi) AS (VALUES $vals),
+          hits AS (SELECT m.layout, m.n_rows FROM m JOIN probes p
+                   ON m.max_px >= p.pxlo AND m.min_px <= p.pxhi
+                  AND m.max_sy >= p.sylo AND m.min_sy <= p.syhi),
+          tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM base)
+          SELECT layout, count(*) AS buckets_read,
+            CAST(sum(n_rows) AS BIGINT) AS rows_read,
+            (1000 * CAST(sum(n_rows) AS BIGINT))
+              // (SELECT n_total * 8 FROM tot) AS read_pm
+          FROM hits GROUP BY layout ORDER BY layout"""
+      }
+    )
+  }
+
   /** V12: Benford first-digit audit — the classic fabricated-data detector
     * for monetary columns: the distribution of leading digits of `value`
     * against Benford's law log10(1 + 1/d), reported as per-digit deviation
@@ -1279,6 +1374,7 @@ object MiscQueries {
     a2Counts, a11Percentiles, f8Timezone, u2InsertAbsent, v2SchemaDiff, v4ColumnProfile,
     v5SourceOverlap, o4FileListing, m1BinaryMeta, v6ShardSkew, v7DataCard,
     v8PipelineYield, v9Expectations, v10PsiDrift, v11Freshness, p15ZorderLayout,
+    p18LayoutCost,
     v12Benford, v13SeqGaps, v14RefIntegrity, v15PkUnique, v16TwoSampleDrift,
     p17CompactionPlan, v17RuleQuarantine, v18KAnonymity, v19SplitBalance)
 }

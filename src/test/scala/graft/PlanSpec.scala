@@ -1217,6 +1217,24 @@ class PlanSpec extends SparkSpec {
       s"match sides must reuse the landmark cache, got $cacheReads:\n${plan.take(3000)}")
   }
 
+  test("p18: the three layout manifests all read the cached (px, sy, z) " +
+    "projection with map-side-combined min/max; the 8-row probe workload " +
+    "broadcasts — no cartesian over data") {
+    val plan = executedPlan("p18_layout_cost")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("partial_min") && plan.contains("partial_max"),
+      s"zone-map stats must combine map-side:\n${plan.take(3000)}")
+    // three manifests scan the one cached base projection
+    val cacheReads = plan.linesIterator.count(l =>
+      l.contains("TableCacheQueryStage") || l.contains("BroadcastQueryStage"))
+    assert(cacheReads >= 3,
+      s"three manifests must reuse the base cache, got $cacheReads:\n${plan.take(3000)}")
+    // the probe join is a broadcast of the 8-row workload (non-equi box
+    // overlap => nested loop is correct and bounded at 8 x <=768 cells)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"probe workload must broadcast:\n${plan.take(3000)}")
+  }
+
   test("x32: the calibration rollup adds no corpus shuffle beyond x26's " +
     "doc aggregate — gates are a narrow map joined on doc_id") {
     val plan = executedPlan("x32_calibration")
