@@ -194,6 +194,11 @@ object Bench {
         if (m != null) taskMs.addAndGet(m.executorRunTime)
       }
     })
+    // A query that timed out leaves an abandoned daemon thread that may
+    // keep submitting work and accruing executorRunTime into LATER
+    // windows — cores_eff for the timed-out query and everything after it
+    // in this process is unreliable and reported as -1 (r8 advice).
+    @volatile var effTainted = false
     def once(name: String): (Boolean, Double, Double) = {
       val task0 = taskMs.get()
       val t0 = System.nanoTime()
@@ -218,12 +223,22 @@ object Bench {
         spark.sparkContext.cancelJobGroup(s"bench-$name")
         runner.interrupt()
         runner.join(10000L) // grace; a stuck thread is abandoned (daemon)
+        effTainted = true
       }
       val wall = (System.nanoTime() - t0) / 1e9
-      // Listener-bus lag: task-end events post asynchronously; give the
-      // tail a moment OUTSIDE the timed window before reading the counter.
-      Thread.sleep(100)
-      (ok, wall, (taskMs.get() - task0) / 1e3)
+      // Listener-bus lag: task-end events post asynchronously and a fixed
+      // sleep can lose the tail under load (r8 advice) — poll the counter
+      // OUTSIDE the timed window until it holds still for two consecutive
+      // 50 ms reads (bounded at 2 s so a tainted window can't hang us).
+      var last = taskMs.get()
+      var stable = 0
+      var waited = 0
+      while (stable < 2 && waited < 40) {
+        Thread.sleep(50); waited += 1
+        val cur = taskMs.get()
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+      (ok, wall, if (effTainted) -1.0 else (taskMs.get() - task0) / 1e3)
     }
     // The container's 32 vCPUs deliver a host-dependent 7-30 cores of
     // parallel throughput (oversubscription), so parallel-stage wall time
@@ -267,7 +282,9 @@ object Bench {
       System.gc()
       // Per-query progress on stderr (stdout stays the single JSON line);
       // failures and timeouts are marked, not silently timed.
-      val eff = if (best > 0) bestTask / best else 0.0
+      // bestTask < 0 = eff window tainted by an earlier timeout; propagate
+      // -1 so the artifact marks the row unreliable instead of lying.
+      val eff = if (bestTask < 0) -1.0 else if (best > 0) bestTask / best else 0.0
       System.err.println(
         f"[bench] $name%-28s $best%8.3f s  eff=$eff%5.1f" +
           (if (views.nonEmpty) "  [view]" else "") +

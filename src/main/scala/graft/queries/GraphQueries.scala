@@ -834,9 +834,21 @@ object GraphQueries {
     "g10_hits",
     (s, dir) => {
       // The bipartite pair table comes from the bucketed materialized view
-      // (coPair); rounds scan it straight off the table — no per-query
-      // fact join, no persist churn (the table IS the cache).
-      val pairT = coPair(s, dir)
+      // (coPair), but the 2K lazy half-rounds each reference their
+      // predecessor TWICE (rescale join + broadcast-max subtree), so the
+      // pair scan is re-entered ~2^(2K) times unless the duplicated
+      // subtrees dedup. With the r7 in-memory pair (persist + lineage
+      // truncate → LogicalRDD) ReuseExchange collapsed them; the r8 switch
+      // to a raw table scan broke that under AQE and g10 regressed
+      // 2.0 → 4.6 s (CPU-bound, eff 4.2). Restore the r7 inner design ON
+      // TOP of the view: one cheap pass persists the node-pair table
+      // (|E| rows, far smaller than the fact join it replaced), the loop
+      // chains lazily against the truncated in-memory scan. Measured r9
+      // isolated sf0.1: lazy-over-table 4.6 s, per-half-round persists
+      // 5.8 s (12 count barriers, eff 1.5), this form 2.1 s.
+      val pairP = coPair(s, dir).persist(StorageLevel.MEMORY_AND_DISK)
+      pairP.count()
+      val pairT = Lineage.truncate(pairP)
 
       var hub = pairT.select("ck").distinct().withColumn("h", lit(HitsMass))
       var auth: DataFrame = null
@@ -850,14 +862,6 @@ object GraphQueries {
         val hMax = hRaw.agg(max("hr").as("hm"))
         hub = hRaw.crossJoin(broadcast(hMax))
           .select(col("ck"), expr(s"hr div greatest(hm div ${HitsMass}L, 1L)").as("h"))
-        // Lazy chaining is bounded: K=3 fixed rounds, each a small keyed
-        // agg over the cached edge list — no per-round materialization
-        // barrier needed (the g1 cadence lesson). Although each round
-        // references its predecessor twice (rescale join + broadcast-max
-        // subtree), ReuseExchange dedups the identical aggregate
-        // subtrees, so there is NO exponential recompute — measured r6:
-        // adding per-round persists made the query SLOWER (6.0 → 7.3 s
-        // isolated sf0.1), pure cache-write overhead.
         r += 1
       }
       // Materialize the final (supplier-sized) score table — the returned

@@ -69,8 +69,19 @@ object MatView {
     r
   }
 
+  /** Unique per-session path component. identityHashCode is NOT unique
+    * (two sessions in one JVM can collide, re-enabling the Overwrite
+    * clobber hazard the subdirectory exists to prevent) — assign each
+    * session a monotonic id on first sight instead; the map is weak-keyed
+    * so closed sessions don't pin.
+    */
+  private val sessionIds =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, Integer]())
+  private val nextSessionId = new java.util.concurrent.atomic.AtomicInteger(0)
+
   private def sessionTag(s: SparkSession): String =
-    java.lang.Integer.toHexString(System.identityHashCode(s))
+    s"s${sessionIds.computeIfAbsent(s, _ => nextSessionId.getAndIncrement())}"
 
   /** The memoized bucketed table `table`, built from `build` exactly once
     * per (session, table) — later calls (and later SESSIONS sharing the
