@@ -254,6 +254,23 @@ object Bench {
       graft.queries.SimilarityQueries.clearPcaMemo()
       spark.catalog.clearCache()
     }
+    // Pre-build every session view BEFORE the timed loop (r8 verdict #7):
+    // each one-time build cost is reported separately in view_build_sec,
+    // so no per-query row silently carries the build of whichever view it
+    // happened to touch first (the driver's r8 headline had d15 at 5.1 s
+    // for exactly that reason). Disable with SPARK_GRAFT_NO_PREBUILD=1 to
+    // measure cold first-consumer behavior.
+    if (!sys.env.contains("SPARK_GRAFT_NO_PREBUILD")) {
+      val t0 = System.nanoTime()
+      graft.queries.DedupQueries.prebuildViews(spark, sfDir)
+      graft.queries.GraphQueries.prebuildViews(spark, sfDir)
+      graft.queries.SimilarityQueries.prebuildViews(spark, sfDir)
+      System.err.println(
+        f"[bench] view pre-build ${(System.nanoTime() - t0) / 1e9}%.1f s " +
+          "(per-table costs in view_build_sec)")
+      clearSlate()
+      System.gc()
+    }
     val results = names.map { name =>
       graft.sources.MatView.drainTouched() // reset the view-read tracker
       val (ok1, t1, task1) = once(name)

@@ -96,6 +96,8 @@ object ScaleProbe {
     if (probeOn("asof")) asofProbe(spark, sfDir)
     if (probeOn("ann")) annProbe(spark, sfDir)
     if (probeOn("annbal")) annBalancedProbe(spark, sfDir)
+    if (probeOn("anncl")) annClusteredProbe(spark, sfDir)
+    if (probeOn("ingest")) ingestProbe(spark, sfDir)
     if (probeOn("cc")) ccProbe(spark, sfDir)
     if (probeOn("sn")) snProbe(spark, sfDir)
     if (probeOn("span")) spanProbe(spark, sfDir)
@@ -443,6 +445,12 @@ object ScaleProbe {
       val cap =
         if (sys.env.contains("SPARK_GRAFT_PROBE_NOSPLIT")) Long.MaxValue / 4
         else 2L * math.ceil(n.toDouble / nCent).toLong
+      // Stage windows MIRROR annProbe's exactly (r8 advice: the old form
+      // timed candidate-count instrumentation inside both tVerify and the
+      // total, biasing annbal-vs-ann comparisons against e25): assignment
+      // behind its own persist barrier, the candidate count in its own
+      // window, a fresh timer before the verify count, total =
+      // assign + verify (instrumentation excluded).
       val times = (1 to 2).map { _ =>
         spark.catalog.clearCache()
         emb.persist(); emb.count()
@@ -451,6 +459,9 @@ object ScaleProbe {
           .balancedCells(inflated, nCent, cap)
           .select(col("vec_id"), col("v"), col("cid"), col("scid"),
             graft.functions.FastVec.norm(col("v")).as("nv"))
+          .persist()
+        fin.count()
+        val tAssign = (System.nanoTime() - t0) / 1e9
         val left = fin.select(col("vec_id").as("a"), col("v").as("va"),
           col("nv").as("na"), col("cid"), col("scid"))
         val right = fin.select(col("vec_id").as("b"), col("v").as("vb"),
@@ -459,18 +470,146 @@ object ScaleProbe {
           .filter(col("a") < col("b"))
         val t1 = System.nanoTime()
         val cand = joined.count()
+        val tCand = (System.nanoTime() - t1) / 1e9
+        val t2 = System.nanoTime()
         val pairs = joined
           .filter(graft.functions.FastVec
             .cosinePre(col("va"), col("vb"), col("na"), col("nb")) >= 0.999)
           .count()
-        val tVerify = (System.nanoTime() - t1) / 1e9
-        ((System.nanoTime() - t0) / 1e9, cand, pairs, tVerify)
+        val tVerify = (System.nanoTime() - t2) / 1e9
+        fin.unpersist()
+        (tAssign + tVerify, tAssign, tCand, tVerify, cand, pairs)
       }
-      val (best, cand, pairs, tVerify) = times.minBy(_._1)
+      val (best, tAssign, tCand, tVerify, cand, pairs) = times.minBy(_._1)
       println(f"[scale-annbal] factor=$f%2d vecs=$n%7d cents=$nCent%3d cap=$cap%6d " +
-        f"cand=$cand%11d neardup=$pairs%8d verify=$tVerify%7.2f s total=$best%7.2f s")
-      println(f"""PROBEJSON {"probe":"annbal","factor":$f,"n":$n,"aux":$pairs,"sec":$best%.2f,"candidates":$cand,"verified":$pairs,"cap":$cap}""")
+        f"cand=$cand%11d neardup=$pairs%8d assign=$tAssign%6.2f s cand_ct=$tCand%6.2f s " +
+        f"verify=$tVerify%7.2f s total=$best%7.2f s")
+      println(f"""PROBEJSON {"probe":"annbal","factor":$f,"n":$n,"aux":$pairs,"sec":$best%.2f,"candidates":$cand,"verified":$pairs,"cap":$cap,"assign_sec":$tAssign%.2f,"cand_count_sec":$tCand%.2f,"verify_sec":$tVerify%.2f}""")
     }
+  }
+
+  /** e25's split path exercised on data where it actually FIRES (r8
+    * verdict #5: the registry corpus is balanced, so the no-split
+    * ablation showed zero cost but never showed the cap WORKING): every
+    * vector is a tiny deterministic perturbation of one of FOUR md5-drawn
+    * seed vectors — four tight clusters, so the √n̄ codebook's cells
+    * genuinely concentrate (a centroid inside a cluster swallows the
+    * whole cluster: ~n/4 rows ≫ cap = 2⌈n/C⌉ once C > 8). Each factor
+    * measures the candidate count WITH the cap and with it disabled —
+    * the hot-cell pair term the one-level split removes.
+    */
+  def annClusteredProbe(spark: SparkSession, sfDir: String): Unit = {
+    graft.functions.FastVec.register(spark)
+    val emb = Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    emb.persist(); emb.count()
+    val baseN = emb.count()
+    val seeds = emb
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(4)
+      .collect()
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Double](1)) }
+    val seedDf = spark.createDataFrame(seeds).toDF("sid", "sv")
+    factors.foreach { f =>
+      val n = baseN * f
+      val nCent = (8 * math.sqrt(f)).round.toInt
+      val inflated = spark.range(n)
+        .select(col("id").as("vec_id"), (col("id") % 4).as("sid"))
+        .join(broadcast(seedDf), Seq("sid"))
+        .select(col("vec_id"),
+          transform(col("sv"), (x, j) =>
+            x + ((col("vec_id") * (j + 1)) % 97).cast("double") * lit(1e-4)).as("v"))
+      val capped = 2L * math.ceil(n.toDouble / nCent).toLong
+      Seq("split" -> capped, "nosplit" -> Long.MaxValue / 4).foreach {
+        case (mode, cap) =>
+          val times = (1 to 2).map { _ =>
+            spark.catalog.clearCache()
+            emb.persist(); emb.count()
+            val t0 = System.nanoTime()
+            val fin = graft.queries.SimilarityQueries
+              .balancedCells(inflated, nCent, cap)
+              .select(col("vec_id"), col("cid"), col("scid"))
+              .persist()
+            fin.count()
+            val tAssign = (System.nanoTime() - t0) / 1e9
+            val left = fin.select(col("vec_id").as("a"), col("cid"), col("scid"))
+            val right = fin.select(col("vec_id").as("b"), col("cid"), col("scid"))
+            val t1 = System.nanoTime()
+            val cand = left.join(right, Seq("cid", "scid"))
+              .filter(col("a") < col("b"))
+              .count()
+            val tCand = (System.nanoTime() - t1) / 1e9
+            fin.unpersist()
+            (tAssign + tCand, tAssign, tCand, cand)
+          }
+          val (best, tAssign, tCand, cand) = times.minBy(_._1)
+          println(f"[scale-anncl] factor=$f%2d vecs=$n%7d cents=$nCent%3d mode=$mode%-7s " +
+            f"cap=$cap%12d cand=$cand%12d assign=$tAssign%6.2f s cand_ct=$tCand%7.2f s")
+          println(f"""PROBEJSON {"probe":"anncl_$mode","factor":$f,"n":$n,"aux":$cand,"sec":$best%.2f,"candidates":$cand,"cap":$cap,"assign_sec":$tAssign%.2f,"cand_count_sec":$tCand%.2f}""")
+      }
+    }
+  }
+
+  /** Streaming-admission throughput, measured (r8 verdict #4: §6.1's
+    * "per-epoch cost is O(batch + census probe), never O(corpus)" claim
+    * was spec-proven but carried no curve): for the exact-fingerprint and
+    * duplicate-span modalities, ingest a stored census of 1×/4×/16× the
+    * base corpus (token-salted copies — fingerprint spaces disjoint, so
+    * census volume genuinely scales), then time ONE fresh epoch of base
+    * size against each state. The wall must grow far slower than the
+    * census (the probe is one keyed join against O(census) rows; a
+    * formulation rescanning admitted payloads would track state size
+    * ~linearly). Setup epochs are untimed; the timed epoch reuses the
+    * SAME checkpoint so its census probe sees every prior partition.
+    */
+  def ingestProbe(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    docs.persist()
+    val nBatch = docs.count()
+    val runTag = System.nanoTime()
+    Seq("fp", "span").foreach { mode =>
+      Seq(1, 4, 16).foreach { state =>
+        val root = s"/tmp/graft-ingestprobe-$mode-$state-$runTag"
+        val (in, corpus, census, stats, ckpt) =
+          (s"$root/in", s"$root/corpus", s"$root/census",
+            s"$root/stats", s"$root/ckpt")
+        def start() = mode match {
+          case "fp" => graft.streaming.CorpusIngest.startIngest(
+            spark, in, corpus, census, ckpt, Trigger.AvailableNow())
+          case _ => graft.streaming.CorpusIngest.startIngestSpans(
+            spark, in, corpus, census, stats, ckpt,
+            trigger = Trigger.AvailableNow())
+        }
+        // Untimed setup: admit `state` salted copies of the corpus (≤16
+        // files → few epochs under maxFilesPerTrigger=16).
+        inflate(docs, state)
+          .select(col("doc_id"), col("text"), lit("probe").as("source"))
+          .coalesce(8).write.json(in)
+        start().awaitTermination()
+        val censusRows = spark.read.parquet(census).count()
+        // Timed: one fresh base-sized epoch of NEVER-SEEN content (token
+        // suffix "_f" disjoint from every setup copy's "_<k>").
+        docs.select(
+          (col("doc_id") + lit(nBatch * (state + 1) * 100)).as("doc_id"),
+          regexp_replace(concat(col("text"), lit(" ")), lit(" "), lit("_f "))
+            .as("text"),
+          lit("probe").as("source"))
+          .coalesce(8).write.mode("append").json(in)
+        val t0 = System.nanoTime()
+        start().awaitTermination()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val admitted = spark.read.parquet(corpus).count() - nBatch * state
+        println(f"[scale-ingest] mode=$mode%-4s state=${state}x census=$censusRows%9d " +
+          f"admitted=$admitted%6d epoch=$sec%7.2f s (${nBatch / sec}%7.0f docs/s)")
+        println(f"""PROBEJSON {"probe":"ingest_$mode","factor":$state,"n":$censusRows,"aux":$admitted,"sec":$sec%.2f,"docs_per_sec":${nBatch / sec}%.1f}""")
+        org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+      }
+    }
+    docs.unpersist()
   }
 
   def annProbe(spark: SparkSession, sfDir: String): Unit = {

@@ -179,6 +179,39 @@ object DedupQueries {
     }
   }
 
+  /** The stride-1 w-token window fingerprint table (doc_id, p, fp) shared
+    * by d10 (coverage), d19 (maximal spans) — the family's LAST
+    * cores_eff≈1 narrow pass after the r8 posting-table views (r8 verdict
+    * #3): the tokenize→explode→md5 derivation reads one file of a
+    * single-file corpus on ~1 core, so both consumers paid ~1 s of serial
+    * explode per isolated run. Same cure as [[shTable]]: a write-once
+    * 16-bucket table, read back 16-way. ~n_tokens rows of
+    * (key, int, 32-char fp) — the window-granular twin of the posting
+    * table a 100 TB exact-substring pass keeps anyway.
+    */
+  private[graft] def winFpTable(s: SparkSession, dir: String, w: Int): org.apache.spark.sql.DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.MatView.of(s, s"graft_winfp${w}_$tag", "doc_id", PairBuckets) {
+      t(s, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= w)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), size(col("t")) - w)).as("p"), col("t"))
+        .select(col("doc_id"), col("p"),
+          md5(concat_ws(" ", slice(col("t"), col("p") + 1, lit(w)))).as("fp"))
+    }
+  }
+
+  /** Materialize every view this family serves queries from (Bench calls
+    * it once per session BEFORE the timed loop, so a view's one-time
+    * build cost lands in view_build_sec instead of inflating whichever
+    * consumer the driver happens to time first — r8 verdict #7).
+    */
+  def prebuildViews(s: SparkSession, dir: String): Unit = {
+    shTable(s, dir, 3); shTable(s, dir, 5)
+    d3Pairs(s, dir); d5Labels(s, dir); winFpTable(s, dir, 15)
+  }
+
   private[graft] def d3Pairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
     graft.sources.MatView.of(s, s"graft_d3_pairs_$tag", "a", PairBuckets) {
@@ -523,16 +556,11 @@ object DedupQueries {
       val w = 15
       val docsT = t(s, dir, "documents")
         .select(col("doc_id"), size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
-      // Scanned by the census, the join-back and the per-doc window count:
-      // persist + eager count (the concurrent-first-scan trap, see d2).
-      val wins = t(s, dir, "documents")
-        .select(col("doc_id"), Text.tokens(col("text")).as("t"))
-        .filter(size(col("t")) >= w)
-        .select(col("doc_id"), explode(sequence(lit(0), size(col("t")) - w)).as("p"), col("t"))
-        .select(col("doc_id"), col("p"),
-          md5(concat_ws(" ", slice(col("t"), col("p") + 1, lit(w)))).as("fp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      wins.count()
+      // The census, the join-back and the per-doc window count all read
+      // the bucketed window-fp view (16-way scans; the old per-query
+      // explode+persist ran the tokenize pass serially on the single
+      // corpus file — r8 verdict #3).
+      val wins = winFpTable(s, dir, w)
       val census = wins.groupBy("fp").agg(count(lit(1)).as("c"))
       val dup = wins.join(census, Seq("fp")).filter(col("c") > 1).select("doc_id", "p")
       val prior = org.apache.spark.sql.expressions.Window
@@ -608,14 +636,9 @@ object DedupQueries {
     "d19_max_dup_spans",
     (s, dir) => {
       val w = 15
-      val wins = t(s, dir, "documents")
-        .select(col("doc_id"), Text.tokens(col("text")).as("t"))
-        .filter(size(col("t")) >= w)
-        .select(col("doc_id"), explode(sequence(lit(0), size(col("t")) - w)).as("p"), col("t"))
-        .select(col("doc_id"), col("p"),
-          md5(concat_ws(" ", slice(col("t"), col("p") + 1, lit(w)))).as("fp"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      wins.count() // eager: census + join-back scan it (d10's pattern)
+      // Census + join-back read the shared bucketed window-fp view (d10's
+      // table — the derivation the two span queries have in common).
+      val wins = winFpTable(s, dir, w)
       val census = wins.groupBy("fp").agg(count(lit(1)).as("c"))
       val byDoc = org.apache.spark.sql.expressions.Window
         .partitionBy("doc_id").orderBy("p")

@@ -61,6 +61,31 @@ object SimilarityQueries {
       ORDER BY sim DESC, vec_id LIMIT 10""")
   )
 
+  /** e1's exact cosine top-10 — the ground-truth table every evaluation
+    * harness in this family joins against (e9 recall, e12 SQ recall,
+    * e15's nprobe sweep, e23 nDCG) — materialized once per (JVM, dir)
+    * via [[graft.sources.MatView]]. Before r9 each harness re-ran the
+    * full brute-force pass on every clean-slate measurement (r8 verdict
+    * #2); the view is the derivation's output VERBATIM (vec_id, label,
+    * sim — e1's exact column contract), so every consumer's oracle is
+    * unchanged. e1's own registry row still runs the brute-force scan —
+    * the r8 boundary: views for shared derivations, never for the
+    * computation a query IS. 10 rows, 1 bucket.
+    */
+  private[graft] def exactTruth(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.MatView.of(s, s"graft_e1_truth_$tag", "vec_id", 1) {
+      e1CosineTopK.fn(s, dir)
+    }
+  }
+
+  /** Materialize this family's views once per session (Bench pre-build —
+    * r8 verdict #7; build cost lands in view_build_sec).
+    */
+  def prebuildViews(s: SparkSession, dir: String): Unit = {
+    exactTruth(s, dir); pcaMatrix(s, dir)
+  }
+
   /** E2: IVF-bucketed ANN — C=8 deterministic centroids (the first 8
     * vectors), nearest-centroid assignment by squared L2 (argmin via one
     * window), search restricted to the query's nprobe=2 buckets.
@@ -589,13 +614,12 @@ object SimilarityQueries {
   lazy val e9AnnRecall: Q = Q(
     "e9_ann_recall",
     (s, dir) => {
-      // 10-row result scanned by all five recall joins: persist + eager
-      // count so the brute-force pass runs once, not once per variant.
-      // Keep label and sim — e14's coverage row filters the truth set by
-      // e14's own label predicate and per-label depth cut.
-      val exact = e1CosineTopK.fn(s, dir)
+      // 10-row ground truth read from the materialized view (r9): the
+      // brute-force pass ran once at view-build time, not once per
+      // clean-slate harness run. Keep label and sim — e14's coverage row
+      // filters the truth set by e14's own label predicate and depth cut.
+      val exact = exactTruth(s, dir)
         .select(col("vec_id"), col("label"), col("sim"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       // Divide by the ACTUAL exact-set size, not a hardcoded 10: on a
       // corpus with fewer than 10 non-query vectors a variant returning
       // the complete exact set must score 1.0, not |exact|/10.
@@ -850,11 +874,10 @@ object SimilarityQueries {
         .agg(sum(col("q") * col("qq")).as("qdot"))
         .orderBy(col("qdot").desc, col("vec_id"))
         .limit(10)
-      val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
-      val exact = emb.crossJoin(broadcast(qv)).filter(col("vec_id") =!= 0)
-        .select(col("vec_id"), FastVec.cosine(col("v"), col("qv")).as("sim"))
-        .orderBy(col("sim").desc, col("vec_id"))
-        .limit(10)
+      // Exact float top-10 from the shared truth view (identical cosine,
+      // order and cut to the inline brute-force arm it replaces — e1's
+      // contract; the oracle keeps the composed e1 CTE, value-identical).
+      val exact = exactTruth(s, dir)
         .select(col("vec_id"), lit(1).as("hit"))
       topq
         .join(broadcast(exact), Seq("vec_id"), "left")
@@ -1105,13 +1128,10 @@ object SimilarityQueries {
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), Vectors.toDoubleVec(col("embedding")).as("v"))
       val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
-      val exact = emb.filter(col("vec_id") =!= 0)
-        .crossJoin(broadcast(qv))
-        .select(col("vec_id"), FastVec.cosine(col("v"), col("qv")).as("sim"))
-        .orderBy(col("sim").desc, col("vec_id")).limit(10)
-        .select("vec_id")
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      exact.count()
+      // Exact top-10 truth from the shared materialized view (same
+      // cosine, order and cut as the inline arm it replaces; the four
+      // probes read a 10-row table instead of re-running e1's scan).
+      val exact = exactTruth(s, dir).select("vec_id")
       // The query vector's distance to every centroid: 32 rows, but its
       // lineage is the FULL codebook training (comp→cent over all
       // vectors) — without this persist each of the 4 probes re-ran the
@@ -1271,7 +1291,8 @@ object SimilarityQueries {
         .withColumn("i", row_number().over(wSys).cast("long"))
         .select(col("vec_id").as("sys_id"), col("i"))
       val wTr = Window.partitionBy().orderBy(col("sim").desc, col("vec_id"))
-      val truth = e1CosineTopK.fn(s, dir)
+      // Graded truth from the shared e1 view (10 rows; same order keys).
+      val truth = exactTruth(s, dir)
         .withColumn("gain", lit(11L) - row_number().over(wTr))
         .select(col("vec_id"), col("gain"))
       val disc = "cast(round(1048576.0 / log2(%s + 1)) as bigint)"
@@ -1644,13 +1665,30 @@ object SimilarityQueries {
   /** Drop the memoized PCA model (benchmark hygiene — see Bench). */
   def clearPcaMemo(): Unit = pcaCache.clear()
 
-  private def pcaModel(s: SparkSession, dir: String):
-      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
-    pcaCache.getOrElseUpdate((s, dir), {
-      val x = t(s, dir, "embeddings")
+  /** The ×1024-quantized BIGINT component matrix (vec_id, i, q) as a
+    * write-once bucketed view — the corpus-wide quantized vector table
+    * e20's power iteration AND e21's anisotropy audit both start from
+    * (r8 verdict #2: the shared derivation; the 3-round iteration itself
+    * stays per-query — it is the model build e20 IS). Bucketed on vec_id:
+    * the per-vector projection groupBy plans with no Exchange.
+    */
+  private[graft] def pcaMatrix(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.MatView.of(s, s"graft_pca_x_$tag", "vec_id", 16) {
+      t(s, dir, "embeddings")
         .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
         .select(col("vec_id"), col("i").cast("long").as("i"),
           round(col("xf").cast("double") * 1024).cast("long").as("q"))
+    }
+  }
+
+  private def pcaModel(s: SparkSession, dir: String):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) =
+    pcaCache.getOrElseUpdate((s, dir), {
+      // Read the view into RAM before the rounds reference it from six
+      // subtrees (the g10 lesson: lazy re-entry of a table scan re-plans
+      // per query stage; an InMemoryRelation is reused outright).
+      val x = pcaMatrix(s, dir)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       x.count() // round 1 scans x from two subtrees (the g1 eager rule)
       var w: org.apache.spark.sql.DataFrame = s.range(64)
@@ -1664,8 +1702,25 @@ object SimilarityQueries {
           .agg(sum(col("sc") * col("q")).as("wp"))
         val mq = wp.agg(max(abs(col("wp"))).as("m"))
           .select((expr("m div 1048576") + lit(1L)).as("mq"))
-        w = wp.crossJoin(broadcast(mq))
+        // Land the round's vector on the driver and re-enter the next
+        // round as a LocalRelation: w has exactly d rows (the embedding
+        // DIMENSION — 64 here, bounded by model width, never by corpus
+        // size), and the lazy chain otherwise re-evaluates each
+        // predecessor round from two subtrees per round (2^K recompute —
+        // the g10 blow-up; measured r9 isolated sf0.1: e20 3.4 → 1.7 s,
+        // e21 4.5 → 1.4 s, e21's task-time 74 → ~2 s). This is how a
+        // linear-algebra driver holds the iterate anyway: vector on the
+        // driver, matrix distributed.
+        val wRows = wp.crossJoin(broadcast(mq))
           .select(col("i"), expr("wp div mq").as("w"))
+          .collect()
+        w = s.createDataFrame(
+          java.util.Arrays.asList(wRows: _*),
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("i",
+              org.apache.spark.sql.types.LongType, nullable = false),
+            org.apache.spark.sql.types.StructField("w",
+              org.apache.spark.sql.types.LongType, nullable = true))))
       }
       (x, w)
     })

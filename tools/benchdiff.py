@@ -93,9 +93,20 @@ def main():
             effs.append(f"old_eff={old_eff[name]}")
         if name in new_eff:
             effs.append(f"new_eff={new_eff[name]}")
+        # Jitter tag only when the query was ALSO latency-bound before (or
+        # eff is roughly unchanged): a plan that serialized a formerly
+        # parallel query lands at eff~1 too, and must be flagged as a
+        # possible serialization regression, not excused as jitter
+        # (r8 advice).
         tag = ""
         if name in new_eff and float(new_eff[name]) <= 1.5:
-            tag = "  [latency-bound: likely host jitter]"
+            oe = float(old_eff[name]) if name in old_eff else None
+            ne = float(new_eff[name])
+            if oe is None or oe <= 1.5 or ne >= oe * 0.6:
+                tag = "  [latency-bound: likely host jitter]"
+            else:
+                tag = ("  [EFF DROP %.1f -> %.1f with wall increase: "
+                       "possible serialization regression]" % (oe, ne))
         print(f"REGRESSED {name}: {a:.3f} -> {b:.3f} "
               f"({r:.2f}x raw, {nr:.2f}x vs median)"
               + (f"  [{', '.join(effs)}]" if effs else "") + tag)
