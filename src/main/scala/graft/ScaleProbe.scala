@@ -42,18 +42,20 @@ object ScaleProbe {
   private def probeJson(kind: String, f: Int, n: Long, aux: Long, sec: Double): Unit =
     println(f"""PROBEJSON {"probe":"$kind","factor":$f,"n":$n,"aux":$aux,"sec":$sec%.2f}""")
 
-  def inflate(docs: DataFrame, factor: Int): DataFrame = {
-    val salted = (0 until factor).map { k =>
-      docs.select(
-        (col("doc_id") * factor + k).as("doc_id"),
-        // suffix every token: "a b c" -> "a_k b_k c_k" (regex on the
-        // token boundary; keeps per-copy shingle structure, disjoint
-        // across copies)
-        regexp_replace(concat(col("text"), lit(" ")), lit(" "), lit(s"_$k "))
-          .as("text"))
-    }
-    salted.reduce(_.unionByName(_))
-  }
+  def inflate(docs: DataFrame, factor: Int): DataFrame =
+    // ONE explode node, not an f-branch union: a left-leaning union tree
+    // makes every downstream action's analysis superlinear in f and
+    // poisoned the r8 graph probe's 64x point (see graphProbe). Values
+    // are identical: copy k suffixes every token ("a b c" -> "a_k b_k
+    // c_k"), keeping per-copy shingle structure while shingle spaces stay
+    // disjoint across copies.
+    docs
+      .select(explode(sequence(lit(0), lit(factor - 1))).as("k"),
+        col("doc_id"), col("text"))
+      .select(
+        (col("doc_id") * factor + col("k")).as("doc_id"),
+        regexp_replace(concat(col("text"), lit(" ")), lit(" "),
+          concat(lit("_"), col("k"), lit(" "))).as("text"))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -126,11 +128,13 @@ object ScaleProbe {
         col("event_type"), col("value"))
     ev.persist(); ev.count()
     factors.foreach { f =>
-      val inflated = (0 until f).map { k =>
-        ev.select((col("event_id") * f + k).as("event_id"),
-          (col("user_id") * f + k).as("user_id"),
+      val inflated = ev
+        .select(explode(sequence(lit(0), lit(f - 1))).as("k"),
+          col("event_id"), col("user_id"), col("ts"),
+          col("event_type"), col("value"))
+        .select((col("event_id") * f + col("k")).as("event_id"),
+          (col("user_id") * f + col("k")).as("user_id"),
           col("ts"), col("event_type"), col("value"))
-      }.reduce(_.unionByName(_))
       val purchases = inflated.filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "ts")
       val clicks = inflated.filter(col("event_type") === "click")
@@ -218,10 +222,12 @@ object ScaleProbe {
       .persist()
     ev.count()
     Seq(1, 2, 4, 8).foreach { f =>
-      val inflated = (0 until f).map { k =>
-        ev.select(col("event_type"), (col("t") + lit(k * dayShift)).as("t"),
-          (col("event_id") * f + k).as("event_id"))
-      }.reduce(_.unionByName(_))
+      val inflated = ev
+        .select(explode(sequence(lit(0), lit(f - 1))).as("k"),
+          col("event_type"), col("t"), col("event_id"))
+        .select(col("event_type"),
+          (col("t") + col("k") * lit(dayShift)).as("t"),
+          (col("event_id") * f + col("k")).as("event_id"))
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val iv = inflated.filter(col("event_type") === "view")
@@ -257,11 +263,17 @@ object ScaleProbe {
       .persist()
     val nEdges = edges.count()
     factors.foreach { f =>
-      val inflated = (0 until f).map { k =>
-        edges.select(
-          (col("u") * f + k).as("u"),
-          (col("v") * f + k).as("v"))
-      }.reduce(_.unionByName(_))
+      // Inflation as ONE explode node, not an f-branch union: the
+      // left-leaning unionByName tree made every downstream action's
+      // ANALYSIS superlinear in f — the r8 g4 "curve bend" was mostly the
+      // probe's own plan depth, not the pipeline (64×: 102.7 s with the
+      // union, 8.4 s with the explode, identical communities; 32×:
+      // 29.5 → 6.3 s; measured r9).
+      val inflated = edges
+        .select(explode(sequence(lit(0), lit(f - 1))).as("k"),
+          col("u"), col("v"))
+        .select((col("u") * f + col("k")).as("u"),
+          (col("v") * f + col("k")).as("v"))
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val n = graft.queries.GraphQueries.labelPropagate(inflated, rounds = 4)
@@ -399,15 +411,15 @@ object ScaleProbe {
     * grow it quadratically; this probe demonstrates WHY e2/e3's "learn
     * more centroids at scale" note is load-bearing, with numbers).
     */
-  def inflateEmb(emb: DataFrame, factor: Int): DataFrame = {
-    val copies = (0 until factor).map { k =>
-      emb.select(
-        (col("vec_id") * factor + k).as("vec_id"),
+  def inflateEmb(emb: DataFrame, factor: Int): DataFrame =
+    // Same explode-not-union rule as [[inflate]] (plan depth, not values).
+    emb
+      .select(explode(sequence(lit(0), lit(factor - 1))).as("kk"),
+        col("vec_id"), col("v"))
+      .select(
+        (col("vec_id") * factor + col("kk")).as("vec_id"),
         transform(col("v"), (x, j) =>
-          x + ((lit(k) * (j + 1)) % 97).cast("double") * lit(1e-4)).as("v"))
-    }
-    copies.reduce(_.unionByName(_))
-  }
+          x + ((col("kk") * (j + 1)) % 97).cast("double") * lit(1e-4)).as("v"))
 
   /** The ann probe's r7 ambiguity, closed (r7 verdict Next #4): the
     * 32×→64× wall jump (32→145 s) tracked OUTPUT (planted quadratic
@@ -591,6 +603,7 @@ object ScaleProbe {
           .coalesce(8).write.json(in)
         start().awaitTermination()
         val censusRows = spark.read.parquet(census).count()
+        val corpusBefore = spark.read.parquet(corpus).count()
         // Timed: one fresh base-sized epoch of NEVER-SEEN content (token
         // suffix "_f" disjoint from every setup copy's "_<k>").
         docs.select(
@@ -602,7 +615,7 @@ object ScaleProbe {
         val t0 = System.nanoTime()
         start().awaitTermination()
         val sec = (System.nanoTime() - t0) / 1e9
-        val admitted = spark.read.parquet(corpus).count() - nBatch * state
+        val admitted = spark.read.parquet(corpus).count() - corpusBefore
         println(f"[scale-ingest] mode=$mode%-4s state=${state}x census=$censusRows%9d " +
           f"admitted=$admitted%6d epoch=$sec%7.2f s (${nBatch / sec}%7.0f docs/s)")
         println(f"""PROBEJSON {"probe":"ingest_$mode","factor":$state,"n":$censusRows,"aux":$admitted,"sec":$sec%.2f,"docs_per_sec":${nBatch / sec}%.1f}""")
