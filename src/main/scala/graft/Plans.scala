@@ -75,7 +75,9 @@ object Plans {
     "c5_shard_manifest" ->
       "Export manifest: x9's per-shard packing feeds one (shard, bin) HashAggregate with map-side combine; the bit_xor content checksum is order-independent, so parallel partials agree with any sequential fold.",
     "d10_dup_spans" ->
-      "Duplicate spans: stride-1 window fingerprints explode narrowly from the fused token scan; the census and join-back shuffle on fp with map-side combine; the interval-union window is PARTITIONED by doc_id over only duplicated rows — no position explode, no cartesian.",
+      "Duplicate spans: reads the bucketed window-fp materialized view (r9 — the stride-1 explode ran once at view-build time, 16-way reads replace the serial single-file pass); census and join-back shuffle on fp with map-side combine; the interval-union window's doc_id distribution rides the bucket layout over only duplicated rows — no position explode, no cartesian.",
+    "d20_span_partners" ->
+      "Span partner attribution: the cross-doc window match is the posting-table self-join on fp (sum of c(fp)^2 bounded, c>1 rows only); span scoring and the best-partner pick are keyed aggregates/windows on (doc, span) — no positional all-pairs.",
     "c6_fuzzy_decontam" ->
       "Fuzzy decontamination: one distinct-shingle census over the train side, one left equi-join on shingle, one map-side-combined leak count — the train side never materializes pairs.",
     "c7_epoch_shuffle" ->
@@ -259,7 +261,7 @@ object Plans {
     "a33_root_cause" ->
       "Root-cause contributions: ONE events scan — both periods are conditional aggregates and both dimensions come from a single GROUPING SETS Expand; each dimension's window total IS the global total, so no separate totals pass exists.",
     "e23_ann_ndcg" ->
-      "ANN nDCG: both arms end in TakeOrdered top-10 lists before any join; rank discounts are pre-quantized 2^20 integers, so the metric is exact longs over <=10-row tables.",
+      "ANN nDCG: the system arm ends in a TakeOrdered top-10; the truth arm reads the 10-row materialized e1 view (r9); rank discounts are pre-quantized 2^20 integers, so the metric is exact longs over <=10-row tables.",
     "v18_k_anonymity" ->
       "k-anonymity audit: ONE scan of the two quasi-identifier columns into a map-side-combined census bounded at the QI domain product; the verdict is a codegen CASE over census rows.",
     "q24_sql_unpivot" ->
@@ -277,9 +279,11 @@ object Plans {
     "e13_ivf_pq" ->
       "IVF-PQ: residual subvectors are cached once; PQ encode and the ADC probe are broadcast equi-joins — the corpus never sort-merge-joins.",
     "e20_pca_power" ->
-      "PCA power iteration: each round is two map-side-combinable keyed aggregates with the vector/score/scale sides broadcast — the quantized matrix never shuffles.",
+      "PCA power iteration: the returned plan is the driver-held d-row iterate (LocalTableScan — bounded by embedding dimension, r9); rounds consume the quantized-matrix view via broadcast joins inside their own actions, so the matrix never shuffles and the lazy 2^K re-derivation is gone.",
+    "e26_ivf_census_drift" ->
+      "Stale-codebook drift monitor: one broadcast cross-join + windowed argmin assign (the e2 shape), one map-side-combinable census, top-20 cells via TakeOrderedAndProject — no all-pairs term.",
     "e21_anisotropy" ->
-      "Anisotropy audit: reuses the memoized PCA model — its own work is keyed aggregates over the persisted matrix with broadcast sides; the permille lands in (0, 1000] by Cauchy-Schwarz.",
+      "Anisotropy audit: reuses the memoized PCA model over the quantized-matrix view — its own work is map-side-combined keyed aggregates with the d-row vector broadcast; the permille lands in (0, 1000] by Cauchy-Schwarz.",
     "e6_semantic_dedup" ->
       "Semantic dedup: centroid assignment broadcasts the codebook, never shuffles the vectors for it.",
     "g2_triangle_count" ->

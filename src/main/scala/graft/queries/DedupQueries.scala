@@ -670,6 +670,97 @@ object DedupQueries {
       ORDER BY doc_id, span_start""")
   )
 
+  /** D20: maximal duplicate spans WITH partner attribution — closes d19's
+    * documented caveat ("each window in a run may match a DIFFERENT
+    * partner document") by reporting, for every d19 span, the partner
+    * document sharing the MOST of the span's duplicated windows: the full
+    * MassiveText-style exact-substring signal (where did this span come
+    * from?), the row a dedup pipeline needs before deciding which side of
+    * a duplicated span to drop (keep the canonical source, cut the
+    * scraped copy).
+    *
+    * Semantics: a window is duplicated when its fp occurs anywhere else
+    * in the corpus (d10's census); spans are d19's maximal runs; a span's
+    * candidate partners are the OTHER documents carrying any of its
+    * window fps, scored by how many distinct positions of the span they
+    * cover; ties break on the smaller partner id. Spans whose duplicated
+    * windows are all internal (same-document repetition) attribute to
+    * partner −1 with 0 shared windows.
+    *
+    * Scale: the cross-doc window match is the posting-table self-join on
+    * fp, Σ_fp c(fp)² bounded exactly like every shingle-census join in
+    * this family (c > 1 rows only; a production run caps c with a
+    * document-frequency cut first, the d9 pattern). Everything after is
+    * keyed on (doc, span) — no positional all-pairs.
+    */
+  val d20SpanPartners: Q = Q(
+    "d20_span_partners",
+    (s, dir) => {
+      val w = 15
+      val wins = winFpTable(s, dir, w)
+      val census = wins.groupBy("fp").agg(count(lit(1)).as("c"))
+      val byDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("p")
+      // Duplicated windows with their island (span) key — persisted: the
+      // span extent, the partner join and the final join-back scan it.
+      val dup = wins.join(census, Seq("fp")).filter(col("c") > 1)
+        .select(col("doc_id"), col("p"), col("fp"))
+        .withColumn("grp", col("p") - row_number().over(byDoc))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      dup.count()
+      val spans = dup.groupBy("doc_id", "grp")
+        .agg(min(col("p")).cast("long").as("span_start"),
+          (max(col("p")) - min(col("p")) + w).cast("long").as("span_len"),
+          count(lit(1)).as("n_windows"))
+      val matches = dup.select(col("doc_id"), col("grp"), col("p"), col("fp"))
+        .join(
+          dup.select(col("doc_id").as("partner_doc"), col("fp")),
+          Seq("fp"))
+        .filter(col("doc_id") =!= col("partner_doc"))
+        .select("doc_id", "grp", "p", "partner_doc")
+        .distinct()
+        .groupBy("doc_id", "grp", "partner_doc")
+        .agg(count(lit(1)).as("shared_windows"))
+      val bySpan = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id", "grp")
+        .orderBy(desc("shared_windows"), col("partner_doc"))
+      val best = matches.withColumn("rn", row_number().over(bySpan))
+        .filter(col("rn") === 1)
+        .select("doc_id", "grp", "partner_doc", "shared_windows")
+      spans.join(best, Seq("doc_id", "grp"), "left")
+        .select(col("doc_id"), col("span_start"), col("span_len"),
+          col("n_windows"),
+          coalesce(col("partner_doc"), lit(-1L)).as("partner_doc"),
+          coalesce(col("shared_windows"), lit(0L)).as("shared_windows"))
+        .orderBy("doc_id", "span_start")
+    },
+    Some("""WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      fps AS (SELECT doc_id, p, md5(array_to_string(t[(p+1):(p+15)], ' ')) AS fp
+              FROM (SELECT doc_id, unnest(range(len(t) - 14)) AS p, t
+                    FROM base WHERE len(t) >= 15)),
+      census AS (SELECT fp, count(*) AS c FROM fps GROUP BY fp),
+      dup AS (SELECT f.doc_id, f.p, f.fp,
+                f.p - row_number() OVER (PARTITION BY f.doc_id ORDER BY f.p) AS grp
+              FROM fps f JOIN census c ON f.fp = c.fp WHERE c.c > 1),
+      spans AS (SELECT doc_id, grp,
+                  CAST(min(p) AS BIGINT) AS span_start,
+                  CAST(max(p) - min(p) + 15 AS BIGINT) AS span_len,
+                  count(*) AS n_windows
+                FROM dup GROUP BY doc_id, grp),
+      m AS (SELECT doc_id, grp, partner_doc, count(*) AS shared_windows FROM (
+              SELECT DISTINCT a.doc_id, a.grp, a.p, b.doc_id AS partner_doc
+              FROM dup a JOIN dup b ON a.fp = b.fp AND a.doc_id <> b.doc_id)
+            GROUP BY doc_id, grp, partner_doc),
+      best AS (SELECT doc_id, grp, partner_doc, shared_windows FROM m
+               QUALIFY row_number() OVER (PARTITION BY doc_id, grp
+                 ORDER BY shared_windows DESC, partner_doc) = 1)
+      SELECT s.doc_id, s.span_start, s.span_len, s.n_windows,
+        coalesce(b.partner_doc, -1) AS partner_doc,
+        CAST(coalesce(b.shared_windows, 0) AS BIGINT) AS shared_windows
+      FROM spans s LEFT JOIN best b ON b.doc_id = s.doc_id AND b.grp = s.grp
+      ORDER BY s.doc_id, s.span_start""")
+  )
+
   /** D11: LSH recall evaluation — e9's harness applied to text dedup: the
     * fraction of the EXACT 3-gram-Jaccard ≥ 0.3 ground truth that the
     * probabilistic MinHash-banded pipeline (d3: 8 hashes, 4×2 banding)
@@ -1141,5 +1232,5 @@ object DedupQueries {
   val all: Seq[Q] = Seq(d1ExactDedup, d2NgramJaccard, d3MinHashLsh, d4SimHash,
     d7IncrementalDedup, d9Containment, d10DupSpans, d11LshRecall, d12OphMinhash,
     d13OphDense, d14CdcChunks, d15BandTuning, d16TfidfDedup, d18DedupAgreement,
-    d17BloomAdmission, d19MaxDupSpans)
+    d17BloomAdmission, d19MaxDupSpans, d20SpanPartners)
 }

@@ -2106,11 +2106,99 @@ object SimilarityQueries {
       ORDER BY sim DESC, a, b LIMIT 20""")
   )
 
+  /** E26: stale-codebook census drift — the rebalance monitor every
+    * production IVF store runs between codebook retrains (FAISS/Milvus
+    * "imbalance factor"): the codebook was drawn when only PART of the
+    * corpus existed (here: the md5-drawn √n̄ seeds over the vec_id % 4 ≠ 0
+    * three-quarters, "yesterday's corpus"), new vectors kept arriving and
+    * were routed through the STALE cells, and the audit reports each
+    * cell's old/new census, whether it breached e25's 2⌈n/C⌉ cap, and the
+    * corpus-level imbalance ratio (max cell ÷ ideal mean, permille) — the
+    * one number that says "retrain or split now". This is the operational
+    * scenario e25's two-level split exists for (a sampled codebook is
+    * density-adaptive only for the data it was drawn FROM; the anncl
+    * probe measures the split's effect, this query is the monitor that
+    * triggers it).
+    *
+    * Exactness: the argmin carries the family's (d², cid) tie-break on
+    * bit-identical double L2; censuses are integer; the imbalance ratio
+    * is one truncating integer division (max_sz · 1000 · C div n).
+    *
+    * Scale: one broadcast cross-join + windowed argmin over the corpus
+    * (the e2/e3 assign shape), one map-side-combinable census, top-20
+    * cells via TakeOrderedAndProject — no all-pairs term at all.
+    */
+  val e26IvfCensusDrift: Q = Q(
+    "e26_ivf_census_drift",
+    (s, dir) => {
+      FastVec.register(s)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"),
+          Vectors.toDoubleVec(col("embedding")).as("v"))
+      val old = emb.filter(col("vec_id") % 4 =!= 0)
+      val nOld = old.count()
+      val n = emb.count()
+      val nC = math.max(8, math.ceil(math.sqrt(nOld.toDouble)).toInt)
+      val cap = 2L * math.ceil(n.toDouble / nC).toLong
+      val cent = old
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(nC)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val byVec = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+      val assign = emb
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"),
+          FastVec.l2sq(col("v"), col("cv")).as("d2"))
+        .withColumn("rn", row_number().over(byVec))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"))
+      val census = assign
+        .groupBy("cid")
+        .agg(
+          sum(when(col("vec_id") % 4 =!= 0, 1L).otherwise(0L)).as("n_old"),
+          sum(when(col("vec_id") % 4 === 0, 1L).otherwise(0L)).as("n_new"),
+          count(lit(1)).as("sz"))
+      val mx = census.agg(max(col("sz")).as("max_sz"))
+      census
+        .crossJoin(broadcast(mx))
+        .select(col("cid"), col("n_old"), col("n_new"), col("sz"),
+          (col("sz") > cap).as("over_cap"),
+          expr(s"max_sz * 1000 * ${nC}L div ${n}L").as("imbalance_pm"))
+        .orderBy(desc("sz"), col("cid"))
+        .limit(20)
+    },
+    Some(s"""WITH e AS ($sqlE),
+      old AS (SELECT * FROM e WHERE vec_id % 4 <> 0),
+      no AS (SELECT count(*) AS c FROM old),
+      nn AS (SELECT count(*) AS c FROM e),
+      cent AS (SELECT vec_id AS cid, v AS cv FROM old
+               QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+                 <= (SELECT greatest(8, CAST(ceil(sqrt(c)) AS BIGINT)) FROM no)),
+      assign AS (SELECT vec_id, cid FROM (
+                   SELECT e.vec_id, c.cid, ${sqlL2sq("e.v", "c.cv")} AS d2
+                   FROM e CROSS JOIN cent c)
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
+      capt AS (SELECT 2 * CAST(ceil(CAST(nn.c AS DOUBLE) /
+                 greatest(8, CAST(ceil(sqrt(no.c)) AS BIGINT))) AS BIGINT) AS cap
+               FROM nn, no),
+      census AS (SELECT cid,
+                   CAST(sum(CASE WHEN vec_id % 4 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+                   CAST(sum(CASE WHEN vec_id % 4 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+                   count(*) AS sz
+                 FROM assign GROUP BY cid),
+      mx AS (SELECT max(sz) AS max_sz FROM census)
+      SELECT c.cid, c.n_old, c.n_new, c.sz, c.sz > capt.cap AS over_cap,
+        mx.max_sz * 1000 * (SELECT greatest(8, CAST(ceil(sqrt(c)) AS BIGINT)) FROM no)
+          // (SELECT c FROM nn) AS imbalance_pm
+      FROM census c, mx, capt
+      ORDER BY c.sz DESC, c.cid LIMIT 20""")
+  )
+
   val all: Seq[Q] = Seq(e1CosineTopK, e2AnnIvf, e3BucketNearDup, e4AnnKmeans,
     e5AnnHyperplane, e6SemanticDedup, e7AnnBatch, e8PqAdc, e9AnnRecall,
     e10MmrRerank, e11EmbeddingQa, e12SqRecall, e13IvfPq, e14FilteredAnn,
     e15NprobeSweep, e16HybridRrf, e17HardNegatives, e18MeanPool,
     e19CentroidDrift, g9KnnGraph, c14ClusterBalanced, e20PcaPower,
     e21Anisotropy, e22JlProjection, e23AnnNdcg, e24MatryoshkaRecall,
-    e25IvfBalanced)
+    e25IvfBalanced, e26IvfCensusDrift)
 }

@@ -254,14 +254,39 @@ class PlanSpec extends SparkSpec {
   }
 
   test("d10: window census and coverage are keyed joins/aggregates — " +
-    "no cartesian, and the interval-union window partitions on doc_id") {
+    "no cartesian, reads the bucketed window-fp view, and the " +
+    "interval-union window never collapses to one partition") {
     val plan = executedPlan("d10_dup_spans")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
     assert(plan.contains("HashAggregate"), plan.take(3000)) // fp census map-side combines
-    assert(plan.contains("hashpartitioning(doc_id"),
-      "coverage window must partition on doc_id, not collapse to one partition:\n" +
-        plan.take(3000))
+    // r9: the window-fp table is the shared bucketed MatView — the
+    // coverage window's doc_id distribution is satisfied by the bucket
+    // layout (hashpartitioning only appears when the source is unbucketed)
+    assert(plan.contains("graft_winfp15"),
+      s"d10 must read the shared window-fp view:\n${plan.take(3000)}")
+    assert(plan.contains("Window"), plan.take(3000))
+    assert(!plan.contains("Exchange SinglePartition"),
+      "coverage window collapsed to one partition:\n" + plan.take(3000))
+  }
+
+  test("d20: the partner match is the posting-table self-join on fp; " +
+    "span scoring is keyed — no positional all-pairs") {
+    val plan = executedPlan("d20_span_partners")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(3000))
+    assert(plan.contains("graft_winfp15"),
+      s"d20 must read the shared window-fp view:\n${plan.take(3000)}")
+    assert(plan.contains("HashAggregate"), plan.take(3000))
+  }
+
+  test("e26: the stale-codebook assign broadcasts the codebook; the " +
+    "census map-side combines; the top-20 cut is TakeOrdered") {
+    val plan = executedPlan("e26_ivf_census_drift")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(3000))
+    assert(plan.contains("partial_sum") || plan.contains("partial_count"),
+      s"cell census must map-side combine:\n${plan.take(3000)}")
   }
 
   test("c6: decontamination is an equi-join on shingle — no cartesian") {
@@ -1172,21 +1197,39 @@ class PlanSpec extends SparkSpec {
       s"rk <= 3 must prune the pick window:\n${plan.take(3000)}")
   }
 
-  test("e20: each power-iteration round is two map-side-combinable keyed " +
-    "aggregates with the vector/score/scale sides broadcast — the " +
-    "quantized matrix never shuffles") {
+  test("e20: the returned plan is the driver-landed d-row vector " +
+    "(LocalTableScan, bounded by embedding dimension) — the matrix is " +
+    "consumed via broadcast joins inside the loop's own actions, and " +
+    "nothing corpus-sized survives into the result path") {
+    // r9: each round's d-row iterate lands on the driver and re-enters as
+    // a LocalRelation (the lazy chain re-evaluated every predecessor
+    // round from two subtrees per round — 2^K recompute). The per-round
+    // aggregate shape (map-side combine, broadcast vector) is asserted on
+    // e21, whose RETURNED plan contains the projection aggregate over the
+    // quantized-matrix view.
     val df = SparkEntry.queries("e20_pca_power")(spark, sf)
     val plan = finalPlan(df)
-    assert(plan.contains("partial_sum"), s"no map-side combine:\n${plan.take(3000)}")
-    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
-    // The only nested loop allowed is the 1-row scale broadcast.
-    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("LocalTableScan"),
+      s"e20's result must be the driver-held iterate:\n${plan.take(3000)}")
+    assert(!plan.contains("Scan parquet"),
+      s"corpus-sized scan leaked into e20's result path:\n${plan.take(3000)}")
     // Non-degenerate result: the adaptive renormalization must keep the
     // vector alive (a fixed worst-case shift underflowed it to zero).
     val w = df.collect().map(_.getLong(1))
     assert(w.exists(_ != 0L), "power iteration collapsed to the zero vector")
     assert(w.map(math.abs).max <= (1L << 20) + 1,
       "renormalization scale invariant violated")
+  }
+
+  test("e21: the projection aggregate over the quantized-matrix view " +
+    "map-side combines with the d-row vector broadcast — the matrix " +
+    "never shuffles") {
+    val plan = executedPlan("e21_anisotropy")
+    assert(plan.contains("partial_sum"), s"no map-side combine:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(3000))
+    assert(plan.contains("graft_pca_x"),
+      s"e21 must read the quantized-matrix view:\n${plan.take(3000)}")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 
   test("e25: the sub-draw and sub-assign touch only oversized cells via " +
@@ -1641,11 +1684,15 @@ class PlanSpec extends SparkSpec {
       s"period sums must map-side combine:\n${plan.take(3000)}")
   }
 
-  test("e23: both arms cut to bounded top-10 lists via TakeOrdered before " +
-    "the metric joins — nothing after the scans grows with the corpus") {
+  test("e23: the system arm cuts via TakeOrdered and the truth arm reads " +
+    "the 10-row e1 view — nothing after the scans grows with the corpus") {
     val plan = executedPlan("e23_ann_ndcg")
-    assert("TakeOrderedAndProject".r.findAllIn(plan).length >= 2,
-      s"both arms must cut via TakeOrdered:\n${plan.take(3000)}")
+    assert("TakeOrderedAndProject".r.findAllIn(plan).length >= 1,
+      s"system arm must cut via TakeOrdered:\n${plan.take(3000)}")
+    // r9: truth comes from the materialized e1 top-10 (bounded by
+    // construction), not a second brute-force pass
+    assert(plan.contains("graft_e1_truth"),
+      s"truth arm must read the shared e1 view:\n${plan.take(3000)}")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
   }
 

@@ -53,6 +53,93 @@ class RegistrySpec extends SparkSpec {
     }
   }
 
+  /** Best-effort alias extraction from an oracle's OUTERMOST select list
+    * (r8 verdict #8: the recurring gate-trip cause is a Spark/oracle
+    * column-name mismatch, which the driver only catches AFTER a commit).
+    * Scans at paren depth 0 outside string literals, takes the LAST
+    * top-level SELECT, splits its list on top-level commas, and reads
+    * each item's `AS alias` (or the bare/dotted identifier). Returns None
+    * when any item is an unaliased expression or `*` — those few oracles
+    * are exempt (house style is to alias every computed column anyway).
+    */
+  private def oracleCols(sql: String): Option[Seq[String]] = {
+    val s = sql
+    // depth/quote-aware scan: record top-level keyword positions
+    var depth = 0; var inStr = false; var i = 0
+    var lastSelect = -1
+    val fromAfter = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    def wordAt(p: Int, w: String): Boolean =
+      s.regionMatches(true, p, w, 0, w.length) &&
+        (p == 0 || !s(p - 1).isLetterOrDigit && s(p - 1) != '_') &&
+        (p + w.length >= s.length ||
+          !s(p + w.length).isLetterOrDigit && s(p + w.length) != '_')
+    while (i < s.length) {
+      val c = s(i)
+      if (inStr) { if (c == '\'') inStr = false }
+      else c match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ =>
+          if (depth == 0) {
+            if (wordAt(i, "select")) lastSelect = i
+            else if (wordAt(i, "from")) fromAfter += ((i, lastSelect))
+          }
+      }
+      i += 1
+    }
+    if (lastSelect < 0) return None
+    val fromPos = fromAfter.collectFirst {
+      case (f, sel) if sel == lastSelect && f > lastSelect => f
+    }.getOrElse(return None)
+    var list = s.substring(lastSelect + "select".length, fromPos).trim
+    if (list.toLowerCase.startsWith("distinct "))
+      list = list.substring("distinct ".length)
+    // split on top-level commas
+    val items = scala.collection.mutable.ArrayBuffer.empty[String]
+    var d = 0; var q0 = false; var start = 0
+    for (j <- list.indices) list(j) match {
+      case '\'' => q0 = !q0
+      case '(' if !q0 => d += 1
+      case ')' if !q0 => d -= 1
+      case ',' if !q0 && d == 0 =>
+        items += list.substring(start, j).trim; start = j + 1
+      case _ =>
+    }
+    items += list.substring(start).trim
+    val ident = "[A-Za-z_][A-Za-z0-9_]*"
+    val asRe = s"""(?is).*\\bas\\s+($ident)\\s*$$""".r
+    val bareRe = s"""(?s)^\\s*(?:$ident\\.)?($ident)\\s*$$""".r
+    val cols = items.map {
+      case asRe(a) => a.toLowerCase
+      case bareRe(c) => c.toLowerCase
+      case _ => return None
+    }
+    Some(cols.toSeq)
+  }
+
+  test("every oracle's outermost select list matches the Spark columns " +
+    "(name AND order) — the gate's schema compare, run before any commit") {
+    val unparsed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    SparkEntry.registry.foreach { q =>
+      SparkEntry.oracleSql.get(q.name).foreach { sql =>
+        oracleCols(sql) match {
+          case None => unparsed += q.name
+          case Some(cols) =>
+            val sparkCols = q.fn(spark, sf).columns.toSeq.map(_.toLowerCase)
+            if (cols != sparkCols)
+              bad += s"${q.name}: oracle=$cols spark=$sparkCols"
+        }
+      }
+    }
+    assert(bad.isEmpty, s"oracle/Spark column mismatches:\n${bad.mkString("\n")}")
+    // the parser must keep covering ~the whole registry — a style drift
+    // that silently exempted new queries would hollow the assert out
+    assert(unparsed.size <= 12,
+      s"too many unparseable oracle select lists: $unparsed")
+  }
+
   test("s4 scheduler boundary: an event exactly at close+1h fires SAME day " +
     "(the reference's strict next < now comparison) — via the shipped query") {
     import spark.implicits._
