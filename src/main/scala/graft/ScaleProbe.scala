@@ -52,6 +52,12 @@ object ScaleProbe {
     docs
       .select(explode(sequence(lit(0), lit(factor - 1))).as("k"),
         col("doc_id"), col("text"))
+      // The explode inherits the SOURCE's partitioning — a single-file
+      // corpus would run the whole salting + downstream narrow pipeline
+      // on ONE task (measured r9: LSH 64× at 55 s single-partition vs
+      // 21 s fanned out). The union form got its parallelism by accident
+      // (one task per branch); fan out explicitly instead.
+      .repartition(math.min(256, math.max(32, factor * 4)))
       .select(
         (col("doc_id") * factor + col("k")).as("doc_id"),
         regexp_replace(concat(col("text"), lit(" ")), lit(" "),
@@ -132,6 +138,7 @@ object ScaleProbe {
         .select(explode(sequence(lit(0), lit(f - 1))).as("k"),
           col("event_id"), col("user_id"), col("ts"),
           col("event_type"), col("value"))
+        .repartition(math.min(256, math.max(32, f * 4))) // see inflate
         .select((col("event_id") * f + col("k")).as("event_id"),
           (col("user_id") * f + col("k")).as("user_id"),
           col("ts"), col("event_type"), col("value"))
@@ -225,6 +232,7 @@ object ScaleProbe {
       val inflated = ev
         .select(explode(sequence(lit(0), lit(f - 1))).as("k"),
           col("event_type"), col("t"), col("event_id"))
+        .repartition(math.min(256, math.max(32, f * 4))) // see inflate
         .select(col("event_type"),
           (col("t") + col("k") * lit(dayShift)).as("t"),
           (col("event_id") * f + col("k")).as("event_id"))
@@ -272,6 +280,7 @@ object ScaleProbe {
       val inflated = edges
         .select(explode(sequence(lit(0), lit(f - 1))).as("k"),
           col("u"), col("v"))
+        .repartition(math.min(256, math.max(32, f * 4))) // see inflate
         .select((col("u") * f + col("k")).as("u"),
           (col("v") * f + col("k")).as("v"))
       val times = (1 to 2).map { _ =>
@@ -416,6 +425,7 @@ object ScaleProbe {
     emb
       .select(explode(sequence(lit(0), lit(factor - 1))).as("kk"),
         col("vec_id"), col("v"))
+      .repartition(math.min(256, math.max(32, factor * 4))) // see inflate
       .select(
         (col("vec_id") * factor + col("kk")).as("vec_id"),
         transform(col("v"), (x, j) =>
