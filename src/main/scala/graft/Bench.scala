@@ -98,7 +98,8 @@ object Bench {
     "e24_matryoshka_recall", "a34_bootstrap_ci", "v19_split_balance",
     "m8_phash_dct", "q28_sql_profit", "q29_sql_cust_dist",
     "d19_max_dup_spans", "e25_ivf_balanced", "m9_audio_fingerprint",
-    "p18_layout_cost", "d20_span_partners", "e26_ivf_census_drift")
+    "p18_layout_cost", "d20_span_partners", "e26_ivf_census_drift",
+    "v20_embedding_drift")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

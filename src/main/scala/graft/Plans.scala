@@ -280,6 +280,8 @@ object Plans {
       "IVF-PQ: residual subvectors are cached once; PQ encode and the ADC probe are broadcast equi-joins — the corpus never sort-merge-joins.",
     "e20_pca_power" ->
       "PCA power iteration: the returned plan is the driver-held d-row iterate (LocalTableScan — bounded by embedding dimension, r9); rounds consume the quantized-matrix view via broadcast joins inside their own actions, so the matrix never shuffles and the lazy 2^K re-derivation is gone.",
+    "v20_embedding_drift" ->
+      "Embedding drift: 16 hyperplanes broadcast into ONE map-side-combined sketch aggregate (single corpus scan, never self-joined); the PSI table is bounded by the 16-bucket band domain.",
     "e26_ivf_census_drift" ->
       "Stale-codebook drift monitor: one broadcast cross-join + windowed argmin assign (the e2 shape), one map-side-combinable census, top-20 cells via TakeOrderedAndProject — no all-pairs term.",
     "e21_anisotropy" ->

@@ -2194,11 +2194,93 @@ object SimilarityQueries {
       ORDER BY c.sz DESC, c.cid LIMIT 20""")
   )
 
+  /** V20: embedding-distribution drift — v10's PSI applied to EMBEDDING
+    * space: the reference population (vec_id % 2 = 0) and the live one
+    * (% 2 = 1) are each censused over the 16 low-band buckets of e5's
+    * hyperplane sign sketch, and each bucket contributes a Laplace-
+    * smoothed PSI term. This is the drift monitor an embedding pipeline
+    * runs when the ENCODER changes (new model version, corrupted shard,
+    * truncated precision): a distribution shift in sign-bucket occupancy
+    * flags the space before cosine-based dedup/ANN silently degrades —
+    * the vector twin of the scalar v10/v16 drift family.
+    *
+    * Exactness: sign bits are deterministic (sequential dot folds,
+    * bit-identical on both engines — e5's contract); censuses are
+    * integers; the PSI term is ONE float expression over identical
+    * integer operands, rounded once to 6 decimals (v10's hash-matched
+    * pattern).
+    *
+    * Scale: one broadcast of 16 planes into a map-side-combinable sketch
+    * aggregate, then a ≤16-row census — the corpus is scanned once and
+    * never joined against itself; the drift table is bounded by the band
+    * domain, not the corpus.
+    */
+  val v20EmbeddingDrift: Q = Q(
+    "v20_embedding_drift",
+    (s, dir) => {
+      FastVec.register(s)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), Vectors.toDoubleVec(col("embedding")).as("v"))
+      // Unpartitioned window BY DESIGN: ranks only the 16 already-picked
+      // plane rows (e5's draw), never the corpus.
+      val drawOrder = Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      val planes = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(16)
+        .select((row_number().over(drawOrder) - 1).as("j"), col("v").as("h"))
+      val sketches = emb
+        .crossJoin(broadcast(planes))
+        .select(col("vec_id"),
+          when(FastVec.dot(col("v"), col("h")) >= 0,
+            expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)).as("bit"))
+        .groupBy("vec_id")
+        .agg(sum(col("bit")).as("sketch"))
+      val w = Window.partitionBy()
+      val pd = (col("n_p") + lit(1.0)) / (col("tot_p") + lit(16.0))
+      val qd = (col("n_q") + lit(1.0)) / (col("tot_q") + lit(16.0))
+      sketches
+        .select(expr("sketch & 15").as("bucket"),
+          (col("vec_id") % 2 === 0).as("isp"))
+        .groupBy("bucket")
+        .agg(sum(when(col("isp"), 1L).otherwise(0L)).as("n_p"),
+          sum(when(col("isp"), 0L).otherwise(1L)).as("n_q"))
+        .withColumn("tot_p", sum(col("n_p")).over(w))
+        .withColumn("tot_q", sum(col("n_q")).over(w))
+        .select(col("bucket"), col("n_p"), col("n_q"),
+          round((pd - qd) * log(pd / qd), 6).as("psi_r6"))
+        .orderBy("bucket")
+    },
+    Some(s"""WITH e AS ($sqlE),
+      planes AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j,
+                   v AS h FROM e
+                 QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
+      sk AS (SELECT e.vec_id,
+               CAST(sum(CASE WHEN ${sqlDot("e.v", "p.h")} >= 0
+                   THEN CAST(1 AS BIGINT) << CAST(p.j AS INTEGER) ELSE 0 END)
+                 AS BIGINT) AS sketch
+             FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+      b AS (SELECT CAST(sketch & 15 AS BIGINT) AS bucket,
+              vec_id % 2 = 0 AS isp FROM sk),
+      c AS (SELECT bucket,
+              CAST(sum(CASE WHEN isp THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+              CAST(sum(CASE WHEN isp THEN 0 ELSE 1 END) AS BIGINT) AS n_q
+            FROM b GROUP BY bucket),
+      w AS (SELECT bucket, n_p, n_q,
+              CAST(sum(n_p) OVER () AS BIGINT) AS tot_p,
+              CAST(sum(n_q) OVER () AS BIGINT) AS tot_q
+            FROM c)
+      SELECT bucket, n_p, n_q,
+        round(((n_p + 1.0) / (tot_p + 16.0) - (n_q + 1.0) / (tot_q + 16.0))
+          * ln(((n_p + 1.0) / (tot_p + 16.0)) / ((n_q + 1.0) / (tot_q + 16.0))), 6)
+          AS psi_r6
+      FROM w ORDER BY bucket""")
+  )
+
   val all: Seq[Q] = Seq(e1CosineTopK, e2AnnIvf, e3BucketNearDup, e4AnnKmeans,
     e5AnnHyperplane, e6SemanticDedup, e7AnnBatch, e8PqAdc, e9AnnRecall,
     e10MmrRerank, e11EmbeddingQa, e12SqRecall, e13IvfPq, e14FilteredAnn,
     e15NprobeSweep, e16HybridRrf, e17HardNegatives, e18MeanPool,
     e19CentroidDrift, g9KnnGraph, c14ClusterBalanced, e20PcaPower,
     e21Anisotropy, e22JlProjection, e23AnnNdcg, e24MatryoshkaRecall,
-    e25IvfBalanced, e26IvfCensusDrift)
+    e25IvfBalanced, e26IvfCensusDrift, v20EmbeddingDrift)
 }

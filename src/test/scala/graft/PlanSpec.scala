@@ -289,6 +289,16 @@ class PlanSpec extends SparkSpec {
       s"cell census must map-side combine:\n${plan.take(3000)}")
   }
 
+  test("v20: the sketch pass broadcasts the 16 planes into a map-side-" +
+    "combined aggregate; the PSI census is bounded by the band domain") {
+    val plan = executedPlan("v20_embedding_drift")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("partial_sum"),
+      s"sketch aggregate must map-side combine:\n${plan.take(3000)}")
+    assert(plan.contains("BroadcastExchange"),
+      s"planes must broadcast:\n${plan.take(3000)}")
+  }
+
   test("c6: decontamination is an equi-join on shingle — no cartesian") {
     val plan = executedPlan("c6_fuzzy_decontam")
     assert(!plan.contains("CartesianProduct"), plan.take(3000))
