@@ -119,7 +119,7 @@ object Plans {
     "q29_sql_cust_dist" ->
       "TPC-H Q13 shape: the priority predicate lives in the LEFT OUTER join's ON side, so the join stays outer and the zero-order customer group survives (count(o_orderkey) null semantics); per-customer counts and the c_count histogram both map-side combine.",
     "g4_label_prop" ->
-      "Synchronous label propagation: every round is one keyed adjacency⋈labels join feeding a two-level aggregation (first level map-side combinable); each round is persisted and lineage-truncated, so the final census reads a single ExistingRDD leaf — never a re-derivation from the raw scan — and rounds exit early at the label fixed point.",
+      "Synchronous label propagation: every round joins the SYMMETRIC adjacency on its bucket key `a` (r9 flip — zero Exchange on the edge side, asserted tree-level in PlanSpec) and groups neighbor labels by `b` through a two-level aggregation (first level map-side combinable); each round is persisted and lineage-truncated, so the final census reads a single ExistingRDD leaf — never a re-derivation from the raw scan — and rounds exit early at the label fixed point.",
     "q13_sql_min_cost" ->
       "TPC-H Q2 shape: the correlated per-part scalar min decorrelates into an aggregate + equi-join; supplier/nation dims broadcast; the p_size range pushes to the parquet scan.",
     "e25_ivf_balanced" ->

@@ -445,13 +445,17 @@ object GraphQueries {
   }
 
   /** The g4 loop's node → label assignment (id, lab), shared by g4's
-    * census and g8's modularity scoring. Takes the SYMMETRIZED adjacency
-    * `(a, b)` — for the registry path that's [[coAdjDeg]]'s bucketed
-    * table, already hash-partitioned and sorted on `a`, so the per-round
-    * neighbor join needs no Exchange on the edge side and no persist
-    * (the materialized table is the cache). The returned frame is
-    * lineage-truncated over the final persisted round, so consumers never
-    * re-run the propagation.
+    * census and g8's modularity scoring. REQUIRES a SYMMETRIZED adjacency
+    * `(a, b)` (both callers pass one): the round joins the edge table on
+    * `a` and groups neighbor labels by `b`, which on a symmetric edge set
+    * is exactly the join-on-b/group-on-a multiset (every (n, x) row has
+    * its (x, n) twin). For the registry path — [[coAdjDeg]]'s table,
+    * hash-partitioned and sorted on `a` — the per-round neighbor join
+    * therefore genuinely needs no Exchange on the edge side (r9 fix: the
+    * previous join-on-b form shuffled the fat side every round against
+    * the `a` bucketing) and no persist (the materialized table is the
+    * cache). The returned frame is lineage-truncated over the final
+    * persisted round, so consumers never re-run the propagation.
     */
   private[graft] def labelAssign(
       adj: DataFrame,
@@ -475,12 +479,20 @@ object GraphQueries {
       if (Thread.currentThread().isInterrupted)
         throw new InterruptedException("label propagation cancelled")
       round += 1
+      // Join on `a` — the bucket key — and GROUP on `b`: on a SYMMETRIC
+      // adjacency the neighbor-label multiset of node n is identical
+      // whether read from (n, x) rows or (x, n) rows, so this computes
+      // the same labels as the join-on-b form while the fat side needs
+      // NO Exchange against the a-bucketed view (r9: the join-on-b form
+      // shuffled |E| rows per round INTO the join on top of the |E|-row
+      // groupBy shuffle — this halves per-round movement; the node-sized
+      // labels side shuffles instead).
       val upd = adj
-        .join(labels.select(col("id").as("b"), col("lab")), Seq("b"))
-        .groupBy(col("a"), col("lab")).agg(count(lit(1)).as("c"))
-        .groupBy(col("a"))
+        .join(labels.select(col("id").as("a"), col("lab")), Seq("a"))
+        .groupBy(col("b"), col("lab")).agg(count(lit(1)).as("c"))
+        .groupBy(col("b"))
         .agg(max(col("c") * LpPack + (lit(LpPack - 1) - col("lab"))).as("sc"))
-        .select(col("a").as("id"),
+        .select(col("b").as("id"),
           (lit(LpPack - 1) - col("sc") % LpPack).as("lab"))
       val next = upd
         .join(labels.select(col("id"), col("lab").as("old")), Seq("id"))

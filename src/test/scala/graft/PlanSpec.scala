@@ -651,6 +651,45 @@ class PlanSpec extends SparkSpec {
       "census must not re-derive the propagation from parquet:\n" + plan.take(3000))
   }
 
+  test("g4 round shape: the neighbor join consumes the a-bucketed adjacency " +
+    "with NO shuffle exchange above the edge scan (the r9 symmetric flip — " +
+    "the join-on-b form shuffled |E| rows per round against the bucketing)") {
+    import org.apache.spark.sql.functions._
+    val (adj, _) = graft.queries.GraphQueries.coAdjDeg(spark, sf)
+    val labels = adj.select(col("a").as("id")).distinct()
+      .withColumn("lab", col("id"))
+    // one round's join+census exactly as labelAssign builds it
+    val round = adj
+      .join(labels.select(col("id").as("a"), col("lab")), Seq("a"))
+      .groupBy(col("b"), col("lab")).agg(count(lit(1)).as("c"))
+    round.collect()
+    // tree-level: no shuffle may sit BETWEEN the co_adj scan and its join
+    // — i.e. no ShuffleExchange whose subtree contains the edge scan but
+    // no join node yet (the census groupBy above the join shuffles |E|
+    // rows by design; the labels side is free to shuffle or broadcast).
+    import org.apache.spark.sql.execution.SparkPlan
+    def unwrap(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        Seq(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        Seq(s.plan)
+      case other => other.children
+    }
+    def containsEdgeScan(p: SparkPlan): Boolean =
+      p.toString.contains("graft_co_adj")
+    def containsJoin(p: SparkPlan): Boolean =
+      p.isInstanceOf[org.apache.spark.sql.execution.joins.BaseJoinExec] ||
+        unwrap(p).exists(containsJoin)
+    def offending(p: SparkPlan): Boolean = p match {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+          if containsEdgeScan(e.child) && !containsJoin(e.child) => true
+      case other => unwrap(other).exists(offending)
+    }
+    assert(!offending(round.queryExecution.executedPlan),
+      "edge side of the round join re-shuffled despite the a-bucketing:\n" +
+        finalPlan(round).take(3000))
+  }
+
   test("q13: the correlated min subquery decorrelates into an aggregate + " +
     "join (no per-row re-execution) and the part filter pushes to parquet") {
     val plan = executedPlan("q13_sql_min_cost")
