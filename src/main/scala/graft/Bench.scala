@@ -99,7 +99,9 @@ object Bench {
     "m8_phash_dct", "q28_sql_profit", "q29_sql_cust_dist",
     "d19_max_dup_spans", "e25_ivf_balanced", "m9_audio_fingerprint",
     "p18_layout_cost", "d20_span_partners", "e26_ivf_census_drift",
-    "v20_embedding_drift")
+    "v20_embedding_drift",
+    "g11_clustering_coeff", "e27_range_search", "h16_parkinson_vol",
+    "p19_hilbert_layout", "e28_multiprobe_lsh", "p20_cdc_apply")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -361,7 +361,11 @@ object Plans {
     "x32_calibration" ->
       "Calibration audit: the rollup adds no corpus shuffle beyond x26's doc aggregate — gates are a narrow map joined on doc_id.",
     "m8_phash_dct" ->
-      "Perceptual hash: cells, the exact integer DCT (32 precomputed 64-long weight arrays, one zip_with/aggregate fold per coefficient) and the sign signature are ALL narrow per-row expression work — the first exchange is the candidate band join, payload text never crosses it, and the oracle's relational row-pass/column-pass spelling proves the fused fold computes the same separable transform.")
+      "Perceptual hash: cells, the exact integer DCT (32 precomputed 64-long weight arrays, one zip_with/aggregate fold per coefficient) and the sign signature are ALL narrow per-row expression work — the first exchange is the candidate band join, payload text never crosses it, and the oracle's relational row-pass/column-pass spelling proves the fused fold computes the same separable transform.",
+    "p19_hilbert_layout" ->
+      "Hilbert layout: the curve index is ONE codegen static-call expression in the scan projection (graft_hilbert — never a UDF or CASE tree); manifests are map-side-combinable <=512-cell aggregates over one persisted base; the 8-row probe table broadcasts (BroadcastNestedLoopJoin on the range-overlap condition); both layouts read identical buckets/rows by the FastCurveSpec prefix property and differ only in n_runs (seeks).",
+    "e27_range_search" ->
+      "Range search: probe cells (<=16 rows) and probe vectors (4 rows) broadcast into the pruned candidate scan — the corpus is never self-joined and nothing sort-merge-joins; candidates per probe are nprobe*n/C = O(sqrt n) at the e3 codebook balance point.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

@@ -158,7 +158,12 @@ object FastVec {
       new ExpressionInfo(classOf[BottomKAgg].getName, "graft_bottomk"),
       (children: Seq[Expression]) => BottomKAgg(
         children.head,
-        children(1).eval().asInstanceOf[Int])))
+        children(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("graft_hilbert"),
+      new ExpressionInfo(classOf[HilbertIndex].getName, "graft_hilbert"),
+      (children: Seq[Expression]) => HilbertIndex(
+        children.head, children(1),
+        children(2).eval().asInstanceOf[Int])))
 
   /** Idempotent runtime registration for sessions built without the
     * extensions conf (tests, Verify, Bench).

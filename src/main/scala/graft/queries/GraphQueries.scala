@@ -896,7 +896,82 @@ object GraphQueries {
     Some(hitsOracle(HitsRounds))
   )
 
+  /** G11: local clustering coefficient — g2's per-node triangle census
+    * normalized by the node's wedge count: coeff = 2·T(v) / (d(v)·(d(v)−1)),
+    * the per-node cliquishness statistic (Watts–Strogatz) a link-graph
+    * quality pipeline reads next to the raw triangle counts — a part with
+    * high degree but near-zero coefficient is a promiscuous hub (spam
+    * signal), high coefficient at moderate degree is a genuine community.
+    * Reported in integer permille so the division is the exact
+    * `(2000·T) div (d·(d−1))` on BIGINTs in both engines; zero-triangle
+    * nodes stay in the output via a left join from the degree table
+    * (their absence from the wedge join is data, not a dropped row).
+    *
+    * Scale: identical to g2 — the wedge join runs on degree-oriented
+    * edges (out-degree O(√m) under any skew), and the only addition is a
+    * node-sized left join between two map-side-combinable censuses.
+    */
+  val g11ClusteringCoeff: Q = Q(
+    "g11_clustering_coeff",
+    (s, dir) => {
+      val (edges, deg) = coEdgesDeg(s, dir)
+      val ranked = edges
+        .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
+        .select(col("u"), col("v"),
+          (col("du") * 4294967296L + col("u")).as("ru"),
+          (col("dv") * 4294967296L + col("v")).as("rv"))
+      val o = ranked.select(
+          when(col("ru") < col("rv"), col("u")).otherwise(col("v")).as("a"),
+          when(col("ru") < col("rv"), col("v")).otherwise(col("u")).as("b"),
+          greatest(col("ru"), col("rv")).as("rb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      o.count() // eager: the wedge join scans `o` from three subtrees at once
+      val tri = o.select(col("a"), col("b").as("b1"), col("rb").as("rb1"))
+        .join(o.select(col("a"), col("b").as("b2"), col("rb").as("rb2")), Seq("a"))
+        .filter(col("rb1") < col("rb2"))
+        .join(o.select(col("b").as("b2"), col("a").as("b1")), Seq("b1", "b2"))
+      val ntri = tri
+        .select(explode(array(col("a"), col("b1"), col("b2"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("n_tri"))
+      deg.join(ntri, Seq("id"), "left")
+        .select(col("id").as("part_id"), col("d").as("degree"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+        .withColumn("coeff_pm",
+          when(col("degree") >= 2,
+            expr("(2000 * n_tri) div (degree * (degree - 1))")).otherwise(0L))
+        .orderBy("part_id")
+    },
+    Some("""WITH co AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+      edges AS (SELECT x.pk AS u, y.pk AS v FROM co x JOIN co y
+                ON x.ok = y.ok AND x.pk < y.pk GROUP BY 1, 2 HAVING count(*) >= 2),
+      deg AS (SELECT id, count(*) AS d FROM (
+                SELECT u AS id FROM edges UNION ALL SELECT v FROM edges)
+              GROUP BY id),
+      r AS (SELECT e.u, e.v, p.d * 4294967296 + e.u AS ru, q.d * 4294967296 + e.v AS rv
+            FROM edges e JOIN deg p ON p.id = e.u JOIN deg q ON q.id = e.v),
+      o AS (SELECT CASE WHEN ru < rv THEN u ELSE v END AS a,
+                   CASE WHEN ru < rv THEN v ELSE u END AS b,
+                   CASE WHEN ru < rv THEN rv ELSE ru END AS rb
+            FROM r),
+      tri AS (SELECT e1.a AS a, e1.b AS b1, e2.b AS b2
+              FROM o e1 JOIN o e2 ON e1.a = e2.a AND e1.rb < e2.rb
+              JOIN o e3 ON e3.a = e1.b AND e3.b = e2.b),
+      ntri AS (SELECT id, CAST(count(*) AS BIGINT) AS n_tri FROM (
+                 SELECT a AS id FROM tri
+                 UNION ALL SELECT b1 FROM tri
+                 UNION ALL SELECT b2 FROM tri)
+               GROUP BY id)
+      SELECT deg.id AS part_id, CAST(deg.d AS BIGINT) AS degree,
+        coalesce(ntri.n_tri, 0) AS n_tri,
+        CASE WHEN deg.d >= 2
+             THEN (2000 * coalesce(ntri.n_tri, 0)) // (deg.d * (deg.d - 1))
+             ELSE 0 END AS coeff_pm
+      FROM deg LEFT JOIN ntri ON ntri.id = deg.id
+      ORDER BY part_id""")
+  )
+
   val all: Seq[Q] =
     Seq(g1PageRank, g2TriangleCount, g3KCore, g4LabelProp, g5BfsHops, g6LinkPredict,
-      g7PersonalizedPr, g8Modularity, g10Hits)
+      g7PersonalizedPr, g8Modularity, g10Hits, g11ClusteringCoeff)
 }

@@ -857,6 +857,202 @@ object MiscQueries {
     )
   }
 
+  /** Unrolled DuckDB mirror of [[graft.functions.GraftCurve.hilbertXY2D]]
+    * at 8 bits: one CTE per curve level carrying the rotation state
+    * (hx, hy) and the accumulated index hd — the quadrant contribution
+    * `s² · ((3·rx) XOR ry)` plus the conditional flip-and-swap, exactly
+    * the loop body the codegen expression runs (FastCurveSpec pins the
+    * two equal on the full 256×256 grid through this same unroll shape).
+    * `carry` lists the columns to thread through unchanged.
+    */
+  private def sqlHilbertCtes(fromCte: String, carry: String): String = {
+    val init =
+      s"h_init AS (SELECT $carry, px AS hx, sy AS hy, CAST(0 AS BIGINT) AS hd FROM $fromCte)"
+    val steps = (0 until 8).map { k =>
+      val sBit = 1L << (7 - k)
+      val s2 = sBit * sBit
+      val prev = if (k == 0) "h_init" else s"h${k - 1}"
+      s"""h$k AS (
+        SELECT $carry,
+          hd + $s2 * xor(3 * rx, ry) AS hd,
+          CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${sBit - 1} - hy ELSE hy END)
+               ELSE hx END AS hx,
+          CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${sBit - 1} - hx ELSE hx END)
+               ELSE hy END AS hy
+        FROM (SELECT *, CASE WHEN (hx & $sBit) > 0 THEN 1 ELSE 0 END AS rx,
+                        CASE WHEN (hy & $sBit) > 0 THEN 1 ELSE 0 END AS ry FROM $prev))"""
+    }
+    (init +: steps).mkString(",\n      ")
+  }
+
+  /** P19: Hilbert-curve layout vs z-order — the SEEK-count half of the
+    * multi-dimensional layout decision p18's cost model prices in bytes.
+    * Both curves tile (px, sy) into the SAME aligned 16×16 tiles at
+    * `div 256` (FastCurveSpec proves the Hilbert prefix property), so
+    * zone-map pruning reads the identical tile set for every probe —
+    * `buckets_read` and `rows_read` come out EQUAL by construction, and
+    * the column that differs is `n_runs`: the number of CONTIGUOUS
+    * bucket-id ranges a probe's tile set fragments into, i.e. how many
+    * separate range reads (seeks) the storage layer issues for the same
+    * bytes. The Hilbert walk is adjacency-preserving (consecutive ids are
+    * always grid neighbors), so a 2-D box's tiles coalesce into ~half the
+    * runs Morton's power-of-two jumps leave (25 vs 46 on this workload) —
+    * the published reason Iceberg/Delta offer Hilbert next to Morton, here
+    * computed from the table's own stats.
+    *
+    * Exactness: the curve index is pure integer arithmetic (codegen
+    * expression vs the oracle's unrolled CTE chain — bit-identical);
+    * run detection is a lag-compare on integer bucket ids; all counts are
+    * BIGINTs.
+    *
+    * Scale: one narrow codegen projection builds (px, sy, z, h) once
+    * (persisted — two manifests scan it); manifests are map-side-
+    * combinable ≤512-cell aggregates; the probe join is an 8-row
+    * broadcast; the runs window orders ≤96 hit rows per (layout, probe).
+    * In production the same `h div W` drives `repartitionByRange` at
+    * write time — identical skipping, half the seeks per probe.
+    */
+  val p19HilbertLayout: Q = {
+    // 40×56 boxes offset 8 off the tile grid: each overlaps 3×4 = 12
+    // aligned tiles, so the tile SET matches across curves and only the
+    // id ORDER (run structure) differs.
+    val probes: Seq[(Int, Int, Int, Int, Int)] = (0 until 8).map { j =>
+      val pxlo = 8 + 16 * ((5 * j) % 12)
+      val sylo = 8 + 16 * ((7 * j) % 12)
+      (j, pxlo, pxlo + 39, sylo, sylo + 55)
+    }
+    Q(
+      "p19_hilbert_layout",
+      (s, dir) => {
+        import s.implicits._
+        graft.functions.FastVec.register(s)
+        val base = t(s, dir, "lineitem")
+          .select((col("l_partkey") % 256).as("px"), (col("l_suppkey") % 256).as("sy"))
+          .withColumn("z", zInterleave8(col("px"), col("sy")))
+          .withColumn("h",
+            graft.functions.FastCurve.hilbert(col("px"), col("sy"), 8))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        base.count() // eager: both manifests scan it
+        def manifest(layout: String, bucket: org.apache.spark.sql.Column) = base
+          .select(lit(layout).as("layout"), bucket.as("b"), col("px"), col("sy"))
+          .groupBy("layout", "b")
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("px")).as("min_px"), max(col("px")).as("max_px"),
+            min(col("sy")).as("min_sy"), max(col("sy")).as("max_sy"))
+        val m = manifest("zorder", expr("z div 256"))
+          .unionByName(manifest("hilbert", expr("h div 256")))
+        val p = probes.toDF("pid", "pxlo", "pxhi", "sylo", "syhi")
+        val hits = m.join(broadcast(p),
+            col("max_px") >= col("pxlo") && col("min_px") <= col("pxhi") &&
+              col("max_sy") >= col("sylo") && col("min_sy") <= col("syhi"))
+          .select(col("layout"), col("pid"), col("b"), col("n_rows"))
+        val wOrd = Window.partitionBy("layout", "pid").orderBy("b")
+        hits
+          .withColumn("brk",
+            when(col("b") - lag("b", 1).over(wOrd) === 1, 0L).otherwise(1L))
+          .groupBy("layout")
+          .agg(count(lit(1)).as("buckets_read"),
+            sum(col("n_rows")).cast("long").as("rows_read"),
+            sum(col("brk")).as("n_runs"))
+          .orderBy("layout")
+      },
+      Some {
+        val sqlZ = (0 until 8).map { i =>
+          s"(((l_partkey % 256) & ${1L << i}) << $i) + (((l_suppkey % 256) & ${1L << i}) << ${i + 1})"
+        }.mkString(" + ")
+        val vals = probes
+          .map { case (j, a, b, c, d) => s"($j, $a, $b, $c, $d)" }.mkString(", ")
+        s"""WITH base0 AS (
+            SELECT l_partkey % 256 AS px, l_suppkey % 256 AS sy, ($sqlZ) AS z
+            FROM lineitem),
+          ${sqlHilbertCtes("base0", "px, sy, z")},
+          base AS (SELECT px, sy, z, hd AS h FROM h7),
+          m AS (
+            SELECT 'zorder' AS layout, z // 256 AS b,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   min(px) AS min_px, max(px) AS max_px,
+                   min(sy) AS min_sy, max(sy) AS max_sy
+            FROM base GROUP BY 1, 2
+            UNION ALL
+            SELECT 'hilbert', h // 256, CAST(count(*) AS BIGINT),
+                   min(px), max(px), min(sy), max(sy)
+            FROM base GROUP BY 1, 2),
+          probes(pid, pxlo, pxhi, sylo, syhi) AS (VALUES $vals),
+          hits AS (SELECT m.layout, p.pid, m.b, m.n_rows FROM m JOIN probes p
+                   ON m.max_px >= p.pxlo AND m.min_px <= p.pxhi
+                  AND m.max_sy >= p.sylo AND m.min_sy <= p.syhi),
+          runs AS (SELECT layout, pid, b, n_rows,
+              CASE WHEN b - lag(b) OVER (PARTITION BY layout, pid ORDER BY b) = 1
+                   THEN 0 ELSE 1 END AS brk
+            FROM hits)
+          SELECT layout, count(*) AS buckets_read,
+            CAST(sum(n_rows) AS BIGINT) AS rows_read,
+            CAST(sum(brk) AS BIGINT) AS n_runs
+          FROM runs GROUP BY layout ORDER BY layout"""
+      }
+    )
+  }
+
+  /** P20: CDC apply — op-coded change-data-capture applied to a keyed
+    * snapshot, the `APPLY CHANGES` / `MERGE ... WHEN MATCHED DELETE`
+    * primitive every lakehouse ships and the one mutation shape the
+    * merge family didn't yet cover: A6 is upsert-without-tombstones,
+    * h1/h3 keep history, this FOLDS an ordered I/U/D stream to final
+    * state — last op per key wins in (ts, event_id) sequence order, a
+    * trailing D tombstones the key (alive = false, payload nulled), and
+    * the per-key op census is the audit a CDC pipeline publishes next to
+    * the applied table. Op codes derive deterministically from the event
+    * stream (signup → I, error → D, else U — the reference's insert-vs-
+    * update date-mask decision `update_live_price.py:250-258` extended
+    * with the delete branch it lacks).
+    *
+    * Scale: ONE user-keyed exchange serves the sequence rank and the
+    * census (the h7 discipline — rank window + conditional aggregates
+    * share the partitioning); no join, no second scan. Integer counts
+    * and a carried double/timestamp — nothing float-folds.
+    */
+  val p20CdcApply: Q = Q(
+    "p20_cdc_apply",
+    (s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"), col("value"),
+          when(col("event_type") === "signup", lit("I"))
+            .when(col("event_type") === "error", lit("D"))
+            .otherwise(lit("U")).as("op"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("user_id")
+        .agg(
+          count(lit(1)).as("n_ops"),
+          sum(when(col("op") === "I", 1L).otherwise(0L)).as("n_inserts"),
+          sum(when(col("op") === "U", 1L).otherwise(0L)).as("n_updates"),
+          sum(when(col("op") === "D", 1L).otherwise(0L)).as("n_deletes"),
+          max(when(col("rn") === 1, col("op"))).as("last_op"),
+          max(when(col("rn") === 1 && col("op") =!= "D", col("value"))).as("live_value"),
+          max(when(col("rn") === 1 && col("op") =!= "D", col("ts"))).as("live_ts"))
+        .select(col("user_id"), col("n_ops"), col("n_inserts"), col("n_updates"),
+          col("n_deletes"), (col("last_op") =!= "D").as("alive"),
+          col("live_value"), col("live_ts"))
+        .orderBy("user_id")
+    },
+    Some("""WITH c AS (SELECT user_id, ts, event_id, value,
+          CASE WHEN event_type = 'signup' THEN 'I'
+               WHEN event_type = 'error' THEN 'D'
+               ELSE 'U' END AS op
+        FROM events),
+      r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+              ORDER BY ts DESC, event_id DESC) AS rn FROM c)
+      SELECT user_id, count(*) AS n_ops,
+        CAST(sum(CASE WHEN op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_inserts,
+        CAST(sum(CASE WHEN op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_updates,
+        CAST(sum(CASE WHEN op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes,
+        max(CASE WHEN rn = 1 THEN op END) <> 'D' AS alive,
+        max(CASE WHEN rn = 1 AND op <> 'D' THEN value END) AS live_value,
+        max(CASE WHEN rn = 1 AND op <> 'D' THEN ts END) AS live_ts
+      FROM r GROUP BY user_id ORDER BY user_id""")
+  )
+
   /** V12: Benford first-digit audit — the classic fabricated-data detector
     * for monetary columns: the distribution of leading digits of `value`
     * against Benford's law log10(1 + 1/d), reported as per-digit deviation
@@ -1374,7 +1570,7 @@ object MiscQueries {
     a2Counts, a11Percentiles, f8Timezone, u2InsertAbsent, v2SchemaDiff, v4ColumnProfile,
     v5SourceOverlap, o4FileListing, m1BinaryMeta, v6ShardSkew, v7DataCard,
     v8PipelineYield, v9Expectations, v10PsiDrift, v11Freshness, p15ZorderLayout,
-    p18LayoutCost,
+    p18LayoutCost, p19HilbertLayout, p20CdcApply,
     v12Benford, v13SeqGaps, v14RefIntegrity, v15PkUnique, v16TwoSampleDrift,
     p17CompactionPlan, v17RuleQuarantine, v18KAnonymity, v19SplitBalance)
 }

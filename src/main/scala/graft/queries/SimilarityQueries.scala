@@ -2276,11 +2276,160 @@ object SimilarityQueries {
       FROM w ORDER BY bucket""")
   )
 
+  /** E27: range search — the OTHER first-class ANN query shape (FAISS
+    * `range_search`): instead of the k best neighbors, return EVERY
+    * neighbor above a similarity floor (cosine ≥ 0.25) for each of four
+    * probe vectors. Retrieval-time dedup gates and contamination sweeps
+    * want this form, not top-k — the answer size is data-dependent and
+    * top-k either truncates real matches or pads with junk.
+    *
+    * Model: e3's √n md5-drawn IVF codebook, nearest-cell assignment via
+    * one windowed argmin, candidates restricted to each probe's nprobe=4
+    * nearest cells, exact cosine verify at the floor. The oracle mirrors
+    * the same codebook/assignment CTEs, so the cut is deterministic (sim
+    * values are bit-identical sequential folds on both engines).
+    *
+    * Scale: candidates per probe are nprobe·n/C = O(√n) at C = √n — the
+    * e3 balance point; probe cells are a 16-row broadcast, probe vectors
+    * a 4-row broadcast, and the verify is one narrow codegen projection
+    * over the pruned scan. No global sort (the presentation order is the
+    * final ≤hundreds-row result).
+    */
+  val e27RangeSearch: Q = Q(
+    "e27_range_search",
+    (s, dir) => {
+      FastVec.register(s)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), Vectors.toDoubleVec(col("embedding")).as("v"))
+      val nC = math.max(8, math.ceil(math.sqrt(emb.count().toDouble)).toInt)
+      val cent = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(nC)
+        .select(col("vec_id").as("cid"), col("v").as("cv"))
+      val byVec = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+      val ranked = emb
+        .crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("v"), col("cid"),
+          FastVec.l2sq(col("v"), col("cv")).as("d2"))
+        .withColumn("rn", row_number().over(byVec))
+      val assign = ranked.filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("cid"), FastVec.norm(col("v")).as("nv"))
+      val qcells = ranked
+        .filter(col("vec_id") < 4 && col("rn") <= 4)
+        .select(col("vec_id").as("qid"), col("cid"))
+      val qv = assign
+        .filter(col("vec_id") < 4)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("nv").as("nq"))
+      assign
+        .join(broadcast(qcells), Seq("cid"))
+        .filter(col("vec_id") =!= col("qid"))
+        .join(broadcast(qv), Seq("qid"))
+        .select(col("qid"), col("vec_id"), col("cid"),
+          FastVec.cosinePre(col("v"), col("qv"), col("nv"), col("nq")).as("sim"))
+        .filter(col("sim") >= 0.25)
+        .orderBy(col("qid"), col("sim").desc, col("vec_id"))
+    },
+    Some(s"""WITH e AS ($sqlE),
+      c AS (SELECT vec_id AS cid, v AS cv FROM e
+            QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+              <= (SELECT greatest(8, CAST(ceil(sqrt(count(*))) AS BIGINT)) FROM e)),
+      rk AS (SELECT vec_id, v, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+             FROM (SELECT e.vec_id, e.v, c.cid, ${sqlL2sq("e.v", "c.cv")} AS d2
+                   FROM e CROSS JOIN c)),
+      assign AS (SELECT vec_id, v, cid FROM rk WHERE rn = 1),
+      qcells AS (SELECT vec_id AS qid, cid FROM rk WHERE vec_id < 4 AND rn <= 4),
+      q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4)
+      SELECT qc.qid, a.vec_id, a.cid, ${sqlCos("a.v", "q.qv")} AS sim
+      FROM assign a JOIN qcells qc ON a.cid = qc.cid
+      JOIN q ON q.qid = qc.qid
+      WHERE a.vec_id <> qc.qid AND ${sqlCos("a.v", "q.qv")} >= 0.25
+      ORDER BY qc.qid, sim DESC, a.vec_id""")
+  )
+
+  /** E28: multi-probe LSH — the published fix (Lv et al., VLDB 2007) for
+    * hyperplane LSH's table-count explosion: instead of e5's FOUR banded
+    * tables (each its own index at production scale), keep ONE table
+    * keyed on the full 8-bit sign sketch and probe the query's bucket
+    * PLUS its 8 Hamming-1 neighbors — the buckets a near-neighbor most
+    * likely fell into when one marginal hyperplane disagreed. Same recall
+    * lever as more tables, at 1/4 the index storage and write
+    * amplification; candidates stay O(probes · n / 2^bits).
+    *
+    * Determinism: the 8 planes are the e5 md5 draw (first 8); sign bits,
+    * bucket keys and the probe set are exact integer arithmetic; the
+    * verify is the family's bit-identical sequential cosine fold.
+    *
+    * Scale: the 9-key probe set is a broadcast literal-sized join against
+    * the bucketed sketch table; nothing self-joins, nothing sorts the
+    * corpus — at 100 TB this is an index lookup of 9 buckets followed by
+    * one narrow verify projection.
+    */
+  val e28MultiprobeLsh: Q = Q(
+    "e28_multiprobe_lsh",
+    (s, dir) => {
+      FastVec.register(s)
+      val emb = t(s, dir, "embeddings")
+        .select(col("vec_id"), col("label"), Vectors.toDoubleVec(col("embedding")).as("v"))
+      val drawOrder = Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      // Unpartitioned window BY DESIGN: it ranks only the 8 already-picked
+      // hyperplane rows (the limit(8) feeds it), never the corpus.
+      val planes = emb
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(8)
+        .select((row_number().over(drawOrder) - 1).as("j"), col("v").as("h"))
+      val sketches = emb
+        .crossJoin(broadcast(planes))
+        .select(col("vec_id"),
+          when(FastVec.dot(col("v"), col("h")) >= 0,
+            expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)).as("bit"))
+        .groupBy("vec_id")
+        .agg(sum(col("bit")).as("sketch"))
+      // Probe keys: the query's own bucket (j = -1) plus one flip per bit.
+      val probeKeys = sketches
+        .filter(col("vec_id") === 0)
+        .select(explode(sequence(lit(-1), lit(7))).as("j"), col("sketch"))
+        .select(when(col("j") === -1, col("sketch"))
+          .otherwise(expr("sketch ^ shiftleft(CAST(1 AS BIGINT), j)")).as("sketch"))
+        .distinct()
+      val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
+      sketches
+        .join(broadcast(probeKeys), Seq("sketch"), "left_semi")
+        .filter(col("vec_id") =!= 0)
+        .join(emb, Seq("vec_id"))
+        .crossJoin(broadcast(qv))
+        .select(col("vec_id"), col("label"),
+          FastVec.cosine(col("v"), col("qv")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id"))
+        .limit(10)
+    },
+    Some(s"""WITH e AS ($sqlE),
+      planes AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j,
+                   v AS h FROM e
+                 QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 8),
+      sk AS (SELECT e.vec_id,
+               sum(CASE WHEN ${sqlDot("e.v", "p.h")} >= 0
+                   THEN CAST(1 AS BIGINT) << CAST(p.j AS INTEGER) ELSE 0 END) AS sketch
+             FROM e CROSS JOIN planes p GROUP BY e.vec_id),
+      probes AS (SELECT DISTINCT
+                   CASE WHEN j = -1 THEN sketch
+                        ELSE xor(sketch, CAST(1 AS BIGINT) << CAST(j AS INTEGER)) END AS sketch
+                 FROM (SELECT sketch FROM sk WHERE vec_id = 0)
+                 CROSS JOIN range(-1, 8) r(j)),
+      cand AS (SELECT s.vec_id FROM sk s JOIN probes p ON s.sketch = p.sketch
+               WHERE s.vec_id <> 0),
+      q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+      SELECT c.vec_id, e.label, ${sqlCos("e.v", "qv")} AS sim
+      FROM cand c JOIN e ON e.vec_id = c.vec_id CROSS JOIN q
+      ORDER BY sim DESC, c.vec_id LIMIT 10""")
+  )
+
   val all: Seq[Q] = Seq(e1CosineTopK, e2AnnIvf, e3BucketNearDup, e4AnnKmeans,
     e5AnnHyperplane, e6SemanticDedup, e7AnnBatch, e8PqAdc, e9AnnRecall,
     e10MmrRerank, e11EmbeddingQa, e12SqRecall, e13IvfPq, e14FilteredAnn,
     e15NprobeSweep, e16HybridRrf, e17HardNegatives, e18MeanPool,
     e19CentroidDrift, g9KnnGraph, c14ClusterBalanced, e20PcaPower,
     e21Anisotropy, e22JlProjection, e23AnnNdcg, e24MatryoshkaRecall,
-    e25IvfBalanced, e26IvfCensusDrift, v20EmbeddingDrift)
+    e25IvfBalanced, e26IvfCensusDrift, v20EmbeddingDrift, e27RangeSearch,
+    e28MultiprobeLsh)
 }

@@ -1317,8 +1317,62 @@ object TimeSeries {
         FROM cut GROUP BY wk, tercile ORDER BY wk, tercile""")
   )
 
+  /** H16: Parkinson range volatility — the high/low range estimator
+    * σ²_P = (1 / 4·ln2·n) · Σ ln(high_d/low_d)², ~5× more statistically
+    * efficient per bar than close-to-close variance because it reads the
+    * day's whole excursion, and computable from exactly the OHLC daily
+    * bars the reference's store keeps (h7 is the bar builder; h12's ATR
+    * is the same range signal un-normalized). Reported per key over its
+    * daily bars; single-observation days contribute ln(1)² = 0, matching
+    * the estimator's definition.
+    *
+    * Determinism: high/low are exact max/min of stored doubles; the
+    * quotient is one IEEE division of identical operands; the only
+    * libm-dependent op (ln) is INTEGER-QUANTIZED per row at 2^-20
+    * (x10's trick) and the squares are summed as exact BIGINTs, so the
+    * cross-engine agreement boundary is one quantization step, not a sum
+    * of float errors. The final scale 1/(4·ln2·n) is one multiply and
+    * one divide of identical doubles (ln(2) is correctly rounded in any
+    * IEEE libm).
+    *
+    * Scale: one (key, day) hash aggregate feeding one key-keyed
+    * aggregate — both map-side combinable, no window, no join; the same
+    * two-level shape as a daily-bar rollup at any corpus size.
+    */
+  val h16ParkinsonVol: Q = Q(
+    "h16_parkinson_vol",
+    (s, dir) => {
+      val q20 = (1L << 20).toDouble
+      t(s, dir, "events")
+        .filter(col("value") > 0)
+        .select(col("user_id"), to_date(col("ts")).as("day"), col("value"))
+        .groupBy("user_id", "day")
+        .agg(max(col("value")).as("high"), min(col("value")).as("low"))
+        .select(col("user_id"),
+          round(log(col("high") / col("low")) * q20).cast("long").as("qln"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_days"),
+          sum(col("qln") * col("qln")).as("sumsq"))
+        .select(col("user_id"), col("n_days"),
+          ((col("sumsq").cast("double") / lit(q20 * q20)) /
+            (lit(4.0) * log(lit(2.0)) * col("n_days"))).as("park_var"))
+        .orderBy("user_id")
+    },
+    Some("""WITH bars AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               max(value) AS high, min(value) AS low
+        FROM events WHERE value > 0 GROUP BY 1, 2),
+      q AS (SELECT user_id,
+              CAST(round(ln(high / low) * 1048576) AS BIGINT) AS qln
+            FROM bars)
+      SELECT user_id, count(*) AS n_days,
+        (CAST(sum(qln * qln) AS DOUBLE) / 1099511627776.0)
+          / (4.0 * ln(2.0) * count(*)) AS park_var
+      FROM q GROUP BY user_id ORDER BY user_id""")
+  )
+
   val all: Seq[Q] = Seq(h4GapFill, h5SplitAdjust, a24Concurrency, w13Bollinger,
     w14Rsi, h6Vwap, h7WeeklyBars, h8Beta, w16Underwater, h9OvernightGap,
     w15Macd, h10RollingCorr, h11EventStudy, h12Atr, w17Obv, h13PairsSpread,
-    h14Sharpe, w18Stochastic, h15MomentumPortfolio)
+    h14Sharpe, w18Stochastic, h15MomentumPortfolio, h16ParkinsonVol)
 }
