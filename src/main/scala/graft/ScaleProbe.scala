@@ -105,6 +105,7 @@ object ScaleProbe {
     if (probeOn("ann")) annProbe(spark, sfDir)
     if (probeOn("annbal")) annBalancedProbe(spark, sfDir)
     if (probeOn("anncl")) annClusteredProbe(spark, sfDir)
+    if (probeOn("mplsh")) multiprobeProbe(spark, sfDir)
     if (probeOn("ingest")) ingestProbe(spark, sfDir)
     if (probeOn("cc")) ccProbe(spark, sfDir)
     if (probeOn("sn")) snProbe(spark, sfDir)
@@ -507,6 +508,92 @@ object ScaleProbe {
         f"cand=$cand%11d neardup=$pairs%8d assign=$tAssign%6.2f s cand_ct=$tCand%6.2f s " +
         f"verify=$tVerify%7.2f s total=$best%7.2f s")
       println(f"""PROBEJSON {"probe":"annbal","factor":$f,"n":$n,"aux":$pairs,"sec":$best%.2f,"candidates":$cand,"verified":$pairs,"cap":$cap,"assign_sec":$tAssign%.2f,"cand_count_sec":$tCand%.2f,"verify_sec":$tVerify%.2f}""")
+    }
+  }
+
+  /** e28's storage/recall trade, measured under inflation: banded
+    * hyperplane LSH (e5's 2 bands × 4 bits here, so both schemes read the
+    * SAME 8-bit sketch) against multi-probe (ONE table, query bucket + 8
+    * Hamming-1 flips — Lv 2007). Per factor and per scheme: candidates
+    * examined for 8 probe vectors, wall of the candidate join, and
+    * recall@10 against the exact cosine top-10 (permille over 80 truth
+    * rows). The claim under test: multi-probe touches a CONSTANT ~9/256
+    * of the corpus per probe vs banded's 1−(15/16)² ≈ 12 % — ~3.5× fewer
+    * candidates at 1/4 the index storage — while recall stays in the same
+    * band; both candidate counts must scale linearly in n (the sketch is
+    * one map-side-combinable aggregate, the probe join a broadcast).
+    */
+  def multiprobeProbe(spark: SparkSession, sfDir: String): Unit = {
+    graft.functions.FastVec.register(spark)
+    import graft.functions.FastVec
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.table(spark, sfDir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+    emb.persist(); emb.count()
+    factors.foreach { f =>
+      val inflated = inflateEmb(emb, f)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = inflated.count()
+      val drawOrder = Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      val planes = inflated
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(8)
+        .select((row_number().over(drawOrder) - 1).as("j"), col("v").as("h"))
+      val sketches = inflated
+        .crossJoin(broadcast(planes))
+        .select(col("vec_id"),
+          when(FastVec.dot(col("v"), col("h")) >= 0,
+            expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)).as("bit"))
+        .groupBy("vec_id")
+        .agg(sum(col("bit")).as("sketch"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sketches.count() // sketch build shared by both schemes, off the clock
+      val qsk = sketches.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("sketch"))
+      // Exact truth: top-10 by cosine per probe (brute force, off the clock).
+      val qv = inflated.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("v").as("qv"))
+      val byQ = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+      val truth = inflated
+        .crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          FastVec.cosine(col("v"), col("qv")).as("sim"))
+        .withColumn("rn", row_number().over(byQ))
+        .filter(col("rn") <= 10)
+        .select("qid", "vec_id")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val truthN = truth.count()
+      def measure(scheme: String, cand: DataFrame): Unit = {
+        val t0 = System.nanoTime()
+        val nc = cand.count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        val hit = truth.join(cand, Seq("qid", "vec_id"), "left_semi").count()
+        val recallPm = if (truthN > 0) 1000L * hit / truthN else -1L
+        println(f"[scale] mplsh_$scheme factor=$f%2d n=$n%8d cand=$nc%9d recall_pm=$recallPm time=$sec%6.2f s")
+        println(f"""PROBEJSON {"probe":"mplsh_$scheme","factor":$f,"n":$n,"aux":$nc,"sec":$sec%.2f,"recall_pm":$recallPm}""")
+      }
+      val bands = sketches.select(col("vec_id"),
+        explode(sequence(lit(0), lit(1))).as("k"), col("sketch"))
+        .select(col("vec_id"), col("k"), expr("shiftright(sketch, k * 4) & 15").as("bval"))
+      val qBands = bands.join(broadcast(qsk.select(col("qid"))),
+          col("vec_id") === col("qid"))
+        .select(col("qid"), col("k"), col("bval"))
+      measure("banded", bands
+        .join(broadcast(qBands), Seq("k", "bval"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select("qid", "vec_id").distinct())
+      val qKeys = qsk
+        .select(col("qid"), explode(sequence(lit(-1), lit(7))).as("j"), col("sketch"))
+        .select(col("qid"), when(col("j") === -1, col("sketch"))
+          .otherwise(expr("sketch ^ shiftleft(CAST(1 AS BIGINT), j)")).as("sketch"))
+        .distinct()
+      measure("multi", sketches
+        .join(broadcast(qKeys), Seq("sketch"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select("qid", "vec_id").distinct())
+      truth.unpersist(); sketches.unpersist(); inflated.unpersist()
     }
   }
 
