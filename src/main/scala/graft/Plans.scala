@@ -365,7 +365,9 @@ object Plans {
     "p19_hilbert_layout" ->
       "Hilbert layout: the curve index is ONE codegen static-call expression in the scan projection (graft_hilbert — never a UDF or CASE tree); manifests are map-side-combinable <=512-cell aggregates over one persisted base; the 8-row probe table broadcasts (BroadcastNestedLoopJoin on the range-overlap condition); both layouts read identical buckets/rows by the FastCurveSpec prefix property and differ only in n_runs (seeks).",
     "e27_range_search" ->
-      "Range search: probe cells (<=16 rows) and probe vectors (4 rows) broadcast into the pruned candidate scan — the corpus is never self-joined and nothing sort-merge-joins; candidates per probe are nprobe*n/C = O(sqrt n) at the e3 codebook balance point.")
+      "Range search: probe cells (<=16 rows) and probe vectors (4 rows) broadcast into the pruned candidate scan — the corpus is never self-joined and nothing sort-merge-joins; candidates per probe are nprobe*n/C = O(sqrt n) at the e3 codebook balance point.",
+    "p20_cdc_apply" ->
+      "CDC apply: the sequence-rank window and the op census share ONE user-keyed exchange (the h7 discipline) over ONE events scan — no join anywhere in the fold; the only other exchange is the presentation range sort.")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")

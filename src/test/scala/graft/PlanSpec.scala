@@ -1823,6 +1823,18 @@ class PlanSpec extends SparkSpec {
     assert(h._4 <= z._4, s"hilbert must never fragment more: $h vs $z")
   }
 
+  test("p20: the CDC sequence rank and the op census share ONE user-keyed " +
+    "exchange — no join, no second scan of the change stream") {
+    val plan = finalPlan(SparkEntry.queries("p20_cdc_apply")(spark, sf))
+    val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(hashEx == 1,
+      s"rank window and census must share one keyed exchange, got $hashEx:\n${plan.take(3000)}")
+    assert(plan.contains("hashpartitioning(user_id"), plan.take(3000))
+    assert(!plan.contains("Join"), "the fold must not join:\n" + plan.take(3000))
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"one events scan expected, got $scans")
+  }
+
   test("e27: range-search candidates reach the verify only through the " +
     "broadcast probe-cell join — the corpus is never self-joined") {
     val plan = finalPlan(SparkEntry.queries("e27_range_search")(spark, sf))
