@@ -680,7 +680,7 @@ object ScaleProbe {
     docs.persist()
     val nBatch = docs.count()
     val runTag = System.nanoTime()
-    Seq("fp", "span").foreach { mode =>
+    Seq("fp", "span", "frame").foreach { mode =>
       Seq(1, 4, 16).foreach { state =>
         val root = s"/tmp/graft-ingestprobe-$mode-$state-$runTag"
         val (in, corpus, census, stats, ckpt) =
@@ -689,6 +689,9 @@ object ScaleProbe {
         def start() = mode match {
           case "fp" => graft.streaming.CorpusIngest.startIngest(
             spark, in, corpus, census, ckpt, Trigger.AvailableNow())
+          case "frame" => graft.streaming.CorpusIngest.startIngestFrames(
+            spark, in, corpus, census, ckpt,
+            trigger = Trigger.AvailableNow())
           case _ => graft.streaming.CorpusIngest.startIngestSpans(
             spark, in, corpus, census, stats, ckpt,
             trigger = Trigger.AvailableNow())
@@ -720,6 +723,50 @@ object ScaleProbe {
       }
     }
     docs.unpersist()
+    // The EMBEDDING-SPACE modality (startIngestVectors) probes a sign-
+    // sketch census instead of a text census — different input shape, so
+    // it gets its own salting: per-copy deterministic component shifts of
+    // ±1.2 (components live in ±0.5, so distinct copies decorrelate and
+    // every setup copy lands its own census rows), and the fresh timed
+    // epoch uses a shift pattern no setup copy can coincide with (its
+    // per-dimension multiplier differs, so equality would have to hold
+    // for every dimension at once).
+    val emb = Tables.table(spark, sfDir, "embeddings")
+    emb.persist()
+    val nVec = emb.count()
+    def saltedVec(factor: Int, idOff: Long, dimMult: Int) = emb
+      .select(explode(sequence(lit(0), lit(factor - 1))).as("kk"),
+        col("vec_id"), col("embedding"), col("label"))
+      .repartition(math.min(256, math.max(32, factor * 4)))
+      .select((col("vec_id") * factor + col("kk") + idOff).as("vec_id"),
+        transform(col("embedding"), (x, j) =>
+          (x + (((col("kk") * 31 + (j + 1) * dimMult) % 13) - 6).cast("float")
+            * lit(0.2f)).cast("float")).as("embedding"),
+        col("label"))
+    Seq(1, 4, 16).foreach { state =>
+      val root = s"/tmp/graft-ingestprobe-vec-$state-$runTag"
+      val (in, corpus, census, planes, ckpt) =
+        (s"$root/in", s"$root/corpus", s"$root/census",
+          s"$root/planes", s"$root/ckpt")
+      def start() = graft.streaming.CorpusIngest.startIngestVectors(
+        spark, in, corpus, census, planes, ckpt,
+        trigger = Trigger.AvailableNow())
+      saltedVec(state, 0, 17).coalesce(8).write.json(in)
+      start().awaitTermination()
+      val censusRows = spark.read.parquet(census).count()
+      val corpusBefore = spark.read.parquet(corpus).count()
+      saltedVec(1, nVec * (state + 1) * 100, 29)
+        .coalesce(8).write.mode("append").json(in)
+      val t0 = System.nanoTime()
+      start().awaitTermination()
+      val sec = (System.nanoTime() - t0) / 1e9
+      val admitted = spark.read.parquet(corpus).count() - corpusBefore
+      println(f"[scale-ingest] mode=vec  state=${state}x census=$censusRows%9d " +
+        f"admitted=$admitted%6d epoch=$sec%7.2f s (${nVec / sec}%7.0f vecs/s)")
+      println(f"""PROBEJSON {"probe":"ingest_vec","factor":$state,"n":$censusRows,"aux":$admitted,"sec":$sec%.2f,"docs_per_sec":${nVec / sec}%.1f}""")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+    emb.unpersist()
   }
 
   def annProbe(spark: SparkSession, sfDir: String): Unit = {
