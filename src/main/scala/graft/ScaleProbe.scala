@@ -680,7 +680,7 @@ object ScaleProbe {
     docs.persist()
     val nBatch = docs.count()
     val runTag = System.nanoTime()
-    Seq("fp", "span", "frame").foreach { mode =>
+    Seq("fp", "span", "frame", "frame60").foreach { mode =>
       Seq(1, 4, 16).foreach { state =>
         val root = s"/tmp/graft-ingestprobe-$mode-$state-$runTag"
         val (in, corpus, census, stats, ckpt) =
@@ -691,6 +691,12 @@ object ScaleProbe {
             spark, in, corpus, census, ckpt, Trigger.AvailableNow())
           case "frame" => graft.streaming.CorpusIngest.startIngestFrames(
             spark, in, corpus, census, ckpt,
+            trigger = Trigger.AvailableNow())
+          // The 60-bit signature width (same gate, same radius): the leg
+          // that shows the 32-bit admission collapse is the SIGNATURE
+          // saturating, not the gate design — see Text.tokenHash60.
+          case "frame60" => graft.streaming.CorpusIngest.startIngestFrames(
+            spark, in, corpus, census, ckpt, sigBits = 60,
             trigger = Trigger.AvailableNow())
           case _ => graft.streaming.CorpusIngest.startIngestSpans(
             spark, in, corpus, census, stats, ckpt,

@@ -73,6 +73,16 @@ object Text {
     */
   def tokenHash32(tok: Column): Column = fused("graft_md5_32", tok)
 
+  /** 60-bit variant of [[tokenHash32]] (15 md5 nibbles — the widest prefix
+    * that fits a signed long): the per-frame hash behind the WIDE SimHash
+    * option. A 32-bit signature birthday-saturates its Hamming≤6 ball past
+    * ~10⁴ stored signatures (≈1.15 M of 2³² points per signature —
+    * measured in PROBES_r09 `ingest_frame`: novel-doc admission collapsed
+    * 1677→2 as the census grew 16×); at 60 bits the same radius covers
+    * ≈5·10⁻¹¹ of the space and the gate stays discriminative to ~10¹⁰.
+    */
+  def tokenHash60(tok: Column): Column = fused("graft_md5_60", tok)
+
   /** Resolve a graft codegen function, self-registering on the active
     * session so callers (operators, specs) need no registration dance.
     */

@@ -120,25 +120,34 @@ object Multimodal {
     * @return (doc_id, simhash)
     */
   val FrameBytes = 64
-  def frameSimhash(docs: DataFrame): DataFrame =
-    docs
+  def frameSimhash(docs: DataFrame, bits: Int = 32): DataFrame = {
+    require(bits == 32 || bits == 60,
+      s"frame SimHash width must be 32 (m4/d4 oracle parity) or 60 " +
+        s"(the scale variant — see Text.tokenHash60), got $bits")
+    val framed = docs
       .filter(length(col("text")) > 0)
       .withColumn("n_frames", expr(s"(length(text) + ${FrameBytes - 1}) div $FrameBytes"))
       .select(col("doc_id"), col("text"),
         explode(sequence(lit(0), col("n_frames") - 1)).as("fpos"))
-      .select(col("doc_id"),
-        graft.functions.Text.tokenHash32(
-          expr(s"substr(text, fpos * $FrameBytes + 1, $FrameBytes)")).as("hv"))
+    val frame = expr(s"substr(text, fpos * $FrameBytes + 1, $FrameBytes)")
+    val hv =
+      if (bits == 32) graft.functions.Text.tokenHash32(frame)
+      else graft.functions.Text.tokenHash60(frame)
+    framed
+      .select(col("doc_id"), hv.as("hv"))
       .groupBy("doc_id")
-      .agg(graft.functions.Text.simhashAgg(col("hv")))
+      .agg(graft.functions.Text.simhashAgg(col("hv"), bits))
+  }
 
-  /** m4's 4×8-bit band explode over [[frameSimhash]] signatures — the
+  /** m4's 8-bit band explode over [[frameSimhash]] signatures — the
     * candidate-generation granularity both the batch pair join and the
-    * streaming census probe key on.
+    * streaming census probe key on: 4 bands at the 32-bit default,
+    * ⌈bits/8⌉ = 8 at the 60-bit scale width (more bands = a STRONGER
+    * pigeonhole — Hamming ≤ 7 guaranteed to share a band vs ≤ 3 at 32).
     */
-  def simhashBands(sims: DataFrame): DataFrame =
+  def simhashBands(sims: DataFrame, bits: Int = 32): DataFrame =
     sims
-      .withColumn("k", explode(sequence(lit(0), lit(3))))
+      .withColumn("k", explode(sequence(lit(0), lit((bits + 7) / 8 - 1))))
       .select(col("doc_id"), col("k"),
         expr("shiftright(simhash, k * 8) & 255").as("byte"),
         col("simhash"))

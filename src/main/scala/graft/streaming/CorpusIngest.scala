@@ -551,6 +551,7 @@ object CorpusIngest {
       censusDir: String,
       checkpointDir: String,
       maxHamming: Int = 6,
+      sigBits: Int = 32,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     readDocs(spark, inputDir)
       .writeStream
@@ -569,10 +570,13 @@ object CorpusIngest {
         // (operators/Multimodal.frameSimhash + simhashBands) — the batch
         // dedup and this gate cannot drift on frame size, hash, or band
         // layout.
-        val sims = graft.operators.Multimodal.frameSimhash(batch)
+        // `sigBits` widens the signature for production census sizes (the
+        // 32-bit default keeps byte-for-byte parity with batch m4; see
+        // Text.tokenHash60 for the saturation arithmetic).
+        val sims = graft.operators.Multimodal.frameSimhash(batch, sigBits)
           .persist()
         sims.count() // eager: banded probe + census delta both rescan
-        val bands = graft.operators.Multimodal.simhashBands(sims)
+        val bands = graft.operators.Multimodal.simhashBands(sims, sigBits)
         val admitted =
           if (hasCensus(spark, censusDir)) {
             val census = spark.read.parquet(censusDir)

@@ -78,4 +78,36 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, 2L, -1L, 35L)),
       s"expected the planted shift match only, got ${rows.toSeq}")
   }
+
+  test("frameSimhash at the 60-bit scale width: signatures use the wide " +
+    "range, identical payloads collide, bands widen to 8, and the 32-bit " +
+    "default is untouched") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "x" * 200),
+      (2L, "x" * 200), // byte-identical -> identical signature at any width
+      (3L, "y" * 200)
+    ).toDF("doc_id", "text")
+    val s60 = graft.operators.Multimodal.frameSimhash(docs, 60)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(s60(1L) == s60(2L), "identical payloads must share the signature")
+    assert(s60(1L) != s60(3L), "distinct payloads must differ")
+    // The wide width must actually use bits above 31 for SOME payload
+    // (a 32-bit signature never can) — both sample docs having all-high
+    // bits zero would mean the width silently stayed narrow.
+    assert(s60.values.exists(v => (v >>> 32) != 0L),
+      s"60-bit signatures never left the low 32 bits: $s60")
+    val bands60 = graft.operators.Multimodal
+      .simhashBands(graft.operators.Multimodal.frameSimhash(docs, 60), 60)
+      .select("k").distinct().count()
+    assert(bands60 == 8, s"60-bit bands must explode to 8, got $bands60")
+    // Default width unchanged: 4 bands, signatures inside 32 bits.
+    val s32 = graft.operators.Multimodal.frameSimhash(docs)
+      .collect().map(_.getLong(1))
+    assert(s32.forall(v => (v >>> 32) == 0L), "32-bit default must stay narrow")
+    val bands32 = graft.operators.Multimodal
+      .simhashBands(graft.operators.Multimodal.frameSimhash(docs))
+      .select("k").distinct().count()
+    assert(bands32 == 4)
+  }
 }
