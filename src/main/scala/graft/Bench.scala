@@ -101,7 +101,8 @@ object Bench {
     "p18_layout_cost", "d20_span_partners", "e26_ivf_census_drift",
     "v20_embedding_drift",
     "g11_clustering_coeff", "e27_range_search", "h16_parkinson_vol",
-    "p19_hilbert_layout", "e28_multiprobe_lsh", "p20_cdc_apply")
+    "p19_hilbert_layout", "e28_multiprobe_lsh", "p20_cdc_apply",
+    "d21_simhash_wide", "m10_media_dedup_wide")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -158,6 +159,26 @@ object Bench {
       .filter(org.apache.spark.sql.functions.col("id") > 10)
       .groupBy("s").count().collect()
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(warmDir))
+    // Host-window calibration canary (r9 verdict #5): a FIXED CPU-bound
+    // codegen fold with no I/O and no shuffle, timed first and last in
+    // every session and committed in the artifact. The container's 32
+    // vCPUs deliver a host-dependent 7-30 cores of parallel throughput;
+    // two artifacts taken in different windows (the r9 driver-vs-builder
+    // 206.8 vs 148.6 s pair) are adjudicable from the canary ratio alone
+    // instead of needing a cross-read of BENCH_NOTES. 64 partitions of a
+    // 200M-row mixed-arith fold ≈ 6 CPU-seconds: ~0.3 s wall on a healthy
+    // window, scaling inversely with delivered parallelism.
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(0L, 200000000L, 1L, 64)
+        .selectExpr(
+          // ANSI-safe mixing: (id % 1e6) * Knuth-multiplier tops out ~2.7e15,
+          // well inside a signed long (a full 64-bit LCG multiply throws
+          // ARITHMETIC_OVERFLOW under Spark 4's default ANSI mode).
+          "sum(((id % 1000003) * 2654435761 + shiftright(id, 13)) % 999983)")
+        .collect()
+      (System.nanoTime() - t0) / 1e9
+    }
     val all = SparkEntry.queries
     val names = sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
       case Some(only) => only.split(",").map(_.trim).filter(all.contains).toSeq
@@ -274,6 +295,8 @@ object Bench {
       clearSlate()
       System.gc()
     }
+    canary() // untimed codegen warm: canary_first must measure the host, not JIT
+    val canaryFirst = canary()
     val results = names.map { name =>
       graft.sources.MatView.drainTouched() // reset the view-read tracker
       val (ok1, t1, task1) = once(name)
@@ -331,18 +354,40 @@ object Bench {
     val viewBuilds = graft.sources.MatView.buildCosts.toSeq.sortBy(_._1)
       .map { case (t, sec) => "\"" + t + "\":" + f(sec) }
       .mkString("{", ",", "}")
+    // e9 attribution (r9 verdict #7): the perennial bench ceiling re-runs
+    // five shipped ANN variants BY DESIGN, so its wall is a harness total,
+    // not one operator's. Time each variant alone, clean-slate, OUTSIDE
+    // any timed row (e9's own measurement is untouched) — a future e9
+    // regression then attributes to a variant from the artifact alone.
+    val e9Var: String =
+      if (names.contains("e9_ann_recall")) {
+        val variants = Seq(
+          "e2_ivf" -> "e2_ann_ivf", "e4_kmeans" -> "e4_ann_kmeans",
+          "e5_hyperplane" -> "e5_ann_hyperplane", "e13_ivf_pq" -> "e13_ivf_pq",
+          "e14_filtered" -> "e14_filtered_ann")
+        val walls = variants.map { case (tag, qn) =>
+          clearSlate()
+          val t0 = System.nanoTime()
+          all(qn)(spark, sfDir).count()
+          "\"" + tag + "\":" + f((System.nanoTime() - t0) / 1e9)
+        }
+        walls.mkString(""","e9_variant_sec":{""", ",", "}")
+      } else ""
+    val canaryLast = canary()
+    val canaries =
+      s""""canary_first_sec":${f(canaryFirst)},"canary_last_sec":${f(canaryLast)}"""
     // The driver records only the LAST ~2000 chars of stdout (BENCH_r01:
     // rc=0 yet parsed:null — the 4 KB full-map line had its FRONT cut off
     // by the tail window, so the JSON never parsed). Print the full
     // per-query map first for humans/judges, then END with a compact line
     // guaranteed to fit the tail window: same metric/value schema, slowest
     // 15 queries inline, full map one line up.
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"cores_eff":$effs,"view_backed":$viewBacked,"view_build_sec":$viewBuilds,"sf":"$sfDir","agg":"per-query min of 2 clean-slate runs (host parallelism varies run-to-run); cores_eff = executor-task-sec/wall-sec of the reported run; view_backed queries read warm materialized views whose one-time build cost is view_build_sec"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"cores_eff":$effs,"view_backed":$viewBacked,"view_build_sec":$viewBuilds$e9Var,$canaries,"sf":"$sfDir","agg":"per-query min of 2 clean-slate runs (host parallelism varies run-to-run); cores_eff = executor-task-sec/wall-sec of the reported run; view_backed queries read warm materialized views whose one-time build cost is view_build_sec; canary_*_sec time the same fixed CPU-bound no-I/O fold first/last in the session; cross-artifact host windows normalize by canary ratio"}""")
     val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
       .map { case (k, v, _, _) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")
     val nFail = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$slow,"sf":"$sfDir","n_queries":${results.size},"n_failed":$nFail,"note":"slowest 15 of ${results.size}; full per-query map with cores_eff and view tags on the previous stdout line"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$slow,"sf":"$sfDir","n_queries":${results.size},"n_failed":$nFail,$canaries,"note":"slowest 15 of ${results.size}; full per-query map with cores_eff and view tags on the previous stdout line; canary = fixed CPU-bound fold timed first/last (host-window normalizer)"}""")
     spark.stop()
   }
 }

@@ -229,7 +229,7 @@ object Plans {
     "a30_kmv_distinct" ->
       "Bottom-k sketch (TypedImperativeAggregate): ObjectHashAggregate with partial_graft_bottomk before the exchange and merge_graft_bottomk after — the <=k-long buffer combines map-side exactly like a builtin, and the distinct-count arm shares the plan.",
     "g10_hits" ->
-      "HITS fixed point: the returned plan reads the lineage-truncated persisted score table (ExistingRDD leaf, no fact rescan) through a TakeOrdered — all 2K half-rounds ran as map-side-combinable keyed sums with 1-row broadcast rescales.",
+      "HITS fixed point: the returned plan reads the lineage-truncated persisted score table (ExistingRDD leaf, no fact rescan) through a TakeOrdered — all 2K half-rounds ran as map-side-combinable keyed sums whose 1-row rescale divisor is driver-held and inlined as a literal (narrow map, no broadcast subtree).",
     "q19_sql_shipping_priority" ->
       "TPC-H Q3 shape: both date cuts in PushedFilters, segment-filtered customers broadcast, top-10 revenue via TakeOrderedAndProject over the grouped aggregate — never a global sort.",
     "q20_sql_supplier_census" ->

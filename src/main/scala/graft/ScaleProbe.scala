@@ -107,6 +107,7 @@ object ScaleProbe {
     if (probeOn("anncl")) annClusteredProbe(spark, sfDir)
     if (probeOn("mplsh")) multiprobeProbe(spark, sfDir)
     if (probeOn("ingest")) ingestProbe(spark, sfDir)
+    if (probeOn("batchsig")) batchSigProbe(spark, sfDir)
     if (probeOn("cc")) ccProbe(spark, sfDir)
     if (probeOn("sn")) snProbe(spark, sfDir)
     if (probeOn("span")) spanProbe(spark, sfDir)
@@ -511,6 +512,58 @@ object ScaleProbe {
     }
   }
 
+  /** m10/d21's WIDTH claim measured batch-side (r9 verdict #2's probe
+    * leg — the §10 saturation experiment): per inflation factor and
+    * signature width, the band-collision candidate count and the pair
+    * count SURVIVING the exact Hamming verify. Inflated copies are
+    * textually disjoint (`inflate`'s per-copy suffix salting), so every
+    * verified pair is birthday noise: at 32 bits the Hamming≤6 ball
+    * covers ~2.7·10⁻⁴ of the space and verified "dups" grow ~n² — the
+    * batch twin of the admission collapse PROBES_r09 measured on the
+    * stream gate — while at 60 bits the ≤7 ball covers ~3.7·10⁻¹⁰ and
+    * the count stays pinned at zero. Raw candidate volume scales with
+    * the band-collision floor at BOTH widths (8 near-equal bands sum to
+    * ~3× the 4-byte rate — the width buys verify precision, not fewer
+    * random band hits; disclosed, not hidden): the collapse is in what
+    * survives verify, which is what corrupts a dedup's clusters.
+    */
+  def batchSigProbe(spark: SparkSession, sfDir: String): Unit = {
+    val docs = Tables.table(spark, sfDir, "documents").select("doc_id", "text")
+    docs.persist(); docs.count()
+    factors.foreach { f =>
+      val inflated = inflate(docs, f)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = inflated.count()
+      Seq(32 -> 6, 60 -> 7).foreach { case (bits, radius) =>
+        val t0 = System.nanoTime()
+        val sims = graft.operators.Multimodal.frameSimhash(inflated, bits)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        sims.count()
+        val bands = graft.operators.Multimodal.simhashBands(sims, bits)
+          .select("doc_id", "k", "byte")
+        val cand = bands.select(col("doc_id").as("a"), col("k"), col("byte"))
+          .join(bands.select(col("doc_id").as("b"), col("k"), col("byte")),
+            Seq("k", "byte"))
+          .filter(col("a") < col("b"))
+          .select("a", "b").distinct()
+          .join(sims.select(col("doc_id").as("a"), col("simhash").as("sim_a")), Seq("a"))
+          .join(sims.select(col("doc_id").as("b"), col("simhash").as("sim_b")), Seq("b"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nCand = cand.count()
+        val nVerified = cand
+          .filter(expr(s"bit_count(sim_a ^ sim_b) <= $radius"))
+          .count()
+        val sec = (System.nanoTime() - t0) / 1e9
+        cand.unpersist(); sims.unpersist()
+        println(f"[scale-batchsig] bits=$bits%2d factor=$f%2d docs=$n%8d " +
+          f"cand=$nCand%10d verified=$nVerified%8d time=$sec%6.2f s")
+        println(f"""PROBEJSON {"probe":"batchsig_$bits","factor":$f,"n":$n,"aux":$nVerified,"sec":$sec%.2f,"candidates":$nCand,"verified":$nVerified}""")
+      }
+      inflated.unpersist()
+    }
+    docs.unpersist()
+  }
+
   /** e28's storage/recall trade, measured under inflation: banded
     * hyperplane LSH (e5's 2 bands × 4 bits here, so both schemes read the
     * SAME 8-bit sketch) against multi-probe (ONE table, query bucket + 8
@@ -522,6 +575,9 @@ object ScaleProbe {
     * candidates at 1/4 the index storage — while recall stays in the same
     * band; both candidate counts must scale linearly in n (the sketch is
     * one map-side-combinable aggregate, the probe join a broadcast).
+    * `multi2` adds the ≤2-flip ring e28 ships since r10 (37/256 buckets,
+    * Lv 2007's recall buy-back): its claim is recall ≥ banded at the SAME
+    * one-table storage.
     */
   def multiprobeProbe(spark: SparkSession, sfDir: String): Unit = {
     graft.functions.FastVec.register(spark)
@@ -591,6 +647,25 @@ object ScaleProbe {
         .distinct()
       measure("multi", sketches
         .join(broadcast(qKeys), Seq("sketch"))
+        .filter(col("vec_id") =!= col("qid"))
+        .select("qid", "vec_id").distinct())
+      // The ≤2-flip probe ring e28 now ships (Lv 2007's recall buy-back —
+      // r9 verdict #3): 37 of 256 buckets, SAME one-table storage. The
+      // comparison under test: multi2 recall ≥ banded at ≤ its storage.
+      val flips = Seq((-1, -1)) ++ (0 to 7).map(i => (i, -1)) ++
+        (for { i <- 0 to 7; j <- i + 1 to 7 } yield (i, j))
+      val qKeys2 = qsk
+        .select(col("qid"), explode(array(flips.map { case (i, j) =>
+          struct(lit(i).as("i"), lit(j).as("j")) }: _*)).as("fl"), col("sketch"))
+        .select(col("qid"), col("sketch")
+          .bitwiseXOR(when(col("fl")("i") >= 0,
+            expr("shiftleft(CAST(1 AS BIGINT), fl.i)")).otherwise(lit(0L)))
+          .bitwiseXOR(when(col("fl")("j") >= 0,
+            expr("shiftleft(CAST(1 AS BIGINT), fl.j)")).otherwise(lit(0L)))
+          .as("sketch"))
+        .distinct()
+      measure("multi2", sketches
+        .join(broadcast(qKeys2), Seq("sketch"))
         .filter(col("vec_id") =!= col("qid"))
         .select("qid", "vec_id").distinct())
       truth.unpersist(); sketches.unpersist(); inflated.unpersist()
@@ -732,11 +807,14 @@ object ScaleProbe {
     // The EMBEDDING-SPACE modality (startIngestVectors) probes a sign-
     // sketch census instead of a text census — different input shape, so
     // it gets its own salting: per-copy deterministic component shifts of
-    // ±1.2 (components live in ±0.5, so distinct copies decorrelate and
+    // ±1.6 (components live in ±0.5, so distinct copies decorrelate and
     // every setup copy lands its own census rows), and the fresh timed
     // epoch uses a shift pattern no setup copy can coincide with (its
     // per-dimension multiplier differs, so equality would have to hold
-    // for every dimension at once).
+    // for every dimension at once). The shift modulus (17) exceeds the
+    // max copy count (16) so the pattern is NOT periodic in kk — a % 13
+    // modulus made copies 13..15 component-identical to copies 0..2 at
+    // state=16, duplicating sketch mass in the census leg.
     val emb = Tables.table(spark, sfDir, "embeddings")
     emb.persist()
     val nVec = emb.count()
@@ -746,7 +824,7 @@ object ScaleProbe {
       .repartition(math.min(256, math.max(32, factor * 4)))
       .select((col("vec_id") * factor + col("kk") + idOff).as("vec_id"),
         transform(col("embedding"), (x, j) =>
-          (x + (((col("kk") * 31 + (j + 1) * dimMult) % 13) - 6).cast("float")
+          (x + (((col("kk") * 31 + (j + 1) * dimMult) % 17) - 8).cast("float")
             * lit(0.2f)).cast("float")).as("embedding"),
         col("label"))
     Seq(1, 4, 16).foreach { state =>

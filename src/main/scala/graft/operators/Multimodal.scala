@@ -139,16 +139,29 @@ object Multimodal {
       .agg(graft.functions.Text.simhashAgg(col("hv"), bits))
   }
 
-  /** m4's 8-bit band explode over [[frameSimhash]] signatures — the
+  /** m4's band explode over [[frameSimhash]] signatures — the
     * candidate-generation granularity both the batch pair join and the
     * streaming census probe key on: 4 bands at the 32-bit default,
     * ⌈bits/8⌉ = 8 at the 60-bit scale width (more bands = a STRONGER
     * pigeonhole — Hamming ≤ 7 guaranteed to share a band vs ≤ 3 at 32).
+    *
+    * Bands are NEAR-EQUAL width, not fixed 8-bit: a naive 8-bit slicing of
+    * 60 bits leaves band 7 with only 4 real bits — a 1/16-selectivity band
+    * whose candidate join approaches census/16 pairs per doc at exactly
+    * the census sizes the wide width exists for. 60/8 instead splits as
+    * four 8-bit + four 7-bit bands (narrowest selectivity 1/128); 32/4
+    * stays the exact byte slicing, so the 32-bit oracle rows are
+    * bit-identical.
     */
-  def simhashBands(sims: DataFrame, bits: Int = 32): DataFrame =
+  def simhashBands(sims: DataFrame, bits: Int = 32): DataFrame = {
+    val nb = (bits + 7) / 8
+    val base = bits / nb // narrow-band width; first (bits % nb) bands get +1
+    val rem = bits % nb
     sims
-      .withColumn("k", explode(sequence(lit(0), lit((bits + 7) / 8 - 1))))
+      .withColumn("k", explode(sequence(lit(0), lit(nb - 1))))
       .select(col("doc_id"), col("k"),
-        expr("shiftright(simhash, k * 8) & 255").as("byte"),
+        expr(s"shiftright(simhash, k * $base + least(k, $rem)) " +
+          s"& ((1 << ($base + if(k < $rem, 1, 0))) - 1)").as("byte"),
         col("simhash"))
+  }
 }

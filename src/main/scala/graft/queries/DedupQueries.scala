@@ -1229,8 +1229,80 @@ object DedupQueries {
     )
   }
 
+  /** D21: WIDE-signature SimHash near-dup — d4's token-level relation at
+    * the 60-bit production width (r9 verdict #2 / the §10 saturation
+    * experiment, batch side). The 32-bit signature d4 ships
+    * birthday-saturates past ~10⁴ stored docs (a Hamming≤6 ball covers
+    * ≈1.15 M of 2³² points — `Text.tokenHash60`'s arithmetic; measured
+    * live in PROBES_r09 `ingest_frame`, admission 1,677→2 at 16× census);
+    * at 60 bits the same ball covers ≈5·10⁻¹¹ of the space, keeping the
+    * prefilter discriminative to ~10¹⁰ docs. Candidates come from the
+    * stream gate's banding (`Multimodal.simhashBands`: 8 near-equal bands,
+    * four 8-bit + four 7-bit) — a pair within Hamming 7 ALWAYS shares a
+    * band (pigeonhole over 8 bands), so unlike d4's rotation-window trade
+    * this candidate set is recall-EXACT at the verify radius. Verify is
+    * the exact popcount at Hamming ≤ 7.
+    *
+    * Scale: one map-side-combinable signature aggregate (only 8-byte
+    * signatures shuffle), one equi-join per band with per-bucket work
+    * bounded by band selectivity (worst band 1/128 of the census — the
+    * near-equal split; a naive 8-bit slicing leaves a 4-bit band at
+    * census/16 collisions per doc), exact verify on the collided pairs.
+    */
+  val d21SimhashWide: Q = Q(
+    "d21_simhash_wide",
+    (s, dir) => {
+      // Signature table feeds the band explode AND both verify sides —
+      // persist + eager count (d4's pattern).
+      val sims = t(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), Text.tokenHash60(col("tok")).as("hv"))
+        .groupBy("doc_id")
+        .agg(Text.simhashAgg(col("hv"), 60))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sims.count()
+      val bands = graft.operators.Multimodal.simhashBands(sims, 60)
+        .select("doc_id", "k", "byte")
+      val cand = bands
+        .select(col("doc_id").as("a"), col("k"), col("byte"))
+        .join(bands.select(col("doc_id").as("b"), col("k"), col("byte")),
+          Seq("k", "byte"))
+        .filter(col("a") < col("b"))
+        .select("a", "b")
+        .distinct()
+      cand
+        .join(sims.select(col("doc_id").as("a"), col("simhash").as("sim_a")), Seq("a"))
+        .join(sims.select(col("doc_id").as("b"), col("simhash").as("sim_b")), Seq("b"))
+        .select(col("a"), col("b"),
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 7)
+        .orderBy("a", "b")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      hv AS (SELECT doc_id, CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS hv FROM toks),
+      votes AS (SELECT doc_id, j, sum(((hv >> j) & 1) * 2 - 1) AS vote
+                FROM hv CROSS JOIN range(60) r(j) GROUP BY doc_id, j),
+      sims AS (SELECT doc_id,
+                 sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS simhash
+               FROM votes GROUP BY doc_id),
+      bands AS (SELECT doc_id, k,
+          (simhash >> CAST(k * 7 + least(k, 4) AS INTEGER))
+            & ((1 << (7 + CASE WHEN k < 4 THEN 1 ELSE 0 END)) - 1) AS byte
+        FROM sims CROSS JOIN range(8) r(k)),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+               FROM bands x JOIN bands y
+                 ON x.k = y.k AND x.byte = y.byte AND x.doc_id < y.doc_id)
+      SELECT c.a, c.b,
+        CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN sims sa ON sa.doc_id = c.a
+      JOIN sims sb ON sb.doc_id = c.b
+      WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 7
+      ORDER BY a, b""")
+  )
+
   val all: Seq[Q] = Seq(d1ExactDedup, d2NgramJaccard, d3MinHashLsh, d4SimHash,
     d7IncrementalDedup, d9Containment, d10DupSpans, d11LshRecall, d12OphMinhash,
     d13OphDense, d14CdcChunks, d15BandTuning, d16TfidfDedup, d18DedupAgreement,
-    d17BloomAdmission, d19MaxDupSpans, d20SpanPartners)
+    d17BloomAdmission, d19MaxDupSpans, d20SpanPartners, d21SimhashWide)
 }

@@ -63,7 +63,7 @@ object GraphQueries {
     * clearMemo re-plans from the table scan, not from this session's RAM.
     */
   def clearMemo(): Unit = {
-    graft.sources.MatView.clearMemo(); labelCache.clear()
+    graft.sources.MatView.clearMemo(); labelCache.clear(); triCache.clear()
   }
 
   /** Materialize this family's views once per session (Bench pre-build —
@@ -245,28 +245,9 @@ object GraphQueries {
     */
   val g2TriangleCount: Q = Q(
     "g2_triangle_count",
-    (s, dir) => {
-      val (edges, deg) = coEdgesDeg(s, dir)
-      val ranked = edges
-        .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
-        .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
-        .select(col("u"), col("v"),
-          (col("du") * 4294967296L + col("u")).as("ru"),
-          (col("dv") * 4294967296L + col("v")).as("rv"))
-      val o = ranked.select(
-          when(col("ru") < col("rv"), col("u")).otherwise(col("v")).as("a"),
-          when(col("ru") < col("rv"), col("v")).otherwise(col("u")).as("b"),
-          greatest(col("ru"), col("rv")).as("rb"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      o.count() // eager: the wedge join scans `o` from three subtrees at once
-      val tri = o.select(col("a"), col("b").as("b1"), col("rb").as("rb1"))
-        .join(o.select(col("a"), col("b").as("b2"), col("rb").as("rb2")), Seq("a"))
-        .filter(col("rb1") < col("rb2"))
-        .join(o.select(col("b").as("b2"), col("a").as("b1")), Seq("b1", "b2"))
-      tri.select(explode(array(col("a"), col("b1"), col("b2"))).as("part_id"))
-        .groupBy("part_id").agg(count(lit(1)).as("n_tri"))
-        .orderBy(desc("n_tri"), col("part_id"))
-    },
+    (s, dir) => triCensus(s, dir)
+      .select(col("id").as("part_id"), col("n_tri"))
+      .orderBy(desc("n_tri"), col("part_id")),
     Some("""WITH co AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
       edges AS (SELECT x.pk AS u, y.pk AS v FROM co x JOIN co y
                 ON x.ok = y.ok AND x.pk < y.pk GROUP BY 1, 2 HAVING count(*) >= 2),
@@ -288,6 +269,41 @@ object GraphQueries {
         UNION ALL SELECT b2 FROM tri)
       GROUP BY part_id ORDER BY n_tri DESC, part_id""")
   )
+
+  /** Memoized per-node triangle census `(id, n_tri)` over the
+    * degree-oriented co-purchase edges — the Schank–Wade wedge pipeline
+    * shared by g2 (raw counts) and g11 (clustering coefficient). One
+    * definition, one session persist of the oriented edge set: the two
+    * previously-inlined copies each built and cached it (double work in a
+    * run executing both, drift risk under future edits). Cleared by
+    * [[clearMemo]]; the oriented set's RAM is reclaimed by the caller's
+    * `catalog.clearCache()` (Bench's clean-slate protocol).
+    */
+  private val triCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), DataFrame]
+
+  private def triCensus(s: SparkSession, dir: String): DataFrame =
+    triCache.getOrElseUpdate((s, dir), {
+      val (edges, deg) = coEdgesDeg(s, dir)
+      val ranked = edges
+        .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
+        .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
+        .select(col("u"), col("v"),
+          (col("du") * 4294967296L + col("u")).as("ru"),
+          (col("dv") * 4294967296L + col("v")).as("rv"))
+      val o = ranked.select(
+          when(col("ru") < col("rv"), col("u")).otherwise(col("v")).as("a"),
+          when(col("ru") < col("rv"), col("v")).otherwise(col("u")).as("b"),
+          greatest(col("ru"), col("rv")).as("rb"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      o.count() // eager: the wedge join scans `o` from three subtrees at once
+      val tri = o.select(col("a"), col("b").as("b1"), col("rb").as("rb1"))
+        .join(o.select(col("a"), col("b").as("b2"), col("rb").as("rb2")), Seq("a"))
+        .filter(col("rb1") < col("rb2"))
+        .join(o.select(col("b").as("b2"), col("a").as("b1")), Seq("b1", "b2"))
+      tri.select(explode(array(col("a"), col("b1"), col("b2"))).as("id"))
+        .groupBy("id").agg(count(lit(1)).as("n_tri"))
+    })
 
   private val KcoreK = 2
   private val KcoreRounds = 4
@@ -869,18 +885,31 @@ object GraphQueries {
       pairP.count()
       val pairT = Lineage.truncate(pairP)
 
+      // Driver-held rescale divisor (e20/e21's iterate pattern — r9
+      // verdict #6): each half-round rescales by a ONE-ROW statistic
+      // (max(score) div mass, clamped ≥ 1), so the divisor is collected to
+      // the driver and inlined as a LITERAL — the rescale becomes a narrow
+      // map instead of a crossJoin(broadcast(max)) subtree, and the chain
+      // executes as 2K cache-backed jobs (one collect each) instead of one
+      // lazy tree whose duplicated predecessor subtrees AQE re-plans per
+      // stage. Raw score tables are persisted (each is read by BOTH its
+      // max-collect and the next half-round's join) — node-sized cache,
+      // released together after the final materialization.
       var hub = pairT.select("ck").distinct().withColumn("h", lit(HitsMass))
       var auth: DataFrame = null
+      val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
       var r = 1
       while (r <= HitsRounds) {
         val aRaw = pairT.join(hub, Seq("ck")).groupBy("sk").agg(sum("h").as("ar"))
-        val aMax = aRaw.agg(max("ar").as("am"))
-        auth = aRaw.crossJoin(broadcast(aMax))
-          .select(col("sk"), expr(s"ar div greatest(am div ${HitsMass}L, 1L)").as("a"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        cached += aRaw
+        val aDiv = math.max(aRaw.agg(max("ar")).head().getLong(0) / HitsMass, 1L)
+        auth = aRaw.select(col("sk"), expr(s"ar div ${aDiv}L").as("a"))
         val hRaw = pairT.join(auth, Seq("sk")).groupBy("ck").agg(sum("a").as("hr"))
-        val hMax = hRaw.agg(max("hr").as("hm"))
-        hub = hRaw.crossJoin(broadcast(hMax))
-          .select(col("ck"), expr(s"hr div greatest(hm div ${HitsMass}L, 1L)").as("h"))
+          .persist(StorageLevel.MEMORY_AND_DISK)
+        cached += hRaw
+        val hDiv = math.max(hRaw.agg(max("hr")).head().getLong(0) / HitsMass, 1L)
+        hub = hRaw.select(col("ck"), expr(s"hr div ${hDiv}L").as("h"))
         r += 1
       }
       // Materialize the final (supplier-sized) score table — the returned
@@ -888,6 +917,7 @@ object GraphQueries {
       // through the captured physical plan (the g4 end-of-loop discipline).
       val authP = auth.persist(StorageLevel.MEMORY_AND_DISK)
       authP.count()
+      cached.foreach(_.unpersist())
       Lineage.truncate(authP)
         .select(col("sk").as("s_suppkey"), col("a").as("authority"))
         .orderBy(desc("authority"), col("s_suppkey"))
@@ -914,27 +944,8 @@ object GraphQueries {
   val g11ClusteringCoeff: Q = Q(
     "g11_clustering_coeff",
     (s, dir) => {
-      val (edges, deg) = coEdgesDeg(s, dir)
-      val ranked = edges
-        .join(deg.select(col("id").as("u"), col("d").as("du")), Seq("u"))
-        .join(deg.select(col("id").as("v"), col("d").as("dv")), Seq("v"))
-        .select(col("u"), col("v"),
-          (col("du") * 4294967296L + col("u")).as("ru"),
-          (col("dv") * 4294967296L + col("v")).as("rv"))
-      val o = ranked.select(
-          when(col("ru") < col("rv"), col("u")).otherwise(col("v")).as("a"),
-          when(col("ru") < col("rv"), col("v")).otherwise(col("u")).as("b"),
-          greatest(col("ru"), col("rv")).as("rb"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      o.count() // eager: the wedge join scans `o` from three subtrees at once
-      val tri = o.select(col("a"), col("b").as("b1"), col("rb").as("rb1"))
-        .join(o.select(col("a"), col("b").as("b2"), col("rb").as("rb2")), Seq("a"))
-        .filter(col("rb1") < col("rb2"))
-        .join(o.select(col("b").as("b2"), col("a").as("b1")), Seq("b1", "b2"))
-      val ntri = tri
-        .select(explode(array(col("a"), col("b1"), col("b2"))).as("id"))
-        .groupBy("id").agg(count(lit(1)).as("n_tri"))
-      deg.join(ntri, Seq("id"), "left")
+      val deg = coAdjDeg(s, dir)._2
+      deg.join(triCensus(s, dir), Seq("id"), "left")
         .select(col("id").as("part_id"), col("d").as("degree"),
           coalesce(col("n_tri"), lit(0L)).as("n_tri"))
         .withColumn("coeff_pm",

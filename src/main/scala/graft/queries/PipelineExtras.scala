@@ -404,6 +404,75 @@ object PipelineExtras {
       ORDER BY a, b""")
   )
 
+  /** M10: WIDE-signature media near-dup — m4's frame-signature relation at
+    * the 60-bit width the STREAMING gate already ships
+    * (`CorpusIngest.startIngestFrames(sigBits = 60)`), closing the r9
+    * verdict's "the cure exists only on the stream gate" gap: same shared
+    * derivations (`Multimodal.frameSimhash` at 60 bits,
+    * `Multimodal.simhashBands`' 8 near-equal bands — four 8-bit + four
+    * 7-bit), candidates recall-EXACT at the verify radius by pigeonhole
+    * (Hamming ≤ 7 over 8 bands always shares one), exact popcount verify.
+    * m4's 32-bit rows are untouched — this is the parameterized twin, not
+    * an oracle change.
+    *
+    * Scale: identical plan shape to m4 (only 8-byte signatures shuffle;
+    * band join per-bucket work bounded by band selectivity, worst 1/128);
+    * what changes is WHERE it saturates — see `Text.tokenHash60` for the
+    * birthday arithmetic and `ScaleProbe`'s `batchsig` leg for the
+    * measured 32-vs-60 candidate-volume curve.
+    */
+  val m10MediaDedupWide: Q = Q(
+    "m10_media_dedup_wide",
+    (s, dir) => {
+      val sims = graft.operators.Multimodal
+        .frameSimhash(t(s, dir, "documents"), 60)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sims.count() // eager: band explode + both verify sides rescan
+      val bands = graft.operators.Multimodal.simhashBands(sims, 60)
+        .select("doc_id", "k", "byte")
+      val cand = bands
+        .select(col("doc_id").as("a"), col("k"), col("byte"))
+        .join(bands.select(col("doc_id").as("b"), col("k"), col("byte")),
+          Seq("k", "byte"))
+        .filter(col("a") < col("b"))
+        .select("a", "b")
+        .distinct()
+      cand
+        .join(sims.select(col("doc_id").as("a"), col("simhash").as("sim_a")), Seq("a"))
+        .join(sims.select(col("doc_id").as("b"), col("simhash").as("sim_b")), Seq("b"))
+        .select(col("a"), col("b"),
+          bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 7)
+        .orderBy("a", "b")
+    },
+    Some("""WITH frames AS (SELECT doc_id,
+          substr(text, CAST(fpos * 64 + 1 AS INTEGER), 64) AS frame
+        FROM (SELECT doc_id, text, unnest(range((length(text) + 63) // 64)) AS fpos
+              FROM documents WHERE length(text) > 0)),
+      hv AS (SELECT doc_id,
+          CAST('0x' || substr(md5(frame), 1, 15) AS BIGINT) AS hv
+        FROM frames),
+      votes AS (SELECT doc_id, j, sum(((hv >> j) & 1) * 2 - 1) AS vote
+                FROM hv CROSS JOIN range(60) r(j) GROUP BY doc_id, j),
+      sims AS (SELECT doc_id,
+                 sum(CASE WHEN vote > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS simhash
+               FROM votes GROUP BY doc_id),
+      bands AS (SELECT doc_id, k,
+          (simhash >> CAST(k * 7 + least(k, 4) AS INTEGER))
+            & ((1 << (7 + CASE WHEN k < 4 THEN 1 ELSE 0 END)) - 1) AS byte
+        FROM sims CROSS JOIN range(8) r(k)),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+               FROM bands x JOIN bands y
+                 ON x.k = y.k AND x.byte = y.byte AND x.doc_id < y.doc_id)
+      SELECT c.a, c.b,
+        CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN sims sa ON sa.doc_id = c.a
+      JOIN sims sb ON sb.doc_id = c.b
+      WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 7
+      ORDER BY a, b""")
+  )
+
   /** M5: VAD-style segmentation — the voice-activity-detection pass every
     * speech-corpus pipeline runs before transcription: per media object,
     * frame ENERGIES gate active frames, and consecutive active frames
@@ -828,5 +897,5 @@ object PipelineExtras {
     f18RegexpExtractAll, f19BucketCategorize, x6PiiScrub, x7BpeTokens,
     x14TokenFertility, m2FrameSample, m3ResizeMeta, d5DupClusters,
     m4MediaDedup, m5AudioSegments, m6PatchGrid, m7ShotBoundary, m8PhashDct,
-    m9AudioFingerprint)
+    m9AudioFingerprint, m10MediaDedupWide)
 }

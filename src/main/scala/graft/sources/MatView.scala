@@ -108,4 +108,51 @@ object MatView {
 
   /** One-time build cost per table (seconds), for artifact self-description. */
   def buildCosts: Map[String, Double] = buildLog.toMap
+
+  /** table → (refresh count, appended rows, total refresh seconds) — the
+    * staleness contract in e26's style: a consumer can read how far the
+    * view has drifted from its base build and decide when to compact.
+    */
+  private val refreshLog = TrieMap.empty[String, (Long, Long, Double)]
+
+  def refreshCosts: Map[String, (Long, Long, Double)] = refreshLog.toMap
+
+  /** APPEND-DELTA refresh of an existing bucketed view (r9 verdict #4):
+    * the corpus-refresh world d7/d8/CorpusIngest model grows by a batch,
+    * and the batch's derived rows (shingles, window fingerprints, pairs
+    * involving new docs) are appended WITHOUT rebuilding the view —
+    * refresh cost is O(delta), not O(corpus). Spark appends to a bucketed
+    * table by hashing only the delta into the SAME bucket layout (bucket
+    * spec must match — `require`d here): each bucket accumulates one more
+    * file, reads stay bucket-local with no Exchange, and within-bucket
+    * ordering degrades from globally-sorted to per-file-sorted, which
+    * bucketed SortMergeJoin handles with a (cheap, bucket-local) sort and
+    * zero shuffle. Deltas must be DISJOINT from existing rows by
+    * construction (the d7 admission contract: only rows derived from
+    * newly-admitted keys are appended) — the view stays exactly equal to
+    * a from-scratch build over the grown corpus, a parity
+    * MatViewRefreshSpec asserts. Call through [[of]] first so the base
+    * table exists; the refresh is logged to [[refreshCosts]] (count,
+    * rows, seconds) — the artifact-visible staleness contract.
+    */
+  def append(s: SparkSession, table: String, key: String, buckets: Int)(
+      delta: DataFrame): Unit = buildLock.synchronized {
+    require(s.catalog.tableExists(table),
+      s"append-refresh target $table does not exist — build it with of() first")
+    val t0 = System.nanoTime()
+    val n = delta.count()
+    delta.write
+      .format("parquet")
+      .mode(org.apache.spark.sql.SaveMode.Append)
+      .bucketBy(buckets, key)
+      .sortBy(key)
+      .saveAsTable(table)
+    val (c, r, sec) = refreshLog.getOrElse(table, (0L, 0L, 0.0))
+    refreshLog.put(table,
+      (c + 1, r + n, sec + (System.nanoTime() - t0) / 1e9))
+    // Cached plans hold the table's file listing at resolve time; drop the
+    // handle so the next consumer re-resolves and sees the appended files.
+    memo.remove((s, table))
+    s.catalog.refreshTable(table)
+  }
 }

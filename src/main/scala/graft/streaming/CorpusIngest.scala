@@ -56,6 +56,32 @@ object CorpusIngest {
       fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id="))
   }
 
+  /** Pin the frame census's signature width: band rows written at one
+    * width are MEANINGLESS at another (k ranges differ, and
+    * `bit_count(simhash ^ stored_sim)` across widths silently corrupts
+    * admission instead of failing), so the width is recorded in a
+    * `_SIG_BITS` marker on first write and `require()`d to match on every
+    * later epoch — a restart over an existing census with a different
+    * `sigBits` fails fast instead of admitting garbage.
+    */
+  private def pinSigBits(spark: SparkSession, censusDir: String, sigBits: Int): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(censusDir, "_SIG_BITS")
+    val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val stored =
+        try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+        finally in.close()
+      require(stored == sigBits,
+        s"frame census at $censusDir was built with sig_bits=$stored; " +
+          s"resuming with sigBits=$sigBits would join incompatible band " +
+          "rows — keep the width or rebuild the census")
+    } else {
+      val out = fs.create(marker, true)
+      try out.write(s"$sigBits\n".getBytes("UTF-8")) finally out.close()
+    }
+  }
+
   /** Start the admission stream. `corpusDir` accumulates admitted
     * documents, `censusDir` the fingerprint census; both are `batch_id=`
     * partitioned (see object doc for why). I/O per epoch is O(batch +
@@ -559,6 +585,7 @@ object CorpusIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (raw: DataFrame, batchId: Long) =>
+        pinSigBits(spark, censusDir, sigBits)
         val w = Window.partitionBy("fp").orderBy("doc_id")
         val batch = raw
           .withColumn("fp", md5(col("text")))

@@ -2,16 +2,70 @@
 """Local differential checker mirroring the driver's t2 gate:
 run graft.Verify output against DuckDB oracles on the same parquet tables.
 
-Usage: python3 tools/check.py [sfDir] [verifyOut]
-(Assumes `sbt "runMain graft.Verify <sfDir> <verifyOut>"` already ran.)
+Usage: python3 tools/check.py [sfDir] [verifyOut] [--only a,b,c | --changed-since <git-ref>]
+(Assumes `sbt "runMain graft.Verify <sfDir> <verifyOut>"` already ran —
+pair subset flags with SPARK_GRAFT_VERIFY_ONLY on the dump side.)
+
+Subset modes (registry scale hygiene — the full 298-query matrix stays the
+round-close gate; these make the IN-LOOP gate proportional to the edit):
+  --only a,b,c            check only the named queries.
+  --changed-since <ref>   check only queries whose defining Scala/oracle
+                          text changed since <ref>: changed files from
+                          `git diff --name-only`, then (a) every query
+                          whose name literal appears in a changed
+                          queries/*.scala file, plus (b) for changed
+                          NON-query source files (operators/functions/
+                          plans/sources/streaming), every query defined in
+                          a queries file that references one of the
+                          changed file's top-level object names. Shared
+                          infra (Q/Tables/Verify/SparkEntry) → full run.
 """
-import sys, json, glob, math
+import sys, json, glob, math, os, re, subprocess
 import duckdb
 import pandas as pd
 import numpy as np
 
-SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+args = [a for a in sys.argv[1:]]
+ONLY = None
+if "--only" in args:
+    i = args.index("--only")
+    ONLY = set(args[i + 1].split(","))
+    del args[i:i + 2]
+if "--changed-since" in args:
+    i = args.index("--changed-since")
+    ref = args[i + 1]
+    del args[i:i + 2]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    changed = subprocess.run(
+        ["git", "diff", "--name-only", ref, "--", "src/main/scala"],
+        cwd=repo, capture_output=True, text=True, check=True
+    ).stdout.split()
+    infra = {"src/main/scala/graft/Q.scala", "src/main/scala/graft/Tables.scala",
+             "src/main/scala/graft/Verify.scala", "src/main/scala/graft/SparkEntry.scala"}
+    if any(f in infra for f in changed):
+        print(f"[subset] shared infra changed since {ref}; running FULL gate")
+    else:
+        qfiles = set(glob.glob(f"{repo}/src/main/scala/graft/queries/*.scala"))
+        affected = {f"{repo}/{f}" for f in changed
+                    if f"{repo}/{f}" in qfiles}
+        # non-query source change → pull in query files referencing its objects
+        for f in changed:
+            p = f"{repo}/{f}"
+            if p in qfiles or not os.path.exists(p):
+                continue
+            objs = re.findall(r"^object (\w+)", open(p).read(), re.M)
+            for qf in qfiles:
+                body = open(qf).read()
+                if any(re.search(rf"\b{o}\b", body) for o in objs):
+                    affected.add(qf)
+        ONLY = set()
+        for qf in affected:
+            ONLY |= set(re.findall(r'"([a-z]\d+[a-z0-9_]*)"', open(qf).read()))
+        print(f"[subset] {len(changed)} changed files since {ref} -> "
+              f"{len(affected)} query files -> filtering to name literals")
+
+SF = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
+OUT = args[1] if len(args) > 1 else "/tmp/verify_out"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -20,6 +74,11 @@ for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+if ONLY is not None:
+    skipped = [n for n in oracle if n not in ONLY]
+    oracle = {n: s for n, s in oracle.items() if n in ONLY}
+    print(f"[subset] checking {len(oracle)} queries "
+          f"({len(skipped)} outside the subset skipped, NOT counted)")
 n_pass = n_fail = 0
 for name, sql in oracle.items():
     try:
