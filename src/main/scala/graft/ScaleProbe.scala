@@ -108,6 +108,7 @@ object ScaleProbe {
     if (probeOn("mplsh")) multiprobeProbe(spark, sfDir)
     if (probeOn("ingest")) ingestProbe(spark, sfDir)
     if (probeOn("batchsig")) batchSigProbe(spark, sfDir)
+    if (probeOn("mvrefresh")) mvRefreshProbe(spark, sfDir)
     if (probeOn("cc")) ccProbe(spark, sfDir)
     if (probeOn("sn")) snProbe(spark, sfDir)
     if (probeOn("span")) spanProbe(spark, sfDir)
@@ -560,6 +561,47 @@ object ScaleProbe {
         println(f"""PROBEJSON {"probe":"batchsig_$bits","factor":$f,"n":$n,"aux":$nVerified,"sec":$sec%.2f,"candidates":$nCand,"verified":$nVerified}""")
       }
       inflated.unpersist()
+    }
+    docs.unpersist()
+  }
+
+  /** MatView append-refresh cost versus corpus size (r9 verdict #4's done
+    * criterion): per inflation factor, build the 5-gram posting view over
+    * the inflated corpus (the O(corpus) from-scratch cost) and then
+    * append-refresh it with a FIXED-size delta (the base corpus re-salted
+    * as "new docs"). The claim under test: refresh wall stays flat in the
+    * stored-corpus factor — O(delta) work — while the rebuild wall grows
+    * with it; a session that refreshes instead of rebuilding pays the
+    * delta, not the corpus. Parity with a from-scratch build is asserted
+    * separately in MatViewRefreshSpec; here we measure cost only.
+    */
+  def mvRefreshProbe(spark: SparkSession, sfDir: String): Unit = {
+    val docs = Tables.table(spark, sfDir, "documents").select("doc_id", "text")
+    docs.persist(); docs.count()
+    val nDocs = docs.count()
+    factors.foreach { f =>
+      val corpus = inflate(docs, f)
+      val tbl = s"graft_probe_mv_f$f"
+      val t0 = System.nanoTime()
+      graft.sources.MatView.of(spark, tbl, "doc_id", 16) {
+        graft.operators.MinHashLSH.shingleTable(corpus, "doc_id", "text", 5)
+      }
+      val buildSec = (System.nanoTime() - t0) / 1e9
+      // Fixed-size delta: the base corpus with fresh ids and re-salted
+      // text (disjoint from every inflated copy) — the "newly admitted
+      // batch" of the d7 contract, identical across factors.
+      val delta = docs.select(
+        (col("doc_id") + lit(nDocs.toInt * (f + 1) * 100)).as("doc_id"),
+        regexp_replace(concat(col("text"), lit(" ")), lit(" "), lit("_new "))
+          .as("text"))
+      val t1 = System.nanoTime()
+      graft.sources.MatView.append(spark, tbl, "doc_id", 16) {
+        graft.operators.MinHashLSH.shingleTable(delta, "doc_id", "text", 5)
+      }
+      val refreshSec = (System.nanoTime() - t1) / 1e9
+      println(f"[scale-mvrefresh] factor=$f%2d corpus=${nDocs * f}%8d " +
+        f"build=$buildSec%7.2f s refresh(delta=$nDocs)=$refreshSec%7.2f s")
+      println(f"""PROBEJSON {"probe":"mvrefresh","factor":$f,"n":${nDocs * f},"aux":$nDocs,"sec":$refreshSec%.2f,"build_sec":$buildSec%.2f,"refresh_sec":$refreshSec%.2f}""")
     }
     docs.unpersist()
   }

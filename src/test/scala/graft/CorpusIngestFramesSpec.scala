@@ -94,4 +94,29 @@ class CorpusIngestFramesSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(ids2 == Set(2L, 3L), s"empty-payload dup admitted: $ids2")
   }
+
+  test("resuming a frame census at a different signature width fails fast " +
+    "(band rows written at one width are meaningless at another)") {
+    val root = Files.createTempDirectory("corpusingestframes3").toString
+    val in = s"$root/in"; val corpus = s"$root/corpus"
+    val census = s"$root/census"; val ckpt = s"$root/ckpt"
+    Files.createDirectories(Paths.get(in))
+
+    Files.writeString(Paths.get(s"$in/m0.json"),
+      s"""{"doc_id":1,"text":"$mediaA","source":"s"}
+         |""".stripMargin)
+    CorpusIngest.startIngestFrames(spark, in, corpus, census, ckpt)
+      .awaitTermination(120000)
+
+    Files.writeString(Paths.get(s"$in/m1.json"),
+      s"""{"doc_id":2,"text":"$mediaC","source":"s"}
+         |""".stripMargin)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      CorpusIngest.startIngestFrames(spark, in, corpus, census, ckpt,
+        sigBits = 60).awaitTermination(120000)
+    }
+    val msg = Option(e.getCause).map(_.getMessage).getOrElse(e.getMessage)
+    assert(msg != null && msg.contains("sig_bits"),
+      s"expected the width-pin failure, got: $msg")
+  }
 }
