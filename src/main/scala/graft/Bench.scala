@@ -102,7 +102,7 @@ object Bench {
     "v20_embedding_drift",
     "g11_clustering_coeff", "e27_range_search", "h16_parkinson_vol",
     "p19_hilbert_layout", "e28_multiprobe_lsh", "p20_cdc_apply",
-    "d21_simhash_wide", "m10_media_dedup_wide")
+    "d21_simhash_wide", "m10_media_dedup_wide", "d22_simhash_dual")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

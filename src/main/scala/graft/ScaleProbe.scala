@@ -535,30 +535,51 @@ object ScaleProbe {
       val inflated = inflate(docs, f)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val n = inflated.count()
-      Seq(32 -> 6, 60 -> 7).foreach { case (bits, radius) =>
+      // (bits, radius, band key/val columns, verify expression builder)
+      def leg(bits: Int, radius: Int,
+          sims: org.apache.spark.sql.DataFrame,
+          bands: org.apache.spark.sql.DataFrame,
+          bandCols: Seq[String],
+          verify: String): Unit = {
         val t0 = System.nanoTime()
-        val sims = graft.operators.Multimodal.frameSimhash(inflated, bits)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         sims.count()
-        val bands = graft.operators.Multimodal.simhashBands(sims, bits)
-          .select("doc_id", "k", "byte")
-        val cand = bands.select(col("doc_id").as("a"), col("k"), col("byte"))
-          .join(bands.select(col("doc_id").as("b"), col("k"), col("byte")),
-            Seq("k", "byte"))
+        val simCols = sims.columns.filter(_ != "doc_id").toSeq
+        def side(tag: String) = sims.select(
+          (col("doc_id").as(tag) +: simCols.map(c => col(c).as(s"${c}_$tag"))): _*)
+        val cand = bands.select((col("doc_id").as("a") +: bandCols.map(col)): _*)
+          .join(bands.select((col("doc_id").as("b") +: bandCols.map(col)): _*),
+            bandCols)
           .filter(col("a") < col("b"))
           .select("a", "b").distinct()
-          .join(sims.select(col("doc_id").as("a"), col("simhash").as("sim_a")), Seq("a"))
-          .join(sims.select(col("doc_id").as("b"), col("simhash").as("sim_b")), Seq("b"))
+          .join(side("a"), Seq("a"))
+          .join(side("b"), Seq("b"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val nCand = cand.count()
-        val nVerified = cand
-          .filter(expr(s"bit_count(sim_a ^ sim_b) <= $radius"))
-          .count()
+        val nVerified = cand.filter(expr(s"($verify) <= $radius")).count()
         val sec = (System.nanoTime() - t0) / 1e9
         cand.unpersist(); sims.unpersist()
-        println(f"[scale-batchsig] bits=$bits%2d factor=$f%2d docs=$n%8d " +
+        println(f"[scale-batchsig] bits=$bits%3d factor=$f%2d docs=$n%8d " +
           f"cand=$nCand%10d verified=$nVerified%8d time=$sec%6.2f s")
         println(f"""PROBEJSON {"probe":"batchsig_$bits","factor":$f,"n":$n,"aux":$nVerified,"sec":$sec%.2f,"candidates":$nCand,"verified":$nVerified}""")
+      }
+      Seq(32 -> 6, 60 -> 7).foreach { case (bits, radius) =>
+        val sims = graft.operators.Multimodal.frameSimhash(inflated, bits)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        leg(bits, radius, sims,
+          graft.operators.Multimodal.simhashBands(sims, bits),
+          Seq("k", "byte"), "bit_count(simhash_a ^ simhash_b)")
+      }
+      // The dual-long 120-bit leg (d22's width on the frame path): the
+      // 8 x 15-bit bands drop the random candidate floor ~200x below the
+      // 60-bit near-equal bands at the SAME absolute Hamming budget
+      // (a stricter dup definition — see d22's scaladoc).
+      locally {
+        val sims = graft.operators.Multimodal.frameSimhashDual(inflated)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        leg(120, 7, sims,
+          graft.operators.Multimodal.dualBands(sims),
+          Seq("g", "bval"),
+          "bit_count(sim1_a ^ sim1_b) + bit_count(sim2_a ^ sim2_b)")
       }
       inflated.unpersist()
     }

@@ -120,24 +120,54 @@ object Multimodal {
     * @return (doc_id, simhash)
     */
   val FrameBytes = 64
+
+  private def framed(docs: DataFrame): DataFrame = docs
+    .filter(length(col("text")) > 0)
+    .withColumn("n_frames", expr(s"(length(text) + ${FrameBytes - 1}) div $FrameBytes"))
+    .select(col("doc_id"), col("text"),
+      explode(sequence(lit(0), col("n_frames") - 1)).as("fpos"))
+
+  private val frameCol = expr(s"substr(text, fpos * $FrameBytes + 1, $FrameBytes)")
+
   def frameSimhash(docs: DataFrame, bits: Int = 32): DataFrame = {
     require(bits == 32 || bits == 60,
       s"frame SimHash width must be 32 (m4/d4 oracle parity) or 60 " +
         s"(the scale variant — see Text.tokenHash60), got $bits")
-    val framed = docs
-      .filter(length(col("text")) > 0)
-      .withColumn("n_frames", expr(s"(length(text) + ${FrameBytes - 1}) div $FrameBytes"))
-      .select(col("doc_id"), col("text"),
-        explode(sequence(lit(0), col("n_frames") - 1)).as("fpos"))
-    val frame = expr(s"substr(text, fpos * $FrameBytes + 1, $FrameBytes)")
     val hv =
-      if (bits == 32) graft.functions.Text.tokenHash32(frame)
-      else graft.functions.Text.tokenHash60(frame)
-    framed
+      if (bits == 32) graft.functions.Text.tokenHash32(frameCol)
+      else graft.functions.Text.tokenHash60(frameCol)
+    framed(docs)
       .select(col("doc_id"), hv.as("hv"))
       .groupBy("doc_id")
       .agg(graft.functions.Text.simhashAgg(col("hv"), bits))
   }
+
+  /** The DUAL-long 120-bit frame signature (d22's width on the frame
+    * path): two independent 60-bit SimHashes per doc — `(doc_id, sim1,
+    * sim2)` — verified with the combined popcount. See d22's scaladoc
+    * for the candidate-floor / dup-strictness trade.
+    */
+  def frameSimhashDual(docs: DataFrame): DataFrame =
+    framed(docs)
+      .select(col("doc_id"),
+        graft.functions.Text.tokenHash60(frameCol).as("h1"),
+        graft.functions.Text.seededHash64(lit(2), frameCol).as("h2"))
+      .groupBy("doc_id")
+      .agg(graft.functions.Text.simhashAgg(col("h1"), 60).as("sim1"),
+        graft.functions.Text.simhashAgg(col("h2"), 60).as("sim2"))
+
+  /** d22's band layout over [[frameSimhashDual]] signatures: 8 exact
+    * 15-bit bands (4 per long) — random collision floor 8/2¹⁵ ≈ 0.024%,
+    * Hamming ≤ 7 pigeonhole over the combined 120 bits.
+    */
+  def dualBands(sims: DataFrame): DataFrame =
+    sims
+      .withColumn("g", explode(sequence(lit(0), lit(7))))
+      .select(col("doc_id"), col("g"),
+        when(col("g") < 4, expr("shiftright(sim1, g * 15) & 32767"))
+          .otherwise(expr("shiftright(sim2, (g - 4) * 15) & 32767"))
+          .as("bval"),
+        col("sim1"), col("sim2"))
 
   /** m4's band explode over [[frameSimhash]] signatures — the
     * candidate-generation granularity both the batch pair join and the

@@ -1301,8 +1301,93 @@ object DedupQueries {
       ORDER BY a, b""")
   )
 
+  /** D22: DUAL-long 120-bit SimHash — the two-long signature d21's
+    * disclosure named as the production next step when the CANDIDATE
+    * floor itself binds: two independent 60-bit SimHashes (seeded md5
+    * prefixes) per document, banded as 8 exact 15-bit bands (4 per long),
+    * so the random band-collision floor drops to 8/2¹⁵ ≈ 0.024% — ~64×
+    * below the 32-bit floor and ~200× below d21's near-equal 60-bit
+    * bands — while the Hamming≤7 pigeonhole over 8 bands still makes
+    * candidates recall-EXACT at the verify radius. Verify is the combined
+    * popcount bit_count(a₁⊕b₁) + bit_count(a₂⊕b₂) ≤ 7.
+    *
+    * Honest operating-point framing: the same ABSOLUTE Hamming budget
+    * spread over 2× the bits is a TIGHTER near-dup definition (≥ ~94%
+    * token-vote agreement vs ~88% at 60 bits) — widening the radius to
+    * keep the 60-bit semantics would need radius+1 = 15 bands and give
+    * the floor back. Choose width by the dup-definition the corpus
+    * needs: d4 (loose, saturates ~10⁴), d21 (production default), d22
+    * (strict, min candidate volume). All three ship oracle-checked.
+    */
+  val d22SimhashDual: Q = Q(
+    "d22_simhash_dual",
+    (s, dir) => {
+      val sims = t(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          Text.tokenHash60(col("tok")).as("h1"),
+          Text.seededHash64(lit(2), col("tok")).as("h2"))
+        .groupBy("doc_id")
+        .agg(Text.simhashAgg(col("h1"), 60).as("sim1"),
+          Text.simhashAgg(col("h2"), 60).as("sim2"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sims.count() // eager: band explode + both verify sides rescan
+      // Band layout shared with the frame path (Multimodal.dualBands) —
+      // one definition of the 8 x 15-bit split for both families.
+      val bands = graft.operators.Multimodal.dualBands(sims)
+        .select("doc_id", "g", "bval")
+      val cand = bands
+        .select(col("doc_id").as("a"), col("g"), col("bval"))
+        .join(bands.select(col("doc_id").as("b"), col("g"), col("bval")),
+          Seq("g", "bval"))
+        .filter(col("a") < col("b"))
+        .select("a", "b")
+        .distinct()
+      cand
+        .join(sims.select(col("doc_id").as("a"),
+          col("sim1").as("a1"), col("sim2").as("a2")), Seq("a"))
+        .join(sims.select(col("doc_id").as("b"),
+          col("sim1").as("b1"), col("sim2").as("b2")), Seq("b"))
+        .select(col("a"), col("b"),
+          (bit_count(col("a1").bitwiseXOR(col("b1"))) +
+            bit_count(col("a2").bitwiseXOR(col("b2")))).cast("long").as("hamming"))
+        .filter(col("hamming") <= 7)
+        .orderBy("a", "b")
+    },
+    Some("""WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      hv AS (SELECT doc_id,
+               CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) AS h1,
+               CAST('0x' || substr(md5('2|' || tok), 1, 15) AS BIGINT) AS h2
+             FROM toks),
+      votes AS (SELECT doc_id, j,
+                  sum(((h1 >> j) & 1) * 2 - 1) AS v1,
+                  sum(((h2 >> j) & 1) * 2 - 1) AS v2
+                FROM hv CROSS JOIN range(60) r(j) GROUP BY doc_id, j),
+      sims AS (SELECT doc_id,
+                 sum(CASE WHEN v1 > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS sim1,
+                 sum(CASE WHEN v2 > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS sim2
+               FROM votes GROUP BY doc_id),
+      bands AS (SELECT doc_id, g,
+          CASE WHEN g < 4 THEN (sim1 >> CAST(g * 15 AS INTEGER)) & 32767
+               ELSE (sim2 >> CAST((g - 4) * 15 AS INTEGER)) & 32767 END AS bval
+        FROM sims CROSS JOIN range(8) r(g)),
+      cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+               FROM bands x JOIN bands y
+                 ON x.g = y.g AND x.bval = y.bval AND x.doc_id < y.doc_id)
+      SELECT c.a, c.b,
+        CAST(bit_count(xor(sa.sim1, sb.sim1))
+           + bit_count(xor(sa.sim2, sb.sim2)) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN sims sa ON sa.doc_id = c.a
+      JOIN sims sb ON sb.doc_id = c.b
+      WHERE bit_count(xor(sa.sim1, sb.sim1))
+          + bit_count(xor(sa.sim2, sb.sim2)) <= 7
+      ORDER BY a, b""")
+  )
+
   val all: Seq[Q] = Seq(d1ExactDedup, d2NgramJaccard, d3MinHashLsh, d4SimHash,
     d7IncrementalDedup, d9Containment, d10DupSpans, d11LshRecall, d12OphMinhash,
     d13OphDense, d14CdcChunks, d15BandTuning, d16TfidfDedup, d18DedupAgreement,
-    d17BloomAdmission, d19MaxDupSpans, d20SpanPartners, d21SimhashWide)
+    d17BloomAdmission, d19MaxDupSpans, d20SpanPartners, d21SimhashWide,
+    d22SimhashDual)
 }
