@@ -68,6 +68,10 @@ object Plans {
       "Mergeable sketches: per-day hll_sketch_agg with partial aggregation before the day exchange; the weekly rollup unions sketch bytes only — raw events appear in exactly one scan.",
     "d4_simhash" ->
       "Sorted-neighborhood candidates: the fused graft_shingles/tokenHash scan feeds one signature HashAggregate; rank windows are PARTITIONED by (rotation, block) — no single-partition sort — and every neighbor pairing is an equi-join; candidate volume bounded at 4nW by construction.",
+    "d21_simhash_wide" ->
+      "Wide-signature near-dup (60-bit, 8 near-equal bands): one map-side-combined signature aggregate, candidates from a (band, value) equi-join with map-side partial pair-distinct, exact popcount verify — no cartesian, only 8-byte signatures shuffle.",
+    "d22_simhash_dual" ->
+      "Dual-long 120-bit near-dup (8 exact 15-bit bands): same shape as d21 with the combined two-long popcount verify; the band equi-join's per-bucket work drops with the 8/2^15 collision floor.",
     "d9_containment" ->
       "Asymmetric containment: rarest-first prefix of the contained side equi-joins the full inverted index on shingle; verification is one map-side-combined count aggregate per pair — no length filter, no cartesian.",
     "e3_bucket_neardup" ->

@@ -898,7 +898,10 @@ object ScaleProbe {
       def start() = graft.streaming.CorpusIngest.startIngestVectors(
         spark, in, corpus, census, planes, ckpt,
         trigger = Trigger.AvailableNow())
-      saltedVec(state, 0, 17).coalesce(8).write.json(in)
+      // dimMult must be nonzero mod the shift modulus (17): a multiplier
+      // of 17 here would make every copy's perturbation CONSTANT across
+      // dimensions (the 19 is 2 mod 17; the epoch's 29 is 12 mod 17).
+      saltedVec(state, 0, 19).coalesce(8).write.json(in)
       start().awaitTermination()
       val censusRows = spark.read.parquet(census).count()
       val corpusBefore = spark.read.parquet(corpus).count()

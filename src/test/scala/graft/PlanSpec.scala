@@ -235,6 +235,17 @@ class PlanSpec extends SparkSpec {
       "unpartitioned rank window in d4:\n" + windowLines.mkString("\n"))
   }
 
+  test("d21/d22: wide-signature candidates come only from band equi-joins " +
+    "(no cartesian anywhere), and the pair-distinct partial-aggregates " +
+    "map-side before its exchange") {
+    Seq("d21_simhash_wide", "d22_simhash_dual").foreach { q =>
+      val plan = executedPlan(q)
+      assert(!plan.contains("CartesianProduct"), s"$q:\n" + plan.take(3000))
+      assert(plan.contains("partial_"),
+        s"$q lost map-side partial aggregation:\n" + plan.take(3000))
+    }
+  }
+
   test("shingle table is a narrow fused projection: zero exchanges, no window, " +
     "no re-splitting HOF lambda") {
     // r5 shape: scan -> graft_shingles -> explode. The r2 HOF-lambda trap
