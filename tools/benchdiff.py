@@ -36,14 +36,15 @@ def load(path):
     if "parsed" in raw and isinstance(raw["parsed"], dict):
         raw = raw["parsed"]
     return (raw.get("queries", {}) or {}, raw.get("value"), cpus,
-            raw.get("cores_eff", {}) or {})
+            raw.get("cores_eff", {}) or {},
+            (raw.get("canary_first_sec"), raw.get("canary_last_sec")))
 
 def main():
     if len(sys.argv) < 3:
         print(__doc__)
         return 2
-    old_q, old_total, old_cpus, old_eff = load(sys.argv[1])
-    new_q, new_total, new_cpus, new_eff = load(sys.argv[2])
+    old_q, old_total, old_cpus, old_eff, old_can = load(sys.argv[1])
+    new_q, new_total, new_cpus, new_eff, new_can = load(sys.argv[2])
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     # Sub-0.3s timings are dominated by scheduler noise at local[N]; a 1.5x
     # blip there is not a plan regression.
@@ -82,6 +83,17 @@ def main():
           f"new_only={len(set(new_q)-set(old_q))} "
           f"total {old_total} -> {new_total} sec "
           f"(median per-query ratio {med:.2f}x — host drift baseline)")
+    # r10+ artifacts carry a fixed CPU-bound canary timed first/last per
+    # session: the canary ratio is the host-window normalizer measured
+    # independently of any query, so a high median ratio WITH a matching
+    # canary ratio is a slow window, not a slow tree.
+    if all(c is not None for c in (old_can + new_can)):
+        oc = (float(old_can[0]) + float(old_can[1])) / 2
+        nc = (float(new_can[0]) + float(new_can[1])) / 2
+        if oc > 0:
+            print(f"canary: old {old_can[0]}/{old_can[1]} s, "
+                  f"new {new_can[0]}/{new_can[1]} s -> window ratio "
+                  f"{nc / oc:.2f}x (compare to the median above)")
     for name, a, b, r, nr in regressed:
         # cores_eff (r8+ artifacts): the in-artifact adjudicator — a flag
         # whose effective parallelism is low (<= ~1.5) is latency-bound
