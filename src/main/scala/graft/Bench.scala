@@ -223,6 +223,12 @@ object Bench {
     // windows — cores_eff for the timed-out query and everything after it
     // in this process is unreliable and reported as -1 (r8 advice).
     @volatile var effTainted = false
+    // THE bench materialization, shared by the timed rows and the e9
+    // variant-attribution legs so the two can never drift (r10 advice):
+    // count() is deliberate — it matches every committed artifact back to
+    // r1, and what it measures (the full shuffle/sort pipeline with output
+    // columns prunable) is the same on both paths by construction.
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit = { df.count(); () }
     def once(name: String): (Boolean, Double, Double) = {
       val task0 = taskMs.get()
       val t0 = System.nanoTime()
@@ -231,7 +237,7 @@ object Bench {
         try {
           spark.sparkContext
             .setJobGroup(s"bench-$name", name, interruptOnCancel = true)
-          all(name)(spark, sfDir).count()
+          materialize(all(name)(spark, sfDir))
           ok = true
         } catch { case _: Throwable => () }
       }, s"bench-$name")
@@ -364,25 +370,54 @@ object Bench {
         val variants = Seq(
           "e2_ivf" -> "e2_ann_ivf", "e4_kmeans" -> "e4_ann_kmeans",
           "e5_hyperplane" -> "e5_ann_hyperplane", "e13_ivf_pq" -> "e13_ivf_pq",
-          "e14_filtered" -> "e14_filtered_ann")
+          "e14_filtered" -> "e14_filtered_ann",
+          // r10 verdict #3: the harness now audits all eight shipped ANN
+          // variants — attribution must cover the same set.
+          "e25_balanced" -> "e25_ivf_balanced", "e27_range" -> "e27_range_search",
+          "e28_multiprobe" -> "e28_multiprobe_lsh")
         val walls = variants.map { case (tag, qn) =>
           clearSlate()
           val t0 = System.nanoTime()
-          all(qn)(spark, sfDir).count()
+          // Same materialization as the timed rows (r10 advice): the legs
+          // must pay exactly what a bench row pays or the per-variant walls
+          // understate e9's cost and the artifact can't attribute a
+          // regression.
+          materialize(all(qn)(spark, sfDir))
           "\"" + tag + "\":" + f((System.nanoTime() - t0) / 1e9)
         }
         walls.mkString(""","e9_variant_sec":{""", ",", "}")
       } else ""
     val canaryLast = canary()
+    // Canary COMMIT gate (r10 verdict #1): the r10 round committed a
+    // best-of-five artifact taken entirely inside a degraded host day and
+    // every perf conclusion had to be rescued by hand. The healthy
+    // reference reading is 0.152 s (BENCH_NOTES_r10 §7); a session whose
+    // canaries average past ~0.25 s is NOT a commit-grade comparator —
+    // say so loudly, and carry a canary-normalized total alongside the raw
+    // one so even a degraded artifact is comparable. The normalization
+    // deliberately only DISCOUNTS (never inflates a healthy run), and is a
+    // whole-session CPU-throughput correction — I/O-light rows normalize
+    // well, latency-bound rows less so; per-row adjudication still uses
+    // cores_eff + control ratios.
+    val canaryHealthyRef = 0.152
+    val canaryMean = (canaryFirst + canaryLast) / 2.0
+    val totalNorm = total * math.min(1.0, canaryHealthyRef / canaryMean)
+    if (canaryMean > 0.25)
+      System.err.println(
+        f"[bench] CANARY GATE: session canaries ${canaryFirst}%.3f/" +
+          f"${canaryLast}%.3f s vs healthy ${canaryHealthyRef}%.3f s — " +
+          "DEGRADED WINDOW; re-run before committing this artifact " +
+          "(total_canary_norm_sec is the discounted comparator if you must)")
     val canaries =
-      s""""canary_first_sec":${f(canaryFirst)},"canary_last_sec":${f(canaryLast)}"""
+      s""""canary_first_sec":${f(canaryFirst)},"canary_last_sec":${f(canaryLast)},""" +
+        s""""canary_healthy_ref_sec":${f(canaryHealthyRef)},"total_canary_norm_sec":${f(totalNorm)}"""
     // The driver records only the LAST ~2000 chars of stdout (BENCH_r01:
     // rc=0 yet parsed:null — the 4 KB full-map line had its FRONT cut off
     // by the tail window, so the JSON never parsed). Print the full
     // per-query map first for humans/judges, then END with a compact line
     // guaranteed to fit the tail window: same metric/value schema, slowest
     // 15 queries inline, full map one line up.
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"cores_eff":$effs,"view_backed":$viewBacked,"view_build_sec":$viewBuilds$e9Var,$canaries,"sf":"$sfDir","agg":"per-query min of 2 clean-slate runs (host parallelism varies run-to-run); cores_eff = executor-task-sec/wall-sec of the reported run; view_backed queries read warm materialized views whose one-time build cost is view_build_sec; canary_*_sec time the same fixed CPU-bound no-I/O fold first/last in the session; cross-artifact host windows normalize by canary ratio"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"cores_eff":$effs,"view_backed":$viewBacked,"view_build_sec":$viewBuilds$e9Var,$canaries,"sf":"$sfDir","agg":"per-query min of 2 clean-slate runs (host parallelism varies run-to-run); cores_eff = executor-task-sec/wall-sec of the reported run; view_backed queries read warm materialized views whose one-time build cost is view_build_sec; canary_*_sec time the same fixed CPU-bound no-I/O fold first/last in the session; cross-artifact host windows normalize by canary ratio; cross-session regression adjudication protocol + per-round session inventory live in BENCH_NOTES_r{N}.md next to this artifact"}""")
     val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
       .map { case (k, v, _, _) => "\"" + k + "\":" + f(v) }
       .mkString("{", ",", "}")

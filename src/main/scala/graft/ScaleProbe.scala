@@ -827,14 +827,17 @@ object ScaleProbe {
         def start() = mode match {
           case "fp" => graft.streaming.CorpusIngest.startIngest(
             spark, in, corpus, census, ckpt, Trigger.AvailableNow())
+          // The legacy 32-bit width, now an explicit opt-in (the gate's
+          // DEFAULT is 60 since r11): this leg is kept as the saturation
+          // demonstration — its admission collapse at 16× census is the
+          // SIGNATURE saturating, not the gate design. See Text.tokenHash60.
           case "frame" => graft.streaming.CorpusIngest.startIngestFrames(
-            spark, in, corpus, census, ckpt,
+            spark, in, corpus, census, ckpt, sigBits = 32,
             trigger = Trigger.AvailableNow())
-          // The 60-bit signature width (same gate, same radius): the leg
-          // that shows the 32-bit admission collapse is the SIGNATURE
-          // saturating, not the gate design — see Text.tokenHash60.
+          // The production default width (sigBits = 60 is the signature
+          // the gate ships with — this leg exercises the default path).
           case "frame60" => graft.streaming.CorpusIngest.startIngestFrames(
-            spark, in, corpus, census, ckpt, sigBits = 60,
+            spark, in, corpus, census, ckpt,
             trigger = Trigger.AvailableNow())
           case _ => graft.streaming.CorpusIngest.startIngestSpans(
             spark, in, corpus, census, stats, ckpt,

@@ -898,17 +898,24 @@ object GraphQueries {
       var hub = pairT.select("ck").distinct().withColumn("h", lit(HitsMass))
       var auth: DataFrame = null
       val cached = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+      // max(score) over an EMPTY half-round table is SQL NULL (a filtered-
+      // empty or degenerate graph): read it nullable and default the
+      // divisor to 1 so the chain degrades to empty results like the old
+      // crossJoin(broadcast(max)) form did, instead of NPE-ing the driver.
+      def maxOr1(df: DataFrame, c: String): Long =
+        Option(df.agg(max(c)).head().getAs[java.lang.Long](0))
+          .map(_.longValue).getOrElse(1L)
       var r = 1
       while (r <= HitsRounds) {
         val aRaw = pairT.join(hub, Seq("ck")).groupBy("sk").agg(sum("h").as("ar"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         cached += aRaw
-        val aDiv = math.max(aRaw.agg(max("ar")).head().getLong(0) / HitsMass, 1L)
+        val aDiv = math.max(maxOr1(aRaw, "ar") / HitsMass, 1L)
         auth = aRaw.select(col("sk"), expr(s"ar div ${aDiv}L").as("a"))
         val hRaw = pairT.join(auth, Seq("sk")).groupBy("ck").agg(sum("a").as("hr"))
           .persist(StorageLevel.MEMORY_AND_DISK)
         cached += hRaw
-        val hDiv = math.max(hRaw.agg(max("hr")).head().getLong(0) / HitsMass, 1L)
+        val hDiv = math.max(maxOr1(hRaw, "hr") / HitsMass, 1L)
         hub = hRaw.select(col("ck"), expr(s"hr div ${hDiv}L").as("h"))
         r += 1
       }

@@ -72,10 +72,20 @@ object CorpusIngest {
       val stored =
         try scala.io.Source.fromInputStream(in).mkString.trim.toInt
         finally in.close()
-      require(stored == sigBits,
-        s"frame census at $censusDir was built with sig_bits=$stored; " +
-          s"resuming with sigBits=$sigBits would join incompatible band " +
-          "rows — keep the width or rebuild the census")
+      if (stored != sigBits) {
+        // A marker over an EMPTY census pins nothing: the marker is
+        // written before the epoch's first batch commits, so an epoch
+        // that failed before any census rows landed would otherwise
+        // permanently wedge the directory at a width no band row ever
+        // used (r10 advice). Width changes are allowed — by re-pinning —
+        // exactly when no batch_id= partition exists to be incompatible.
+        require(!hasCensus(spark, censusDir),
+          s"frame census at $censusDir was built with sig_bits=$stored; " +
+            s"resuming with sigBits=$sigBits would join incompatible band " +
+            "rows — keep the width or rebuild the census")
+        val out = fs.create(marker, true)
+        try out.write(s"$sigBits\n".getBytes("UTF-8")) finally out.close()
+      }
     } else {
       val out = fs.create(marker, true)
       try out.write(s"$sigBits\n".getBytes("UTF-8")) finally out.close()
@@ -577,7 +587,13 @@ object CorpusIngest {
       censusDir: String,
       checkpointDir: String,
       maxHamming: Int = 6,
-      sigBits: Int = 32,
+      // 60-bit is the production default (r10 verdict #2): the batchsig
+      // probe measured 32-bit admission birthday-saturating past ~10⁴
+      // stored docs (PROBES_r09/r10) while 60-bit stays discriminative to
+      // ~10¹⁰. Pass 32 explicitly for byte-parity with batch m4 on small
+      // corpora; existing censuses are width-pinned (`pinSigBits`), so the
+      // flip fails fast on a 32-bit census instead of corrupting it.
+      sigBits: Int = 60,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     readDocs(spark, inputDir)
       .writeStream
@@ -597,9 +613,9 @@ object CorpusIngest {
         // (operators/Multimodal.frameSimhash + simhashBands) — the batch
         // dedup and this gate cannot drift on frame size, hash, or band
         // layout.
-        // `sigBits` widens the signature for production census sizes (the
-        // 32-bit default keeps byte-for-byte parity with batch m4; see
-        // Text.tokenHash60 for the saturation arithmetic).
+        // `sigBits` defaults to the 60-bit production width (m10's batch
+        // twin); 32 keeps byte-for-byte parity with batch m4 — see
+        // Text.tokenHash60 for the saturation arithmetic.
         val sims = graft.operators.Multimodal.frameSimhash(batch, sigBits)
           .persist()
         sims.count() // eager: banded probe + census delta both rescan

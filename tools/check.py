@@ -11,14 +11,15 @@ round-close gate; these make the IN-LOOP gate proportional to the edit):
   --only a,b,c            check only the named queries.
   --changed-since <ref>   check only queries whose defining Scala/oracle
                           text changed since <ref>: changed files from
-                          `git diff --name-only`, then (a) every query
-                          whose name literal appears in a changed
-                          queries/*.scala file, plus (b) for changed
-                          NON-query source files (operators/functions/
-                          plans/sources/streaming), every query defined in
-                          a queries file that references one of the
-                          changed file's top-level object names. Shared
-                          infra (Q/Tables/Verify/SparkEntry) → full run.
+                          `git diff --name-only`, expanded to a FIXED-POINT
+                          closure over "file references a top-level object
+                          defined in the closure" across all main sources
+                          (so a change to a leaf module reached indirectly
+                          — query -> operators/X -> functions/Y — still
+                          gates its consumers), then every query name
+                          literal in the closure's queries/*.scala files.
+                          Shared infra (Q/Tables/Verify/SparkEntry) →
+                          full run.
 """
 import sys, json, glob, math, os, re, subprocess
 import duckdb
@@ -46,23 +47,37 @@ if "--changed-since" in args:
         print(f"[subset] shared infra changed since {ref}; running FULL gate")
     else:
         qfiles = set(glob.glob(f"{repo}/src/main/scala/graft/queries/*.scala"))
-        affected = {f"{repo}/{f}" for f in changed
-                    if f"{repo}/{f}" in qfiles}
-        # non-query source change → pull in query files referencing its objects
-        for f in changed:
-            p = f"{repo}/{f}"
-            if p in qfiles or not os.path.exists(p):
-                continue
-            objs = re.findall(r"^object (\w+)", open(p).read(), re.M)
-            for qf in qfiles:
-                body = open(qf).read()
-                if any(re.search(rf"\b{o}\b", body) for o in objs):
-                    affected.add(qf)
+        # FIXED-POINT dependency closure (r10 advice: a one-hop expansion
+        # silently dropped queries reached indirectly, e.g. query file ->
+        # operators/X -> functions/Y where the query file never names Y):
+        # iterate "file references an object defined in the closure" over
+        # ALL main-source files until stable, THEN intersect with query
+        # files. Object-name grep is conservative (may over-include),
+        # which only widens the subset — never under-gates.
+        src_files = set(glob.glob(
+            f"{repo}/src/main/scala/graft/**/*.scala", recursive=True))
+        bodies = {p: open(p).read() for p in src_files}
+        objs_of = {p: re.findall(r"^object (\w+)", bodies[p], re.M)
+                   for p in src_files}
+        closure = {f"{repo}/{f}" for f in changed
+                   if f"{repo}/{f}" in src_files}
+        frontier_objs = {o for p in closure for o in objs_of.get(p, [])}
+        seen_objs = set(frontier_objs)
+        while frontier_objs:
+            pat = re.compile(
+                r"\b(" + "|".join(re.escape(o) for o in frontier_objs) + r")\b")
+            newly = {p for p in src_files - closure if pat.search(bodies[p])}
+            closure |= newly
+            frontier_objs = {o for p in newly for o in objs_of.get(p, [])
+                             } - seen_objs
+            seen_objs |= frontier_objs
+        affected = closure & qfiles
         ONLY = set()
         for qf in affected:
-            ONLY |= set(re.findall(r'"([a-z]\d+[a-z0-9_]*)"', open(qf).read()))
+            ONLY |= set(re.findall(r'"([a-z]\d+[a-z0-9_]*)"', bodies[qf]))
         print(f"[subset] {len(changed)} changed files since {ref} -> "
-              f"{len(affected)} query files -> filtering to name literals")
+              f"closure {len(closure)} src files -> {len(affected)} query "
+              f"files -> filtering to name literals")
 
 SF = args[0] if len(args) > 0 else "/root/testdata/sf0.01"
 OUT = args[1] if len(args) > 1 else "/tmp/verify_out"
