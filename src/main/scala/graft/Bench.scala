@@ -295,6 +295,7 @@ object Bench {
       graft.queries.DedupQueries.prebuildViews(spark, sfDir)
       graft.queries.GraphQueries.prebuildViews(spark, sfDir)
       graft.queries.SimilarityQueries.prebuildViews(spark, sfDir)
+      graft.queries.PipelineExtras.prebuildViews(spark, sfDir)
       System.err.println(
         f"[bench] view pre-build ${(System.nanoTime() - t0) / 1e9}%.1f s " +
           "(per-table costs in view_build_sec)")

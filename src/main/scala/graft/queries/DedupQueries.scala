@@ -202,6 +202,35 @@ object DedupQueries {
     }
   }
 
+  /** The corpus's WIDE token-signature table `(doc_id, sim1, sim2)` —
+    * two independent 60-bit SimHashes per document, shared by d21 (which
+    * reads `sim1` alone: its single 60-bit signature IS the dual table's
+    * first leg, same `tokenHash60` → `simhashAgg` derivation verbatim)
+    * and d22 (which verifies on both). r10 verdict #4: both queries —
+    * and the probe legs — were each paying the full token explode +
+    * signature aggregate per isolated run (~2.1 s each) even though the
+    * first leg is byte-identical between them; like [[shTable]] this is
+    * a standard warehouse asset (the signature index a 100 TB dedup
+    * deployment maintains incrementally anyway — the streaming census is
+    * its append path). Bucketed+sorted on doc_id so both verify-side
+    * joins read bucket-local with no Exchange on the signature side.
+    * O(docs) rows of (key, two longs) — far smaller than the posting
+    * tables already materialized.
+    */
+  private[graft] def dualSimsTable(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.MatView.of(s, s"graft_dualsims_$tag", "doc_id", PairBuckets) {
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          Text.tokenHash60(col("tok")).as("h1"),
+          Text.seededHash64(lit(2), col("tok")).as("h2"))
+        .groupBy("doc_id")
+        .agg(Text.simhashAgg(col("h1"), 60).as("sim1"),
+          Text.simhashAgg(col("h2"), 60).as("sim2"))
+    }
+  }
+
   /** Materialize every view this family serves queries from (Bench calls
     * it once per session BEFORE the timed loop, so a view's one-time
     * build cost lands in view_build_sec instead of inflating whichever
@@ -210,6 +239,7 @@ object DedupQueries {
   def prebuildViews(s: SparkSession, dir: String): Unit = {
     shTable(s, dir, 3); shTable(s, dir, 5)
     d3Pairs(s, dir); d5Labels(s, dir); winFpTable(s, dir, 15)
+    dualSimsTable(s, dir)
   }
 
   private[graft] def d3Pairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
@@ -1244,23 +1274,21 @@ object DedupQueries {
     * the exact popcount at Hamming ≤ 7.
     *
     * Scale: one map-side-combinable signature aggregate (only 8-byte
-    * signatures shuffle), one equi-join per band with per-bucket work
-    * bounded by band selectivity (worst band 1/128 of the census — the
-    * near-equal split; a naive 8-bit slicing leaves a 4-bit band at
-    * census/16 collisions per doc), exact verify on the collided pairs.
+    * signatures shuffle) — paid ONCE at [[dualSimsTable]] build time and
+    * read back bucket-local here (r10 verdict #4; d21's signature is the
+    * dual table's first leg verbatim) — one equi-join per band with
+    * per-bucket work bounded by band selectivity (worst band 1/128 of
+    * the census — the near-equal split; a naive 8-bit slicing leaves a
+    * 4-bit band at census/16 collisions per doc), exact verify on the
+    * collided pairs.
     */
   val d21SimhashWide: Q = Q(
     "d21_simhash_wide",
     (s, dir) => {
       // Signature table feeds the band explode AND both verify sides —
-      // persist + eager count (d4's pattern).
-      val sims = t(s, dir, "documents")
-        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
-        .select(col("doc_id"), Text.tokenHash60(col("tok")).as("hv"))
-        .groupBy("doc_id")
-        .agg(Text.simhashAgg(col("hv"), 60))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sims.count()
+      // the shared bucketed view (no per-query rebuild, no persist).
+      val sims = dualSimsTable(s, dir)
+        .select(col("doc_id"), col("sim1").as("simhash"))
       val bands = graft.operators.Multimodal.simhashBands(sims, 60)
         .select("doc_id", "k", "byte")
       val cand = bands
@@ -1322,16 +1350,10 @@ object DedupQueries {
   val d22SimhashDual: Q = Q(
     "d22_simhash_dual",
     (s, dir) => {
-      val sims = t(s, dir, "documents")
-        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
-        .select(col("doc_id"),
-          Text.tokenHash60(col("tok")).as("h1"),
-          Text.seededHash64(lit(2), col("tok")).as("h2"))
-        .groupBy("doc_id")
-        .agg(Text.simhashAgg(col("h1"), 60).as("sim1"),
-          Text.simhashAgg(col("h2"), 60).as("sim2"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sims.count() // eager: band explode + both verify sides rescan
+      // The shared bucketed signature view (r10 verdict #4): the dual
+      // 60-bit aggregate is paid once at build time; the band explode and
+      // both verify sides read it bucket-local.
+      val sims = dualSimsTable(s, dir)
       // Band layout shared with the frame path (Multimodal.dualBands) —
       // one definition of the 8 x 15-bit split for both families.
       val bands = graft.operators.Multimodal.dualBands(sims)

@@ -15,6 +15,29 @@ object PipelineExtras {
 
   private def t(s: SparkSession, dir: String, n: String) = Tables.table(s, dir, n)
 
+  /** The corpus's 60-bit FRAME-signature table `(doc_id, simhash)` —
+    * `Multimodal.frameSimhash` at the wide width, materialized once as a
+    * bucketed view (r10 verdict #4): m10 read the frame explode +
+    * signature aggregate per isolated run even though the streaming gate
+    * maintains exactly this table incrementally as its census. Bucketed on
+    * doc_id so both verify-side joins read bucket-local. m4's 32-bit
+    * signature stays inline — it is the byte-parity reference path, not a
+    * scale consumer.
+    */
+  private[graft] def frameSims60Table(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    graft.sources.MatView.of(s, s"graft_framesims60_$tag", "doc_id", 16) {
+      graft.operators.Multimodal.frameSimhash(t(s, dir, "documents"), 60)
+    }
+  }
+
+  /** Materialize this family's served views before the timed bench loop
+    * (the r8 verdict #7 discipline — build cost lands in view_build_sec).
+    */
+  def prebuildViews(s: SparkSession, dir: String): Unit = {
+    frameSims60Table(s, dir); ()
+  }
+
   /** F14: array function surface — distinct/sort/slice/join/contains over
     * the token array (all narrow per-row transforms; nothing shuffles).
     */
@@ -415,19 +438,17 @@ object PipelineExtras {
     * m4's 32-bit rows are untouched — this is the parameterized twin, not
     * an oracle change.
     *
-    * Scale: identical plan shape to m4 (only 8-byte signatures shuffle;
-    * band join per-bucket work bounded by band selectivity, worst 1/128);
-    * what changes is WHERE it saturates — see `Text.tokenHash60` for the
-    * birthday arithmetic and `ScaleProbe`'s `batchsig` leg for the
-    * measured 32-vs-60 candidate-volume curve.
+    * Scale: identical plan shape to m4 (only 8-byte signatures shuffle —
+    * paid once at [[frameSims60Table]] build time, read back bucket-local
+    * here; band join per-bucket work bounded by band selectivity, worst
+    * 1/128); what changes is WHERE it saturates — see `Text.tokenHash60`
+    * for the birthday arithmetic and `ScaleProbe`'s `batchsig` leg for
+    * the measured 32-vs-60 candidate-volume curve.
     */
   val m10MediaDedupWide: Q = Q(
     "m10_media_dedup_wide",
     (s, dir) => {
-      val sims = graft.operators.Multimodal
-        .frameSimhash(t(s, dir, "documents"), 60)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sims.count() // eager: band explode + both verify sides rescan
+      val sims = frameSims60Table(s, dir)
       val bands = graft.operators.Multimodal.simhashBands(sims, 60)
         .select("doc_id", "k", "byte")
       val cand = bands

@@ -236,14 +236,39 @@ class PlanSpec extends SparkSpec {
   }
 
   test("d21/d22: wide-signature candidates come only from band equi-joins " +
-    "(no cartesian anywhere), and the pair-distinct partial-aggregates " +
-    "map-side before its exchange") {
+    "(no cartesian anywhere), the pair-distinct partial-aggregates " +
+    "map-side before its exchange, and the signature table is the shared " +
+    "bucketed view read with no Exchange on its verify sides") {
     Seq("d21_simhash_wide", "d22_simhash_dual").foreach { q =>
       val plan = executedPlan(q)
       assert(!plan.contains("CartesianProduct"), s"$q:\n" + plan.take(3000))
-      assert(plan.contains("partial_"),
-        s"$q lost map-side partial aggregation:\n" + plan.take(3000))
+      // The pair-distinct runs two-phase (partial + final HashAggregate
+      // around its exchange) — map-side combine on the candidate pairs.
+      // (The signature sums' "partial_" markers left the plan with the
+      // r11 move to the materialized view; the keyed aggregate pair is
+      // the remaining map-side-combine evidence.)
+      assert("HashAggregate\\(keys=\\[a".r.findAllIn(plan).size >= 2,
+        s"$q lost the two-phase pair-distinct:\n" + plan.take(3000))
+      // r10 verdict #4: both queries read the ONE materialized dual-
+      // signature table instead of re-running the token explode +
+      // signature aggregate per query...
+      assert(plan.contains("graft_dualsims"),
+        s"$q must read the shared dual-signature view:\n${plan.take(3000)}")
+      // ...so the token-hash expression (used only by the signature
+      // build) must be absent from the served plan.
+      assert(!plan.contains("graft_md5_"),
+        s"$q still rebuilds its signatures inline:\n${plan.take(3000)}")
     }
+  }
+
+  test("m10: the 60-bit frame-signature table is the shared bucketed view " +
+    "(no per-query frame explode), candidates stay band equi-joins") {
+    val plan = executedPlan("m10_media_dedup_wide")
+    assert(!plan.contains("CartesianProduct"), plan.take(3000))
+    assert(plan.contains("graft_framesims60"),
+      s"m10 must read the shared frame-signature view:\n${plan.take(3000)}")
+    assert(!plan.contains("graft_md5_"),
+      s"m10 still hashes frames inline:\n${plan.take(3000)}")
   }
 
   test("shingle table is a narrow fused projection: zero exchanges, no window, " +
