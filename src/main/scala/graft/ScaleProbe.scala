@@ -624,6 +624,36 @@ object ScaleProbe {
         f"build=$buildSec%7.2f s refresh(delta=$nDocs)=$refreshSec%7.2f s")
       println(f"""PROBEJSON {"probe":"mvrefresh","factor":$f,"n":${nDocs * f},"aux":$nDocs,"sec":$refreshSec%.2f,"build_sec":$buildSec%.2f,"refresh_sec":$refreshSec%.2f}""")
     }
+    // Bucket-file boundedness across ~10 refreshes (r10 verdict #5's done
+    // criterion): every append adds one file per touched bucket, so
+    // without the compaction policy the per-bucket count would read
+    // 2,3,...,11 across ten refreshes. With maxFilesPerBucket = 4 the
+    // probe must show the count sawtooth within [1, 5] (policy breach →
+    // in-refresh compact back to 1) and the compaction log advancing.
+    locally {
+      val tbl = "graft_probe_mv_compact"
+      graft.sources.MatView.of(spark, tbl, "doc_id", 16) {
+        graft.operators.MinHashLSH.shingleTable(docs, "doc_id", "text", 5)
+      }
+      (1 to 10).foreach { k =>
+        val delta = docs.select(
+          (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+          regexp_replace(concat(col("text"), lit(" ")), lit(" "), lit(s"_r$k "))
+            .as("text"))
+        val t0 = System.nanoTime()
+        graft.sources.MatView.append(spark, tbl, "doc_id", 16,
+          maxFilesPerBucket = 4) {
+          graft.operators.MinHashLSH.shingleTable(delta, "doc_id", "text", 5)
+        }
+        val sec = (System.nanoTime() - t0) / 1e9
+        val mf = graft.sources.MatView.maxBucketFiles(spark, tbl)
+        val nComp = graft.sources.MatView.compactCosts
+          .getOrElse(tbl, (0L, 0.0))._1
+        println(f"[scale-mvcompact] refresh=$k%2d max_bucket_files=$mf%2d " +
+          f"compactions=$nComp%2d refresh+compact=$sec%6.2f s")
+        println(f"""PROBEJSON {"probe":"mvcompact","factor":$k,"n":$mf,"aux":$nComp,"sec":$sec%.2f,"max_bucket_files":$mf,"compactions":$nComp}""")
+      }
+    }
     docs.unpersist()
   }
 

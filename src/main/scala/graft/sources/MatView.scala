@@ -1,6 +1,7 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.col
 import scala.collection.concurrent.TrieMap
 
 /** Write-once BUCKETED materialized views for shared derivations — the
@@ -133,32 +134,135 @@ object MatView {
     * a from-scratch build over the grown corpus, a parity
     * MatViewRefreshSpec asserts. Call through [[of]] first so the base
     * table exists; the refresh is logged to [[refreshCosts]] (count,
-    * rows, seconds) — the artifact-visible staleness contract.
+    * rows, seconds) — the artifact-visible staleness contract. When any
+    * bucket's file count breaches `maxFilesPerBucket` the refresh
+    * triggers [[compact]] (set it ≤ 0 to opt out), so per-bucket file
+    * counts — and with them the per-file sorted-run count inside every
+    * bucket-local SortMergeJoin — stay bounded across unbounded refreshes.
     */
-  def append(s: SparkSession, table: String, key: String, buckets: Int)(
-      delta: DataFrame): Unit = buildLock.synchronized {
-    require(s.catalog.tableExists(table),
-      s"append-refresh target $table does not exist — build it with of() first")
-    val t0 = System.nanoTime()
-    // Persist before count+write: the staleness-log count and the bucketed
-    // write otherwise each execute the full delta plan, so the logged
-    // refresh seconds (the numerator of the O(delta) claim) would include
-    // a redundant recomputation of the delta derivation.
-    val deltaP = delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val n = deltaP.count()
-    deltaP.write
-      .format("parquet")
-      .mode(org.apache.spark.sql.SaveMode.Append)
-      .bucketBy(buckets, key)
-      .sortBy(key)
-      .saveAsTable(table)
-    deltaP.unpersist()
-    val (c, r, sec) = refreshLog.getOrElse(table, (0L, 0L, 0.0))
-    refreshLog.put(table,
-      (c + 1, r + n, sec + (System.nanoTime() - t0) / 1e9))
-    // Cached plans hold the table's file listing at resolve time; drop the
-    // handle so the next consumer re-resolves and sees the appended files.
-    memo.remove((s, table))
-    s.catalog.refreshTable(table)
+  def append(s: SparkSession, table: String, key: String, buckets: Int,
+      maxFilesPerBucket: Int = 8)(
+      delta: DataFrame): Unit = {
+    buildLock.synchronized {
+      require(s.catalog.tableExists(table),
+        s"append-refresh target $table does not exist — build it with of() first")
+      val t0 = System.nanoTime()
+      // Persist before count+write: the staleness-log count and the bucketed
+      // write otherwise each execute the full delta plan, so the logged
+      // refresh seconds (the numerator of the O(delta) claim) would include
+      // a redundant recomputation of the delta derivation.
+      val deltaP = delta.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = deltaP.count()
+      deltaP.write
+        .format("parquet")
+        .mode(SaveMode.Append)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .saveAsTable(table)
+      deltaP.unpersist()
+      val (c, r, sec) = refreshLog.getOrElse(table, (0L, 0L, 0.0))
+      refreshLog.put(table,
+        (c + 1, r + n, sec + (System.nanoTime() - t0) / 1e9))
+      // Cached plans hold the table's file listing at resolve time; drop the
+      // handle so the next consumer re-resolves and sees the appended files.
+      memo.remove((s, table))
+      s.catalog.refreshTable(table)
+    }
+    // Bucket-file compaction policy (r10 verdict #5): each refresh appends
+    // one file per touched bucket, so a long-lived view otherwise degrades
+    // to many per-file sorts inside every bucket-local SortMergeJoin.
+    // Bound it here rather than leaving it to an external janitor — the
+    // refresh IS the single writer the compaction contract requires.
+    if (maxFilesPerBucket > 0 && maxBucketFiles(s, table) > maxFilesPerBucket)
+      compact(s, table, key, buckets)
   }
+
+  private def tableLocation(s: SparkSession, table: String) =
+    new org.apache.hadoop.fs.Path(
+      s.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(table))
+        .location)
+
+  /** The view's file-count high-water mark: data files in the MOST
+    * populated bucket (bucket ids parsed from the `_NNNNN` suffix Spark
+    * stamps on bucketed file names). This is the namenode-visible health
+    * number the compaction policy gates on — reads degrade with per-bucket
+    * file count (one sorted run each inside a bucket-local merge join),
+    * not with total bytes.
+    */
+  def maxBucketFiles(s: SparkSession, table: String): Int = {
+    val loc = tableLocation(s, table)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(loc)) return 0
+    val bucketId = """_(\d+)(?:\.|$)""".r
+    fs.listStatus(loc)
+      .filter(f => f.isFile && !f.getPath.getName.startsWith(".") &&
+        !f.getPath.getName.startsWith("_"))
+      .flatMap(f => bucketId.findFirstMatchIn(f.getPath.getName).map(_.group(1)))
+      .groupBy(identity).values.map(_.length).maxOption.getOrElse(0)
+  }
+
+  /** table → (compaction count, total compaction seconds) — the other half
+    * of the staleness contract: a reader of [[refreshCosts]] sees how far
+    * the view drifted, a reader of this sees when the janitor paid it back.
+    */
+  private val compactLog = TrieMap.empty[String, (Long, Double)]
+
+  def compactCosts: Map[String, (Long, Double)] = compactLog.toMap
+
+  /** Rewrite a refreshed bucketed view back to ONE file per bucket
+    * (r10 verdict #5), preserving the bucket spec and the crash-safety of
+    * the streaming sinks: the compacted copy is staged as a sibling
+    * directory with the SAME bucketBy/sortBy layout, then swapped into the
+    * live table location via [[AtomicSwap.publish]] (aside-swap — a crash
+    * anywhere leaves either the old or the new complete directory, never a
+    * mix). The catalog entry (bucket spec, location) is untouched; only
+    * directory contents change, so every consumer keeps its Exchange-free
+    * bucket-local plan (MatViewRefreshSpec asserts parity + layout across
+    * an append → compact → query round).
+    *
+    * One write task per bucket: `repartition(buckets, key)` hashes with
+    * the same Murmur3 `pmod` bucketBy uses, so each task holds exactly one
+    * bucket's rows and emits exactly one sorted file for it — per-bucket
+    * file count returns to 1 regardless of how many refreshes accumulated.
+    * I/O is O(table) — amortized by running it only when
+    * [[maxBucketFiles]] breaches the policy, the classic LSM trade.
+    * Same single-writer contract as [[graft.sources.Compact.compact]].
+    */
+  def compact(s: SparkSession, table: String, key: String, buckets: Int): Unit =
+    buildLock.synchronized {
+      require(s.catalog.tableExists(table),
+        s"compaction target $table does not exist")
+      val t0 = System.nanoTime()
+      val live = tableLocation(s, table)
+      val fs = live.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val staged = new org.apache.hadoop.fs.Path(
+        live.getParent, live.getName + ".compact-tmp")
+      val stagingTable = table + "__compacting"
+      s.sql(s"DROP TABLE IF EXISTS $stagingTable")
+      fs.delete(staged, true)
+      // Read the live directory as a PLAIN parquet path, not s.table(...):
+      // the catalog scan advertises HashPartitioning(key, buckets), so the
+      // planner removes the repartition as redundant — and then
+      // DisableUnnecessaryBucketedScan (nothing downstream of a write
+      // declares interesting partitioning) falls back to file-split
+      // partitions, writing MIXED buckets per task (probed live: 3 files
+      // per bucket instead of 1). The path read has UnknownPartitioning,
+      // so the repartition survives and aligns tasks to buckets.
+      s.read.parquet(live.toString)
+        .repartition(buckets, col(key))
+        .write.format("parquet")
+        .mode(SaveMode.Overwrite)
+        .bucketBy(buckets, key)
+        .sortBy(key)
+        .option("path", staged.toString)
+        .saveAsTable(stagingTable)
+      // external staging table: DROP removes the catalog entry only
+      s.sql(s"DROP TABLE $stagingTable")
+      AtomicSwap.publish(fs, staged, live)
+      memo.remove((s, table))
+      s.catalog.refreshTable(table)
+      val (c, sec) = compactLog.getOrElse(table, (0L, 0.0))
+      compactLog.put(table, (c + 1, sec + (System.nanoTime() - t0) / 1e9))
+    }
 }
