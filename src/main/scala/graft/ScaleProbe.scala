@@ -109,6 +109,7 @@ object ScaleProbe {
     if (probeOn("ingest")) ingestProbe(spark, sfDir)
     if (probeOn("batchsig")) batchSigProbe(spark, sfDir)
     if (probeOn("mvrefresh")) mvRefreshProbe(spark, sfDir)
+    if (probeOn("skew")) skewProbe(spark)
     if (probeOn("cc")) ccProbe(spark, sfDir)
     if (probeOn("sn")) snProbe(spark, sfDir)
     if (probeOn("span")) spanProbe(spark, sfDir)
@@ -655,6 +656,252 @@ object ScaleProbe {
       }
     }
     docs.unpersist()
+  }
+
+  /** Planted-skew mitigation, measured (r10 verdict #6: AQE skew splitting
+    * and j10's salting were PlanSpec-asserted but never measured under a
+    * planted hot key). One key receives ~10 % of all rows; each leg runs a
+    * join shape the engine ships, naive vs mitigated, and records the
+    * MAX-TASK SHARE (hottest task's executor-run-time over the window's
+    * total — the straggler number that decides wall time on a 1000-executor
+    * cluster, where an even share is 1/parallelism) plus wall and task
+    * count:
+    *
+    *  - `join` (j10's fact⋈dim shape, broadcast disabled as in its
+    *    broadcast-ineligible scenario): naive vs [[graft.operators.Skew
+    *    .saltedJoin]] vs AQE skew-split. Salting and AQE must both pull
+    *    the hot task's share back toward the even 1/32 line.
+    *  - `label` (g4's adjacency⋈labels shape, fact⋈fact SMJ + group-by):
+    *    naive vs AQE skew-split — the input-bytes skew class AQE's
+    *    OptimizeSkewedJoin exists for.
+    *  - `band` (d3's pair-generating band SELF-join): one band bucket
+    *    holds 10 % of docs, so the hot task's work is OUTPUT-quadratic
+    *    ((n/10)² pairs) while its INPUT bytes barely register — the class
+    *    AQE's input-byte heuristic CANNOT see (measured and disclosed,
+    *    not hidden): the dedup family's real mitigation is band-key
+    *    design — selectivity/width (see `batchsig`) — not runtime splits.
+    *
+    * The AQE legs lower `skewedPartitionThresholdInBytes`/`factor` and
+    * the advisory size so the splitter sees toy-scale partitions (MBs
+    * here stand in for the 256 MB+ partitions of a production shuffle);
+    * the MECHANISM under test is identical, only the trigger point moves.
+    * All session confs are restored after the probe.
+    */
+  def skewProbe(spark: SparkSession): Unit = {
+    // Per-STAGE task accounting: the reported share is max-task /
+    // stage-total WITHIN THE DOMINANT STAGE (largest task-time sum) — a
+    // whole-window share dilutes the hot reduce task with the (even) map
+    // stages' hashing time, and a naive per-stage max would crown every
+    // single-task final-agg stage with share 1000. The dominant stage is
+    // where the join work lives, and its straggler decides cluster wall.
+    val stageSum = scala.collection.concurrent.TrieMap.empty[Int, Long]
+    val stageMax = scala.collection.concurrent.TrieMap.empty[Int, Long]
+    val taskN = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) {
+          val t = m.executorRunTime
+          stageSum.updateWith(e.stageId) {
+            case Some(s) => Some(s + t); case None => Some(t) }
+          stageMax.updateWith(e.stageId) {
+            case Some(s) => Some(math.max(s, t)); case None => Some(t) }
+          taskN.incrementAndGet()
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def quiesce(): Unit = { // listener bus drains async (Bench's poll)
+      var last = -1L; var stable = 0; var waited = 0
+      while (stable < 2 && waited < 40) {
+        Thread.sleep(50); waited += 1
+        val cur = stageSum.values.sum
+        if (cur == last) stable += 1 else { stable = 0; last = cur }
+      }
+    }
+    // Set by each action from its executed plan: did AQE's
+    // OptimizeSkewedJoin actually rewrite this run's join? Recorded in
+    // the artifact so a share number is never interpreted against a split
+    // that silently didn't fire.
+    var lastSkewSplit = false
+    def measure(tag: String, n: Long)(action: => Long): Unit = {
+      // min-of-2: the first run on a cold code path bills JIT + codegen
+      // compilation to whichever leg goes first (the Bench discipline).
+      val runs = (1 to 2).map { _ =>
+        spark.catalog.clearCache()
+        quiesce() // drain any straggler events into the PREVIOUS window
+        stageSum.clear(); stageMax.clear(); taskN.set(0)
+        val t0 = System.nanoTime()
+        val out = action
+        val wall = (System.nanoTime() - t0) / 1e9
+        quiesce()
+        val (domStage, domSum) =
+          if (stageSum.isEmpty) (-1, 0L) else stageSum.maxBy(_._2)
+        val sharePm =
+          if (domSum > 0) (stageMax(domStage) * 1000.0 / domSum).round else 0L
+        (wall, out, sharePm, taskN.get, lastSkewSplit)
+      }
+      val (wall, out, sharePm, nTasks, split) = runs.minBy(_._1)
+      println(f"[scale-skew] $tag%-18s rows=$n%9d out=$out%11d " +
+        f"max_task_share=$sharePm%4d permille tasks=$nTasks%4d " +
+        f"skew_split=$split%-5s wall=$wall%6.2f s")
+      println(f"""PROBEJSON {"probe":"skew_$tag","factor":1,"n":$n,"aux":$sharePm,"sec":$wall%.2f,"max_task_share_pm":$sharePm,"tasks":$nTasks,"skew_split":$split,"out_rows":$out}""")
+    }
+    def runAgg(df: DataFrame): Long = {
+      // collect(), NOT head(): head() executes a DERIVED limit plan, so
+      // df's own queryExecution never finalizes and the skew/AQE markers
+      // read from the un-adapted initial plan (observed live:
+      // skew_split=false while the task counts said coalescing fired).
+      val out = df.collect()(0).getLong(0)
+      lastSkewSplit =
+        df.queryExecution.executedPlan.toString.contains("skew=true")
+      if (sys.env.contains("SPARK_GRAFT_SKEW_DEBUG"))
+        System.err.println("[skew-debug] " +
+          df.queryExecution.executedPlan.toString.linesIterator
+            .filter(l => l.contains("Join") || l.contains("ShuffleRead") ||
+              l.contains("Exchange"))
+            .mkString("\n[skew-debug] "))
+      out
+    }
+    val confKeys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+    val saved = confKeys.map(k => k -> spark.conf.getOption(k)).toMap
+    def set(kv: (String, String)*): Unit = kv.foreach { case (k, v) =>
+      spark.conf.set(k, v) }
+    // The naive/salted legs FREEZE the reduce-partition layout (no AQE
+    // coalescing): at toy scale AQE otherwise merges the tiny shuffle
+    // into a few partitions and the share measures the coalesced layout,
+    // not the planted key (observed live: naive share UNDER salted).
+    // At production scale partitions exceed the advisory size and the
+    // frozen layout is what the naive plan runs anyway.
+    def aqeSplitter(on: Boolean): Unit =
+      if (on) set(
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.enabled" -> "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "256k")
+      else set(
+        "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+        "spark.sql.adaptive.skewJoin.enabled" -> "false",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "5",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "256m",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64m")
+    try {
+      set("spark.sql.autoBroadcastJoinThreshold" -> "-1")
+
+      // j10's fact⋈dim shape: key 0 holds 10 % of the fact.
+      val nFact = 4000000L
+      val nKeys = 1000L
+      // payload deliberately un-hashed: the map side must stay near-free
+      // or its (even) 4M-row hashing dominates the stage accounting and
+      // the hot reduce task reads as noise (observed live: naive share
+      // BELOW salted until the work moved to the join side).
+      def fact = spark.range(nFact).select(
+        when(pmod(col("id"), lit(10)) === 0, lit(0L))
+          .otherwise(pmod(xxhash64(col("id")), lit(nKeys - 1)) + 1).as("key"),
+        col("id").as("spread"),
+        col("id").as("payload"))
+      def dim = spark.range(nKeys).select(
+        col("id").as("key"), xxhash64(col("id")).as("attr"))
+      // Reduce-side per-row work (a string render + SHA-256 over both
+      // sides' columns, ~an order heavier than the map side's shuffle
+      // write) so the JOIN stage is STRUCTURALLY the dominant one the
+      // share reads: with cheap folds (count, xxhash, even crc32) the
+      // map-side shuffle write and the join stage trade the "dominant"
+      // slot run-to-run on this oversubscribed host and the share
+      // flip-flops between the even line and the skewed one.
+      def perRowWork(a: org.apache.spark.sql.Column,
+          b: org.apache.spark.sql.Column) =
+        conv(substring(sha2(concat_ws("_", a, b), 256), 1, 6), 16, 10)
+          .cast("long")
+      def joinWork(j: DataFrame): Long = runAgg(
+        j.agg(sum(perRowWork(col("payload"), col("attr")))))
+      aqeSplitter(false)
+      measure("join_naive", nFact) { joinWork(fact.join(dim, "key")) }
+      measure("join_salted", nFact) {
+        joinWork(graft.operators.Skew
+          .saltedJoin(fact, dim, Seq("key"), col("spread"), 32))
+      }
+      aqeSplitter(true)
+      measure("join_aqe", nFact) { joinWork(fact.join(dim, "key")) }
+
+      // g4's adjacency⋈labels shape (fact⋈fact SMJ + group-by): one node
+      // receives 10 % of all edges.
+      val nEdges = 4000000L
+      val nNodes = 100000L
+      def edges = spark.range(nEdges).select(
+        when(pmod(col("id"), lit(10)) === 0, lit(0L))
+          .otherwise(pmod(xxhash64(col("id"), lit(3)), lit(nNodes - 1)) + 1)
+          .as("dst"),
+        col("id").as("src"))
+      def labels = spark.range(nNodes).select(
+        col("id").as("dst"), pmod(xxhash64(col("id")), lit(100)).as("lbl"))
+      // Partial aggregation on dst runs INSIDE the hot join task (g4's
+      // real shape: neighbor labels fold per node) — per-row work there
+      // keeps the join stage dominant.
+      def labelWork(): Long = runAgg(edges.join(labels, "dst")
+        .groupBy("dst")
+        .agg(min(perRowWork(col("src"), col("lbl"))).as("m"))
+        .agg(sum("m")))
+      aqeSplitter(false)
+      measure("label_naive", nEdges) { labelWork() }
+      // The SALTED form of the same shape — the shipped cure for the
+      // class AQE declines (see label_aqe below): salt spreads the hot
+      // node's edges over 32 sub-keys; the per-(dst,salt) partial min is
+      // re-aggregated per dst after (exact same result, g8's two-level
+      // fold pattern).
+      measure("label_salted", nEdges) {
+        runAgg(graft.operators.Skew
+          .saltedJoin(edges, labels, Seq("dst"), col("src"), 32)
+          .groupBy("dst")
+          .agg(min(perRowWork(col("src"), col("lbl"))).as("m"))
+          .agg(sum("m")))
+      }
+      // Expected (and recorded) skew_split=false: the groupBy(dst) above
+      // the join REUSES the join's hashpartitioning(dst), so AQE's
+      // OptimizeSkewedJoin declines to split it (splitting would break
+      // the downstream distribution) — the "aggregation feeding the
+      // join" class j10's scaladoc names as salting's territory.
+      aqeSplitter(true)
+      measure("label_aqe", nEdges) { labelWork() }
+
+      // d3's band self-join shape: one band bucket holds 10 % of docs, so
+      // the hot task's work is the OUTPUT (n/10)² pair space — input-byte
+      // splitters don't see it (the disclosed negative).
+      val nDocs = 120000L // hot bucket 12k docs → ~72M pairs: the output
+      // volume that makes the hot task a real straggler, not noise
+      def bands = spark.range(nDocs).select(
+        when(pmod(col("id"), lit(10)) === 0, lit(0L))
+          .otherwise(pmod(xxhash64(col("id"), lit(11)), lit(nDocs / 20)) + 1)
+          .as("band"),
+        col("id").as("doc"))
+      def bandPairs = {
+        val l = bands.select(col("band"), col("doc").as("a"))
+        val r = bands.select(col("band"), col("doc").as("b"))
+        l.join(r, "band").filter(col("a") < col("b"))
+      }
+      def bandWork(): Long = {
+        val df = bandPairs.agg(count(lit(1)))
+        runAgg(df)
+      }
+      aqeSplitter(false)
+      measure("band_naive", nDocs) { bandWork() }
+      aqeSplitter(true)
+      measure("band_aqe", nDocs) { bandWork() }
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+      spark.sparkContext.removeSparkListener(listener)
+    }
   }
 
   /** e28's storage/recall trade, measured under inflation: banded
