@@ -69,9 +69,11 @@ object Plans {
     "d4_simhash" ->
       "Sorted-neighborhood candidates: the fused graft_shingles/tokenHash scan feeds one signature HashAggregate; rank windows are PARTITIONED by (rotation, block) — no single-partition sort — and every neighbor pairing is an equi-join; candidate volume bounded at 4nW by construction.",
     "d21_simhash_wide" ->
-      "Wide-signature near-dup (60-bit, 8 near-equal bands): one map-side-combined signature aggregate, candidates from a (band, value) equi-join with map-side partial pair-distinct, exact popcount verify — no cartesian, only 8-byte signatures shuffle.",
+      "Wide-signature near-dup (60-bit, 8 near-equal bands): signatures read from the shared bucketed dual-signature view (r11 — no inline token hashing; the verify-side joins are bucket-local on doc_id), candidates from a (band, value) equi-join with two-phase pair-distinct, exact popcount verify — no cartesian, only 8-byte signatures shuffle.",
     "d22_simhash_dual" ->
-      "Dual-long 120-bit near-dup (8 exact 15-bit bands): same shape as d21 with the combined two-long popcount verify; the band equi-join's per-bucket work drops with the 8/2^15 collision floor.",
+      "Dual-long 120-bit near-dup (8 exact 15-bit bands): same shape as d21 off the SAME dual-signature view (both longs) with the combined two-long popcount verify; the band equi-join's per-bucket work drops with the 8/2^15 collision floor.",
+    "m10_media_dedup_wide" ->
+      "Wide-signature media near-dup: the 60-bit frame-signature table is the shared bucketed view (r11 — no per-query frame explode or hashing), candidates from the same 8-near-equal-band equi-join, exact popcount verify — media bytes never shuffle.",
     "d9_containment" ->
       "Asymmetric containment: rarest-first prefix of the contained side equi-joins the full inverted index on shingle; verification is one map-side-combined count aggregate per pair — no length filter, no cartesian.",
     "e3_bucket_neardup" ->

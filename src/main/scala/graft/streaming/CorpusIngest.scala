@@ -550,23 +550,25 @@ object CorpusIngest {
     * [[startIngestNearDup]], completing census-gated ingest for the last
     * modality (text fp / spans / vectors / now media): each candidate's
     * payload is cut into m4's 64-byte frames, each frame hashed
-    * (`Text.tokenHash32` — the codegen'd md5-prefix expression), and the
-    * per-frame hashes folded into ONE 32-bit doc SimHash
-    * (`Text.simhashAgg`); admission probes the stored signature census at
-    * m4's byte-band granularity and rejects any candidate whose simhash
-    * lies within `maxHamming` bits of a stored one. Payloads here are the
-    * repo-wide text-as-media stand-in (m1/m4's convention — the container
-    * ships no codecs); a real deployment swaps the frame extraction for
-    * the decoder's frame iterator and NOTHING downstream changes: the
-    * census stores 8-byte signatures, never frames.
+    * (`Text.tokenHash60` at the default 60-bit production width since
+    * r11; `Text.tokenHash32` at the m4-parity 32-bit opt-in), and the
+    * per-frame hashes folded into ONE doc SimHash (`Text.simhashAgg`);
+    * admission probes the stored signature census at the shared band
+    * granularity (`Multimodal.simhashBands`) and rejects any candidate
+    * whose simhash lies within `maxHamming` bits of a stored one.
+    * Payloads here are the repo-wide text-as-media stand-in (m1/m4's
+    * convention — the container ships no codecs); a real deployment
+    * swaps the frame extraction for the decoder's frame iterator and
+    * NOTHING downstream changes: the census stores 8-byte signatures,
+    * never frames.
     *
     * Gates, cheapest first:
     *  1. exact: whole-payload md5 (m1's content hash) against the census
     *     fp set, plus within-batch lowest-id-wins dedup;
-    *  2. fuzzy: m4's 4×8-bit band probe over the signature census, then
-    *     an exact popcount verify `hamming ≤ maxHamming`. Pigeonhole: a
-    *     pair within Hamming 3 ALWAYS shares a band; 4..6 is caught when
-    *     a band survives — exactly m4's documented recall trade.
+    *  2. fuzzy: the banded probe over the signature census (8 near-equal
+    *     bands at 60 bits — Hamming ≤ 7 pigeonhole; m4's 4×8-bit bands at
+    *     32 — Hamming ≤ 3), then an exact popcount verify
+    *     `hamming ≤ maxHamming`.
     *
     * The census stores (fp, k, byte, simhash) band rows (≤ 4 per admitted
     * doc, payload-free) plus one k = −1 fp row per admitted doc so that

@@ -34,7 +34,8 @@ class VectorsSpec extends SparkSpec {
       .fn(spark, sf)
       .as[(String, Long, Double)].collect()
     assert(rows.map(_._1).toSeq ==
-      Seq("e13_ivf_pq", "e14_filtered", "e2_ivf", "e4_kmeans", "e5_hyperplane"))
+      Seq("e13_ivf_pq", "e14_filtered", "e25_balanced", "e27_range",
+        "e28_multiprobe", "e2_ivf", "e4_kmeans", "e5_hyperplane"))
     // e14's coverage row divides by the filter-surviving truth size (exact
     // top-10 members with label >= 2 AND within-label rank <= 5 — e14's
     // own per-label depth cut), not 10
@@ -44,9 +45,21 @@ class VectorsSpec extends SparkSpec {
       .filter($"label" >= 2)
       .withColumn("lrk", row_number().over(wl))
       .filter($"lrk" <= 5).count(), 1L)
+    // e25 divides by the exact pair truth's size, e27 by the exact
+    // floor-neighbor set's size (the r11 variant-specific truths)
+    val kp = math.max(
+      graft.queries.SimilarityQueries.pairTruth(spark, sf).count(), 1L)
+    val kr = math.max(
+      graft.queries.SimilarityQueries.rangeTruth(spark, sf).count(), 1L)
     rows.foreach { case (v, overlap, recall) =>
-      assert(overlap >= 0 && overlap <= 10, s"$v overlap $overlap out of range")
-      val denom = if (v == "e14_filtered") kf else 10L
+      val denom = v match {
+        case "e14_filtered" => kf
+        case "e25_balanced" => kp
+        case "e27_range" => kr
+        case _ => 10L
+      }
+      assert(overlap >= 0 && overlap <= denom,
+        s"$v overlap $overlap out of [0, $denom]")
       assert(recall == overlap.toDouble / denom,
         s"$v recall $recall != $overlap/$denom")
     }
