@@ -102,7 +102,8 @@ object Bench {
     "v20_embedding_drift",
     "g11_clustering_coeff", "e27_range_search", "h16_parkinson_vol",
     "p19_hilbert_layout", "e28_multiprobe_lsh", "p20_cdc_apply",
-    "d21_simhash_wide", "m10_media_dedup_wide", "d22_simhash_dual")
+    "d21_simhash_wide", "m10_media_dedup_wide", "d22_simhash_dual",
+    "e29_pq_refine")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -375,7 +376,8 @@ object Bench {
           // r10 verdict #3: the harness now audits all eight shipped ANN
           // variants — attribution must cover the same set.
           "e25_balanced" -> "e25_ivf_balanced", "e27_range" -> "e27_range_search",
-          "e28_multiprobe" -> "e28_multiprobe_lsh")
+          "e28_multiprobe" -> "e28_multiprobe_lsh",
+          "e29_refine" -> "e29_pq_refine")
         val walls = variants.map { case (tag, qn) =>
           clearSlate()
           val t0 = System.nanoTime()

@@ -35,7 +35,8 @@ class VectorsSpec extends SparkSpec {
       .as[(String, Long, Double)].collect()
     assert(rows.map(_._1).toSeq ==
       Seq("e13_ivf_pq", "e14_filtered", "e25_balanced", "e27_range",
-        "e28_multiprobe", "e2_ivf", "e4_kmeans", "e5_hyperplane"))
+        "e28_multiprobe", "e29_pq_refine", "e2_ivf", "e4_kmeans",
+        "e5_hyperplane"))
     // e14's coverage row divides by the filter-surviving truth size (exact
     // top-10 members with label >= 2 AND within-label rank <= 5 — e14's
     // own per-label depth cut), not 10
