@@ -283,6 +283,7 @@ object Bench {
       graft.queries.DedupQueries.clearMemo()
       graft.queries.GraphQueries.clearMemo()
       graft.queries.SimilarityQueries.clearPcaMemo()
+      graft.queries.SimilarityQueries.clearAdcMemo()
       spark.catalog.clearCache()
     }
     // Pre-build every session view BEFORE the timed loop (r8 verdict #7):
@@ -373,11 +374,13 @@ object Bench {
           "e2_ivf" -> "e2_ann_ivf", "e4_kmeans" -> "e4_ann_kmeans",
           "e5_hyperplane" -> "e5_ann_hyperplane", "e13_ivf_pq" -> "e13_ivf_pq",
           "e14_filtered" -> "e14_filtered_ann",
-          // r10 verdict #3: the harness now audits all eight shipped ANN
-          // variants — attribution must cover the same set.
+          // r10 verdict #3: the harness now audits all nine shipped ANN
+          // variants — attribution must cover the same set. Tags equal the
+          // variant labels e9's recall rows emit (r11 advice), so artifact
+          // consumers can join walls to recall rows without a special case.
           "e25_balanced" -> "e25_ivf_balanced", "e27_range" -> "e27_range_search",
           "e28_multiprobe" -> "e28_multiprobe_lsh",
-          "e29_refine" -> "e29_pq_refine")
+          "e29_pq_refine" -> "e29_pq_refine")
         val walls = variants.map { case (tag, qn) =>
           clearSlate()
           val t0 = System.nanoTime()
@@ -402,10 +405,23 @@ object Bench {
     // whole-session CPU-throughput correction — I/O-light rows normalize
     // well, latency-bound rows less so; per-row adjudication still uses
     // cores_eff + control ratios.
-    val canaryHealthyRef = 0.152
+    // Host-class override (r11 advice): 0.152 s is THIS container's healthy
+    // reading (BENCH_NOTES_r10 §7); a different host class sets
+    // SPARK_GRAFT_CANARY_REF to its own measured healthy canary so the gate
+    // neither misfires nor silently discounts real regressions there. The
+    // ref used is stamped into the artifact either way.
+    val canaryHealthyRef = sys.env.get("SPARK_GRAFT_CANARY_REF")
+      .map(_.toDouble).getOrElse(0.152)
     val canaryMean = (canaryFirst + canaryLast) / 2.0
-    val totalNorm = total * math.min(1.0, canaryHealthyRef / canaryMean)
-    if (canaryMean > 0.25)
+    // canaryMean == 0 would NaN-poison totalNorm; a sub-clock-resolution
+    // canary just means "healthy" (no discount).
+    val totalNorm =
+      if (canaryMean <= 0.0) total
+      else total * math.min(1.0, canaryHealthyRef / canaryMean)
+    // Gate at ~1.64× the healthy ref (the r10-calibrated 0.25 s absolute
+    // threshold, expressed as a ratio so a host-class ref override moves
+    // the gate with it).
+    if (canaryMean > canaryHealthyRef * 1.64)
       System.err.println(
         f"[bench] CANARY GATE: session canaries ${canaryFirst}%.3f/" +
           f"${canaryLast}%.3f s vs healthy ${canaryHealthyRef}%.3f s — " +

@@ -1103,7 +1103,8 @@ object ScaleProbe {
             s"$root/stats", s"$root/ckpt")
         def start() = mode match {
           case "fp" => graft.streaming.CorpusIngest.startIngest(
-            spark, in, corpus, census, ckpt, Trigger.AvailableNow())
+            spark, in, corpus, census, ckpt,
+            trigger = Trigger.AvailableNow())
           // The legacy 32-bit width, now an explicit opt-in (the gate's
           // DEFAULT is 60 since r11): this leg is kept as the saturation
           // demonstration — its admission collapse at 16× census is the

@@ -319,9 +319,19 @@ object SimilarityQueries {
     (d1, assign)
   }
 
-  val e4AnnKmeans: Q = Q(
-    "e4_ann_kmeans",
-    (s, dir) => {
+  /** e4's shipped probe width. r11 verdict #1 (recall at shipped
+    * defaults): nprobe = 4 of the 32 learned cells recalled 0.6 of the
+    * exact top-10 at the audit scale; the r12 sweep measured 0.8 @ 8 /
+    * 0.9 @ 12 at sf0.01 and 0.6 @ 8 / 1.0 @ 12 at sf0.1 (table in e9's
+    * scaladoc). Candidates grow linearly in nprobe (nprobe·n/C), so
+    * 12/32 cells still prunes ~2.7× over the corpus at the audit
+    * codebook size — production grows C with n and re-sweeps, the e15
+    * harness being exactly that tool.
+    */
+  private[graft] val e4Nprobe = 12
+
+  private[graft] def kmeansTopK(s: SparkSession, dir: String,
+      nprobe: Int): org.apache.spark.sql.DataFrame = {
       val (d1, assign) = ivfModel(s, dir)
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), Vectors.toDoubleVec(col("embedding")).as("v"))
@@ -331,7 +341,7 @@ object SimilarityQueries {
       // partition holds C rows at any scale.
       val qBuckets = d1.filter(col("vec_id") === 0)
         .withColumn("rn", row_number().over(Window.partitionBy().orderBy(col("d2"), col("cid"))))
-        .filter(col("rn") <= 4)
+        .filter(col("rn") <= nprobe)
         .select("cid")
       val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
       assign
@@ -342,10 +352,14 @@ object SimilarityQueries {
           FastVec.cosine(col("v"), col("qv")).as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
-    },
+  }
+
+  val e4AnnKmeans: Q = Q(
+    "e4_ann_kmeans",
+    (s, dir) => kmeansTopK(s, dir, e4Nprobe),
     Some(s"""WITH $sqlIvfCtes,
       qb AS (SELECT cid FROM d1 WHERE vec_id = 0
-             QUALIFY row_number() OVER (ORDER BY d2, cid) <= 4),
+             QUALIFY row_number() OVER (ORDER BY d2, cid) <= $e4Nprobe),
       q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
       SELECT a.vec_id, a.label, a.cid, ${sqlCos("a.v", "qv")} AS sim
       FROM assign a JOIN qb ON a.cid = qb.cid CROSS JOIN q
@@ -357,9 +371,9 @@ object SimilarityQueries {
     * next to IVF (e2/e4): project every vector onto 16 deterministic
     * hyperplanes (the 16 vectors with smallest md5(vec_id) — same fixed
     * pseudo-random draw as e4's seeds), pack the sign bits into a 16-bit
-    * sketch, band it 4×4 (any pair at small cosine distance agrees on ≥1
-    * band with high probability), and verify only the vectors sharing a
-    * band with the query.
+    * sketch, band it [[e5Bands]] × [[e5BandBits]] (any pair at small
+    * cosine distance agrees on ≥1 band with high probability), and
+    * verify only the vectors sharing a band with the query.
     *
     * Scale shape: the projection is a broadcast cross-join into ONE
     * map-side-combinable sum (no shuffle of the big side beyond its own
@@ -368,10 +382,24 @@ object SimilarityQueries {
     * the dot folds are sequential left-folds, bit-identical on both
     * engines, so `>= 0` agrees everywhere.
     */
-  val e5AnnHyperplane: Q = Q(
-    "e5_ann_hyperplane",
-    (s, dir) => {
+  /** e5's shipped band layout over the fixed 16 hyperplanes. r11 verdict
+    * #1: the original 4 bands × 4 bits recalled 0.4 of the exact top-10
+    * at the audit scale — a true neighbor missing the query's nibble in
+    * all four bands is common at 4-bit band width. Re-banding the SAME
+    * 16-bit sketch as 8 bands × 2 bits raises per-band collision
+    * probability from p⁴ to p² (p = per-plane agreement) and measured
+    * recall to 1.0 (r12 sweep, sf0.01) — the standard LSH b×r trade
+    * (more, narrower bands = higher recall, more candidates), paid in
+    * candidate volume (n/2^bits per band × bands), not in index storage:
+    * the sketch bytes are unchanged.
+    */
+  private[graft] val e5Bands = 8
+  private[graft] val e5BandBits = 2
+
+  private[graft] def hyperplaneTopK(s: SparkSession, dir: String,
+      bands: Int, bandBits: Int): org.apache.spark.sql.DataFrame = {
       FastVec.register(s)
+      val mask = (1 << bandBits) - 1
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), Vectors.toDoubleVec(col("embedding")).as("v"))
       // Unpartitioned window BY DESIGN: it ranks only the 16 already-picked
@@ -388,13 +416,13 @@ object SimilarityQueries {
             expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)).as("bit"))
         .groupBy("vec_id")
         .agg(sum(col("bit")).as("sketch"))
-      val bands = sketches
-        .select(col("vec_id"), explode(sequence(lit(0), lit(3))).as("k"),
+      val bandsDf = sketches
+        .select(col("vec_id"), explode(sequence(lit(0), lit(bands - 1))).as("k"),
           col("sketch"))
         .select(col("vec_id"), col("k"),
-          expr("shiftright(sketch, k * 4) & 15").as("val"))
-      val qBands = bands.filter(col("vec_id") === 0).select("k", "val")
-      val cand = bands
+          expr(s"shiftright(sketch, k * $bandBits) & $mask").as("val"))
+      val qBands = bandsDf.filter(col("vec_id") === 0).select("k", "val")
+      val cand = bandsDf
         .join(broadcast(qBands), Seq("k", "val"), "left_semi")
         .filter(col("vec_id") =!= 0)
         .select("vec_id")
@@ -407,8 +435,11 @@ object SimilarityQueries {
           FastVec.cosine(col("v"), col("qv")).as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
-    },
-    Some(s"""WITH e AS ($sqlE),
+  }
+
+  private def sqlHyperplane(bands: Int, bandBits: Int): String = {
+    val mask = (1 << bandBits) - 1
+    s"""WITH e AS ($sqlE),
       planes AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j,
                    v AS h FROM e
                  QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 16),
@@ -416,8 +447,8 @@ object SimilarityQueries {
                sum(CASE WHEN ${sqlDot("e.v", "p.h")} >= 0
                    THEN CAST(1 AS BIGINT) << CAST(p.j AS INTEGER) ELSE 0 END) AS sketch
              FROM e CROSS JOIN planes p GROUP BY e.vec_id),
-      bands AS (SELECT vec_id, k, (sketch >> CAST(k * 4 AS INTEGER)) & 15 AS val
-                FROM sk CROSS JOIN range(4) r(k)),
+      bands AS (SELECT vec_id, k, (sketch >> CAST(k * $bandBits AS INTEGER)) & $mask AS val
+                FROM sk CROSS JOIN range($bands) r(k)),
       qb AS (SELECT k, val FROM bands WHERE vec_id = 0),
       cand AS (SELECT DISTINCT b.vec_id FROM bands b
                JOIN qb ON b.k = qb.k AND b.val = qb.val
@@ -425,7 +456,13 @@ object SimilarityQueries {
       q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
       SELECT c.vec_id, e.label, ${sqlCos("e.v", "qv")} AS sim
       FROM cand c JOIN e ON e.vec_id = c.vec_id CROSS JOIN q
-      ORDER BY sim DESC, c.vec_id LIMIT 10""")
+      ORDER BY sim DESC, c.vec_id LIMIT 10"""
+  }
+
+  val e5AnnHyperplane: Q = Q(
+    "e5_ann_hyperplane",
+    (s, dir) => hyperplaneTopK(s, dir, e5Bands, e5BandBits),
+    Some(sqlHyperplane(e5Bands, e5BandBits))
   )
 
   /** E6: semantic (cluster-level) dedup — the embedding-space complement of
@@ -559,10 +596,34 @@ object SimilarityQueries {
     * e8 stays unnormalized — it is the raw-L2 ADC reference the oracle
     * pins. Zero vectors pass through unnormalized (0/0 would NaN-poison
     * the code assignment; a zero vector has no cosine ranking anyway).
+    *
+    * Memoized per (session, dir, normalize, M, K) the [[pcaModel]] way
+    * (r11 advice: e8 + e29 + e9's composite each persisted a fresh
+    * `subv` lineage that was never unpersisted): the build persists its
+    * per-subspace table only for its own duration, materializes the
+    * n-row result, unpersists the intermediate, and hands every later
+    * caller the same persisted result. [[clearAdcMemo]] restores Bench's
+    * clean-slate discipline.
     */
+  private val adcCache =
+    scala.collection.concurrent.TrieMap
+      .empty[(SparkSession, String, Boolean, Int, Int), org.apache.spark.sql.DataFrame]
+
+  /** Drop the memoized ADC tables (benchmark hygiene — see Bench). */
+  def clearAdcMemo(): Unit = {
+    adcCache.values.foreach(df => scala.util.Try(df.unpersist()))
+    adcCache.clear()
+  }
+
   private[graft] def pqAdcDists(s: SparkSession, dir: String,
       normalize: Boolean = false, M: Int = 4,
-      K: Int = 8): org.apache.spark.sql.DataFrame = {
+      K: Int = 8): org.apache.spark.sql.DataFrame =
+    adcCache.getOrElseUpdate((s, dir, normalize, M, K),
+      pqAdcBuild(s, dir, normalize, M, K))
+
+  private def pqAdcBuild(s: SparkSession, dir: String,
+      normalize: Boolean, M: Int,
+      K: Int): org.apache.spark.sql.DataFrame = {
       FastVec.register(s)
       val sub = 64 / M
       val q20d = (1L << 20).toDouble
@@ -614,13 +675,17 @@ object SimilarityQueries {
       val adc = cent.join(broadcast(qsub), Seq("m"))
         .select(col("m"), col("cid"),
           round(FastVec.l2sq(col("qsv"), col("cv")) * q20d).cast("long").as("qd"))
-      enc.join(broadcast(adc), Seq("m", "cid"))
+      val out = enc.join(broadcast(adc), Seq("m", "cid"))
         .groupBy("vec_id")
         .agg(sum(col("qd")).as("qdist"))
         .filter(col("vec_id") =!= 0)
         .join(emb.select("vec_id", "label"), Seq("vec_id"))
         .select(col("vec_id"), col("label"),
           (col("qdist").cast("double") / lit(q20d)).as("adc_dist"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      out.count() // materialize BEFORE dropping subv — out's lineage reads it
+      subv.unpersist()
+      out
   }
 
   /** Oracle mirror of [[pqAdcDists]] with a parameterized cut — e8 takes
@@ -684,13 +749,13 @@ object SimilarityQueries {
     * indexes actually serve (FAISS `IndexRefine` / `IndexRefineFlat`):
     * stage 1 scans only the 8-byte PQ codes (M = 8 subspaces × K = 16
     * centers — 1/32 of the raw vector bytes) and keeps the ADC top-C
-    * (C = 150) candidate pool; stage 2 fetches JUST those C full vectors
-    * and re-ranks them by exact cosine for the final top-10. This closes
-    * the loop e9 measures: the compressed index alone recalls ~0.3 of the
-    * exact top-10 (e13/e8's quantization loss), and refine buys the
-    * recall back (0.9 at this operating point on the audit corpus) while
-    * full-precision vectors are touched only C times per query — the
-    * memory/recall trade PQ exists for.
+    * ([[e29PoolC]]-row) candidate pool; stage 2 fetches JUST those C
+    * full vectors and re-ranks them by exact cosine for the final
+    * top-10. This closes the loop e9 measures: the compressed index
+    * alone recalls ~0.3 of the exact top-10 (e13/e8's quantization
+    * loss), and refine buys the recall back (1.0 at sf0.01 / 0.8 at
+    * sf0.1 at the shipped C) while full-precision vectors are touched
+    * only C times per query — the memory/recall trade PQ exists for.
     *
     * Two measured design choices, both disclosed:
     *  - the index encodes NORMALIZED vectors (pqAdcDists(normalize =
@@ -702,24 +767,33 @@ object SimilarityQueries {
     *  - C is the recall knob, and the md5-seeded one-Lloyd-step codebook
     *    makes it an expensive one on this corpus: the pool holds
     *    4/10 of the truth at C = 50, 6/10 at 100, 9/10 at 150, 10/10 at
-    *    250 (sf0.01 sweep) — a production build pays more Lloyd steps
+    *    250 (sf0.01 sweep; the sf0.1 re-sweep in [[e29PoolC]]'s scaladoc
+    *    chose the shipped C) — a production build pays more Lloyd steps
     *    for a tighter codebook and a smaller C; the SHAPE (compressed
     *    scan → bounded exact refine) is what transfers.
     *
     * Determinism: stage 1's cut orders by the integer-quantized ADC sum
     * with a vec_id tie-break (e8's contract); stage 2 is the family's
     * bit-identical sequential cosine fold. Scale: stage 1 is e8's
-    * map-side-combinable code-table lookup; stage 2 joins a 50-row
-    * candidate set against the vector table on its key and re-ranks a
+    * map-side-combinable code-table lookup; stage 2 joins the C-row
+    * candidate pool against the vector table on its key and re-ranks a
     * constant-size pool — nothing new grows with the corpus.
     */
-  val e29PqRefine: Q = Q(
-    "e29_pq_refine",
-    (s, dir) => {
+  /** e29's refine-pool width C — the recall knob the scaladoc's sweep
+    * prices (sf0.01: 4/10 of the truth in-pool at C = 50, 9/10 at 150,
+    * 10/10 at 250; sf0.1 r12 re-sweep: recall 0.6 @ 150, 0.8 @ 300,
+    * 1.0 @ 500). C = 300 clears the ~0.8 bar at both audit scales;
+    * stage-2 cost is C exact cosines — linear and tiny next to the
+    * stage-1 code scan, the trade refine exists for.
+    */
+  private[graft] val e29PoolC = 300
+
+  private[graft] def pqRefineTopK(s: SparkSession, dir: String,
+      c: Int): org.apache.spark.sql.DataFrame = {
       FastVec.register(s)
       val cand = pqAdcDists(s, dir, normalize = true, M = 8, K = 16)
         .orderBy(col("adc_dist"), col("vec_id"))
-        .limit(150)
+        .limit(c)
         .select("vec_id")
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), Vectors.toDoubleVec(col("embedding")).as("v"))
@@ -731,8 +805,12 @@ object SimilarityQueries {
           FastVec.cosine(col("v"), col("qv")).as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
-    },
-    Some(s"""WITH cand AS (SELECT vec_id FROM (${sqlPqAdc(150, normalize = true, M = 8, K = 16)})),
+  }
+
+  val e29PqRefine: Q = Q(
+    "e29_pq_refine",
+    (s, dir) => pqRefineTopK(s, dir, e29PoolC),
+    Some(s"""WITH cand AS (SELECT vec_id FROM (${sqlPqAdc(e29PoolC, normalize = true, M = 8, K = 16)})),
       e2 AS ($sqlE),
       q AS (SELECT v AS qv FROM e2 WHERE vec_id = 0)
       SELECT e2.vec_id, e2.label, ${sqlCos("e2.v", "qv")} AS sim
@@ -772,6 +850,39 @@ object SimilarityQueries {
     * statements as subqueries. Each recall is one small equi-join +
     * count; the dominant cost is the variants themselves (per-variant
     * walls in the bench artifact's e9_variant_sec).
+    *
+    * R12 SWEEP (r11 verdict #1 — recall at shipped defaults; measured
+    * with a throwaway sweep harness against this file's truth views at
+    * BOTH audit scales, then the chosen point became the shipped
+    * default; format "sf0.01 / sf0.1"):
+    *  - e4 kmeans-IVF, nprobe: 0.6/– @ 4 → 0.8/0.6 @ 8 → 0.9/1.0 @ 12.
+    *    SHIPPED 12 (clears both scales).
+    *  - e5 hyperplane LSH, bands×bits over the same 16-bit sketch:
+    *    0.4 @ 4×4 → 1.0/1.0 @ 8×2. SHIPPED 8×2 (higher band-collision
+    *    probability, identical sketch bytes).
+    *  - e25 balanced-IVF pairs, soft-assign width A: 0.3/– @ 1 →
+    *    0.65/– @ 2 → 0.8/0.45 @ 3 → –/0.7 @ 4. SHIPPED 3: clears the
+    *    sf0.01 bar; the sf0.1 curve is DISCLOSED as this family's cost
+    *    floor — a 10× corpus's global top-20 pairs are finer-grained
+    *    than any O(A²)-bounded cell-local generator recovers (A = 4
+    *    still reads 0.7 for ×16 worst-case pair work); past that point
+    *    production runs d-family banded dedup or e29-style refine over
+    *    a wider pair pool, not a bigger A.
+    *  - e27 range search, nprobe: 0.478/– @ 4 → 0.957/0.701 @ 16 →
+    *    1.0/0.859 @ 24 → –/0.927 @ 32. SHIPPED 24 (≥0.8 both scales).
+    *  - e28 multi-probe LSH, Hamming ring R on the 8-bit table:
+    *    0.5/– @ 2 → 0.6/– @ 3 → 0.9/0.8 @ 4. SHIPPED 4; widening the
+    *    sketch at equal R LOSES recall (12-bit: 0.4–0.5; 16-bit: ≤0.1 —
+    *    per-bucket agreement is p^bits), so the wide ring IS the
+    *    family's operating point at this corpus size.
+    *  - e29 PQ+refine, pool C: 0.9/0.6 @ 150 → 1.0/0.8 @ 300. SHIPPED
+    *    300.
+    *  - e13 raw IVF-PQ stays at its quantization floor BY DESIGN
+    *    (0.3/0.2): it is the compressed-index reference whose loss
+    *    e29's exact refine corrects — the disclosed cost-floor
+    *    rationale; production serves the e29 shape, e13's row prices
+    *    what the codes alone know. e2 (1.0) and e14 (1.0) were already
+    *    at ceiling.
     */
   // lazy: the oracle text composes e13/e14's oracles, whose vals are
   // initialized later in this object — eager init would read them as null.
@@ -2198,9 +2309,22 @@ object SimilarityQueries {
     * argmins carry the family's deterministic tie-breaks
     * ((d², centroid id); md5-then-id for draws), so both engines and any
     * partitioning produce identical cells.
+    *
+    * `assignTop` is the SOFT-ASSIGNMENT width (r11 verdict #1): each
+    * vector lands in its `assignTop` nearest level-1 cells instead of
+    * only its nearest. Pairs straddling a single cell boundary — the
+    * recall loss IVF's contract accepts — are then recovered whenever
+    * EITHER member's second cell is the other's first (the standard
+    * multi-assignment / "spilling" fix, e28's multi-probe applied at
+    * index-build time). Index size and candidate volume grow ×assignTop
+    * and ×assignTop² respectively; the census/cap logic sees the
+    * multi-assigned censuses, so the split guarantee still bounds the
+    * worst cell's pair work. Level 2 keeps one subcell per (vector,
+    * cell): the level-2 argmin partitions by (vec_id, cid).
     */
   private[graft] def balancedCells(
-      emb: org.apache.spark.sql.DataFrame, nC: Int, cap: Long)
+      emb: org.apache.spark.sql.DataFrame, nC: Int, cap: Long,
+      assignTop: Int = 1)
       : org.apache.spark.sql.DataFrame = {
     val cent = emb
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
@@ -2212,7 +2336,7 @@ object SimilarityQueries {
       .select(col("vec_id"), col("v"), col("cid"),
         FastVec.l2sq(col("v"), col("cv")).as("d2"))
       .withColumn("rn", row_number().over(byVec))
-      .filter(col("rn") === 1)
+      .filter(col("rn") <= assignTop)
       .select(col("vec_id"), col("v"), col("cid"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     a1.count() // census, sub-draw, sub-assign and the unsplit arm scan it
@@ -2225,7 +2349,7 @@ object SimilarityQueries {
       .withColumn("srn", row_number().over(bySub))
       .filter(col("srn") <= 4)
       .select(col("cid"), col("vec_id").as("scid"), col("v").as("scv"))
-    val byVec2 = Window.partitionBy("vec_id").orderBy(col("d2"), col("scid"))
+    val byVec2 = Window.partitionBy("vec_id", "cid").orderBy(col("d2"), col("scid"))
     val a2 = members.join(subc, Seq("cid"))
       .select(col("vec_id"), col("v"), col("cid"), col("scid"),
         FastVec.l2sq(col("v"), col("scv")).as("d2"))
@@ -2260,16 +2384,33 @@ object SimilarityQueries {
     * quadratic in n, and the worst cell's pair work is capped by
     * construction rather than by the data's goodwill.
     */
-  val e25IvfBalanced: Q = Q(
-    "e25_ivf_balanced",
-    (s, dir) => {
+  /** e25's shipped soft-assignment width (see [[balancedCells]]): the
+    * r11 audit measured pair recall@20 at 0.3 with hard assignment —
+    * boundary pairs are exactly what a one-cell-per-vector index cannot
+    * see. Soft assignment recovers a pair whenever one member's extra
+    * cells reach the other, at ×A index rows / ×A² worst-case per-cell
+    * pair work (the cap scales with A, so the split guarantee is
+    * unchanged). r12 sweep (sf0.01): recall 0.3 @ A=1, 0.65 @ A=2,
+    * 0.8 @ A=3 — the shipped point clears the ~0.8 bar at the audit
+    * scale. At sf0.1 the same A reads 0.45 (0.7 @ A=4): a 10× corpus's
+    * global top-20 pairs outgrow any O(A²) cell-local generator — the
+    * disclosed cost floor; see e9's scaladoc for where production goes
+    * past it.
+    */
+  private[graft] val e25AssignTop = 3
+
+  private[graft] def balancedPairs(s: SparkSession, dir: String,
+      assignTop: Int): org.apache.spark.sql.DataFrame = {
       FastVec.register(s)
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), Vectors.toDoubleVec(col("embedding")).as("v"))
       val n = emb.count()
       val nC = math.max(8, math.ceil(math.sqrt(n.toDouble)).toInt)
-      val cap = 2L * math.ceil(n.toDouble / nC).toLong
-      val fin = balancedCells(emb, nC, cap)
+      // Mean census is assignTop·n/C under soft assignment — the 2× slack
+      // cap scales with it so splits fire on real skew, not on the
+      // assignment width.
+      val cap = 2L * math.ceil(assignTop * n.toDouble / nC).toLong
+      val fin = balancedCells(emb, nC, cap, assignTop)
         .select(col("vec_id"), col("v"), col("cid"), col("scid"),
           FastVec.norm(col("v")).as("nv"))
       val left = fin.select(col("vec_id").as("a"), col("v").as("va"),
@@ -2280,9 +2421,20 @@ object SimilarityQueries {
         .filter(col("a") < col("b"))
         .select(col("a"), col("b"), col("cid"), col("scid"),
           FastVec.cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
+        // Soft assignment can surface the same pair from two cells; keep
+        // the deterministic representative (smallest (cid, scid)) — sim is
+        // identical on every copy, so the dedup never changes a score.
+        .withColumn("prn", row_number().over(
+          Window.partitionBy("a", "b").orderBy(col("cid"), col("scid"))))
+        .filter(col("prn") === 1)
+        .select("a", "b", "cid", "scid", "sim")
         .orderBy(col("sim").desc, col("a"), col("b"))
         .limit(20)
-    },
+  }
+
+  val e25IvfBalanced: Q = Q(
+    "e25_ivf_balanced",
+    (s, dir) => balancedPairs(s, dir, e25AssignTop),
     Some(s"""WITH e AS ($sqlE),
       nn AS (SELECT count(*) AS c FROM e),
       c1 AS (SELECT vec_id AS cid, v AS cv FROM e
@@ -2291,8 +2443,8 @@ object SimilarityQueries {
       a1 AS (SELECT vec_id, v, cid FROM (
                SELECT e.vec_id, e.v, c.cid, ${sqlL2sq("e.v", "c.cv")} AS d2
                FROM e CROSS JOIN c1 c)
-             QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) = 1),
-      capt AS (SELECT 2 * CAST(ceil(CAST(c AS DOUBLE) /
+             QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) <= $e25AssignTop),
+      capt AS (SELECT 2 * CAST(ceil($e25AssignTop * CAST(c AS DOUBLE) /
                  greatest(8, CAST(ceil(sqrt(c)) AS BIGINT))) AS BIGINT) AS cap
                FROM nn),
       big AS (SELECT cid FROM (SELECT cid, count(*) AS sz FROM a1 GROUP BY cid), capt
@@ -2304,14 +2456,17 @@ object SimilarityQueries {
       a2 AS (SELECT vec_id, v, cid, scid FROM (
                SELECT m.vec_id, m.v, m.cid, s.scid, ${sqlL2sq("m.v", "s.scv")} AS d2
                FROM mem m JOIN subc s ON s.cid = m.cid)
-             QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, scid) = 1),
+             QUALIFY row_number() OVER (PARTITION BY vec_id, cid ORDER BY d2, scid) = 1),
       fin AS (SELECT vec_id, v, cid, CAST(-1 AS BIGINT) AS scid
               FROM a1 WHERE cid NOT IN (SELECT cid FROM big)
-              UNION ALL SELECT vec_id, v, cid, scid FROM a2)
-      SELECT x.vec_id AS a, y.vec_id AS b, x.cid, x.scid,
-        ${sqlCos("x.v", "y.v")} AS sim
-      FROM fin x JOIN fin y
-        ON x.cid = y.cid AND x.scid = y.scid AND x.vec_id < y.vec_id
+              UNION ALL SELECT vec_id, v, cid, scid FROM a2),
+      pairs AS (SELECT x.vec_id AS a, y.vec_id AS b, x.cid, x.scid,
+                  ${sqlCos("x.v", "y.v")} AS sim
+                FROM fin x JOIN fin y
+                  ON x.cid = y.cid AND x.scid = y.scid AND x.vec_id < y.vec_id
+                QUALIFY row_number() OVER (PARTITION BY x.vec_id, y.vec_id
+                  ORDER BY x.cid, x.scid) = 1)
+      SELECT a, b, cid, scid, sim FROM pairs
       ORDER BY sim DESC, a, b LIMIT 20""")
   )
 
@@ -2493,8 +2648,8 @@ object SimilarityQueries {
     * top-k either truncates real matches or pads with junk.
     *
     * Model: e3's √n md5-drawn IVF codebook, nearest-cell assignment via
-    * one windowed argmin, candidates restricted to each probe's nprobe=4
-    * nearest cells, exact cosine verify at the floor. The oracle mirrors
+    * one windowed argmin, candidates restricted to each probe's
+    * [[e27Nprobe]] nearest cells, exact cosine verify at the floor. The oracle mirrors
     * the same codebook/assignment CTEs, so the cut is deterministic (sim
     * values are bit-identical sequential folds on both engines).
     *
@@ -2504,9 +2659,21 @@ object SimilarityQueries {
     * over the pruned scan. No global sort (the presentation order is the
     * final ≤hundreds-row result).
     */
-  val e27RangeSearch: Q = Q(
-    "e27_range_search",
-    (s, dir) => {
+  /** e27's shipped probe width. r11 verdict #1: nprobe = 4 of the √n
+    * cells recovered 0.478 of the radius contract at the audit scale — a
+    * range query's true neighbors spread over MORE cells than a top-10's
+    * (the floor admits far-flung members no single cell ring covers).
+    * The r12 sweep: sf0.01 coverage 0.478 @ 4, 0.957 @ 16, 1.0 @ 24;
+    * sf0.1 0.701 @ 16, 0.859 @ 24, 0.927 @ 32 — nprobe = 24 clears the
+    * ~0.8 bar at BOTH audit scales; candidates stay nprobe·n/C = O(√n)
+    * per probe (24 of the √n cells is <10 % of the corpus at sf0.1 and
+    * shrinks as n grows) — the linear-in-nprobe price the sweep
+    * discloses.
+    */
+  private[graft] val e27Nprobe = 24
+
+  private[graft] def rangeSearch(s: SparkSession, dir: String,
+      nprobe: Int): org.apache.spark.sql.DataFrame = {
       FastVec.register(s)
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), Vectors.toDoubleVec(col("embedding")).as("v"))
@@ -2524,7 +2691,7 @@ object SimilarityQueries {
       val assign = ranked.filter(col("rn") === 1)
         .select(col("vec_id"), col("v"), col("cid"), FastVec.norm(col("v")).as("nv"))
       val qcells = ranked
-        .filter(col("vec_id") < 4 && col("rn") <= 4)
+        .filter(col("vec_id") < 4 && col("rn") <= nprobe)
         .select(col("vec_id").as("qid"), col("cid"))
       val qv = assign
         .filter(col("vec_id") < 4)
@@ -2537,7 +2704,11 @@ object SimilarityQueries {
           FastVec.cosinePre(col("v"), col("qv"), col("nv"), col("nq")).as("sim"))
         .filter(col("sim") >= 0.25)
         .orderBy(col("qid"), col("sim").desc, col("vec_id"))
-    },
+  }
+
+  val e27RangeSearch: Q = Q(
+    "e27_range_search",
+    (s, dir) => rangeSearch(s, dir, e27Nprobe),
     Some(s"""WITH e AS ($sqlE),
       c AS (SELECT vec_id AS cid, v AS cv FROM e
             QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
@@ -2547,7 +2718,7 @@ object SimilarityQueries {
              FROM (SELECT e.vec_id, e.v, c.cid, ${sqlL2sq("e.v", "c.cv")} AS d2
                    FROM e CROSS JOIN c)),
       assign AS (SELECT vec_id, v, cid FROM rk WHERE rn = 1),
-      qcells AS (SELECT vec_id AS qid, cid FROM rk WHERE vec_id < 4 AND rn <= 4),
+      qcells AS (SELECT vec_id AS qid, cid FROM rk WHERE vec_id < 4 AND rn <= $e27Nprobe),
       q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 4)
       SELECT qc.qid, a.vec_id, a.cid, ${sqlCos("a.v", "q.qv")} AS sim
       FROM assign a JOIN qcells qc ON a.cid = qc.cid
@@ -2559,15 +2730,16 @@ object SimilarityQueries {
   /** E28: multi-probe LSH — the published fix (Lv et al., VLDB 2007) for
     * hyperplane LSH's table-count explosion: instead of e5's FOUR banded
     * tables (each its own index at production scale), keep ONE table
-    * keyed on the full 8-bit sign sketch and probe the query's bucket
-    * PLUS its Hamming-1 and Hamming-2 neighbors (8 + 28 flips = 37 keys)
-    * — the buckets a near-neighbor most likely fell into when one or two
-    * marginal hyperplanes disagreed. The 2-flip ring is the recall
-    * buy-back lever Lv 2007 publishes (r9 verdict #3: the 1-flip ring
-    * measured BELOW e5's banded recall at realistic factors — 175‰ vs
-    * 325‰ at 1×; see PROBES `mplsh_multi2` for the re-measure). Same
-    * recall lever as more tables, at 1/4 the index storage and write
-    * amplification; candidates stay O(probes · n / 2^bits).
+    * keyed on the full 8-bit sign sketch and probe every bucket within
+    * Hamming distance [[e28FlipRadius]] of the query's — the buckets a
+    * near-neighbor most likely fell into when a few marginal hyperplanes
+    * disagreed. The flip ring is the recall buy-back lever Lv 2007
+    * publishes (r9 verdict #3: the 1-flip ring measured BELOW e5's
+    * banded recall at realistic factors — 175‰ vs 325‰ at 1×; see PROBES
+    * `mplsh_multi2` for the re-measure; r11 verdict #1 priced ring 2 at
+    * recall 0.5 and the r12 sweep chose ring 3). Same recall lever as
+    * more tables, at 1/4 the index storage and write amplification;
+    * candidates stay O(probes · n / 2^bits).
     *
     * Determinism: the 8 planes are the e5 md5 draw (first 8); sign bits,
     * bucket keys and the probe set are exact integer arithmetic; the
@@ -2578,18 +2750,31 @@ object SimilarityQueries {
     * corpus — at 100 TB this is an index lookup of 9 buckets followed by
     * one narrow verify projection.
     */
-  val e28MultiprobeLsh: Q = Q(
-    "e28_multiprobe_lsh",
-    (s, dir) => {
+  /** e28's shipped probe radius: all buckets within Hamming distance R of
+    * the query's 8-bit bucket. R = 2 (37 of 256 keys) was the r9-measured
+    * floor-raiser over R = 1; r11 verdict #1 found it still at recall 0.5
+    * at the audit scale. The r12 sweep (sf0.01): R=2 → 0.5, R=3 → 0.6,
+    * R=4 → 0.9 — Lv et al.'s lever is exactly "probe more perturbed
+    * buckets until recall clears the bar", paid in probed-bucket count
+    * (163 of 256 at R = 4) while the index stays ONE table. Widening the
+    * sketch instead LOSES recall at equal radius (12 bits: 0.4 @ R=3,
+    * 0.5 @ R=4; 16 bits: ≤0.1 — per-bucket agreement is p^bits), so the
+    * 8-bit table + wide ring is the measured optimum of this family at
+    * the audit scale; a larger corpus re-runs the same sweep.
+    */
+  private[graft] val e28FlipRadius = 4
+
+  private[graft] def multiprobeTopK(s: SparkSession, dir: String,
+      radius: Int, nPlanes: Int = 8): org.apache.spark.sql.DataFrame = {
       FastVec.register(s)
       val emb = t(s, dir, "embeddings")
         .select(col("vec_id"), col("label"), Vectors.toDoubleVec(col("embedding")).as("v"))
       val drawOrder = Window.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-      // Unpartitioned window BY DESIGN: it ranks only the 8 already-picked
-      // hyperplane rows (the limit(8) feeds it), never the corpus.
+      // Unpartitioned window BY DESIGN: it ranks only the already-picked
+      // hyperplane rows (the limit(nPlanes) feeds it), never the corpus.
       val planes = emb
         .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(8)
+        .limit(nPlanes)
         .select((row_number().over(drawOrder) - 1).as("j"), col("v").as("h"))
       val sketches = emb
         .crossJoin(broadcast(planes))
@@ -2598,21 +2783,16 @@ object SimilarityQueries {
             expr("shiftleft(CAST(1 AS BIGINT), j)")).otherwise(lit(0L)).as("bit"))
         .groupBy("vec_id")
         .agg(sum(col("bit")).as("sketch"))
-      // Probe keys: the query's own bucket (no flips) + 8 single flips +
-      // 28 double flips = 37 of 256 buckets (-1 encodes "no flip").
-      val flips = Seq((-1, -1)) ++ (0 to 7).map(i => (i, -1)) ++
-        (for { i <- 0 to 7; j <- i + 1 to 7 } yield (i, j))
+      // Probe keys: every XOR mask of popcount ≤ radius applied to the
+      // query's bucket — the Hamming-R ball, enumerated as literals
+      // (the ball is a config-bounded probe set, never a corpus-sized
+      // structure).
+      val masks = (0 until (1 << nPlanes)).filter(m => Integer.bitCount(m) <= radius)
       val probeKeys = sketches
         .filter(col("vec_id") === 0)
-        .select(explode(array(flips.map { case (i, j) =>
-          struct(lit(i).as("i"), lit(j).as("j")) }: _*)).as("fl"), col("sketch"))
-        .select(col("sketch")
-          .bitwiseXOR(when(col("fl")("i") >= 0,
-            expr("shiftleft(CAST(1 AS BIGINT), fl.i)")).otherwise(lit(0L)))
-          .bitwiseXOR(when(col("fl")("j") >= 0,
-            expr("shiftleft(CAST(1 AS BIGINT), fl.j)")).otherwise(lit(0L)))
-          .as("sketch"))
-        .distinct()
+        .select(explode(array(masks.map(m => lit(m.toLong)): _*)).as("mask"),
+          col("sketch"))
+        .select(col("sketch").bitwiseXOR(col("mask")).as("sketch"))
       val qv = emb.filter(col("vec_id") === 0).select(col("v").as("qv"))
       sketches
         .join(broadcast(probeKeys), Seq("sketch"), "left_semi")
@@ -2623,7 +2803,11 @@ object SimilarityQueries {
           FastVec.cosine(col("v"), col("qv")).as("sim"))
         .orderBy(col("sim").desc, col("vec_id"))
         .limit(10)
-    },
+  }
+
+  val e28MultiprobeLsh: Q = Q(
+    "e28_multiprobe_lsh",
+    (s, dir) => multiprobeTopK(s, dir, e28FlipRadius),
     Some(s"""WITH e AS ($sqlE),
       planes AS (SELECT row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS j,
                    v AS h FROM e
@@ -2632,14 +2816,10 @@ object SimilarityQueries {
                sum(CASE WHEN ${sqlDot("e.v", "p.h")} >= 0
                    THEN CAST(1 AS BIGINT) << CAST(p.j AS INTEGER) ELSE 0 END) AS sketch
              FROM e CROSS JOIN planes p GROUP BY e.vec_id),
-      probes AS (SELECT DISTINCT
-                   xor(xor(sketch,
-                         CASE WHEN i >= 0 THEN CAST(1 AS BIGINT) << CAST(i AS INTEGER) ELSE 0 END),
-                       CASE WHEN j >= 0 THEN CAST(1 AS BIGINT) << CAST(j AS INTEGER) ELSE 0 END) AS sketch
+      probes AS (SELECT DISTINCT xor(sketch, mask) AS sketch
                  FROM (SELECT sketch FROM sk WHERE vec_id = 0)
-                 CROSS JOIN range(-1, 8) r1(i) CROSS JOIN range(-1, 8) r2(j)
-                 WHERE (i = -1 AND j = -1) OR (i = -1 AND j >= 0)
-                    OR (i >= 0 AND j > i)),
+                 CROSS JOIN (SELECT CAST(m AS BIGINT) AS mask FROM range(256) r(m)
+                             WHERE bit_count(CAST(m AS BIGINT)) <= $e28FlipRadius)),
       cand AS (SELECT s.vec_id FROM sk s JOIN probes p ON s.sketch = p.sketch
                WHERE s.vec_id <> 0),
       q AS (SELECT v AS qv FROM e WHERE vec_id = 0)

@@ -167,14 +167,17 @@ object MatView {
       // handle so the next consumer re-resolves and sees the appended files.
       memo.remove((s, table))
       s.catalog.refreshTable(table)
+      // Bucket-file compaction policy (r10 verdict #5): each refresh appends
+      // one file per touched bucket, so a long-lived view otherwise degrades
+      // to many per-file sorts inside every bucket-local SortMergeJoin.
+      // Bound it here rather than leaving it to an external janitor — the
+      // refresh IS the single writer the compaction contract requires.
+      // Inside buildLock (r11 verdict): the census + trigger would otherwise
+      // race a concurrent appender; the lock is reentrant, so the nested
+      // compact()'s own synchronized block is free for this thread.
+      if (maxFilesPerBucket > 0 && maxBucketFiles(s, table) > maxFilesPerBucket)
+        compact(s, table, key, buckets)
     }
-    // Bucket-file compaction policy (r10 verdict #5): each refresh appends
-    // one file per touched bucket, so a long-lived view otherwise degrades
-    // to many per-file sorts inside every bucket-local SortMergeJoin.
-    // Bound it here rather than leaving it to an external janitor — the
-    // refresh IS the single writer the compaction contract requires.
-    if (maxFilesPerBucket > 0 && maxBucketFiles(s, table) > maxFilesPerBucket)
-      compact(s, table, key, buckets)
   }
 
   private def tableLocation(s: SparkSession, table: String) =
@@ -228,6 +231,20 @@ object MatView {
     * I/O is O(table) — amortized by running it only when
     * [[maxBucketFiles]] breaches the policy, the classic LSM trade.
     * Same single-writer contract as [[graft.sources.Compact.compact]].
+    *
+    * READER QUIESCENCE (r11 advice): unlike [[append]], which only ever
+    * ADDS files, compaction physically replaces the live directory — a
+    * reader holding a plan resolved BEFORE the swap (a memoized handle,
+    * or an in-flight scan) references file paths that no longer exist
+    * after it and fails with FileNotFoundException mid-scan. Deferring
+    * the aside-directory delete would NOT help: the rename moves the old
+    * files to a different path, so stale plans break either way —
+    * surviving concurrent readers needs manifest-level snapshots (an
+    * Iceberg-class table format), not a directory swap. The contract is
+    * therefore single-writer PLUS quiesced readers across a compact();
+    * handles obtained after it re-resolve cleanly (the memo is dropped
+    * and the catalog refreshed below). Bench/Verify honor this by
+    * construction — queries never run concurrently with a refresh.
     */
   def compact(s: SparkSession, table: String, key: String, buckets: Int): Unit =
     buildLock.synchronized {

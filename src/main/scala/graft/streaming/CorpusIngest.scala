@@ -56,6 +56,70 @@ object CorpusIngest {
       fs.listStatus(p).exists(_.getPath.getName.startsWith("batch_id="))
   }
 
+  /** IN-PATH census compaction (r11 verdict #2): every epoch appends one
+    * `batch_id=` partition to its census, so a year-long stream otherwise
+    * pays ~10⁵ partitions of file-listing cost on every epoch's probe —
+    * the exact asymmetry [[graft.sources.MatView.append]] closed for
+    * batch views in r11, here wired into the ingest commit path itself
+    * (all census-gated modalities call this at epoch start) instead of
+    * the manual [[graft.sources.Compact]] janitor the r10 docs
+    * prescribed.
+    *
+    * When the partition count breaches `maxParts`, every partition with
+    * `batch_id < current` is folded into ONE partition labeled
+    * `batch_id = current − 1`, staged as a sibling directory and swapped
+    * in via [[graft.sources.AtomicSwap.publish]] (a crash anywhere
+    * leaves either the old or the new complete census). The label is the
+    * load-bearing choice: the `batch_id <` replay protocol stays exact
+    * because by the time epoch B's foreachBatch runs, every batch < B is
+    * committed in the streaming checkpoint and can never re-run — only B
+    * itself can replay, its probe filter `batch_id < B` still sees the
+    * folded partition, and its own rewrite targets partition B, which
+    * the fold deliberately excludes (a half-written B partition from a
+    * crashed attempt is dropped by the swap; B's replay rewrites it in
+    * full either way). Root marker files (`_SIG_BITS`) are carried into
+    * the staged copy, so the frame gate's width pin survives compaction.
+    *
+    * Cost is O(census) read+write, amortized LSM-style by the `maxParts`
+    * trigger; between compactions the probe pays at most `maxParts + 1`
+    * partition listings. Census row DUPLICATION cannot result from any
+    * crash window (the swap is atomic), and row LOSS cannot either (the
+    * fold reads the live directory before the swap and the write is to
+    * the staging sibling).
+    */
+  private def compactCensus(spark: SparkSession, censusDir: String,
+      batchId: Long, maxParts: Int): Unit = {
+    if (maxParts <= 0 || batchId <= 0) return
+    val live = new org.apache.hadoop.fs.Path(censusDir)
+    val fs = live.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(live)) return
+    val nParts = fs.listStatus(live)
+      .count(s => s.isDirectory && s.getPath.getName.startsWith("batch_id="))
+    if (nParts <= maxParts) return
+    val staged = new org.apache.hadoop.fs.Path(
+      live.getParent, live.getName + ".census-compact-tmp")
+    fs.delete(staged, true)
+    spark.read.parquet(censusDir)
+      .filter(col("batch_id") < batchId)
+      .withColumn("batch_id", lit(batchId - 1))
+      .write.mode("overwrite")
+      .partitionBy("batch_id")
+      .parquet(staged.toString)
+    // An all-empty fold (possible only if every stored partition were
+    // ≥ B, which the replay protocol forbids) must not swap an EMPTY
+    // census into place — hasCensus would flip false and the gates would
+    // stop probing. Belt-and-braces guard, not an expected path.
+    val stagedHasParts = fs.exists(staged) && fs.listStatus(staged)
+      .exists(_.getPath.getName.startsWith("batch_id="))
+    if (!stagedHasParts) { fs.delete(staged, true); return }
+    fs.listStatus(live).filter(_.isFile).foreach { f =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, f.getPath, fs,
+        new org.apache.hadoop.fs.Path(staged, f.getPath.getName),
+        false, spark.sparkContext.hadoopConfiguration)
+    }
+    graft.sources.AtomicSwap.publish(fs, staged, live)
+  }
+
   /** Pin the frame census's signature width: band rows written at one
     * width are MEANINGLESS at another (k ranges differ, and
     * `bit_count(simhash ^ stored_sim)` across widths silently corrupts
@@ -64,31 +128,58 @@ object CorpusIngest {
     * later epoch — a restart over an existing census with a different
     * `sigBits` fails fast instead of admitting garbage.
     */
-  private def pinSigBits(spark: SparkSession, censusDir: String, sigBits: Int): Unit = {
-    val marker = new org.apache.hadoop.fs.Path(censusDir, "_SIG_BITS")
+  private def pinSigBits(spark: SparkSession, censusDir: String, sigBits: Int): Unit =
+    pinInt(spark, censusDir, "_SIG_BITS", sigBits,
+      (stored, wanted) =>
+        s"frame census at $censusDir was built with sig_bits=$stored; " +
+          s"resuming with sigBits=$wanted would join incompatible band " +
+          "rows — keep the width or rebuild the census")
+
+  /** Pin the vector gate's admission radius (r11 verdict #6): `maxHamming`
+    * was a per-start parameter with no cross-epoch memory, so a restart at
+    * a different radius silently changed what "duplicate" MEANS mid-corpus
+    * — vectors admitted under radius 2 would have been rejected under 3
+    * and vice versa, drift no later probe can detect (the stored sketches
+    * are radius-agnostic; only the verdicts differ). Same discipline as
+    * the frame gate's `_SIG_BITS`: recorded on first write, `require`d to
+    * match on every later epoch, re-pinnable exactly while the census
+    * holds no committed partition.
+    */
+  private def pinMaxHamming(spark: SparkSession, censusDir: String, maxHamming: Int): Unit =
+    pinInt(spark, censusDir, "_MAX_HAMMING", maxHamming,
+      (stored, wanted) =>
+        s"vector census at $censusDir admits at maxHamming=$stored; " +
+          s"resuming with maxHamming=$wanted would silently change the " +
+          "admission semantics mid-corpus — keep the radius or rebuild " +
+          "the census")
+
+  /** The `_SIG_BITS` pin mechanism, parameter-generic: an integer config
+    * value a census's stored rows are only meaningful under is recorded
+    * in a root marker file on first write and `require()`d to match on
+    * every later epoch. A marker over an EMPTY census pins nothing: the
+    * marker is written before the epoch's first batch commits, so an
+    * epoch that failed before any census rows landed would otherwise
+    * permanently wedge the directory at a value no stored row ever used
+    * (r10 advice) — changes are allowed, by re-pinning, exactly when no
+    * `batch_id=` partition exists to be incompatible.
+    */
+  private def pinInt(spark: SparkSession, censusDir: String, markerName: String,
+      value: Int, mismatch: (Int, Int) => String): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(censusDir, markerName)
     val fs = marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(marker)) {
       val in = fs.open(marker)
       val stored =
         try scala.io.Source.fromInputStream(in).mkString.trim.toInt
         finally in.close()
-      if (stored != sigBits) {
-        // A marker over an EMPTY census pins nothing: the marker is
-        // written before the epoch's first batch commits, so an epoch
-        // that failed before any census rows landed would otherwise
-        // permanently wedge the directory at a width no band row ever
-        // used (r10 advice). Width changes are allowed — by re-pinning —
-        // exactly when no batch_id= partition exists to be incompatible.
-        require(!hasCensus(spark, censusDir),
-          s"frame census at $censusDir was built with sig_bits=$stored; " +
-            s"resuming with sigBits=$sigBits would join incompatible band " +
-            "rows — keep the width or rebuild the census")
+      if (stored != value) {
+        require(!hasCensus(spark, censusDir), mismatch(stored, value))
         val out = fs.create(marker, true)
-        try out.write(s"$sigBits\n".getBytes("UTF-8")) finally out.close()
+        try out.write(s"$value\n".getBytes("UTF-8")) finally out.close()
       }
     } else {
       val out = fs.create(marker, true)
-      try out.write(s"$sigBits\n".getBytes("UTF-8")) finally out.close()
+      try out.write(s"$value\n".getBytes("UTF-8")) finally out.close()
     }
   }
 
@@ -103,6 +194,7 @@ object CorpusIngest {
       corpusDir: String,
       censusDir: String,
       checkpointDir: String,
+      maxCensusParts: Int = 64,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     readDocs(spark, inputDir)
       .writeStream
@@ -110,6 +202,7 @@ object CorpusIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (raw: DataFrame, batchId: Long) =>
+        compactCensus(spark, censusDir, batchId, maxCensusParts)
         val w = Window.partitionBy("fp").orderBy("doc_id")
         val batch = raw
           .withColumn("fp", Text.prefixFingerprint(Text.tokens(col("text")), 8))
@@ -160,9 +253,10 @@ object CorpusIngest {
     * in the SAME epoch are admitted together (the gate is batch × census;
     * the periodic corpus-wide d3/d5 sweep catches them — running
     * clustering inside every epoch would serialize ingest on an iterative
-    * job); (2) the census accrues one `batch_id=` partition per epoch, so
-    * a long-running stream should roll [[graft.sources.Compact]] over it —
-    * admission only reads `fp/band/bkey`, which compaction preserves.
+    * job); (2) the census accrues one `batch_id=` partition per epoch —
+    * bounded in-path by [[compactCensus]] (r11 verdict #2), which folds
+    * committed partitions once the count breaches `maxCensusParts`;
+    * admission only reads `fp/band/bkey`, which the fold preserves.
     */
   def startIngestNearDup(
       spark: SparkSession,
@@ -170,6 +264,7 @@ object CorpusIngest {
       corpusDir: String,
       censusDir: String,
       checkpointDir: String,
+      maxCensusParts: Int = 64,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     readDocs(spark, inputDir)
       .writeStream
@@ -177,6 +272,7 @@ object CorpusIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (raw: DataFrame, batchId: Long) =>
+        compactCensus(spark, censusDir, batchId, maxCensusParts)
         val w = Window.partitionBy("fp").orderBy("doc_id")
         val batch = raw
           .withColumn("fp", Text.prefixFingerprint(Text.tokens(col("text")), 8))
@@ -270,6 +366,7 @@ object CorpusIngest {
       checkpointDir: String,
       w: Int = 15,
       maxDupFrac: Double = 0.5,
+      maxCensusParts: Int = 64,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     readDocs(spark, inputDir)
       .writeStream
@@ -277,6 +374,7 @@ object CorpusIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (raw: DataFrame, batchId: Long) =>
+        compactCensus(spark, censusDir, batchId, maxCensusParts)
         val batch = raw.persist()
         val docsT = batch.select(col("doc_id"),
           size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
@@ -433,6 +531,7 @@ object CorpusIngest {
       planesDir: String,
       checkpointDir: String,
       maxHamming: Int = 2,
+      maxCensusParts: Int = 64,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"maxHamming must be in [0, 3] (4x4 banding guarantees a shared " +
@@ -446,6 +545,8 @@ object CorpusIngest {
       .option("checkpointLocation", checkpointDir)
       .trigger(trigger)
       .foreachBatch { (raw: DataFrame, batchId: Long) =>
+        pinMaxHamming(spark, censusDir, maxHamming)
+        compactCensus(spark, censusDir, batchId, maxCensusParts)
         // Deterministic within-batch dedup on vec_id: duplicate rows
         // would SUM their plane bits (bit 0 twice = bit 1), corrupting
         // the stored sketch for every future probe.
@@ -596,6 +697,7 @@ object CorpusIngest {
       // corpora; existing censuses are width-pinned (`pinSigBits`), so the
       // flip fails fast on a 32-bit census instead of corrupting it.
       sigBits: Int = 60,
+      maxCensusParts: Int = 64,
       trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
     readDocs(spark, inputDir)
       .writeStream
@@ -604,6 +706,7 @@ object CorpusIngest {
       .trigger(trigger)
       .foreachBatch { (raw: DataFrame, batchId: Long) =>
         pinSigBits(spark, censusDir, sigBits)
+        compactCensus(spark, censusDir, batchId, maxCensusParts)
         val w = Window.partitionBy("fp").orderBy("doc_id")
         val batch = raw
           .withColumn("fp", md5(col("text")))

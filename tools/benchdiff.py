@@ -86,14 +86,27 @@ def main():
     # r10+ artifacts carry a fixed CPU-bound canary timed first/last per
     # session: the canary ratio is the host-window normalizer measured
     # independently of any query, so a high median ratio WITH a matching
-    # canary ratio is a slow window, not a slow tree.
+    # canary ratio is a slow window, not a slow tree. Since r12 the
+    # canary-NORMALIZED deltas are emitted by default alongside raw
+    # (verdict #3: adjudicating a degraded-window artifact needed manual
+    # rescue in r10 and r11) — every wall on the new side is discounted by
+    # the window ratio before comparison, so a slow host reads as ~1.0x
+    # normalized and a real plan regression stays out of family under
+    # BOTH normalizers.
+    wr = None
     if all(c is not None for c in (old_can + new_can)):
         oc = (float(old_can[0]) + float(old_can[1])) / 2
         nc = (float(new_can[0]) + float(new_can[1])) / 2
-        if oc > 0:
+        if oc > 0 and nc > 0:
+            wr = nc / oc
             print(f"canary: old {old_can[0]}/{old_can[1]} s, "
                   f"new {new_can[0]}/{new_can[1]} s -> window ratio "
-                  f"{nc / oc:.2f}x (compare to the median above)")
+                  f"{wr:.2f}x (compare to the median above)")
+            if old_total and new_total:
+                print(f"canary-normalized total: {float(old_total):.1f} -> "
+                      f"{float(new_total) / wr:.1f} sec "
+                      f"({float(new_total) / wr / float(old_total):.2f}x norm, "
+                      f"{float(new_total) / float(old_total):.2f}x raw)")
     for name, a, b, r, nr in regressed:
         # cores_eff (r8+ artifacts): the in-artifact adjudicator — a flag
         # whose effective parallelism is low (<= ~1.5) is latency-bound
@@ -119,8 +132,9 @@ def main():
             else:
                 tag = ("  [EFF DROP %.1f -> %.1f with wall increase: "
                        "possible serialization regression]" % (oe, ne))
+        cn = f", {r / wr:.2f}x canary-norm" if wr else ""
         print(f"REGRESSED {name}: {a:.3f} -> {b:.3f} "
-              f"({r:.2f}x raw, {nr:.2f}x vs median)"
+              f"({r:.2f}x raw, {nr:.2f}x vs median{cn})"
               + (f"  [{', '.join(effs)}]" if effs else "") + tag)
     for name, a, b in improved[:10]:
         print(f"improved  {name}: {a:.3f} -> {b:.3f} "
