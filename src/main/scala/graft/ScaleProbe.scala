@@ -107,6 +107,7 @@ object ScaleProbe {
     if (probeOn("anncl")) annClusteredProbe(spark, sfDir)
     if (probeOn("mplsh")) multiprobeProbe(spark, sfDir)
     if (probeOn("ingest")) ingestProbe(spark, sfDir)
+    if (probeOn("censusbound")) censusBoundProbe(spark, sfDir)
     if (probeOn("batchsig")) batchSigProbe(spark, sfDir)
     if (probeOn("mvrefresh")) mvRefreshProbe(spark, sfDir)
     if (probeOn("skew")) skewProbe(spark)
@@ -864,6 +865,20 @@ object ScaleProbe {
           .agg(min(perRowWork(col("src"), col("lbl"))).as("m"))
           .agg(sum("m")))
       }
+      // The AUTO-salted form (r11 verdict #4): no hand-set salt — the
+      // key census inside Skew.autoSaltedJoin finds the planted 10 %
+      // key on its own (it is the only key above the 5 % share default)
+      // and salts ONLY it; the 99 999 cold keys keep one dim copy. The
+      // measured wall INCLUDES the census scan — the price of not
+      // knowing the hot key up front — and the share must land in the
+      // salted band, not the naive one.
+      measure("label_autosalt", nEdges) {
+        runAgg(graft.operators.Skew
+          .autoSaltedJoin(edges, labels, Seq("dst"), col("src"), 32)
+          .groupBy("dst")
+          .agg(min(perRowWork(col("src"), col("lbl"))).as("m"))
+          .agg(sum("m")))
+      }
       // Expected (and recorded) skew_split=false: the groupBy(dst) above
       // the join REUSES the join's hashpartitioning(dst), so AQE's
       // OptimizeSkewedJoin declines to split it (splitting would break
@@ -1088,6 +1103,70 @@ object ScaleProbe {
     * ~linearly). Setup epochs are untimed; the timed epoch reuses the
     * SAME checkpoint so its census probe sees every prior partition.
     */
+  /** The census partition/file bound over a LONG stream (r11 verdict #2):
+    * ~50 epochs of fresh admissions through the exact-fingerprint gate,
+    * once with the in-path compaction policy (maxCensusParts = 8) and
+    * once with it disabled — the r11 world, where the census accrues one
+    * `batch_id=` partition per epoch forever. Recorded every 10 epochs:
+    * census partition-directory count, census data-file count, and the
+    * 10-epoch wall. The bounded run must sawtooth within
+    * [1, policy + 1] partitions across all 50 epochs (the fold fires
+    * whenever the count breaches the policy) while the disabled twin
+    * grows linearly; both runs must hold the SAME census rows at the end
+    * (the fold is a re-layout, never a re-admission).
+    */
+  def censusBoundProbe(spark: SparkSession, sfDir: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val docs = Tables.table(spark, sfDir, "documents")
+      .select(col("doc_id"), col("text")).limit(200)
+    docs.persist(); docs.count()
+    val runTag = System.nanoTime()
+    val epochs = 50
+    def censusShape(census: String): (Int, Int) = {
+      val d = new java.io.File(census)
+      if (!d.exists()) return (0, 0)
+      val parts = d.listFiles().filter(f =>
+        f.isDirectory && f.getName.startsWith("batch_id="))
+      val files = parts.map(_.listFiles().count(f =>
+        f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))).sum
+      (parts.length, files)
+    }
+    val endRows = scala.collection.mutable.Map.empty[Int, Long]
+    Seq(8, 0).foreach { policy =>
+      val root = s"/tmp/graft-censusbound-$policy-$runTag"
+      val (in, corpus, census, ckpt) =
+        (s"$root/in", s"$root/corpus", s"$root/census", s"$root/ckpt")
+      new java.io.File(in).mkdirs()
+      var maxParts = 0
+      var t0 = System.nanoTime()
+      for (e <- 1 to epochs) {
+        docs.select((col("doc_id") + lit(e * 1000000L)).as("doc_id"),
+          regexp_replace(concat(col("text"), lit(" ")), lit(" "),
+            lit(s"_e$e ")).as("text"),
+          lit("probe").as("source"))
+          .coalesce(1).write.mode("append").json(in)
+        graft.streaming.CorpusIngest.startIngest(spark, in, corpus, census,
+          ckpt, maxCensusParts = policy, trigger = Trigger.AvailableNow())
+          .awaitTermination()
+        val (parts, files) = censusShape(census)
+        maxParts = math.max(maxParts, parts)
+        if (e % 10 == 0 || e == epochs) {
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"[scale-census] policy=$policy%2d epoch=$e%3d " +
+            f"parts=$parts%3d (max $maxParts%3d) files=$files%3d " +
+            f"wall10=$sec%6.1f s")
+          println(f"""PROBEJSON {"probe":"censusbound_p$policy","factor":$e,"n":$files,"aux":$parts,"sec":$sec%.2f,"max_parts":$maxParts}""")
+          t0 = System.nanoTime()
+        }
+      }
+      endRows(policy) = spark.read.parquet(census).count()
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+    }
+    println(s"[scale-census] end census rows: bounded=${endRows(8)} " +
+      s"unbounded=${endRows(0)} equal=${endRows(8) == endRows(0)}")
+    docs.unpersist()
+  }
+
   def ingestProbe(spark: SparkSession, sfDir: String): Unit = {
     import org.apache.spark.sql.streaming.Trigger
     val docs = Tables.table(spark, sfDir, "documents")

@@ -31,6 +31,15 @@ import org.apache.spark.storage.StorageLevel
   * the component; on termination every (symmetric) edge is relaxed in both
   * directions, so labels are constant per component and equal the component's
   * minimum id — the same min-reachable-id the recursive-CTE oracle computes.
+  *
+  * Input skew: the per-round relax is the join-feeding-same-key-agg shape
+  * the r11/r12 planted-skew probes measured — AQE's skew splitter DECLINES
+  * it (splitting would break the groupBy's reuse of the join's
+  * partitioning; PROBES `skew_label_aqe` ~100‰ hot-task share), while
+  * salting bounds it (~35-45‰). On a graph with a planted super-node, wrap
+  * the relax join in [[graft.operators.Skew.autoSaltedJoin]] — its key
+  * census finds the hot node without a hand-set salt (PROBES r12
+  * `skew_label_autosalt`: 43‰, result-identical).
   */
 object ConnectedComponents {
 

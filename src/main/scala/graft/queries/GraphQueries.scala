@@ -472,6 +472,16 @@ object GraphQueries {
     * the `a` bucketing) and no persist (the materialized table is the
     * cache). The returned frame is lineage-truncated over the final
     * persisted round, so consumers never re-run the propagation.
+    *
+    * Input skew: this round IS the join-feeding-same-key-agg shape AQE's
+    * skew splitter declines (PROBES `skew_label_aqe` — the groupBy reuses
+    * the join's hashpartitioning, so splitting is refused; ~100‰ hot-task
+    * share under a planted super-node). The registry corpus is balanced;
+    * on a skewed graph wrap the neighbor join in
+    * [[graft.operators.Skew.autoSaltedJoin]] (census-triggered, no
+    * hand-set salt — PROBES r12 `skew_label_autosalt` bounds the share
+    * at ~43‰ with an identical result) and re-aggregate per key, the g8
+    * two-level fold.
     */
   private[graft] def labelAssign(
       adj: DataFrame,

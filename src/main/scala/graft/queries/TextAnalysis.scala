@@ -725,58 +725,73 @@ object TextAnalysis {
     * oracle unrolls the identical K rounds as CTEs (the g1/PageRank
     * pattern) with pure integer counts — no floats anywhere.
     */
-  val x23BpeTrain: Q = {
-    val K = 4
-    Q(
-      "x23_bpe_train",
-      (s, dir) => {
-        import s.implicits._
-        val charSeq = "concat(chr(31), array_join(transform(" +
-          "sequence(1, length(word)), i -> substr(word, i, 1)), chr(31)), chr(31))"
-        var census = t(s, dir, "documents")
-          .select(explode(Text.tokens(col("text"))).as("word"))
-          .groupBy("word").agg(count(lit(1)).as("c"))
-          .select(col("c"), expr(charSeq).as("seq"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        census.count()
-        // Each round's argmax is ONE row — collected to the driver
-        // (bounded by construction, the e10 pattern) so every cached
-        // frame can be released eagerly and the K-rule result is a local
-        // table, not a K-way union whose lineage spans all rounds.
-        var rules = Vector.empty[(Int, String, String, Long)]
-        for (r <- 1 to K) {
-          val pairs = census
-            .select(col("c"),
-              expr("filter(split(seq, chr(31)), x -> x <> '')").as("syms"))
-            // sequence(1, n-1) steps BACKWARD for n < 2 (the x15 trap)
-            .filter(size(col("syms")) >= 2)
-            .select(col("c"), explode(expr(
-              "transform(sequence(1, size(syms) - 1), " +
-                "i -> struct(syms[i - 1] AS c1, syms[i] AS c2))")).as("p"))
-            .groupBy(col("p.c1").as("c1"), col("p.c2").as("c2"))
-            .agg(sum(col("c")).as("freq"))
-          val best = pairs
-            .orderBy(col("freq").desc, col("c1"), col("c2")).limit(1)
-            .head()
-          rules = rules :+
-            ((r, best.getString(0), best.getString(1), best.getLong(2)))
-          if (r < K) { // the final round's merge has no reader — skip it
-            val merged = census.crossJoin(broadcast(
-              Seq((best.getString(0), best.getString(1))).toDF("c1", "c2")))
-              .select(col("c"), expr(
-                "replace(seq, concat(chr(31), c1, chr(31), c2, chr(31)), " +
-                  "concat(chr(31), c1, c2, chr(31)))").as("seq"))
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            merged.count()
-            census.unpersist()
-            census = merged
-          } else census.unpersist()
-        }
-        rules.toDF("round", "c1", "c2", "freq").orderBy("round")
-      },
-      Some {
-        val rounds = (1 to K).map { r =>
-          s""",
+  /** The chr(31)-framed per-word character census (c, seq) both BPE
+    * trainers start from — the ONLY corpus-sized aggregate either runs
+    * (map-side combinable); returned persisted and eagerly counted.
+    */
+  private def bpeCharCensus(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val charSeq = "concat(chr(31), array_join(transform(" +
+      "sequence(1, length(word)), i -> substr(word, i, 1)), chr(31)), chr(31))"
+    val census = t(s, dir, "documents")
+      .select(explode(Text.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("c"))
+      .select(col("c"), expr(charSeq).as("seq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    census.count()
+    census
+  }
+
+  /** One BPE training round over the census: (pair counts, best pair).
+    * `best` is None when no multi-symbol entry remains (training is out
+    * of pairs). Shared by x23's fixed-K loop and x33's to-vocab loop so
+    * the two trainers cannot drift on pair counting or tie-breaks.
+    */
+  private def bpeBestPair(census: org.apache.spark.sql.DataFrame)
+      : Option[org.apache.spark.sql.Row] =
+    census
+      .select(col("c"),
+        expr("filter(split(seq, chr(31)), x -> x <> '')").as("syms"))
+      // sequence(1, n-1) steps BACKWARD for n < 2 (the x15 trap)
+      .filter(size(col("syms")) >= 2)
+      .select(col("c"), explode(expr(
+        "transform(sequence(1, size(syms) - 1), " +
+          "i -> struct(syms[i - 1] AS c1, syms[i] AS c2))")).as("p"))
+      .groupBy(col("p.c1").as("c1"), col("p.c2").as("c2"))
+      .agg(sum(col("c")).as("freq"))
+      .orderBy(col("freq").desc, col("c1"), col("c2")).limit(1)
+      .collect().headOption
+
+  /** The framed-literal merge of `(c1, c2)` applied to every census entry
+    * — see x23's scaladoc for why the consumed-boundary `replace` is the
+    * portable cross-engine rule.
+    */
+  private def bpeMerge(s: SparkSession,
+      census: org.apache.spark.sql.DataFrame,
+      c1: String, c2: String): org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val merged = census.crossJoin(broadcast(Seq((c1, c2)).toDF("c1", "c2")))
+      .select(col("c"), expr(
+        "replace(seq, concat(chr(31), c1, chr(31), c2, chr(31)), " +
+          "concat(chr(31), c1, c2, chr(31)))").as("seq"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    merged.count()
+    census.unpersist()
+    merged
+  }
+
+  /** The toks/wc/s0 CTE prelude of both BPE oracles (DuckDB). */
+  private val sqlBpeS0: String =
+    """toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+      wc AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
+      s0 AS (SELECT c, chr(31) || array_to_string(list_transform(
+               range(1, length(word) + 1),
+               i -> substr(word, CAST(i AS INTEGER), 1)), chr(31)) || chr(31) AS seq
+             FROM wc)"""
+
+  /** Rounds 1..k of the BPE loop as p$r/b$r/s$r CTE triples (DuckDB). */
+  private def sqlBpeRounds(k: Int): String =
+    (1 to k).map { r =>
+      s""",
       p$r AS (SELECT c1, c2, CAST(sum(c) AS BIGINT) AS freq FROM (
          SELECT syms[i] AS c1, syms[i + 1] AS c2, c FROM (
            SELECT c, unnest(range(1, len(syms))) AS i, syms FROM (
@@ -787,17 +802,114 @@ object TextAnalysis {
       s$r AS (SELECT c, replace(seq, chr(31) || b.c1 || chr(31) || b.c2 || chr(31),
                         chr(31) || b.c1 || b.c2 || chr(31)) AS seq
               FROM s${r - 1} CROSS JOIN b$r b)"""
-        }.mkString
+    }.mkString
+
+  val x23BpeTrain: Q = {
+    val K = 4
+    Q(
+      "x23_bpe_train",
+      (s, dir) => {
+        import s.implicits._
+        var census = bpeCharCensus(s, dir)
+        // Each round's argmax is ONE row — collected to the driver
+        // (bounded by construction, the e10 pattern) so every cached
+        // frame can be released eagerly and the K-rule result is a local
+        // table, not a K-way union whose lineage spans all rounds.
+        var rules = Vector.empty[(Int, String, String, Long)]
+        for (r <- 1 to K) {
+          val best = bpeBestPair(census).get // K=4 < pair depth at any SF
+          rules = rules :+
+            ((r, best.getString(0), best.getString(1), best.getLong(2)))
+          if (r < K) // the final round's merge has no reader — skip it
+            census = bpeMerge(s, census, best.getString(0), best.getString(1))
+          else census.unpersist()
+        }
+        rules.toDF("round", "c1", "c2", "freq").orderBy("round")
+      },
+      Some {
         val union = (1 to K)
           .map(r => s"SELECT $r AS round, c1, c2, freq FROM b$r")
           .mkString(" UNION ALL ")
-        s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
-      wc AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
-      s0 AS (SELECT c, chr(31) || array_to_string(list_transform(
-               range(1, length(word) + 1),
-               i -> substr(word, CAST(i AS INTEGER), 1)), chr(31)) || chr(31) AS seq
-             FROM wc)$rounds
+        s"""WITH $sqlBpeS0${sqlBpeRounds(K)}
       SELECT round, c1, c2, freq FROM ($union) ORDER BY round"""
+      }
+    )
+  }
+
+  /** X33: BPE training to a TARGET VOCABULARY — x23 runs a fixed K = 4
+    * merges; this is the contract Sennrich-style trainers actually ship
+    * (subword-nmt's `--vocab-size` / `--min-frequency`): starting from
+    * the character vocabulary (v0 symbols), merge until the vocabulary
+    * reaches `TargetVocab` (each rule adds exactly one symbol, so the
+    * merge budget M = TargetVocab − v0 is known after one census-sized
+    * distinct count), or the best pair's weighted frequency drops below
+    * `MinCount`, or no multi-symbol census entry remains. The loop is
+    * driver-held 1-row state (the e20/g10 iterate pattern); all rounds
+    * run on the vocab-bounded census — the corpus is scanned once.
+    *
+    * Oracle replay of a DATA-DEPENDENT loop: the best-pair frequency is
+    * NON-INCREASING round over round — a new pair (x, c1·c2) occurs at
+    * most once per merged occurrence, so its count is bounded by the
+    * merged pair's frequency, and old pairs only ever lose occurrences —
+    * so the MinCount stop cuts a clean TAIL of the unrolled sequence.
+    * The oracle therefore unrolls `RMax` fixed rounds (the verdict's
+    * "unrolled CTE at fixed V") and re-applies the stop as the filter
+    * `round <= TargetVocab − v0 AND freq >= MinCount`: rounds the driver
+    * loop never executed are exactly the rounds the filter drops. The
+    * pairs-exhausted stop needs no filter — an empty p_r yields an empty
+    * b_r, whose cross join empties every later round's census.
+    *
+    * vocab_size = v0 + round counts the standard BPE inventory (initial
+    * characters + one per merge RULE; two rules can in principle spell
+    * the same string — they are still distinct tokens, as in subword-nmt
+    * merge tables). Scale: identical to x23 — one corpus-sized census,
+    * then O(vocab × word-length) rounds with 1-row driver state.
+    */
+  val x33BpeVocab: Q = {
+    val TargetVocab = 34 // v0 = 24 on this corpus family → 10-merge budget
+    val MinCount = 2L
+    val RMax = 12 // oracle unroll depth; must be >= any SF's executed rounds
+    Q(
+      "x33_bpe_vocab",
+      (s, dir) => {
+        import s.implicits._
+        var census = bpeCharCensus(s, dir)
+        val v0 = census
+          .select(explode(expr("filter(split(seq, chr(31)), x -> x <> '')")).as("sym"))
+          .agg(countDistinct(col("sym")))
+          .head().getLong(0)
+        val m = math.min(math.max(0L, TargetVocab - v0), RMax.toLong)
+        var rules = Vector.empty[(Int, String, String, Long, Long)]
+        var r = 1
+        var stop = m < 1
+        while (!stop) {
+          bpeBestPair(census) match {
+            case Some(best) if best.getLong(2) >= MinCount =>
+              rules = rules :+ ((r, best.getString(0), best.getString(1),
+                best.getLong(2), v0 + r))
+              if (r < m)
+                census = bpeMerge(s, census, best.getString(0), best.getString(1))
+              r += 1
+              stop = r > m
+            case _ => stop = true // pairs exhausted or best below MinCount
+          }
+        }
+        census.unpersist()
+        rules.toDF("round", "c1", "c2", "freq", "vocab_size").orderBy("round")
+      },
+      Some {
+        val union = (1 to RMax)
+          .map(r => s"SELECT $r AS round, c1, c2, freq FROM b$r")
+          .mkString(" UNION ALL ")
+        s"""WITH $sqlBpeS0${sqlBpeRounds(RMax)},
+      v0 AS (SELECT count(DISTINCT sym) AS v FROM (
+               SELECT unnest(list_filter(string_split(seq, chr(31)), x -> x <> '')) AS sym
+               FROM s0))
+      SELECT round, c1, c2, freq, (SELECT v FROM v0) + round AS vocab_size
+      FROM ($union)
+      WHERE round <= greatest(0, $TargetVocab - (SELECT v FROM v0))
+        AND freq >= $MinCount
+      ORDER BY round"""
       }
     )
   }
@@ -1201,7 +1313,7 @@ object TextAnalysis {
   val all: Seq[Q] = Seq(x1TokenStats, x2LangId, x3Quality, x4Fingerprint, x5TokenFreq,
     x13Bm25, x15BpePairs, x16PiiScrub, x17VocabGrowth, x18Readability,
     x19UnigramEntropy, x20ZipfSlope, x21NgramNovelty, x22LangConfusion,
-    x23BpeTrain, x24Boilerplate, x26HashClassifier, x27GopherGates, x28Chunking,
+    x23BpeTrain, x33BpeVocab, x24Boilerplate, x26HashClassifier, x27GopherGates, x28Chunking,
     x29KlDivergence, x30LexicalDiversity, x32Calibration)
 
   /** X30: per-source lexical diversity — type-token ratio and hapax-legomenon
