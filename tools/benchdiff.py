@@ -37,14 +37,15 @@ def load(path):
         raw = raw["parsed"]
     return (raw.get("queries", {}) or {}, raw.get("value"), cpus,
             raw.get("cores_eff", {}) or {},
-            (raw.get("canary_first_sec"), raw.get("canary_last_sec")))
+            (raw.get("canary_first_sec"), raw.get("canary_last_sec")),
+            raw.get("canary_last_raw_sec"))
 
 def main():
     if len(sys.argv) < 3:
         print(__doc__)
         return 2
-    old_q, old_total, old_cpus, old_eff, old_can = load(sys.argv[1])
-    new_q, new_total, new_cpus, new_eff, new_can = load(sys.argv[2])
+    old_q, old_total, old_cpus, old_eff, old_can, old_raw = load(sys.argv[1])
+    new_q, new_total, new_cpus, new_eff, new_can, new_raw = load(sys.argv[2])
     thr = float(sys.argv[3]) if len(sys.argv) > 3 else 1.5
     # Sub-0.3s timings are dominated by scheduler noise at local[N]; a 1.5x
     # blip there is not a plan regression.
@@ -97,6 +98,16 @@ def main():
     if all(c is not None for c in (old_can + new_can)):
         oc = (float(old_can[0]) + float(old_can[1])) / 2
         nc = (float(new_can[0]) + float(new_can[1])) / 2
+        # r12 convention change: canary_last_sec is read from a CLEAN
+        # slate (the raw aged-session reading moved to
+        # canary_last_raw_sec). A diff across the convention boundary
+        # mixes an aging-inflated old close with a clean new close — the
+        # window ratio then understates the new side. Warn so the reader
+        # weighs the median ratio instead.
+        if old_raw is None and new_raw is not None:
+            print("WARN: old artifact predates the clean-close canary "
+                  "(r12); window ratio mixes conventions — prefer the "
+                  "median per-query ratio for this pair")
         if oc > 0 and nc > 0:
             wr = nc / oc
             print(f"canary: old {old_can[0]}/{old_can[1]} s, "
