@@ -62,7 +62,7 @@ object Bench {
     "q13_sql_min_cost", "x20_zipf_slope", "x21_ngram_novelty",
     "e14_filtered_ann", "w11_cusum", "w12_seasonality", "x22_lang_confusion",
     "d15_band_tuning", "a22_count_min", "d16_tfidf_dedup", "e15_nprobe_sweep",
-    "e16_hybrid_rrf", "x23_bpe_train", "x33_bpe_vocab",
+    "e16_hybrid_rrf", "x23_bpe_train", "x33_bpe_vocab", "x34_bpe_encode",
     "g5_bfs_hops", "g6_link_predict", "a23_transitions", "h3_scd2_dim_join",
     "p15_zorder_layout", "j11_bloom_semi_join", "x24_boilerplate",
     "x25_kneser_ney",

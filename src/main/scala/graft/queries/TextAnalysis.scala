@@ -779,16 +779,26 @@ object TextAnalysis {
     merged
   }
 
-  /** The toks/wc/s0 CTE prelude of both BPE oracles (DuckDB). */
+  /** The toks/wc/s0 CTE prelude of the BPE oracles (DuckDB). wc and s0
+    * are multi-referenced downstream — MATERIALIZED, see [[sqlBpeRounds]].
+    */
   private val sqlBpeS0: String =
     """toks AS (SELECT unnest(string_split(text, ' ')) AS word FROM documents),
-      wc AS (SELECT word, count(*) AS c FROM toks GROUP BY word),
-      s0 AS (SELECT c, chr(31) || array_to_string(list_transform(
+      wc AS MATERIALIZED (SELECT word, count(*) AS c FROM toks GROUP BY word),
+      s0 AS MATERIALIZED (SELECT c, chr(31) || array_to_string(list_transform(
                range(1, length(word) + 1),
                i -> substr(word, CAST(i AS INTEGER), 1)), chr(31)) || chr(31) AS seq
              FROM wc)"""
 
-  /** Rounds 1..k of the BPE loop as p$r/b$r/s$r CTE triples (DuckDB). */
+  /** Rounds 1..k of the BPE loop as p$r/b$r/s$r CTE triples (DuckDB).
+    *
+    * `AS MATERIALIZED` on b$r/s$r is LOAD-BEARING: DuckDB inlines CTEs by
+    * default, and each round references its predecessor census TWICE
+    * (pair count + merge), so an inlined k-round chain re-evaluates the
+    * base census 2^k times — measured live at k = 12: 468 s inlined vs
+    * 0.9 s materialized on the sf0.01 corpus. (Spark never sees this
+    * text; the oracle is DuckDB-only.)
+    */
   private def sqlBpeRounds(k: Int): String =
     (1 to k).map { r =>
       s""",
@@ -798,8 +808,8 @@ object TextAnalysis {
              SELECT c, list_filter(string_split(seq, chr(31)), x -> x <> '') AS syms
              FROM s${r - 1}) WHERE len(syms) >= 2))
        GROUP BY c1, c2),
-      b$r AS (SELECT c1, c2, freq FROM p$r ORDER BY freq DESC, c1, c2 LIMIT 1),
-      s$r AS (SELECT c, replace(seq, chr(31) || b.c1 || chr(31) || b.c2 || chr(31),
+      b$r AS MATERIALIZED (SELECT c1, c2, freq FROM p$r ORDER BY freq DESC, c1, c2 LIMIT 1),
+      s$r AS MATERIALIZED (SELECT c, replace(seq, chr(31) || b.c1 || chr(31) || b.c2 || chr(31),
                         chr(31) || b.c1 || b.c2 || chr(31)) AS seq
               FROM s${r - 1} CROSS JOIN b$r b)"""
     }.mkString
@@ -865,10 +875,19 @@ object TextAnalysis {
     * merge tables). Scale: identical to x23 — one corpus-sized census,
     * then O(vocab × word-length) rounds with 1-row driver state.
     */
+  /** The x33/x34 training configuration: target vocabulary (v0 = 24 on
+    * this corpus family → 10-merge budget), the subword-nmt-style
+    * min-frequency stop, and the oracle unroll depth (must be ≥ any
+    * SF's executed rounds).
+    */
+  private val BpeTargetVocab = 34
+  private val BpeMinCount = 2L
+  private val BpeRMax = 12
+
   val x33BpeVocab: Q = {
-    val TargetVocab = 34 // v0 = 24 on this corpus family → 10-merge budget
-    val MinCount = 2L
-    val RMax = 12 // oracle unroll depth; must be >= any SF's executed rounds
+    val TargetVocab = BpeTargetVocab
+    val MinCount = BpeMinCount
+    val RMax = BpeRMax
     Q(
       "x33_bpe_vocab",
       (s, dir) => {
@@ -902,7 +921,7 @@ object TextAnalysis {
           .map(r => s"SELECT $r AS round, c1, c2, freq FROM b$r")
           .mkString(" UNION ALL ")
         s"""WITH $sqlBpeS0${sqlBpeRounds(RMax)},
-      v0 AS (SELECT count(DISTINCT sym) AS v FROM (
+      v0 AS MATERIALIZED (SELECT count(DISTINCT sym) AS v FROM (
                SELECT unnest(list_filter(string_split(seq, chr(31)), x -> x <> '')) AS sym
                FROM s0))
       SELECT round, c1, c2, freq, (SELECT v FROM v0) + round AS vocab_size
@@ -913,6 +932,136 @@ object TextAnalysis {
       }
     )
   }
+
+  /** X34: BPE ENCODE with the x33-trained merge table — the apply half of
+    * the tokenizer lifecycle (train → encode → count), and the token
+    * counter a packing/budgeting pipeline (x9 seq packing, c-family
+    * mixtures) actually needs: every document's token count under the
+    * LEARNED subword vocabulary, not a whitespace proxy. Training is
+    * x33's loop verbatim (same constants, same stops) except every
+    * executed rule is applied — including the final one, which x33 could
+    * skip because nothing read its merge; the encoded form of each WORD
+    * is then its framed census entry's symbol count, and per-document
+    * stats are one explode + one equi-join on the word against the
+    * vocab-bounded census + one keyed aggregate. chars_per_token_pm
+    * (permille chars covered per emitted token) is the compression the
+    * vocabulary buys — the number a tokenizer owner watches across
+    * corpus drift.
+    *
+    * Oracle replay: rule learning reuses x33's unrolled s/p/b chain
+    * VERBATIM (shared [[sqlBpeRounds]]) — sound because only the
+    * EXECUTED PREFIX of the unconditional chain is ever applied, and on
+    * that prefix unconditional and driver-looped merges coincide
+    * (x33's stop-cuts-a-clean-tail argument). The executed rules (the
+    * same filtered union x33's oracle emits) are packed into ONE ordered
+    * list and the encode is a single `list_reduce` replace-fold over the
+    * word census — exactly the driver loop's rule application, with no
+    * per-rule CTE hop. (Two rejected formulations, for the record: a
+    * conditional merge threaded through the chain itself evaluated
+    * pathologically in DuckDB, and an RMax-deep nested CASE duplicates
+    * the accumulator per level — 2^RMax expression blow-up.)
+    *
+    * Scale: the corpus is touched twice (word census; the final
+    * explode + join-back), both map-side-combinable / keyed on the word;
+    * every loop round runs on the O(vocab × word-length) census with
+    * 1-row driver state — the x23/x33 shape.
+    */
+  val x34BpeEncode: Q = {
+    val TargetVocab = BpeTargetVocab
+    val MinCount = BpeMinCount
+    val RMax = BpeRMax
+    Q(
+      "x34_bpe_encode",
+      (s, dir) => {
+        import s.implicits._
+        val charSeq = "concat(chr(31), array_join(transform(" +
+          "sequence(1, length(word)), i -> substr(word, i, 1)), chr(31)), chr(31))"
+        var census = t(s, dir, "documents")
+          .select(explode(Text.tokens(col("text"))).as("word"))
+          .groupBy("word").agg(count(lit(1)).as("c"))
+          .select(col("word"), col("c"), expr(charSeq).as("seq"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        census.count()
+        val v0 = census
+          .select(explode(expr("filter(split(seq, chr(31)), x -> x <> '')")).as("sym"))
+          .agg(countDistinct(col("sym")))
+          .head().getLong(0)
+        val m = math.min(math.max(0L, TargetVocab - v0), RMax.toLong)
+        var r = 1
+        var stop = m < 1
+        while (!stop) {
+          bpeBestPair(census) match {
+            case Some(best) if best.getLong(2) >= MinCount =>
+              // Unlike x33, EVERY executed rule is applied — the final
+              // census IS the encoder's output. (bpeMerge's broadcast
+              // shape, word column carried through.)
+              val merged = census.crossJoin(broadcast(
+                Seq((best.getString(0), best.getString(1))).toDF("c1", "c2")))
+                .select(col("word"), col("c"), expr(
+                  "replace(seq, concat(chr(31), c1, chr(31), c2, chr(31)), " +
+                    "concat(chr(31), c1, c2, chr(31)))").as("seq"))
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+              merged.count()
+              census.unpersist()
+              census = merged
+              r += 1
+              stop = r > m
+            case _ => stop = true
+          }
+        }
+        val wt = census.select(col("word"),
+          size(expr("filter(split(seq, chr(31)), x -> x <> '')")).as("n_sym"))
+        val out = t(s, dir, "documents")
+          .select(col("doc_id"), explode(Text.tokens(col("text"))).as("word"))
+          .join(wt, Seq("word"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_words"),
+            sum(length(col("word"))).as("n_chars"),
+            sum(col("n_sym").cast("long")).as("n_bpe_tokens"))
+          .select(col("doc_id"), col("n_words"), col("n_chars"),
+            col("n_bpe_tokens"),
+            expr("(1000 * n_chars) div n_bpe_tokens").as("chars_per_token_pm"))
+          .orderBy("doc_id")
+        out
+      },
+      Some {
+        val union = (1 to RMax)
+          .map(r => s"SELECT $r AS round, c1, c2, freq FROM b$r")
+          .mkString(" UNION ALL ")
+        s"""WITH $sqlBpeS0${sqlBpeRounds(RMax)},
+      t0 AS MATERIALIZED (SELECT word, c, chr(31) || array_to_string(list_transform(
+               range(1, length(word) + 1),
+               i -> substr(word, CAST(i AS INTEGER), 1)), chr(31)) || chr(31) AS seq
+             FROM wc),
+      v0 AS MATERIALIZED (SELECT count(DISTINCT sym) AS v FROM (
+               SELECT unnest(list_filter(string_split(seq, chr(31)), x -> x <> '')) AS sym
+               FROM s0)),
+      bud AS MATERIALIZED (SELECT greatest(0, least($TargetVocab - v, $RMax)) AS m FROM v0),
+      exec AS (SELECT round, c1, c2 FROM ($union)
+               WHERE round <= (SELECT m FROM bud) AND freq >= $MinCount),
+      rules AS MATERIALIZED (SELECT coalesce(list(c1 || chr(1) || c2 ORDER BY round),
+                  CAST([] AS VARCHAR[])) AS rl FROM exec),
+      wt AS MATERIALIZED (SELECT word, len(list_filter(string_split(
+               list_reduce(list_prepend(seq, (SELECT rl FROM rules)),
+                 (acc, x) -> replace(acc,
+                   chr(31) || split_part(x, chr(1), 1) || chr(31)
+                     || split_part(x, chr(1), 2) || chr(31),
+                   chr(31) || split_part(x, chr(1), 1)
+                     || split_part(x, chr(1), 2) || chr(31))),
+               chr(31)), y -> y <> '')) AS n_sym
+             FROM t0),
+      d AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents)
+      SELECT d.doc_id, count(*) AS n_words,
+        CAST(sum(length(d.word)) AS BIGINT) AS n_chars,
+        CAST(sum(wt.n_sym) AS BIGINT) AS n_bpe_tokens,
+        (1000 * CAST(sum(length(d.word)) AS BIGINT))
+          // CAST(sum(wt.n_sym) AS BIGINT) AS chars_per_token_pm
+      FROM d JOIN wt ON wt.word = d.word
+      GROUP BY d.doc_id ORDER BY d.doc_id"""
+      }
+    )
+  }
+
 
   /** X24: boilerplate detection by shingle document-frequency — the
     * CCNet/RefinedWeb cleaning primitive x21's novelty census doesn't
@@ -1313,7 +1462,7 @@ object TextAnalysis {
   val all: Seq[Q] = Seq(x1TokenStats, x2LangId, x3Quality, x4Fingerprint, x5TokenFreq,
     x13Bm25, x15BpePairs, x16PiiScrub, x17VocabGrowth, x18Readability,
     x19UnigramEntropy, x20ZipfSlope, x21NgramNovelty, x22LangConfusion,
-    x23BpeTrain, x33BpeVocab, x24Boilerplate, x26HashClassifier, x27GopherGates, x28Chunking,
+    x23BpeTrain, x33BpeVocab, x34BpeEncode, x24Boilerplate, x26HashClassifier, x27GopherGates, x28Chunking,
     x29KlDivergence, x30LexicalDiversity, x32Calibration)
 
   /** X30: per-source lexical diversity — type-token ratio and hapax-legomenon

@@ -144,6 +144,58 @@ class BpeTrainSpec extends SparkSpec {
     assert(runX33(dir).isEmpty)
   }
 
+  /** Encode one word with a learned rule table (sequential replay of
+    * x34's application order).
+    */
+  private def bruteEncodeLen(word: String,
+      rules: Seq[(Int, String, String, Long, Long)]): Int = {
+    var seq = Sep + word.toSeq.mkString(Sep.toString) + Sep
+    rules.foreach { case (_, c1, c2, _, _) =>
+      seq = seq.replace(s"$Sep$c1$Sep$c2$Sep", s"$Sep$c1$c2$Sep")
+    }
+    seq.split(Sep).count(_.nonEmpty)
+  }
+
+  test("x34 per-doc token counts equal a sequential encode under the x33 " +
+    "rule table at sf0.001, with the exact integer compression column") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val words = Tables.table(spark, sf, "documents")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    val rules = bruteVocab(words, v = 34, minCount = 2, rmax = 12)
+    val lens = words.keys.map(w => w -> bruteEncodeLen(w, rules)).toMap
+    val want = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      .as[(Long, Seq[String])].collect()
+      .map { case (id, ws) =>
+        id -> (ws.size.toLong, ws.map(_.length.toLong).sum,
+          ws.map(w => lens(w).toLong).sum)
+      }.toMap
+    val got = graft.queries.TextAnalysis.x34BpeEncode.fn(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(got.length == want.size)
+    got.foreach { case (id, nw, nc, nb, pm) =>
+      val (ww, wc, wb) = want(id)
+      assert((nw, nc, nb) == (ww, wc, wb),
+        s"doc $id: got ($nw, $nc, $nb) want ($ww, $wc, $wb)")
+      assert(pm == 1000L * nc / nb, s"doc $id compression column drifted")
+    }
+  }
+
+  test("x34 with zero learned rules (single-char words) degrades to " +
+    "token count = char count at 1000 permille") {
+    import spark.implicits._
+    val dir = docsDir(Seq("a b c a b c"))
+    val rows = graft.queries.TextAnalysis.x34BpeEncode.fn(spark, dir)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(rows.length == 1)
+    val (_, nw, nc, nb, pm) = rows.head
+    assert(nw == 6 && nc == 6 && nb == 6 && pm == 1000,
+      s"degenerate encode drifted: ($nw, $nc, $nb, $pm)")
+  }
+
   test("x33 vocab-budget stop: a rich repetitive corpus runs its full " +
     "merge budget (capped at the oracle unroll), not to pair exhaustion") {
     // 8 chars -> v0 = 8; the 8 rotations of "abcdefgh" keep every cyclic
