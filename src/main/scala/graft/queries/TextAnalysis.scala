@@ -764,19 +764,29 @@ object TextAnalysis {
   /** The framed-literal merge of `(c1, c2)` applied to every census entry
     * — see x23's scaladoc for why the consumed-boundary `replace` is the
     * portable cross-engine rule.
+    *
+    * LAZY (r12 optimization): the rule pair is driver-known, so it is
+    * inlined as string LITERALS into one narrow codegen projection —
+    * no 1-row broadcast, no crossJoin, and crucially NO eager count.
+    * The returned frame is persisted but materialized by whatever reads
+    * it next (the next round's argmax, or the encoder's final pass), so
+    * each training round costs ONE Spark action instead of three
+    * (broadcast build + merge count + argmax collect). The caller owns
+    * unpersisting the PREDECESSOR census only after an action has
+    * materialized this one (the merge is a narrow map over the cached
+    * predecessor — dropping it early would silently recompute the whole
+    * chain from the corpus scan). Carries every column except `seq`
+    * through, so x34's `word` survives.
     */
-  private def bpeMerge(s: SparkSession,
-      census: org.apache.spark.sql.DataFrame,
+  private def bpeMerge(census: org.apache.spark.sql.DataFrame,
       c1: String, c2: String): org.apache.spark.sql.DataFrame = {
-    import s.implicits._
-    val merged = census.crossJoin(broadcast(Seq((c1, c2)).toDF("c1", "c2")))
-      .select(col("c"), expr(
-        "replace(seq, concat(chr(31), c1, chr(31), c2, chr(31)), " +
-          "concat(chr(31), c1, c2, chr(31)))").as("seq"))
+    val f = "\u001f" // chr(31), the frame char
+    val others = census.columns.filter(_ != "seq").map(col).toSeq
+    census
+      .select(others :+
+        replace(col("seq"), lit(f + c1 + f + c2 + f), lit(f + c1 + c2 + f))
+          .as("seq"): _*)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    merged.count()
-    census.unpersist()
-    merged
   }
 
   /** The toks/wc/s0 CTE prelude of the BPE oracles (DuckDB). wc and s0
@@ -825,14 +835,20 @@ object TextAnalysis {
         // (bounded by construction, the e10 pattern) so every cached
         // frame can be released eagerly and the K-rule result is a local
         // table, not a K-way union whose lineage spans all rounds.
+        // ONE action per round (r12): the lazy [[bpeMerge]] is
+        // materialized by the NEXT round's argmax collect; the superseded
+        // census is unpersisted only after that collect returns.
         var rules = Vector.empty[(Int, String, String, Long)]
+        var prev: Option[org.apache.spark.sql.DataFrame] = None
         for (r <- 1 to K) {
           val best = bpeBestPair(census).get // K=4 < pair depth at any SF
+          prev.foreach(_.unpersist()); prev = None
           rules = rules :+
             ((r, best.getString(0), best.getString(1), best.getLong(2)))
-          if (r < K) // the final round's merge has no reader — skip it
-            census = bpeMerge(s, census, best.getString(0), best.getString(1))
-          else census.unpersist()
+          if (r < K) { // the final round's merge has no reader — skip it
+            prev = Some(census)
+            census = bpeMerge(census, best.getString(0), best.getString(1))
+          } else census.unpersist()
         }
         rules.toDF("round", "c1", "c2", "freq").orderBy("round")
       },
@@ -899,15 +915,23 @@ object TextAnalysis {
           .head().getLong(0)
         val m = math.min(math.max(0L, TargetVocab - v0), RMax.toLong)
         var rules = Vector.empty[(Int, String, String, Long, Long)]
+        // ONE action per round (r12): lazy merges are materialized by the
+        // next argmax collect; the superseded census is unpersisted only
+        // after that collect returns (see [[bpeMerge]]).
+        var prev: Option[org.apache.spark.sql.DataFrame] = None
         var r = 1
         var stop = m < 1
         while (!stop) {
-          bpeBestPair(census) match {
+          val best = bpeBestPair(census)
+          prev.foreach(_.unpersist()); prev = None
+          best match {
             case Some(best) if best.getLong(2) >= MinCount =>
               rules = rules :+ ((r, best.getString(0), best.getString(1),
                 best.getLong(2), v0 + r))
-              if (r < m)
-                census = bpeMerge(s, census, best.getString(0), best.getString(1))
+              if (r < m) {
+                prev = Some(census)
+                census = bpeMerge(census, best.getString(0), best.getString(1))
+              }
               r += 1
               stop = r > m
             case _ => stop = true // pairs exhausted or best below MinCount
@@ -987,28 +1011,28 @@ object TextAnalysis {
           .agg(countDistinct(col("sym")))
           .head().getLong(0)
         val m = math.min(math.max(0L, TargetVocab - v0), RMax.toLong)
+        // ONE action per round (r12): lazy merges are materialized by the
+        // next argmax collect (see [[bpeMerge]], word column carried
+        // through). Unlike x33, EVERY executed rule is applied — the
+        // final census IS the encoder's output — so a merge still lazy
+        // when the loop exits is materialized once below before its
+        // predecessor is released.
+        var prev: Option[org.apache.spark.sql.DataFrame] = None
         var r = 1
         var stop = m < 1
         while (!stop) {
-          bpeBestPair(census) match {
+          val best = bpeBestPair(census)
+          prev.foreach(_.unpersist()); prev = None
+          best match {
             case Some(best) if best.getLong(2) >= MinCount =>
-              // Unlike x33, EVERY executed rule is applied — the final
-              // census IS the encoder's output. (bpeMerge's broadcast
-              // shape, word column carried through.)
-              val merged = census.crossJoin(broadcast(
-                Seq((best.getString(0), best.getString(1))).toDF("c1", "c2")))
-                .select(col("word"), col("c"), expr(
-                  "replace(seq, concat(chr(31), c1, chr(31), c2, chr(31)), " +
-                    "concat(chr(31), c1, c2, chr(31)))").as("seq"))
-                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-              merged.count()
-              census.unpersist()
-              census = merged
+              prev = Some(census)
+              census = bpeMerge(census, best.getString(0), best.getString(1))
               r += 1
               stop = r > m
             case _ => stop = true
           }
         }
+        prev.foreach { p => census.count(); p.unpersist() }
         val wt = census.select(col("word"),
           size(expr("filter(split(seq, chr(31)), x -> x <> '')")).as("n_sym"))
         val out = t(s, dir, "documents")
