@@ -909,44 +909,77 @@ object SimilarityQueries {
       // predicate (label ≥ 2) AND within its top-5-per-label depth (see
       // scaladoc for why the truth-side rank equals e14's); denominator
       // floored at 1 so an empty filtered truth yields 0.0, not 0/0.
-      val wl = org.apache.spark.sql.expressions.Window
-        .partitionBy("label").orderBy(col("sim").desc, col("vec_id"))
-      val fexact = exact.filter(col("label") >= 2)
-        .withColumn("lrk", row_number().over(wl))
-        .filter(col("lrk") <= 5)
-        .select("vec_id")
-      val kf = math.max(fexact.count(), 1L)
-      val e14Row = e14FilteredAnn.fn(s, dir).select(col("vec_id"))
-        .join(fexact, Seq("vec_id"))
-        .agg(count(lit(1)).as("n_overlap"))
-        .select(lit("e14_filtered").as("variant"), col("n_overlap"),
-          (col("n_overlap").cast("double") / kf).as("recall_at_10"))
+      def e14Row() = {
+        val wl = org.apache.spark.sql.expressions.Window
+          .partitionBy("label").orderBy(col("sim").desc, col("vec_id"))
+        val fexact = exact.filter(col("label") >= 2)
+          .withColumn("lrk", row_number().over(wl))
+          .filter(col("lrk") <= 5)
+          .select("vec_id")
+        val kf = math.max(fexact.count(), 1L)
+        e14FilteredAnn.fn(s, dir).select(col("vec_id"))
+          .join(fexact, Seq("vec_id"))
+          .agg(count(lit(1)).as("n_overlap"))
+          .select(lit("e14_filtered").as("variant"), col("n_overlap"),
+            (col("n_overlap").cast("double") / kf).as("recall_at_10"))
+      }
       // e25 pair recall@20 vs the exact all-pairs top-20 (see scaladoc)
-      val ptruth = pairTruth(s, dir).select("a", "b")
-      val kp = math.max(ptruth.count(), 1L)
-      val e25Row = e25IvfBalanced.fn(s, dir).select(col("a"), col("b"))
-        .join(ptruth, Seq("a", "b"))
-        .agg(count(lit(1)).as("n_overlap"))
-        .select(lit("e25_balanced").as("variant"), col("n_overlap"),
-          (col("n_overlap").cast("double") / kp).as("recall_at_10"))
+      def e25Row() = {
+        val ptruth = pairTruth(s, dir).select("a", "b")
+        val kp = math.max(ptruth.count(), 1L)
+        e25IvfBalanced.fn(s, dir).select(col("a"), col("b"))
+          .join(ptruth, Seq("a", "b"))
+          .agg(count(lit(1)).as("n_overlap"))
+          .select(lit("e25_balanced").as("variant"), col("n_overlap"),
+            (col("n_overlap").cast("double") / kp).as("recall_at_10"))
+      }
       // e27 radius coverage vs the exact floor-neighbor set
-      val rtruth = rangeTruth(s, dir).select("qid", "vec_id")
-      val kr = math.max(rtruth.count(), 1L)
-      val e27Row = e27RangeSearch.fn(s, dir).select(col("qid"), col("vec_id"))
-        .join(rtruth, Seq("qid", "vec_id"))
-        .agg(count(lit(1)).as("n_overlap"))
-        .select(lit("e27_range").as("variant"), col("n_overlap"),
-          (col("n_overlap").cast("double") / kr).as("recall_at_10"))
-      recallRow("e2_ivf", e2AnnIvf)
-        .unionByName(recallRow("e4_kmeans", e4AnnKmeans))
-        .unionByName(recallRow("e5_hyperplane", e5AnnHyperplane))
-        .unionByName(recallRow("e13_ivf_pq", e13IvfPq))
-        .unionByName(recallRow("e28_multiprobe", e28MultiprobeLsh))
-        .unionByName(recallRow("e29_pq_refine", e29PqRefine))
-        .unionByName(e14Row)
-        .unionByName(e25Row)
-        .unionByName(e27Row)
-        .orderBy("variant")
+      def e27Row() = {
+        val rtruth = rangeTruth(s, dir).select("qid", "vec_id")
+        val kr = math.max(rtruth.count(), 1L)
+        e27RangeSearch.fn(s, dir).select(col("qid"), col("vec_id"))
+          .join(rtruth, Seq("qid", "vec_id"))
+          .agg(count(lit(1)).as("n_overlap"))
+          .select(lit("e27_range").as("variant"), col("n_overlap"),
+            (col("n_overlap").cast("double") / kr).as("recall_at_10"))
+      }
+      // Build the nine variant legs from a SMALL THREAD POOL (guide §2.6
+      // "overlap independent jobs"): each leg's plan construction runs its
+      // variant's EAGER internal stages (codebook persists, argmin counts,
+      // memoized-table builds) — sequentially those serialized ~9 variants
+      // of driver-dispatched sub-second jobs while 32 cores idled; with 4
+      // legs in flight the next variant's stages back-fill the scheduler
+      // gaps of the current one. Leg ORDER in the result is fixed by the
+      // fold below (and re-sorted by `variant`), so the output is
+      // byte-identical to the sequential build; every leg composes the
+      // SAME shipped Q definitions as before. Pool threads inherit the
+      // caller's job group/description (Spark local properties are
+      // InheritableThreadLocal), are daemons (a Bench timeout abandons
+      // them with its runner), and the pool dies with this call.
+      val legs: Seq[() => org.apache.spark.sql.DataFrame] = Seq(
+        () => recallRow("e2_ivf", e2AnnIvf),
+        () => recallRow("e4_kmeans", e4AnnKmeans),
+        () => recallRow("e5_hyperplane", e5AnnHyperplane),
+        () => recallRow("e13_ivf_pq", e13IvfPq),
+        () => recallRow("e28_multiprobe", e28MultiprobeLsh),
+        () => recallRow("e29_pq_refine", e29PqRefine),
+        () => e14Row(),
+        () => e25Row(),
+        () => e27Row())
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(
+        4,
+        (r: Runnable) => {
+          val t = new Thread(r, "e9-leg")
+          t.setDaemon(true)
+          t
+        })
+      try {
+        val built = legs
+          .map(leg => pool.submit(new java.util.concurrent.Callable[
+            org.apache.spark.sql.DataFrame] { def call() = leg() }))
+          .map(_.get())
+        built.reduce(_.unionByName(_)).orderBy("variant")
+      } finally pool.shutdown()
     },
     Some {
       def sub(q: Q) = s"(SELECT vec_id FROM (${q.oracle.get}))"
