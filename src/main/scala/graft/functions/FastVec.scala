@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInput
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
 
 /** Native Catalyst dot product over two `array<double>` columns.
   *
@@ -116,6 +116,56 @@ case class L2Sq(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Integer sibling of [[DotProduct]]: fused dot product over two
+  * `array<bigint>` columns — m8's DCT coefficients are exact Q14
+  * fixed-point folds `sum(p[i]·w[i])` over 64-cell grids, and the
+  * builtin `aggregate(zip_with(...))` spelling runs as an interpreted
+  * higher-order expression (no whole-stage codegen), allocating an
+  * intermediate array and dispatching two lambdas per element. This is
+  * one codegen'd loop, no allocation; integer multiply-add is
+  * order-exact, so the result is BIT-IDENTICAL to the builtin fold and
+  * the oracle's relational row/column passes.
+  */
+case class LongDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType), ArrayType(LongType))
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "graft_ldot"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getLong(i) * y.getLong(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getLong($i) * $b.getLong($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): LongDot =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `SparkSessionExtensions` entry point — activate with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
   */
@@ -135,6 +185,9 @@ object FastVec {
     (FunctionIdentifier("graft_l2sq"),
       new ExpressionInfo(classOf[L2Sq].getName, "graft_l2sq"),
       (children: Seq[Expression]) => L2Sq(children.head, children(1))),
+    (FunctionIdentifier("graft_ldot"),
+      new ExpressionInfo(classOf[LongDot].getName, "graft_ldot"),
+      (children: Seq[Expression]) => LongDot(children.head, children(1))),
     (FunctionIdentifier("graft_bpe_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "graft_bpe_count"),
       (children: Seq[Expression]) => BpeTokenCount(children.head)),
@@ -177,6 +230,7 @@ object FastVec {
   /** Column-level handles (require [[register]] or the extensions conf). */
   def dot(a: Column, b: Column): Column = call_function("graft_dot", a, b)
   def l2sq(a: Column, b: Column): Column = call_function("graft_l2sq", a, b)
+  def ldot(a: Column, b: Column): Column = call_function("graft_ldot", a, b)
   def norm(a: Column): Column =
     org.apache.spark.sql.functions.sqrt(dot(a, a))
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))

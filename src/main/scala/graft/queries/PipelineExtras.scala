@@ -747,10 +747,13 @@ object PipelineExtras {
             i, col("text").substr(
               (i * col("cw") + 1).cast("int"), col("cw").cast("int"))),
             lit(256L)))
+        // graft_ldot (r12): the 32 folds used to be interpreted
+        // aggregate(zip_with(...)) higher-order expressions — no codegen,
+        // one intermediate array + two lambda dispatches per element; the
+        // fused codegen loop is bit-identical (exact integer multiply-add).
+        graft.functions.FastVec.register(s)
         val sigCol = coefs.indices.map { j =>
-          val dot = aggregate(
-            zip_with(col("p"), typedLit(w(j).toSeq), (a, b) => a * b),
-            lit(0L), (acc, x) => acc + x)
+          val dot = graft.functions.FastVec.ldot(col("p"), typedLit(w(j).toSeq))
           when(dot > 0, lit(1L << j)).otherwise(lit(0L))
         }.reduce(_ + _)
         val sigs = docsF

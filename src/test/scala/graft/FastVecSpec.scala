@@ -37,6 +37,31 @@ class FastVecSpec extends SparkSpec {
     assert(out == Seq(Some(11.0), None, Some(0.0), Some(6.0)))
   }
 
+  test("graft_ldot matches the builtin integer fold (m8's DCT coefficient shape)") {
+    import spark.implicits._
+    FastVec.register(spark)
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(64)(
+      (Seq.fill(64)(rnd.nextInt(256).toLong),
+        Seq.fill(64)(rnd.nextLong() % 32768)))
+    val df = rows.toDF("p", "w")
+    val both = df.select(
+      (FastVec.ldot(col("p"), col("w")) ===
+        aggregate(zip_with(col("p"), col("w"), (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x)).as("eq"))
+    assert(both.filter(!col("eq")).count() == 0)
+    // null / empty / prefix semantics mirror graft_dot
+    val edge = Seq(
+      (Some(Seq(2L, 3L)), Some(Seq(5L, 7L))), // 31
+      (None, Some(Seq(1L))), // null
+      (Some(Seq.empty[Long]), Some(Seq.empty[Long])), // 0
+      (Some(Seq(2L, 5L)), Some(Seq(3L))) // common prefix: 6
+    ).toDF("a", "b")
+    val out = edge.select(FastVec.ldot(col("a"), col("b")))
+      .as[Option[Long]].collect().toSeq
+    assert(out == Seq(Some(31L), None, Some(0L), Some(6L)))
+  }
+
   test("fused expressions run inside WholeStageCodegen, not as UDFs") {
     FastVec.register(spark)
     val emb = Tables.table(spark, sf, "embeddings")
