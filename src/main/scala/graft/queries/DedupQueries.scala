@@ -1046,7 +1046,12 @@ object DedupQueries {
           })
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       wsq.count() // eager: norms + verify share it
+      // Persisted (r12): four subtrees consume this join (norms, the rare
+      // index, and BOTH sides of the dot) — unpersisted, each re-ran the
+      // sh⋈wsq shuffle join; cached, the join runs once.
       val weighted = sh.join(wsq, Seq("shingle"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      weighted.count() // eager: the four consumers scan it concurrently
       val norms = weighted.groupBy("doc_id").agg(sum(col("wsq")).as("nsq"))
       val rare = weighted.filter(col("df").between(2, 25))
         .select(col("doc_id"), col("shingle"))
