@@ -143,6 +143,64 @@ object ShingleArray {
   }
 }
 
+/** Multiplicity-preserving sibling of [[ShingleArray]]: ALL word n-grams
+  * of `text` in position order, duplicates kept — the bigram STREAM the
+  * LM-proxy scorers (x8/x11/x25) fold over, where [[ShingleArray]]'s
+  * per-document distinct set would under-count repeated bigrams. Same
+  * motivation as its sibling (r12): those queries spelled the stream as
+  * posexplode(split) → per-doc `lead` window, paying a corpus-wide
+  * Exchange(doc_id) + sort before the first real aggregate; this is a
+  * narrow codegen projection — scan → explode, zero exchanges — and the
+  * HOF-transform spelling stays off the table (Catalyst inlines the
+  * `split` into every lambda `get`, the round-2 O(tokens×n) collapse).
+  * Tokenization matches `split(text, " ")` exactly, like [[ShingleArray]].
+  */
+case class NgramArray(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"ngram size must be >= 1, got $n")
+
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "graft_ngrams"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NgramArray.compute(input.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = graft.functions.NgramArray.compute($s, $n);")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramArray =
+    copy(child = newChild)
+}
+
+object NgramArray {
+  def compute(text: UTF8String, n: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    // -1 keeps trailing empties: exact split(text, " ") semantics
+    val toks = text.toString.split(" ", -1)
+    if (toks.length < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](toks.length - n + 1)
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i <= toks.length - n) {
+      sb.setLength(0)
+      var k = 0
+      while (k < n) {
+        if (k > 0) sb.append(' ')
+        sb.append(toks(i + k))
+        k += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+}
+
 /** Runtime for [[LevWithin]]. Bare object → static forwarders, same as
   * [[GraftHash]].
   */
@@ -233,6 +291,10 @@ object FastText {
   /** Distinct word n-gram shingles in one fused pass (see [[ShingleArray]]). */
   def shingles(text: Column, n: Int): Column =
     call_function("graft_shingles", text, org.apache.spark.sql.functions.lit(n))
+
+  /** ALL word n-grams, multiplicity kept (see [[NgramArray]]). */
+  def ngrams(text: Column, n: Int): Column =
+    call_function("graft_ngrams", text, org.apache.spark.sql.functions.lit(n))
 
   /** Banded `levenshtein(a, b) <= k` predicate (see [[LevWithin]]). */
   def levWithin(a: Column, b: Column, k: Int): Column =

@@ -202,6 +202,11 @@ object FastVec {
       (children: Seq[Expression]) => ShingleArray(
         children.head,
         children(1).eval().asInstanceOf[Int])),
+    (FunctionIdentifier("graft_ngrams"),
+      new ExpressionInfo(classOf[NgramArray].getName, "graft_ngrams"),
+      (children: Seq[Expression]) => NgramArray(
+        children.head,
+        children(1).eval().asInstanceOf[Int])),
     (FunctionIdentifier("graft_lev_le"),
       new ExpressionInfo(classOf[LevWithin].getName, "graft_lev_le"),
       (children: Seq[Expression]) => LevWithin(

@@ -143,13 +143,17 @@ object MixtureQueries {
   val x11BigramSurprisal: Q = Q(
     "x11_bigram_surprisal",
     (s, dir) => {
+      graft.functions.FastVec.register(s)
       val toks = t(s, dir, "documents")
-        .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val bigrams = toks
-        .select(col("doc_id"), col("tok").as("w1"),
-          lead(col("tok"), 1).over(w).as("w2"))
-        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      // Narrow codegen bigram stream (r12) — same rewrite as x25: the
+      // lead-window spelling cost a corpus-wide Exchange(doc_id) + sort.
+      val bigrams = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.FastText.ngrams(col("text"), 2)).as("bg"))
+        .select(col("doc_id"),
+          split(col("bg"), " ", 2).getItem(0).as("w1"),
+          split(col("bg"), " ", 2).getItem(1).as("w2"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       bigrams.count() // eager: census + join-back both scan it
       val uni = toks.groupBy("tok").agg(count(lit(1)).as("c1"))
@@ -651,13 +655,21 @@ object MixtureQueries {
   val x25KneserNey: Q = Q(
     "x25_kneser_ney",
     (s, dir) => {
+      graft.functions.FastVec.register(s)
       val toks = t(s, dir, "documents")
-        .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val bigrams = toks
-        .select(col("doc_id"), col("tok").as("w1"),
-          lead(col("tok"), 1).over(w).as("w2"))
-        .filter(col("w2").isNotNull)
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      // Bigram stream as a narrow codegen projection (r12): the previous
+      // posexplode → per-doc lead-window spelling paid a corpus-wide
+      // Exchange(doc_id) + sort before the first aggregate; graft_ngrams
+      // emits the same position-ordered multiset with zero exchanges
+      // (see NgramArray; the one-space split is exact because tokens
+      // cannot contain the separator).
+      val bigrams = t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.FastText.ngrams(col("text"), 2)).as("bg"))
+        .select(col("doc_id"),
+          split(col("bg"), " ", 2).getItem(0).as("w1"),
+          split(col("bg"), " ", 2).getItem(1).as("w2"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       bigrams.count() // eager: type census + join-back both scan it
       val bi = bigrams.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))

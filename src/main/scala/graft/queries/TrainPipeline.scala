@@ -70,22 +70,27 @@ object TrainPipeline {
     * the duplicate-word fraction (1 − distinct/total tokens) and the
     * top-bigram fraction (most frequent 2-gram / all 2-grams, with
     * multiplicity). Two hash aggregates joined on doc_id; the bigram table
-    * comes from a generator + window `lead` (never a HOF lambda — see
-    * [[MinHashLSH.shingleTable]]'s scale note).
+    * comes from the fused [[graft.functions.NgramArray]] generator (never
+    * a HOF lambda — see [[MinHashLSH.shingleTable]]'s scale note — and,
+    * since r12, never a per-doc `lead` window either, which cost a
+    * corpus-wide Exchange + sort).
     */
   val x8Repetition: Q = Q(
     "x8_repetition",
     (s, dir) => {
+      graft.functions.FastVec.register(s)
       val toks = t(s, dir, "documents")
-        .select(col("doc_id"), posexplode(Text.tokens(col("text"))).as(Seq("pos", "tok")))
+        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
       val tstats = toks.groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"), countDistinct(col("tok")).as("n_distinct"))
-      val w = Window.partitionBy("doc_id").orderBy("pos")
-      val bg = toks
+      // Narrow codegen bigram stream (r12, the x11/x25 rewrite): the
+      // lead-window spelling cost a corpus-wide Exchange(doc_id) + sort
+      // before the bigram census; graft_ngrams emits the same "w1 w2"
+      // multiset (docs with <2 tokens yield no rows, as the _full filter
+      // did) with zero exchanges.
+      val bg = t(s, dir, "documents")
         .select(col("doc_id"),
-          concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w)).as("bg"),
-          lead(col("tok"), 1).over(w).isNotNull.as("_full"))
-        .filter(col("_full"))
+          explode(graft.functions.FastText.ngrams(col("text"), 2)).as("bg"))
       val bgstats = bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
         .groupBy("doc_id")
         .agg(max(col("c")).as("max_c"), sum(col("c")).as("tot"))

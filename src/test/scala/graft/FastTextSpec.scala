@@ -118,6 +118,40 @@ class FastTextSpec extends SparkSpec {
     assert(vocabs.zip(vocabs.tail).forall { case (a, b) => a <= b }, "vocab not monotone")
   }
 
+  test("graft_ngrams equals the posexplode + lead-window bigram stream " +
+    "on the real corpus and on tricky strings") {
+    FastVec.register(spark)
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.table(spark, "/root/testdata/sf0.001", "documents")
+      .select(col("doc_id").cast("string").as("id"), col("text"))
+      .unionByName(tricky.zipWithIndex
+        .map { case (t, i) => (s"t$i", t) }.toDF("id", "text"))
+    // The r12-replaced formulation, kept here as the semantic pin: every
+    // (id, bg, multiplicity) must match exactly — NgramArray keeps
+    // duplicates and position order, unlike graft_shingles.
+    val w = Window.partitionBy("id").orderBy("pos")
+    val windowed = docs
+      .select(col("id"), posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .select(col("id"),
+        concat_ws(" ", col("tok"), lead(col("tok"), 1).over(w)).as("bg"),
+        lead(col("tok"), 1).over(w).isNotNull.as("_full"))
+      .filter(col("_full"))
+      .groupBy("id", "bg").count()
+    val fused = docs
+      .select(col("id"), explode(FastText.ngrams(col("text"), 2)).as("bg"))
+      .groupBy("id", "bg").count()
+    assert(windowed.exceptAll(fused).count() == 0)
+    assert(fused.exceptAll(windowed).count() == 0)
+    // the split(bg, " ", 2) pair recovery used by x11/x25 is lossless
+    val pairs = docs
+      .select(col("id"), explode(FastText.ngrams(col("text"), 2)).as("bg"))
+      .select((split(col("bg"), " ", 2).getItem(0) ===
+        split(col("bg"), " ", 2)(0)).as("ok"),
+        (concat_ws(" ", split(col("bg"), " ", 2).getItem(0),
+          split(col("bg"), " ", 2).getItem(1)) === col("bg")).as("rt"))
+    assert(pairs.filter(!col("rt")).count() == 0)
+  }
+
   test("null input → null count") {
     FastVec.register(spark)
     val r = Seq[Option[String]](None).toDF("text")
