@@ -729,7 +729,14 @@ object TextAnalysis {
     * trainers start from — the ONLY corpus-sized aggregate either runs
     * (map-side combinable); returned persisted and eagerly counted.
     */
-  private def bpeCharCensus(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+  /** `eager = false` (r12) skips the materializing count when the caller's
+    * own FIRST action on the census (x33/x34's v0 distinct-symbol count)
+    * fills the cache instead — one action saved per training run; the
+    * single-consumer-at-a-time access pattern keeps the concurrent-
+    * first-scan trap out of reach.
+    */
+  private def bpeCharCensus(s: SparkSession, dir: String,
+      eager: Boolean = true): org.apache.spark.sql.DataFrame = {
     val charSeq = "concat(chr(31), array_join(transform(" +
       "sequence(1, length(word)), i -> substr(word, i, 1)), chr(31)), chr(31))"
     val census = t(s, dir, "documents")
@@ -737,7 +744,7 @@ object TextAnalysis {
       .groupBy("word").agg(count(lit(1)).as("c"))
       .select(col("c"), expr(charSeq).as("seq"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    census.count()
+    if (eager) census.count()
     census
   }
 
@@ -908,7 +915,9 @@ object TextAnalysis {
       "x33_bpe_vocab",
       (s, dir) => {
         import s.implicits._
-        var census = bpeCharCensus(s, dir)
+        // eager=false: the v0 head() below is the census's first action
+        // and fills the persist — one materializing count saved (r12).
+        var census = bpeCharCensus(s, dir, eager = false)
         val v0 = census
           .select(explode(expr("filter(split(seq, chr(31)), x -> x <> '')")).as("sym"))
           .agg(countDistinct(col("sym")))
@@ -1005,7 +1014,8 @@ object TextAnalysis {
           .groupBy("word").agg(count(lit(1)).as("c"))
           .select(col("word"), col("c"), expr(charSeq).as("seq"))
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        census.count()
+        // the v0 head() below is the census's first action and fills the
+        // persist — one materializing count saved (r12, the x33 shape)
         val v0 = census
           .select(explode(expr("filter(split(seq, chr(31)), x -> x <> '')")).as("sym"))
           .agg(countDistinct(col("sym")))
