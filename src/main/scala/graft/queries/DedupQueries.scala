@@ -224,10 +224,17 @@ object DedupQueries {
         .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
         .select(col("doc_id"),
           Text.tokenHash60(col("tok")).as("h1"),
-          Text.seededHash64(lit(2), col("tok")).as("h2"))
+          Text.seededHash64(lit(2), col("tok")).as("h2"),
+          // d4's 32-bit signature (r12): same tokenHash32 → simhashAgg
+          // derivation verbatim, so d4 reads the shared view instead of
+          // re-running the token explode + vote aggregate per query —
+          // the r11 d21/d22 treatment extended to the third signature
+          // this corpus maintains. One explode serves all three legs.
+          Text.tokenHash32(col("tok")).as("h3"))
         .groupBy("doc_id")
         .agg(Text.simhashAgg(col("h1"), 60).as("sim1"),
-          Text.simhashAgg(col("h2"), 60).as("sim2"))
+          Text.simhashAgg(col("h2"), 60).as("sim2"),
+          Text.simhashAgg(col("h3")).as("sim32"))
     }
   }
 
@@ -420,17 +427,16 @@ object DedupQueries {
     "d4_simhash",
     (s, dir) => {
       val W = 4
-      // One row per doc; scanned from FOUR subtrees of the one action
-      // (rotation explode + both verify sides). Persist + eager count, or
-      // each subtree re-runs the tokenize→hash→agg pipeline over every
-      // token (trap: concurrent first-scan of an unmaterialized cache).
-      val sims = t(s, dir, "documents")
-        .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
-        .select(col("doc_id"), Text.tokenHash32(col("tok")).as("hv"))
-        .groupBy("doc_id")
-        .agg(Text.simhashAgg(col("hv")))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sims.count()
+      // One row per doc, read from the shared bucketed dualsims view
+      // (r12): the 32-bit signature is the view's third leg — same
+      // tokenHash32 → simhashAgg derivation verbatim, so values are
+      // byte-identical to the inline pipeline this replaces, and the
+      // per-query tokenize → hash → vote aggregate (plus its persist +
+      // eager count) disappears; the three subtrees (rotation explode +
+      // both verify sides) each scan the doc-bucketed table directly
+      // (the d21/d22 treatment, r11).
+      val sims = dualSimsTable(s, dir)
+        .select(col("doc_id"), col("sim32").as("simhash"))
       graft.operators.SortedNeighborhood
         .candidates(sims, "doc_id", "simhash", rotations = 4, window = W)
         .join(sims.select(col("doc_id").as("a"), col("simhash").as("sim_a")), Seq("a"))
