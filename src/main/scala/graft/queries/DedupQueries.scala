@@ -86,17 +86,10 @@ object DedupQueries {
 
   val d2NgramJaccard: Q = Q(
     "d2_ngram_jaccard",
-    (s, dir) => {
-      // Persisted for the same reason as nearDupPairs: the prefix index,
-      // both verify sides and both count sides all scan this one table.
-      val sh = shTable(s, dir, 5)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sh.count() // eager: see nearDupPairs — concurrent first-scan race
-      val cand = MinHashLSH.prefixFilteredPairs(sh, "doc_id")
-      MinHashLSH.verifyJaccard(cand, sh, "doc_id")
-        .filter(col("jaccard") >= 0.5)
-        .orderBy("a", "b")
-    },
+    // One ordered scan of the shared verified-pair view (r13, verdict #3):
+    // the prefix index + quadratic verify join run once at view-build time
+    // (the d3 treatment), not per measurement.
+    (s, dir) => d2Pairs(s, dir).orderBy("a", "b"),
     Some(s"""WITH sh AS ($sqlShingles5),
       $sqlD2PairsBody
       SELECT a, b, inter, uni, jaccard FROM d2pairs ORDER BY a, b""")
@@ -247,6 +240,7 @@ object DedupQueries {
     shTable(s, dir, 3); shTable(s, dir, 5)
     d3Pairs(s, dir); d5Labels(s, dir); winFpTable(s, dir, 15)
     dualSimsTable(s, dir)
+    d2Pairs(s, dir); d9Pairs(s, dir)
   }
 
   private[graft] def d3Pairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
@@ -255,6 +249,59 @@ object DedupQueries {
       MinHashLSH.nearDupPairs(t(s, dir, "documents"), "doc_id", "text",
         shingleN = 3, numHashes = 8, bands = 4, threshold = 0.3)
     }
+  }
+
+  /** d2's verified exact-Jaccard pair table (prefix-filtered SSJoin at
+    * t = 1/2, exact-verified ≥ 0.5 on 5-gram shingles) as a write-once
+    * bucketed view — the [[d3Pairs]] treatment extended to the sh5 family
+    * (r12 verdict #3): d2 EMITS this table and d15's banding tuner
+    * AGGREGATES it, yet each isolated run re-ran the quadratic
+    * shared-shingle verify join (the family's most compute-bound stage,
+    * cores_eff 4–11). Like d3's pair table, this is the warehouse asset a
+    * 100 TB dedup deployment maintains (the verified match graph); the
+    * table IS `verifyJaccard(prefixFilteredPairs(sh5))`'s output verbatim
+    * — no value can change. Build cost lands in view_build_sec.
+    */
+  private[graft] def d2Pairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    // The builder runs at most once per session: persist the shingle-view
+    // scan for its ~6 subtree consumers (prefix index, both verify sides,
+    // both count sides), release it once the table is written.
+    var shp: Option[org.apache.spark.sql.DataFrame] = None
+    val out = graft.sources.MatView.of(s, s"graft_d2pairs_$tag", "a", PairBuckets) {
+      val sh = shTable(s, dir, 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sh.count()
+      shp = Some(sh)
+      MinHashLSH
+        .verifyJaccard(MinHashLSH.prefixFilteredPairs(sh, "doc_id"), sh, "doc_id")
+        .filter(col("jaccard") >= 0.5)
+    }
+    shp.foreach(_.unpersist())
+    out
+  }
+
+  /** d9's verified containment pair table (asymmetric prefix filter at
+    * t = 4/5, exact-verified ≥ 0.8) as a write-once bucketed view — same
+    * rationale as [[d2Pairs]]: the prefix × full-inverted-index candidate
+    * join plus the two-sided verify is re-run per isolated measurement,
+    * and the verified quote/boilerplate graph is as much a warehouse
+    * asset as the Jaccard match graph.
+    */
+  private[graft] def d9Pairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]", "_")
+    var shp: Option[org.apache.spark.sql.DataFrame] = None
+    val out = graft.sources.MatView.of(s, s"graft_d9pairs_$tag", "a", PairBuckets) {
+      val sh = shTable(s, dir, 5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      sh.count()
+      shp = Some(sh)
+      MinHashLSH
+        .verifyContainment(MinHashLSH.containmentPairs(sh, "doc_id", 4, 5), sh, "doc_id")
+        .filter(col("containment") >= 0.8)
+    }
+    shp.foreach(_.unpersist())
+    out
   }
 
   /** d5's cluster-label table (doc_id → min-reachable-id cluster) over
@@ -536,17 +583,10 @@ object DedupQueries {
     */
   val d9Containment: Q = Q(
     "d9_containment",
-    (s, dir) => {
-      // Prefix index, the full inverted index, and both verify sides all
-      // scan this one table — persist + eager count (d2's pattern).
-      val sh = shTable(s, dir, 5)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sh.count()
-      val cand = MinHashLSH.containmentPairs(sh, "doc_id", 4, 5)
-      MinHashLSH.verifyContainment(cand, sh, "doc_id")
-        .filter(col("containment") >= 0.8)
-        .orderBy("a", "b")
-    },
+    // One ordered scan of the shared containment-pair view (r13): the
+    // asymmetric prefix × inverted-index join + verify run at view-build
+    // time, not per measurement (see [[d9Pairs]]).
+    (s, dir) => d9Pairs(s, dir).orderBy("a", "b"),
     Some(s"""WITH sh AS ($sqlShingles5),
       cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
       dfc AS (SELECT shingle, count(*) AS c FROM sh GROUP BY shingle),
@@ -945,12 +985,10 @@ object DedupQueries {
   val d15BandTuning: Q = Q(
     "d15_band_tuning",
     (s, dir) => {
-      val sh = shTable(s, dir, 5)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      sh.count() // eager: prefix index + verify sides share it
-      val pairs = MinHashLSH
-        .verifyJaccard(MinHashLSH.prefixFilteredPairs(sh, "doc_id"), sh, "doc_id")
-        .filter(col("jaccard") >= 0.5)
+      // The tuner aggregates d2's verified pair population — read it from
+      // the shared view (r13, verdict #3) instead of re-running the
+      // prefix-filter + verify pipeline per measurement.
+      val pairs = d2Pairs(s, dir)
       // p_detect(r, b) = 1 − (1 − j^r)^b via explicit squaring chains.
       def pow2(c: Column, k: Int): Column =
         (1 to k).foldLeft(c)((acc, _) => acc * acc) // c^(2^k)
