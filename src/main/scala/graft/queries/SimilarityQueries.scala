@@ -860,14 +860,16 @@ object SimilarityQueries {
     *  - e5 hyperplane LSH, bands×bits over the same 16-bit sketch:
     *    0.4 @ 4×4 → 1.0/1.0 @ 8×2. SHIPPED 8×2 (higher band-collision
     *    probability, identical sketch bytes).
-    *  - e25 balanced-IVF pairs, soft-assign width A: 0.3/– @ 1 →
-    *    0.65/– @ 2 → 0.8/0.45 @ 3 → –/0.7 @ 4. SHIPPED 3: clears the
-    *    sf0.01 bar; the sf0.1 curve is DISCLOSED as this family's cost
-    *    floor — a 10× corpus's global top-20 pairs are finer-grained
-    *    than any O(A²)-bounded cell-local generator recovers (A = 4
-    *    still reads 0.7 for ×16 worst-case pair work); past that point
-    *    production runs d-family banded dedup or e29-style refine over
-    *    a wider pair pool, not a bigger A.
+    *  - e25 balanced-IVF pairs, ASYMMETRIC probe width A (r13 — index
+    *    hard-assigned ×1, probes ×A; r12's symmetric sweep read
+    *    0.3/0.65/0.8 @ A=1/2/3 for ×A index and ×A² pair work):
+    *    0.6/– @ 3 → 0.7/– @ 4 → 0.8/0.5 @ 5. SHIPPED 5: clears the
+    *    sf0.01 bar at 5/9 of the symmetric candidate volume; the sf0.1
+    *    curve is DISCLOSED as this family's cost floor — a 10× corpus's
+    *    global top-20 pairs are finer-grained than any cell-local
+    *    generator recovers; past that point production runs d-family
+    *    banded dedup or e29-style refine over a wider pair pool, not a
+    *    bigger A.
     *  - e27 range search, nprobe: 0.478/– @ 4 → 0.957/0.701 @ 16 →
     *    1.0/0.859 @ 24 → –/0.927 @ 32. SHIPPED 24 (≥0.8 both scales).
     *  - e28 multi-probe LSH, Hamming ring R on the 8-bit table:
@@ -2341,19 +2343,24 @@ object SimilarityQueries {
     * (vec_id, v, cid, scid) — scid = −1 for unsplit cells. All draws and
     * argmins carry the family's deterministic tie-breaks
     * ((d², centroid id); md5-then-id for draws), so both engines and any
-    * partitioning produce identical cells.
+    * partitioning produce identical cells. Returns the SLIM assignment
+    * (vec_id, cid, scid, arank) — scid = −1 for unsplit cells, arank the
+    * level-1 assignment rank; callers re-attach vectors from `emb`.
     *
     * `assignTop` is the SOFT-ASSIGNMENT width (r11 verdict #1): each
     * vector lands in its `assignTop` nearest level-1 cells instead of
     * only its nearest. Pairs straddling a single cell boundary — the
     * recall loss IVF's contract accepts — are then recovered whenever
-    * EITHER member's second cell is the other's first (the standard
+    * EITHER member's extra cells reach the other's primary (the standard
     * multi-assignment / "spilling" fix, e28's multi-probe applied at
-    * index-build time). Index size and candidate volume grow ×assignTop
-    * and ×assignTop² respectively; the census/cap logic sees the
-    * multi-assigned censuses, so the split guarantee still bounds the
-    * worst cell's pair work. Level 2 keeps one subcell per (vector,
-    * cell): the level-2 argmin partitions by (vec_id, cid).
+    * index-build time). The output carries each row's level-1 assignment
+    * rank as `arank` (r12 verdict #1): the pair generator keys its INDEX
+    * side on the rank-1 rows only (≈ corpus-sized) and multi-probes only
+    * the query side — candidate volume grows ×assignTop instead of
+    * ×assignTop². The census/cap logic sees the multi-assigned censuses,
+    * so the split guarantee still bounds the worst cell's pair work.
+    * Level 2 keeps one subcell per (vector, cell): the level-2 argmin
+    * partitions by (vec_id, cid).
     */
   private[graft] def balancedCells(
       emb: org.apache.spark.sql.DataFrame, nC: Int, cap: Long,
@@ -2363,16 +2370,45 @@ object SimilarityQueries {
       .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
       .limit(nC)
       .select(col("vec_id").as("cid"), col("v").as("cv"))
-    val byVec = Window.partitionBy("vec_id").orderBy(col("d2"), col("cid"))
+    // SLIM assignment (r13, guide §2.3/§8 "shuffle keys and metadata, not
+    // payloads"): the argmins, the persisted assignment, the census and
+    // the split machinery all run on (vec_id, cid, rank) metadata rows —
+    // the 64-double payload is consumed by the distance projections
+    // map-side and never crosses an Exchange or enters the columnar cache
+    // (the r13 stack profile showed the cache compression of the vector
+    // column and the payload-wide window sorts dominating e25's wall).
+    // Callers re-attach `v` by joining `emb` on vec_id where needed.
+    //
+    // The level-1 argmin itself is MAP-ONLY (r13, guide §2.4): the
+    // centroids fold into one broadcast array row and each vector picks
+    // its top-`assignTop` cells by sorting the per-row (d², cid) structs
+    // — field-lexicographic array_sort IS the window's (d2, cid)
+    // tie-break, and posexplode's 0-based pos is arank−1. The previous
+    // crossJoin+row_number shape materialized n×C rows through an
+    // Exchange(vec_id)+Sort; at real scale that is n×√n rows shuffled,
+    // where this shape broadcasts C centroids and writes n×assignTop.
+    val centArr = cent.agg(collect_list(struct(col("cid"), col("cv"))).as("cents"))
     val a1 = emb
-      .crossJoin(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("cid"),
-        FastVec.l2sq(col("v"), col("cv")).as("d2"))
-      .withColumn("rn", row_number().over(byVec))
-      .filter(col("rn") <= assignTop)
-      .select(col("vec_id"), col("v"), col("cid"))
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id"),
+        posexplode(slice(array_sort(transform(col("cents"), c =>
+          struct(FastVec.l2sq(col("v"), c("cv")).as("d2"), c("cid").as("cid")))),
+          1, assignTop)))
+      .select(col("vec_id"), col("col.cid").as("cid"),
+        (col("pos") + 1).cast("int").as("arank"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    a1.count() // census, sub-draw, sub-assign and the unsplit arm scan it
+    // O(C) census, and the action that materializes the a1 cache for the
+    // sub-draw, sub-assign and unsplit arms. When NO cell exceeds the cap
+    // — the common balanced case — the entire level-2 subtree (6 jobs of
+    // semi/anti-joins and windows over provably empty sets, ~1 s of pure
+    // stage dispatch at sf0.1) is skipped: with `big` empty the anti-join
+    // is the identity on a1 and a2 is empty, so the short-circuit is
+    // equivalent by construction. The driver sees one bounded Long.
+    val nBig = a1.groupBy("cid").agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > cap).count()
+    if (nBig == 0) {
+      return a1.select(col("vec_id"), col("cid"), lit(-1L).as("scid"), col("arank"))
+    }
     val big = a1.groupBy("cid").agg(count(lit(1)).as("sz"))
       .filter(col("sz") > cap).select("cid")
     val members = a1.join(broadcast(big), Seq("cid"), "left_semi")
@@ -2381,16 +2417,19 @@ object SimilarityQueries {
     val subc = members
       .withColumn("srn", row_number().over(bySub))
       .filter(col("srn") <= 4)
-      .select(col("cid"), col("vec_id").as("scid"), col("v").as("scv"))
+      .select(col("cid"), col("vec_id").as("scid"))
+      .join(emb.select(col("vec_id").as("scid"), col("v").as("scv")), Seq("scid"))
     val byVec2 = Window.partitionBy("vec_id", "cid").orderBy(col("d2"), col("scid"))
-    val a2 = members.join(subc, Seq("cid"))
-      .select(col("vec_id"), col("v"), col("cid"), col("scid"),
+    val a2 = members
+      .join(emb, Seq("vec_id")) // member vector for the sub-argmin, map-side
+      .join(subc, Seq("cid"))
+      .select(col("vec_id"), col("cid"), col("scid"), col("arank"),
         FastVec.l2sq(col("v"), col("scv")).as("d2"))
       .withColumn("rn", row_number().over(byVec2))
       .filter(col("rn") === 1)
-      .select(col("vec_id"), col("v"), col("cid"), col("scid"))
+      .select(col("vec_id"), col("cid"), col("scid"), col("arank"))
     a1.join(broadcast(big), Seq("cid"), "left_anti")
-      .select(col("vec_id"), col("v"), col("cid"), lit(-1L).as("scid"))
+      .select(col("vec_id"), col("cid"), lit(-1L).as("scid"), col("arank"))
       .unionByName(a2)
   }
 
@@ -2417,20 +2456,24 @@ object SimilarityQueries {
     * quadratic in n, and the worst cell's pair work is capped by
     * construction rather than by the data's goodwill.
     */
-  /** e25's shipped soft-assignment width (see [[balancedCells]]): the
-    * r11 audit measured pair recall@20 at 0.3 with hard assignment —
-    * boundary pairs are exactly what a one-cell-per-vector index cannot
-    * see. Soft assignment recovers a pair whenever one member's extra
-    * cells reach the other, at ×A index rows / ×A² worst-case per-cell
-    * pair work (the cap scales with A, so the split guarantee is
-    * unchanged). r12 sweep (sf0.01): recall 0.3 @ A=1, 0.65 @ A=2,
-    * 0.8 @ A=3 — the shipped point clears the ~0.8 bar at the audit
-    * scale. At sf0.1 the same A reads 0.45 (0.7 @ A=4): a 10× corpus's
-    * global top-20 pairs outgrow any O(A²) cell-local generator — the
-    * disclosed cost floor; see e9's scaladoc for where production goes
-    * past it.
+  /** e25's shipped PROBE width (see [[balancedCells]]): the r11 audit
+    * measured pair recall@20 at 0.3 with hard assignment — boundary pairs
+    * are exactly what a one-cell-per-vector index cannot see. r13
+    * (r12 verdict #1) made the recovery ASYMMETRIC: the index stays
+    * hard-assigned (×1 rows — the index a deployment stores) and only the
+    * probe side multi-assigns, recovering a pair whenever either member's
+    * probe list reaches the other's primary cell, at ×A probe rows /
+    * ×A worst-case per-cell pair work (vs the r12 symmetric ×A index and
+    * ×A² pair work; the cap scales with A, so the split guarantee is
+    * unchanged). r13 sweep (sf0.01, asymmetric): recall 0.6 @ A=3,
+    * 0.7 @ A=4, 0.8 @ A=5 — the shipped A=5 clears the ~0.8 bar at the
+    * audit scale with 5/9 of the symmetric A=3 candidate volume and a
+    * third of its index. The sf0.1 curve remains this family's disclosed
+    * cost floor — a 10× corpus's global top-20 pairs outgrow any
+    * O(A)-bounded cell-local generator; see e9's scaladoc for where
+    * production goes past it.
     */
-  private[graft] val e25AssignTop = 3
+  private[graft] val e25AssignTop = 5
 
   private[graft] def balancedPairs(s: SparkSession, dir: String,
       assignTop: Int): org.apache.spark.sql.DataFrame = {
@@ -2444,23 +2487,43 @@ object SimilarityQueries {
       // assignment width.
       val cap = 2L * math.ceil(assignTop * n.toDouble / nC).toLong
       val fin = balancedCells(emb, nC, cap, assignTop)
-        .select(col("vec_id"), col("v"), col("cid"), col("scid"),
-          FastVec.norm(col("v")).as("nv"))
-      val left = fin.select(col("vec_id").as("a"), col("v").as("va"),
-        col("nv").as("na"), col("cid"), col("scid"))
-      val right = fin.select(col("vec_id").as("b"), col("v").as("vb"),
-        col("nv").as("nb"), col("cid"), col("scid"))
-      left.join(right, Seq("cid", "scid"))
-        .filter(col("a") < col("b"))
+      // ASYMMETRIC probing (r12 verdict #1, guide §3/§2): the INDEX side
+      // keys on each vector's PRIMARY cell only (arank = 1, ≈ corpus-sized
+      // — the index a deployment stores), while the PROBE side keeps all
+      // assignTop cells. A boundary pair is recovered whenever either
+      // member's probe list reaches the other's primary cell — the
+      // standard multi-probe shape (e2/e27) applied to the pair join.
+      // Candidate volume per cell drops from |soft|² to |hard|·|soft|
+      // (×assignTop fewer). Candidate generation and the pair dedup run
+      // on ID rows only; the vectors are attached ONCE, to the deduped
+      // survivors (guide §8 — decide with small rows, move payloads last).
+      val idx = fin.filter(col("arank") === 1)
+        .select(col("vec_id").as("ia"), col("cid"), col("scid"))
+      val probe = fin.select(col("vec_id").as("ib"), col("cid"), col("scid"))
+      val cand = idx.join(probe, Seq("cid", "scid"))
+        .filter(col("ia") =!= col("ib"))
+        .select(least(col("ia"), col("ib")).as("a"),
+          greatest(col("ia"), col("ib")).as("b"), col("cid"), col("scid"))
+        // A pair can surface from two cells (or from both orderings in
+        // one cell); keep the deterministic representative (smallest
+        // (cid, scid)) — the score depends only on (a, b), so the dedup
+        // can run before scoring without changing any value. min over
+        // the (cid, scid) struct IS that representative (struct ordering
+        // is field-lexicographic), spelled as an aggregate instead of a
+        // row_number window so the dedup partial-combines map-side and
+        // the candidate shuffle carries no sort (guide §2.3).
+        .groupBy("a", "b")
+        .agg(min(struct(col("cid"), col("scid"))).as("cs"))
+        .select(col("a"), col("b"), col("cs.cid").as("cid"),
+          col("cs.scid").as("scid"))
+      val embN = emb.select(col("vec_id"), col("v"), FastVec.norm(col("v")).as("nv"))
+      cand
+        .join(embN.select(col("vec_id").as("a"), col("v").as("va"),
+          col("nv").as("na")), Seq("a"))
+        .join(embN.select(col("vec_id").as("b"), col("v").as("vb"),
+          col("nv").as("nb")), Seq("b"))
         .select(col("a"), col("b"), col("cid"), col("scid"),
           FastVec.cosinePre(col("va"), col("vb"), col("na"), col("nb")).as("sim"))
-        // Soft assignment can surface the same pair from two cells; keep
-        // the deterministic representative (smallest (cid, scid)) — sim is
-        // identical on every copy, so the dedup never changes a score.
-        .withColumn("prn", row_number().over(
-          Window.partitionBy("a", "b").orderBy(col("cid"), col("scid"))))
-        .filter(col("prn") === 1)
-        .select("a", "b", "cid", "scid", "sim")
         .orderBy(col("sim").desc, col("a"), col("b"))
         .limit(20)
   }
@@ -2473,10 +2536,12 @@ object SimilarityQueries {
       c1 AS (SELECT vec_id AS cid, v AS cv FROM e
              QUALIFY row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
                <= (SELECT greatest(8, CAST(ceil(sqrt(c)) AS BIGINT)) FROM nn)),
-      a1 AS (SELECT vec_id, v, cid FROM (
+      a1 AS (SELECT vec_id, v, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS arank
+             FROM (
                SELECT e.vec_id, e.v, c.cid, ${sqlL2sq("e.v", "c.cv")} AS d2
                FROM e CROSS JOIN c1 c)
-             QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) <= $e25AssignTop),
+             QUALIFY arank <= $e25AssignTop),
       capt AS (SELECT 2 * CAST(ceil($e25AssignTop * CAST(c AS DOUBLE) /
                  greatest(8, CAST(ceil(sqrt(c)) AS BIGINT))) AS BIGINT) AS cap
                FROM nn),
@@ -2486,18 +2551,20 @@ object SimilarityQueries {
       subc AS (SELECT cid, vec_id AS scid, v AS scv FROM mem
                QUALIFY row_number() OVER (PARTITION BY cid
                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 4),
-      a2 AS (SELECT vec_id, v, cid, scid FROM (
-               SELECT m.vec_id, m.v, m.cid, s.scid, ${sqlL2sq("m.v", "s.scv")} AS d2
+      a2 AS (SELECT vec_id, v, cid, scid, arank FROM (
+               SELECT m.vec_id, m.v, m.cid, m.arank, s.scid, ${sqlL2sq("m.v", "s.scv")} AS d2
                FROM mem m JOIN subc s ON s.cid = m.cid)
              QUALIFY row_number() OVER (PARTITION BY vec_id, cid ORDER BY d2, scid) = 1),
-      fin AS (SELECT vec_id, v, cid, CAST(-1 AS BIGINT) AS scid
+      fin AS (SELECT vec_id, v, cid, CAST(-1 AS BIGINT) AS scid, arank
               FROM a1 WHERE cid NOT IN (SELECT cid FROM big)
-              UNION ALL SELECT vec_id, v, cid, scid FROM a2),
-      pairs AS (SELECT x.vec_id AS a, y.vec_id AS b, x.cid, x.scid,
+              UNION ALL SELECT vec_id, v, cid, scid, arank FROM a2),
+      pairs AS (SELECT least(x.vec_id, y.vec_id) AS a,
+                  greatest(x.vec_id, y.vec_id) AS b, x.cid, x.scid,
                   ${sqlCos("x.v", "y.v")} AS sim
                 FROM fin x JOIN fin y
-                  ON x.cid = y.cid AND x.scid = y.scid AND x.vec_id < y.vec_id
-                QUALIFY row_number() OVER (PARTITION BY x.vec_id, y.vec_id
+                  ON x.cid = y.cid AND x.scid = y.scid
+                  AND x.arank = 1 AND x.vec_id <> y.vec_id
+                QUALIFY row_number() OVER (PARTITION BY a, b
                   ORDER BY x.cid, x.scid) = 1)
       SELECT a, b, cid, scid, sim FROM pairs
       ORDER BY sim DESC, a, b LIMIT 20""")
