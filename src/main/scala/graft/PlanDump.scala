@@ -36,7 +36,15 @@ object PlanDump {
       .map(_.split(",").map(_.trim).toSeq)
       .getOrElse(SparkEntry.queries.keys.toSeq)
     val all = SparkEntry.queries
-    names.filter(all.contains).foreach { name =>
+    // A misspelled SPARK_GRAFT_PLAN_ONLY entry must not silently produce
+    // no plan file — missing before/after evidence then goes unnoticed.
+    val unknown = names.filterNot(all.contains)
+    if (unknown.nonEmpty) {
+      System.err.println(
+        s"[plandump] ERROR: not in SparkEntry.queries: ${unknown.mkString(", ")}")
+      sys.exit(1)
+    }
+    names.foreach { name =>
       try {
         val df = all(name)(spark, sfDir)
         val txt = df.queryExecution.explainString(
