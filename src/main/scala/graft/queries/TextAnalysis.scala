@@ -768,6 +768,34 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("c1"), col("c2")).limit(1)
       .collect().headOption
 
+  /** Runs `body` with AQE disabled on the session, restoring the prior
+    * setting on every exit path (r13, r12 verdict #4/#5 — the
+    * DispatchProbe evidence). SCOPE CONTRACT: only for job sequences that
+    * operate entirely on VOCAB-BOUNDED frames (the BPE training rounds:
+    * every round is one explode+aggregate+argmax over the cached word
+    * census, ≤ |vocab| rows at ANY corpus scale by the groupBy(word)
+    * contract). On such frames AQE's adaptive wins — size-based partition
+    * coalescing, skew splits, join re-strategy — are no-ops at every
+    * scale, while its stage-by-stage QueryStage materialization charges
+    * two extra scheduling barriers per round × ~10 rounds. Measured
+    * (DispatchProbe, min-of-4, same window): x33 1.48 → 0.86 s,
+    * x34 2.13 → 1.07 s, x23 0.55 → 0.44 s. This is NOT a local[32]
+    * tuning: the rounds are latency-bound at any corpus size because the
+    * frame they run on does not grow with the corpus. Corpus-sized work
+    * (the census build, x34's final encode join) stays OUTSIDE the
+    * window, where AQE keeps its scale duties.
+    */
+  private def withAqeOff[A](s: SparkSession)(body: => A): A = {
+    val key = "spark.sql.adaptive.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try body
+    finally prev match {
+      case Some(v) => s.conf.set(key, v)
+      case None => s.conf.unset(key)
+    }
+  }
+
   /** The framed-literal merge of `(c1, c2)` applied to every census entry
     * — see x23's scaladoc for why the consumed-boundary `replace` is the
     * portable cross-engine rule.
@@ -847,15 +875,18 @@ object TextAnalysis {
         // census is unpersisted only after that collect returns.
         var rules = Vector.empty[(Int, String, String, Long)]
         var prev: Option[org.apache.spark.sql.DataFrame] = None
-        for (r <- 1 to K) {
-          val best = bpeBestPair(census).get // K=4 < pair depth at any SF
-          prev.foreach(_.unpersist()); prev = None
-          rules = rules :+
-            ((r, best.getString(0), best.getString(1), best.getLong(2)))
-          if (r < K) { // the final round's merge has no reader — skip it
-            prev = Some(census)
-            census = bpeMerge(census, best.getString(0), best.getString(1))
-          } else census.unpersist()
+        // Rounds run on the vocab-bounded census — see [[withAqeOff]].
+        withAqeOff(s) {
+          for (r <- 1 to K) {
+            val best = bpeBestPair(census).get // K=4 < pair depth at any SF
+            prev.foreach(_.unpersist()); prev = None
+            rules = rules :+
+              ((r, best.getString(0), best.getString(1), best.getLong(2)))
+            if (r < K) { // the final round's merge has no reader — skip it
+              prev = Some(census)
+              census = bpeMerge(census, best.getString(0), best.getString(1))
+            } else census.unpersist()
+          }
         }
         rules.toDF("round", "c1", "c2", "freq").orderBy("round")
       },
@@ -930,20 +961,23 @@ object TextAnalysis {
         var prev: Option[org.apache.spark.sql.DataFrame] = None
         var r = 1
         var stop = m < 1
-        while (!stop) {
-          val best = bpeBestPair(census)
-          prev.foreach(_.unpersist()); prev = None
-          best match {
-            case Some(best) if best.getLong(2) >= MinCount =>
-              rules = rules :+ ((r, best.getString(0), best.getString(1),
-                best.getLong(2), v0 + r))
-              if (r < m) {
-                prev = Some(census)
-                census = bpeMerge(census, best.getString(0), best.getString(1))
-              }
-              r += 1
-              stop = r > m
-            case _ => stop = true // pairs exhausted or best below MinCount
+        // Rounds run on the vocab-bounded census — see [[withAqeOff]].
+        withAqeOff(s) {
+          while (!stop) {
+            val best = bpeBestPair(census)
+            prev.foreach(_.unpersist()); prev = None
+            best match {
+              case Some(best) if best.getLong(2) >= MinCount =>
+                rules = rules :+ ((r, best.getString(0), best.getString(1),
+                  best.getLong(2), v0 + r))
+                if (r < m) {
+                  prev = Some(census)
+                  census = bpeMerge(census, best.getString(0), best.getString(1))
+                }
+                r += 1
+                stop = r > m
+              case _ => stop = true // pairs exhausted or best below MinCount
+            }
           }
         }
         census.unpersist()
@@ -1030,19 +1064,24 @@ object TextAnalysis {
         var prev: Option[org.apache.spark.sql.DataFrame] = None
         var r = 1
         var stop = m < 1
-        while (!stop) {
-          val best = bpeBestPair(census)
-          prev.foreach(_.unpersist()); prev = None
-          best match {
-            case Some(best) if best.getLong(2) >= MinCount =>
-              prev = Some(census)
-              census = bpeMerge(census, best.getString(0), best.getString(1))
-              r += 1
-              stop = r > m
-            case _ => stop = true
+        // Rounds (and the trailing merge materialization) run on the
+        // vocab-bounded census — see [[withAqeOff]]; the encode join below
+        // is corpus-sized and stays under AQE.
+        withAqeOff(s) {
+          while (!stop) {
+            val best = bpeBestPair(census)
+            prev.foreach(_.unpersist()); prev = None
+            best match {
+              case Some(best) if best.getLong(2) >= MinCount =>
+                prev = Some(census)
+                census = bpeMerge(census, best.getString(0), best.getString(1))
+                r += 1
+                stop = r > m
+              case _ => stop = true
+            }
           }
+          prev.foreach { p => census.count(); p.unpersist() }
         }
-        prev.foreach { p => census.count(); p.unpersist() }
         val wt = census.select(col("word"),
           size(expr("filter(split(seq, chr(31)), x -> x <> '')")).as("n_sym"))
         val out = t(s, dir, "documents")
