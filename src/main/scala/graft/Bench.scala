@@ -306,6 +306,14 @@ object Bench {
     }
     canary() // untimed codegen warm: canary_first must measure the host, not JIT
     val canaryFirst = canary()
+    // Mid-session canary stamps (r12 verdict #2): the open/close canaries
+    // cannot see a degraded EPISODE inside a ~11-minute session (S8's
+    // e9 = 25.4 s and S12's g5 = 8.1 s had clean canaries both ends and
+    // had to be adjudicated by narration). Stamp the same fold every ~50
+    // queries — outside every timed window — so an episodic outlier row is
+    // machine-attributable to a window from the artifact alone.
+    val canaryMids = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    var sinceStamp = 0
     val results = names.map { name =>
       graft.sources.MatView.drainTouched() // reset the view-read tracker
       val (ok1, t1, task1) = once(name)
@@ -332,6 +340,11 @@ object Bench {
       //     lets the cleaner reclaim them while nothing is measured.
       clearSlate()
       System.gc()
+      sinceStamp += 1
+      if (sinceStamp >= 50) {
+        sinceStamp = 0
+        canaryMids += ((names.indexOf(name) + 1) -> canary())
+      }
       // Per-query progress on stderr (stdout stays the single JSON line);
       // failures and timeouts are marked, not silently timed.
       // bestTask < 0 = eff window tainted by an earlier timeout; propagate
@@ -441,8 +454,13 @@ object Bench {
           f"${canaryLast}%.3f s vs healthy ${canaryHealthyRef}%.3f s — " +
           "DEGRADED WINDOW; re-run before committing this artifact " +
           "(total_canary_norm_sec is the discounted comparator if you must)")
+    // Mid-session stamps, keyed by 1-based query index ("after query N").
+    val midStamps = canaryMids
+      .map { case (i, sec) => "\"" + i + "\":" + f(sec) }
+      .mkString("{", ",", "}")
     val canaries =
-      s""""canary_first_sec":${f(canaryFirst)},"canary_last_sec":${f(canaryLast)},""" +
+      s""""canary_first_sec":${f(canaryFirst)},"canary_mid_sec":$midStamps,""" +
+        s""""canary_last_sec":${f(canaryLast)},""" +
         s""""canary_last_raw_sec":${f(canaryLastRaw)},""" +
         s""""canary_healthy_ref_sec":${f(canaryHealthyRef)},"total_canary_norm_sec":${f(totalNorm)}"""
     // The driver records only the LAST ~2000 chars of stdout (BENCH_r01:
@@ -452,11 +470,28 @@ object Bench {
     // guaranteed to fit the tail window: same metric/value schema, slowest
     // 15 queries inline, full map one line up.
     println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$qs,"cores_eff":$effs,"view_backed":$viewBacked,"view_build_sec":$viewBuilds$e9Var,$canaries,"sf":"$sfDir","agg":"per-query min of 2 clean-slate runs (host parallelism varies run-to-run); cores_eff = executor-task-sec/wall-sec of the reported run; view_backed queries read warm materialized views whose one-time build cost is view_build_sec; canary_*_sec time the same fixed CPU-bound no-I/O fold first/last in the session; cross-artifact host windows normalize by canary ratio; cross-session regression adjudication protocol + per-round session inventory live in BENCH_NOTES_r{N}.md next to this artifact"}""")
-    val slow = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
-      .map { case (k, v, _, _) => "\"" + k + "\":" + f(v) }
+    // STABLE-UNDER-IMPROVEMENT compact map (r12 verdict #2): a pure
+    // slowest-15 window churns when the suite gets FASTER — r12's PERF
+    // diff manufactured 7 phantom "dropped_from_bench" rows for queries
+    // that merely fell out of the top 15. The driver contract allows
+    // ADDING map entries but never removing one, so the compact line now
+    // pins every name the r12 committed artifact carried (they can only
+    // leave by genuinely leaving the registry) and unions the current
+    // slowest 15 on top. ~30 entries ≈ 1.3 KB — inside the driver's
+    // 2000-char stdout tail with the canary block.
+    val pinned = Seq(
+      "e9_ann_recall", "d2_ngram_jaccard", "e25_ivf_balanced", "e13_ivf_pq",
+      "e29_pq_refine", "x34_bpe_encode", "g1_pagerank", "d15_band_tuning",
+      "g5_bfs_hops", "g4_label_prop", "x33_bpe_vocab", "m8_phash_dct",
+      "d16_tfidf_dedup", "g9_knn_graph", "g3_kcore")
+    val byName = results.collect { case (k, v, _, _) if v >= 0 => k -> v }.toMap
+    val slowNames = results.filter(_._2 >= 0).sortBy(-_._2).take(15).map(_._1)
+    val compactNames =
+      (slowNames ++ pinned.filter(p => byName.contains(p) && !slowNames.contains(p)))
+    val slow = compactNames.map(k => "\"" + k + "\":" + f(byName(k)))
       .mkString("{", ",", "}")
     val nFail = results.count(_._2 < 0)
-    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$slow,"sf":"$sfDir","n_queries":${results.size},"n_failed":$nFail,$canaries,"note":"slowest 15 of ${results.size}; full per-query map with cores_eff and view tags on the previous stdout line; canary = fixed CPU-bound fold timed first/last (host-window normalizer)"}""")
+    println(s"""{"metric":"total","value":${f(total)},"unit":"sec","queries":$slow,"sf":"$sfDir","n_queries":${results.size},"n_failed":$nFail,$canaries,"note":"slowest 15 of ${results.size} + the pinned r12 comparator set (stable under improvement); full per-query map with cores_eff and view tags on the previous stdout line; canary = fixed CPU-bound fold timed first/mid/last (host-window normalizer)"}""")
     spark.stop()
   }
 }
