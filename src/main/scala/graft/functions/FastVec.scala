@@ -125,6 +125,19 @@ case class L2Sq(left: Expression, right: Expression)
   * one codegen'd loop, no allocation; integer multiply-add is
   * order-exact, so the result is BIT-IDENTICAL to the builtin fold and
   * the oracle's relational row/column passes.
+  *
+  * CONTRACT (r12 advice — this is an INTERNAL kernel, registered for
+  * tests/plans but not a general SQL function): inputs must be
+  * equal-length arrays with NO null elements. On mismatched lengths it
+  * folds the COMMON PREFIX where the builtin `aggregate(zip_with(...))`
+  * spelling yields NULL from null-padding, and a null element hits
+  * `getLong` on a null slot (unspecified garbage) where the builtin
+  * returns NULL — the bit-identity claim above holds only under the
+  * contract, which m8's fixed 64-length DCT grids satisfy by
+  * construction. (Declaring `containsNull = false` in `inputTypes` is NOT
+  * the enforcement mechanism: Spark types `transform(...)` outputs as
+  * nullable-element arrays regardless of content, so the analyzer would
+  * reject the legitimate call sites.)
   */
 case class LongDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -186,7 +199,12 @@ object FastVec {
       new ExpressionInfo(classOf[L2Sq].getName, "graft_l2sq"),
       (children: Seq[Expression]) => L2Sq(children.head, children(1))),
     (FunctionIdentifier("graft_ldot"),
-      new ExpressionInfo(classOf[LongDot].getName, "graft_ldot"),
+      new ExpressionInfo(classOf[LongDot].getName, null, "graft_ldot",
+        "_FUNC_(a, b) - Exact integer dot product of two EQUAL-LENGTH " +
+          "array<bigint> with no null elements (internal kernel; " +
+          "mismatched lengths fold the common prefix, null elements are " +
+          "undefined — see LongDot's contract scaladoc).",
+        "", "", "", "", "", "", "scala_udf"),
       (children: Seq[Expression]) => LongDot(children.head, children(1))),
     (FunctionIdentifier("graft_bpe_count"),
       new ExpressionInfo(classOf[BpeTokenCount].getName, "graft_bpe_count"),

@@ -1093,6 +1093,12 @@ object DedupQueries {
       // Persisted (r12): four subtrees consume this join (norms, the rare
       // index, and BOTH sides of the dot) — unpersisted, each re-ran the
       // sh⋈wsq shuffle join; cached, the join runs once.
+      // LIFETIME (r12 advice): sh/wsq/weighted CANNOT be unpersisted here
+      // — the returned frame is lazy and still references all three; they
+      // are reclaimed by the session's cache hygiene (Bench/Verify
+      // clearSlate between queries; spark.catalog.clearCache in any
+      // long-lived host), the same contract as every memoized table in
+      // this file.
       val weighted = sh.join(wsq, Seq("shingle"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       weighted.count() // eager: the four consumers scan it concurrently

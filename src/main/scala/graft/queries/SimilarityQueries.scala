@@ -605,13 +605,36 @@ object SimilarityQueries {
     * caller the same persisted result. [[clearAdcMemo]] restores Bench's
     * clean-slate discipline.
     */
+  /** One-shot build cell (r12 verdict #7): TrieMap.getOrElseUpdate may
+    * evaluate the by-name default on TWO racing threads and drop the
+    * loser — with a raw DataFrame value that ran `pqAdcBuild` twice and
+    * leaked the loser's persisted table until [[clearAdcMemo]]. Racing
+    * threads may allocate two Cells (free — the build is not run), but
+    * only the stored winner's `df` is ever forced, and `lazy val` gives
+    * exactly-once build under JVM synchronization. `ifBuilt` lets cleanup
+    * unpersist without FORCING an unbuilt cell.
+    */
+  private final class AdcCell(build: () => org.apache.spark.sql.DataFrame) {
+    private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+    lazy val df: org.apache.spark.sql.DataFrame = {
+      val d = build(); adcBuilds.incrementAndGet(); done.set(true); d
+    }
+    def ifBuilt: Option[org.apache.spark.sql.DataFrame] =
+      if (done.get) Some(df) else None
+  }
+
+  /** Completed ADC builds, total — the [[AdcCellSpec]] race probe's
+    * observable (not used by any query).
+    */
+  private[graft] val adcBuilds = new java.util.concurrent.atomic.AtomicInteger
+
   private val adcCache =
     scala.collection.concurrent.TrieMap
-      .empty[(SparkSession, String, Boolean, Int, Int), org.apache.spark.sql.DataFrame]
+      .empty[(SparkSession, String, Boolean, Int, Int), AdcCell]
 
   /** Drop the memoized ADC tables (benchmark hygiene — see Bench). */
   def clearAdcMemo(): Unit = {
-    adcCache.values.foreach(df => scala.util.Try(df.unpersist()))
+    adcCache.values.foreach(_.ifBuilt.foreach(df => scala.util.Try(df.unpersist())))
     adcCache.clear()
   }
 
@@ -619,7 +642,7 @@ object SimilarityQueries {
       normalize: Boolean = false, M: Int = 4,
       K: Int = 8): org.apache.spark.sql.DataFrame =
     adcCache.getOrElseUpdate((s, dir, normalize, M, K),
-      pqAdcBuild(s, dir, normalize, M, K))
+      new AdcCell(() => pqAdcBuild(s, dir, normalize, M, K))).df
 
   private def pqAdcBuild(s: SparkSession, dir: String,
       normalize: Boolean, M: Int,
@@ -976,12 +999,24 @@ object SimilarityQueries {
           t
         })
       try {
-        val built = legs
+        val futs = legs
           .map(leg => pool.submit(new java.util.concurrent.Callable[
             org.apache.spark.sql.DataFrame] { def call() = leg() }))
-          .map(_.get())
-        built.reduce(_.unionByName(_)).orderBy("variant")
-      } finally pool.shutdown()
+        try {
+          val built = futs.map(_.get())
+          built.reduce(_.unionByName(_)).orderBy("variant")
+        } catch { case e: Throwable =>
+          // A failed leg must not leave sibling legs running Spark jobs
+          // (and persisting intermediates) after e9 returns — they would
+          // pollute the NEXT isolated bench measurement (r12 advice).
+          futs.foreach(_.cancel(true))
+          throw e
+        }
+      } finally {
+        // shutdownNow interrupts in-flight legs (Spark fails their jobs on
+        // thread interrupt); plain shutdown would let them run to the end.
+        pool.shutdownNow(); ()
+      }
     },
     Some {
       def sub(q: Q) = s"(SELECT vec_id FROM (${q.oracle.get}))"
