@@ -211,4 +211,20 @@ class BpeTrainSpec extends SparkSpec {
     assert(got.size == 12, s"expected the 12-round budget stop, got ${got.size}")
     assert(got.last._5 == 8L + 12L)
   }
+
+  test("the AQE-off round window restores the session conf on exit " +
+    "(r13: the trainers toggle spark.sql.adaptive.enabled around the " +
+    "vocab-bounded merge rounds)") {
+    val key = "spark.sql.adaptive.enabled"
+    val sf = "/root/testdata/sf0.001"
+    val before = spark.conf.getOption(key)
+    graft.queries.TextAnalysis.x23BpeTrain.fn(spark, sf).collect()
+    assert(spark.conf.getOption(key) == before,
+      s"x23 must restore $key: was $before, now ${spark.conf.getOption(key)}")
+    spark.conf.set(key, "true") // explicit value must round-trip too
+    graft.queries.TextAnalysis.x33BpeVocab.fn(spark, sf).collect()
+    assert(spark.conf.get(key) == "true",
+      "x33 must restore the explicitly-set value")
+    spark.catalog.clearCache()
+  }
 }
